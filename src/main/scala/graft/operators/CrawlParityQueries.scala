@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CrawlCols
+
+/** Oracle-checked parity queries for the crawl scalar library (SURVEY.md
+  * §2.2-2.3). Inputs are synthesized deterministically from the `events`
+  * table; the DuckDB oracle derives the EXPECTED output directly (not by
+  * reimplementing the function), so these are differential tests of the
+  * Column implementations — e.g. `hostOf ∘ buildUrl ≡ buildHost`.
+  */
+object CrawlParityQueries {
+
+  private def withUrls(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("url",
+      // three URL shapes: plain http(s), dns:, screenshot:
+      when(col("event_type") === "error",
+        concat(lit("dns:Host"), col("user_id") % 20, lit(".example.org")))
+        .when(col("event_type") === "view",
+          concat(lit("screenshot:https://host"), col("user_id") % 20,
+            lit(".example.org/p/"), col("event_id")))
+        .otherwise(concat(lit("https://Host"), col("user_id") % 20,
+          lit(".Example.org:8443/p/"), col("event_id"))))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P2/P3: hostname extraction incl. dns: scheme, lowercasing, port strip.
+    "p02_host_of_url" -> ((s, d) =>
+      withUrls(s, d)
+        .filter(col("event_type") =!= "view") // screenshots handled in p04
+        .groupBy(CrawlCols.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("host"))),
+
+    // P4 + F4: screenshot unwrap then host-of-original.
+    "p04_screenshot_unwrap" -> ((s, d) =>
+      withUrls(s, d)
+        .withColumn("orig", CrawlCols.screenshotOrig(col("url")))
+        .filter(CrawlCols.nonEmptyStr(col("orig")))
+        .groupBy(CrawlCols.hostOf(col("orig")).as("host"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("host"))),
+
+    // F2: http(s)-only filter (drops dns:/screenshot: traffic).
+    "f02_http_only_filter" -> ((s, d) =>
+      withUrls(s, d)
+        .filter(col("url").startsWith("http"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // P7: wayback timestamp = digits-only of the ISO rendering.
+    "p07_wayback_ts" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select(col("event_id"), CrawlCols.waybackTs(col("iso")).as("wb"))
+        .orderBy(col("event_id"))
+        .limit(500)),
+
+    // P8: hop-path normalization + last hop over synthesized hop paths.
+    "p08_last_hop" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("hop_path",
+          when(col("event_type") === "click", lit(""))
+            .otherwise(upper(substring(col("event_type"), 1, 3))))
+        .groupBy(CrawlCols.lastHop(col("hop_path")).as("last_hop"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("last_hop"))),
+
+    // P12/P13: annotation tokenizer + prefix routing over synthesized tags.
+    "p12_annotations" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("annotations",
+          concat(lit("ip:10.0.0."), col("user_id") % 250,
+            lit(", "), col("event_type"),
+            when(col("user_id") % 3 === 0, lit(",3t")).otherwise(lit(",")),
+            lit(",dol:"), col("user_id") % 4))
+        .select(
+          col("event_id"),
+          CrawlCols.annotationWithPrefix(col("annotations"), "ip:").as("ip"),
+          CrawlCols.annotationWithPrefix(col("annotations"), "dol:").cast("long").as("dol"),
+          CrawlCols.retriesAnnotation(col("annotations")).as("retries"),
+          size(CrawlCols.annotationsArr(col("annotations"))).as("n_tags"))
+        .orderBy(col("event_id"))
+        .limit(1000)),
+
+    // P14: doc-id synthesis.
+    "p14_doc_id" -> ((s, d) =>
+      withUrls(s, d)
+        .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select(col("event_id"),
+          CrawlCols.docId(col("iso"), col("url")).as("id"))
+        .orderBy(col("event_id"))
+        .limit(500)),
+
+    // P16: crawler derivation from the thread marker.
+    "p16_crawler_of" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("thread",
+          when(col("event_type").isin("click", "view"), col("user_id")))
+        .groupBy(CrawlCols.crawlerOf(lit(null), col("thread")).as("crawler"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("crawler"))),
+
+    // P18: scheme defaulting.
+    "p18_with_scheme" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("uri",
+          when(col("event_type") === "click",
+            concat(lit("example"), col("user_id") % 7, lit(".com/x")))
+            .when(col("event_type") === "error",
+              concat(lit("dns:example"), col("user_id") % 7, lit(".org")))
+            .otherwise(concat(lit("https://example"), col("user_id") % 7,
+              lit(".com/y"))))
+        .groupBy(CrawlCols.withScheme(col("uri")).as("uri"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("uri"))
+        .limit(100)),
+
+    // P5: null → "-" coalesce across types.
+    "p05_null_dash" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("maybe",
+          when(col("user_id") % 3 === 0, col("user_id")))
+        .groupBy(CrawlCols.nullDash(col("maybe")).as("shown"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("shown"))),
+
+    // P19: authority partition key — no SQL oracle (murmur3 seed-0 is not
+    // expressible in DuckDB); rows-only check + exhaustive vectors in
+    // Murmur3Spec. Distinct keys ⇒ distribution sanity at a glance.
+    "p19_authority_key" -> ((s, d) =>
+      withUrls(s, d)
+        .groupBy(CrawlCols.authorityKey(CrawlCols.hostOf(col("url"))).as("key"),
+          CrawlCols.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("key"), col("host")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p02_host_of_url" ->
+      """SELECT CASE WHEN event_type = 'error'
+        |         THEN 'host' || (user_id % 20) || '.example.org'
+        |         ELSE 'host' || (user_id % 20) || '.example.org' END AS host,
+        |       count(*) AS n
+        |FROM events WHERE event_type <> 'view'
+        |GROUP BY 1 ORDER BY host""".stripMargin,
+    "p04_screenshot_unwrap" ->
+      """SELECT 'host' || (user_id % 20) || '.example.org' AS host, count(*) AS n
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY host""".stripMargin,
+    "f02_http_only_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type NOT IN ('error', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p07_wayback_ts" ->
+      """SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS wb
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "p08_last_hop" ->
+      """SELECT CASE WHEN event_type = 'click' THEN '_'
+        |            ELSE right(upper(substring(event_type, 1, 3)), 1) END AS last_hop,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY last_hop""".stripMargin,
+    "p12_annotations" ->
+      """SELECT event_id,
+        |       '10.0.0.' || (user_id % 250) AS ip,
+        |       user_id % 4 AS dol,
+        |       CASE WHEN user_id % 3 = 0 THEN CAST(3 AS BIGINT) END AS retries,
+        |       CASE WHEN user_id % 3 = 0 THEN 4 ELSE 3 END AS n_tags
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    "p14_doc_id" ->
+      """SELECT event_id,
+        |  'crawl-log:' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || '/' ||
+        |  CASE WHEN event_type = 'error'
+        |       THEN 'dns:Host' || (user_id % 20) || '.example.org'
+        |       WHEN event_type = 'view'
+        |       THEN 'screenshot:https://host' || (user_id % 20) || '.example.org/p/' || event_id
+        |       ELSE 'https://Host' || (user_id % 20) || '.Example.org:8443/p/' || event_id
+        |  END AS id
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "p16_crawler_of" ->
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'Heritrix'
+        |            ELSE 'WebRender' END AS crawler, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY crawler""".stripMargin,
+    "p18_with_scheme" ->
+      """SELECT CASE WHEN event_type = 'click'
+        |            THEN 'http://example' || (user_id % 7) || '.com/x'
+        |            WHEN event_type = 'error'
+        |            THEN 'dns:example' || (user_id % 7) || '.org'
+        |            ELSE 'https://example' || (user_id % 7) || '.com/y' END AS uri,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY uri LIMIT 100""".stripMargin,
+    "p05_null_dash" ->
+      """SELECT CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+        |            ELSE '-' END AS shown, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY shown""".stripMargin
+    // p19_authority_key: intentionally no oracle (rows-only check)
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression converters
+  * (Spark 4 moved the classic API behind org.apache.spark.sql.classic).
+  * Compiled inside the org.apache.spark.sql package on purpose — the same
+  * pattern Spark extension libraries use to expose custom Catalyst
+  * expressions as user-facing Columns.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
