@@ -24,6 +24,14 @@ object CrawlCols {
     when(url.startsWith("dns:"), lower(regexp_replace(url, "^dns:", "")))
       .otherwise(lower(try_parse_url(url, lit("HOST"))))
 
+  /** P2 (netloc form): the raw URL authority, case and port preserved —
+    * the reference's Kafka-key input is `urlparse(uri).netloc` (reference
+    * enqueue.py:127), NOT the lowercased hostname; empty string when the URL
+    * has no `//` authority (mirrors urlparse).
+    */
+  def netlocOf(url: Column): Column =
+    coalesce(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1), lit(""))
+
   /** P4: unwrap `screenshot:<orig>` → orig; null for non-screenshot URLs
     * (reference analysis.py:93-100). Empty originals stay empty — filter
     * with [[nonEmptyStr]] (F4).
