@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the training-data pipeline (builder
+  * brief): tokenization, shingling, quality scoring, language-ID heuristic,
+  * MinHash signatures, SimHash, rolling-hash fingerprints.
+  *
+  * Everything is per-row column algebra over arrays (no explode, no UDF, no
+  * shuffle): at 100 TB each document's signature/score is computed where the
+  * row lives, and only the tiny signatures move in later joins.
+  */
+object TextFns {
+
+  /** Whitespace tokenization; empty text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace words). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword-regex token count: word pieces, numbers, punctuation
+    * runs counted separately (approximates tokenizer cost for budgeting).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Character n-gram shingles (distinct) — the MinHash/Jaccard input. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** Word n-gram shingles (distinct), joined with a single space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  /** Exact n-gram-token Jaccard similarity between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Quality-score feature struct (length/alpha/digit/space ratios, mean
+    * token length) + a binary keep flag with conventional thresholds.
+    * All ratios are exact double divisions of integer counts —
+    * deterministic across engines for oracle comparison.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nAlpha = (len - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double")
+    val nDigit = (len - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val nSpace = (len - length(regexp_replace(text, " ", ""))).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val safeLen = when(len === 0, lit(1.0)).otherwise(len)
+    struct(
+      len.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(nAlpha / safeLen, 6).as("alpha_ratio"),
+      round(nDigit / safeLen, 6).as("digit_ratio"),
+      round(nSpace / safeLen, 6).as("space_ratio"),
+      round((len - nSpace) / greatest(nTok, lit(1.0)), 6).as("mean_token_len"),
+      (len >= 20 && len <= 100000 && nAlpha / safeLen > 0.5).as("keep"))
+  }
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Stopword marker sets for the n-gram language-ID heuristic. Scores are
+    * counts of language-specific function words; argmax wins, "und"
+    * (undetermined) when nothing matches.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"))
+
+  /** Heuristic language ID over whitespace tokens: per-language stopword
+    * hit count, argmax with deterministic tie-break (marker order), "und"
+    * when no marker hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val scores = langMarkers.map { case (lang, markers) =>
+      val hits = size(filter(toks,
+        t => markers.map(m => t === m).reduce(_ || _)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*)) // max by (score, lang)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ------------------------------------------------------------- fingerprint
+
+  /** Rolling polynomial document fingerprint over tokens:
+    * h_i = (h_{i-1}·B + token_hash) mod p — order-sensitive,
+    * whitespace-normalization-invariant. A cheap content identity for
+    * near-exact dedup where `content_digest` is absent. p = 2^31 − 1 keeps
+    * every product in Long range (ANSI mode rejects wraparound multiply).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(2166136261L % MinhashPrime),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(MinhashPrime)),
+        lit(MinhashPrime)))
+
+  // ----------------------------------------------------------------- minhash
+
+  /** Deterministic MinHash parameter set (k permutations) — public
+    * (a·x + b) mod p universal-hash family with p = 2^31 − 1 so every
+    * intermediate product fits a Long with no overflow (a,x < 2^31 ⇒
+    * a·x < 2^62).
+    */
+  private[graft] val MinhashPrime = 2147483647L // 2^31 - 1
+
+  private[graft] def minhashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed)
+    (0 until k).map { _ =>
+      ((rnd.nextLong() & Long.MaxValue) % (MinhashPrime - 1) + 1,
+        (rnd.nextLong() & Long.MaxValue) % MinhashPrime)
+    }
+  }
+
+  /** MinHash signature (array<long>, length k) over a shingle array.
+    * Per-row only — no shuffle; signatures are what downstream LSH joins
+    * move around. Empty shingle set → null signature.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    val sig = array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(hashed,
+        h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+    }: _*)
+    when(size(shingles) > 0, sig)
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of rows and hash
+    * each band → array<long> of length `bands`. Candidate pairs = rows
+    * sharing any (band_index, band_key) bucket.
+    */
+  def lshBandKeys(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws("_", lit(b),
+        concat_ws(",", slice(signature, b * rows + 1, rows))))
+    }: _*)
+  }
+
+  // ----------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over a token array, built-ins only: per-token xxhash64,
+    * ±1 bit votes accumulated across tokens, sign → bit. Null for empty
+    * input. Shift amounts must be static in the Scala API, so the 64 bit
+    * positions are unrolled at plan-build time.
+    */
+  def simhash64(toks: Column): Column = {
+    val zeros = array((0 until 64).map(_ => lit(0)): _*)
+    val votes = aggregate(
+      toks,
+      zeros,
+      (acc, t) => {
+        val h = xxhash64(t)
+        val tv = array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+        zip_with(acc, tv, (a, v) => a + v)
+      })
+    val packed = (0 until 64).map(b =>
+      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    when(size(toks) > 0, packed)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** [Q] registry for the training-data pipeline operators (builder brief):
+  * text analysis, dedup, similarity search, multimodal metadata — over the
+  * documents/embeddings tables. SQL-expressible ops carry DuckDB oracles;
+  * signature-based ops (minhash/simhash/fingerprint, engine-specific
+  * hashing) are rows-only here and pinned by ScalaTest fixtures instead.
+  */
+object PipelineQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----------------------------------------------------
+    "t01_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(TextFns.tokens(col("text")))).as("n_distinct"),
+          TextFns.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    "t02_quality_features" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.alpha_ratio").as("alpha_ratio"),
+          col("q.space_ratio").as("space_ratio"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.keep").as("keep"))
+        .orderBy(col("doc_id"))),
+
+    "t03_source_lang_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(TextFns.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy(col("source"), col("lang"))),
+
+    // Lang-ID heuristic: rows-only on synthetic word-salad text (real
+    // markers pinned in TextFnsSpec on real-language fixtures).
+    "t04_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextFns.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))),
+
+    // Rolling-hash fingerprint: engine-specific hash → rows-only.
+    "t05_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.rollingFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup ------------------------------------------------------------
+    "d01_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("digest"))),
+
+    "d02_shingle_cardinality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(TextFns.charShingles(col("text"), 5)).as("n_shingles"))
+        .orderBy(col("doc_id"))),
+
+    "d03_adjacent_jaccard" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(TextFns.tokens(col("text"))).as("toks"))
+      val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = t.select((col("doc_id") - 1).as("id_a"), col("toks").as("tb"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"),
+          round(TextFns.jaccard(col("ta"), col("tb")), 6).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // MinHash-LSH near-dup candidates (engine-hash-specific → rows-only;
+    // recall/precision pinned on planted dups in DedupSpec).
+    "d04_minhash_signatures" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.minhashSignature(
+            TextFns.wordShingles(col("text"), 3), 16).as("sig"))
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
+        .orderBy(col("doc_id"))),
+
+    "d05_simhash_signatures" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.simhash64(TextFns.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity -------------------------------------------------------
+    "s01_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s02_ivf_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // sims are rounded (6) inside ivfAssign before the sum so both engines
+      // add identical doubles; the outer round(4) then has ~1e-12 slack.
+      SimilarityOps.ivfAssign(emb, emb.filter(col("vec_id") < 8))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("sim")), 4).as("sum_sim"))
+        .orderBy(col("centroid_id"))
+    }),
+
+    // Embedding near-dup above a low threshold, IVF-blocked (rows-only:
+    // pair set depends on cell assignment; exactness pinned in spec).
+    "s03_cosine_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 8), 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- multimodal -------------------------------------------------------
+    "m01_media_meta" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+        |    + len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_quality_features" ->
+      """SELECT doc_id,
+        |  len(text) AS n_chars,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |        / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+        |  round((len(text) - len(replace(text, ' ', '')))
+        |        / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
+        |  round((len(text) - (len(text) - len(replace(text, ' ', ''))))
+        |        / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 6)
+        |    AS mean_token_len,
+        |  (len(text) >= 20 AND len(text) <= 100000 AND
+        |   (len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |     / greatest(CAST(len(text) AS DOUBLE), 1.0) > 0.5) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_source_lang_rollup" ->
+      """SELECT source, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "d02_shingle_cardinality" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) < 5 THEN 0
+        |       ELSE len(list_distinct([substr(text, g, 5)
+        |                 FOR g IN generate_series(1, len(text) - 4)])) END AS n_shingles
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "d03_adjacent_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+        |    AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "s01_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS corpus_id,
+        |         list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, corpus_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s02_ivf_assign" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, cent.centroid_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.cv) AS sim,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_cosine_similarity(
+        |                              CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                            cent.centroid_id) AS rn
+        |  FROM embeddings e, cent)
+        |SELECT centroid_id, count(*) AS n, round(sum(round(sim, 6)), 4) AS sum_sim
+        |FROM scored WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "m01_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + (ord(substr(text, 1, 1)) % 64) * 16 AS width,
+        |  64 + (ord(substr(text, 2, 1)) % 64) * 16 AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + ord(substr(text, 1, 1)) % 30 ELSE 1 END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

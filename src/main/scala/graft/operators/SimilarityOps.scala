@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * partitioned variant as the scale path.
+  *
+  * All vector math is `zip_with`/`aggregate` column algebra in double
+  * precision — columnar, no UDF, deterministic accumulation order (array
+  * order), which keeps results bit-comparable across engines.
+  */
+object SimilarityOps {
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: every query vector against every corpus
+    * vector. The query side is tiny → broadcast nested-loop join with NO
+    * shuffle of the corpus; ranking is a per-query-partition window.
+    * Exact — the baseline the approximate variants are judged against.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF coarse quantization: assign each vector to its nearest centroid
+    * (by cosine). Centroids are a small broadcast table; assignment is a
+    * shuffle-free map. At query time only matching-cell vectors are scanned
+    * (`probeTopK`), the classic inverted-file trade of recall for a
+    * centroids-fraction of the scan cost.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val cent = centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("sim"), col("centroid_id"))
+    c.crossJoin(broadcast(cent))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF probe: top-k among vectors sharing the query's cell (single-probe).
+    * Recall < 1 by construction; the exactness gap vs [[bruteForceTopK]] is
+    * the measured trade.
+    */
+  def probeTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .join(assigned.withColumnRenamed("vec_id", "corpus_id"), Seq("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .join(assigned.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked by an
+    * IVF cell to avoid the full cross join: only same-cell pairs are
+    * compared (same recall trade as single-probe IVF search).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(assigned.withColumnRenamed("vec_id", "id"), Seq("id"))
+    val a = c.select(col("centroid_id"), col("id").as("id_a"), col("v").as("va"))
+    val b = c.select(col("centroid_id"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the training-data pipeline operators on planted
+  * fixtures: dedup recall/precision, simhash locality, similarity search
+  * exactness, multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far " +
+    "away into the deep green forest to hide from every hunter nearby"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                        // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),              // near dup of 0
+    (3L, base.replace("quick brown", "slow red")),     // near dup of 0
+    (4L, "completely different text about spark catalyst optimizer rules " +
+      "and tungsten codegen stages with partitions shuffles and joins"),
+    (5L, "yet another unrelated document mentioning kafka topics offsets " +
+      "consumers producers brokers partitions replication and logs")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: one canonical id per digest, dup dropped") {
+    val kept = DedupOps.exactDedup(docs, "doc_id", "text")
+    assert(kept.count() === 5) // 6 docs, one exact pair
+    val drops = DedupOps.exactDedupDrops(docs, "doc_id", "text").collect()
+    assert(drops.length === 1)
+    assert(drops.head.getAs[Long]("doc_id") === 1L)
+    assert(drops.head.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash-LSH: finds planted near-dups, not the unrelated pair") {
+    val verified = DedupOps.minhashVerified(docs, "doc_id", "text",
+      threshold = 0.5, k = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((0L, 1L)), "exact pair must survive")
+    assert(verified.contains((0L, 2L)) || verified.contains((0L, 3L)),
+      "at least one planted near-dup pair found")
+    assert(!verified.exists { case (a, b) => Set(a, b) == Set(4L, 5L) },
+      "unrelated docs must not pair")
+  }
+
+  test("simhash: identical texts share signature; near-dups are close") {
+    val sigs = docs.select(col("doc_id"),
+      TextFns.simhash64(TextFns.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    val near = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val far = java.lang.Long.bitCount(sigs(0L) ^ sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("jaccard: exact on known sets") {
+    val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
+      .select(TextFns.jaccard(
+        array_distinct(TextFns.tokens(col("x"))),
+        array_distinct(TextFns.tokens(col("y")))).as("j"))
+      .collect().head.getDouble(0)
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("lang id: real-language fixtures classify correctly") {
+    val got = Seq(
+      ("the cat and the dog went to the park", "en"),
+      ("le chat et la souris est une histoire", "fr"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y los gatos es una historia para todos", "es"),
+      ("zzz qqq xxx", "und"))
+      .toDF("text", "want")
+      .select(TextFns.langId(col("text")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"want ${r.getString(1)}"))
+  }
+
+  test("brute-force knn: self excluded, nearest is the duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)),   // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("corpus_id")).toSeq === Seq(1L, 2L))
+    assert(top.head.getAs[Double]("sim") > 0.999)
+  }
+
+  test("ivf: assignment picks nearest centroid; probe finds same top-1 as brute force") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") < 4)
+    val assigned = SimilarityOps.ivfAssign(vecs, centroids)
+    assert(assigned.count() === 100)
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+    // a centroid must be assigned to itself
+    val self = assigned.filter(col("vec_id") === col("centroid_id")).count()
+    assert(self === 4)
+  }
+
+  test("multimodal: stubbed decode preserves ids, byte length, frame sampling") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "abcdef".getBytes),
+      Multimodal.MediaRow(2L, "video", "xyz".getBytes),
+      Multimodal.MediaRow(3L, "audio", Array.emptyByteArray)
+    ).toDS()
+    val meta = Multimodal.extractMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).n_bytes === 6L && meta(1L).ok)
+    assert(meta(2L).n_frames === 1 + ('x'.toInt % 30))
+    assert(!meta(3L).ok)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractMeta(media).toDF(), stride = 5)
+    assert(frames.filter(col("media_id") === 2L).count() ===
+      (meta(2L).n_frames + 4) / 5)
+  }
+
+  test("rolling fingerprint: whitespace-invariant, order-sensitive") {
+    val fp = Seq(
+      ("a b c", 1), ("a  b   c", 2), ("c b a", 3))
+      .toDF("t", "i")
+      .select(col("i"), TextFns.rollingFingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fp(1) === fp(2)) // whitespace normalization
+    assert(fp(1) !== fp(3)) // order matters
+  }
+}
