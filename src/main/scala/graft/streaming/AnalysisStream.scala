@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The continuous stats service (reference analysis.py, SURVEY.md §3.2) as
+  * one Structured Streaming topology: per-host rolling stats with bounded
+  * state (A4/ST6), event-time windowed histograms (A2 re-specified
+  * deterministically, ST7), periodic atomic snapshots (S9/ST5).
+  *
+  * The reference's consumer-thread/lock architecture disappears: micro-batch
+  * execution owns all state, keyed state lives in the checkpointed state
+  * store (per host, per partition), and the groupByKey shuffle is the only
+  * executor boundary.
+  */
+object AnalysisStream {
+
+  /** Minimal event projection the stats service consumes. */
+  final case class StatEvent(
+      host: String,
+      event_ts: java.sql.Timestamp,
+      status_code: Option[Int],
+      mimetype: Option[String],
+      content_type: Option[String],
+      via: Option[String])
+
+  /** Per-host rolling state (reference analysis.py:102-138): first/last
+    * seen, total, and the three counter maps (content types with the
+    * mimetype→content_type→unknown fallback, status codes with null→"-",
+    * via-hosts excluding self-references).
+    */
+  final case class HostState(
+      first_ts: Long,
+      last_ts: Long,
+      total: Long,
+      contentTypes: Map[String, Long],
+      statusCodes: Map[String, Long],
+      viaHosts: Map[String, Long])
+
+  final case class HostStatsRow(
+      host: String,
+      first_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp,
+      total: Long,
+      contentTypes: Map[String, Long],
+      statusCodes: Map[String, Long],
+      viaHosts: Map[String, Long])
+
+  private def bump(m: Map[String, Long], k: String): Map[String, Long] =
+    m.updated(k, m.getOrElse(k, 0L) + 1L)
+
+  private def hostOfUrl(u: String): String =
+    try {
+      val h = new java.net.URI(u).getHost
+      if (h == null) "" else h.toLowerCase
+    } catch { case _: Exception => "" }
+
+  /** State transition for one host and a batch of its events. Event-time
+    * min/max (not arrival order — ST7): late data folds in correctly.
+    */
+  private[streaming] def updateHost(host: String, events: Iterator[StatEvent],
+      state: GroupState[HostState]): Iterator[HostStatsRow] = {
+    var s = state.getOption.getOrElse(
+      HostState(Long.MaxValue, Long.MinValue, 0L, Map.empty, Map.empty, Map.empty))
+    var changed = false
+    events.foreach { e =>
+      changed = true
+      val ts = if (e.event_ts == null) 0L else e.event_ts.getTime
+      val ct = e.mimetype.orElse(e.content_type).getOrElse("unknown-content-type")
+      val sc = e.status_code.map(_.toString).getOrElse("-")
+      val viaH = e.via.map(hostOfUrl).getOrElse("")
+      s = s.copy(
+        first_ts = math.min(s.first_ts, ts),
+        last_ts = math.max(s.last_ts, ts),
+        total = s.total + 1,
+        contentTypes = bump(s.contentTypes, ct),
+        statusCodes = bump(s.statusCodes, sc),
+        viaHosts = if (viaH.nonEmpty && viaH != host) bump(s.viaHosts, viaH)
+                   else s.viaHosts)
+    }
+    if (!changed) Iterator.empty
+    else {
+      state.update(s)
+      Iterator.single(HostStatsRow(host,
+        new java.sql.Timestamp(s.first_ts), new java.sql.Timestamp(s.last_ts),
+        s.total, s.contentTypes, s.statusCodes, s.viaHosts))
+    }
+  }
+
+  /** A4 streaming form: per-host rolling stats via flatMapGroupsWithState,
+    * Update mode — one refreshed row per host per micro-batch. The
+    * reference's global 500-host insertion-order cap (LimitedSizeDict)
+    * is cross-key and nondeterministic; the deterministic replacement is
+    * snapshot-time top-N by last_ts ([[topHostsSnapshot]]), which dominates
+    * it (SURVEY.md §7.3).
+    */
+  def hostStats(events: Dataset[StatEvent]): Dataset[HostStatsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("host").isNotNull && col("host") =!= "")
+      .as[StatEvent]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostState, HostStatsRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateHost)
+  }
+
+  /** Snapshot-time bound: keep the N most recently active hosts. */
+  def topHostsSnapshot(stats: DataFrame, n: Int): DataFrame =
+    stats.orderBy(desc("last_ts"), col("host")).limit(n)
+
+  /** A2 re-specified: status histogram over sliding event-time windows with
+    * a watermark (replacing the processing-order "last 10k events" deque).
+    */
+  def windowedStatusHistogram(events: DataFrame, window_ : String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), window_, slide),
+        col("status_code"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("status_code"), col("n"))
+
+  /** A3 re-specified: most recent N screenshots by event time (batch form
+    * over any bounded frame; in streaming this runs per snapshot).
+    */
+  def recentScreenshots(events: DataFrame, n: Int): DataFrame =
+    events
+      .filter(col("url").startsWith("screenshot:"))
+      .withColumn("orig", expr("substring(url, 12)"))
+      .filter(length(col("orig")) > 0)
+      .select(col("orig"), col("event_ts"))
+      .orderBy(desc("event_ts"), col("orig"))
+      .limit(n)
+
+  /** S9/ST5: atomic JSON snapshot publication — write to tmp then rename
+    * (rename is atomic on POSIX). The snapshot is bounded (top-N hosts), so
+    * a driver-side collect is by design, not a scalability leak.
+    */
+  def writeSnapshotAtomic(snapshot: DataFrame, outPath: String): Unit = {
+    val rows = snapshot.toJSON.collect()
+    val target = Paths.get(outPath)
+    val dir = target.toAbsolutePath.getParent
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".snapshot", ".tmp")
+    Files.write(tmp, rows.mkString("[", ",", "]").getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Wire the stats stream to a periodic snapshot file: every trigger,
+    * bound the state to the top-N hosts and publish atomically.
+    */
+  def snapshotQuery(stats: Dataset[HostStatsRow], outPath: String,
+      topN: Int, intervalMs: Long, checkpoint: String)
+      (implicit spark: SparkSession) = {
+    import org.apache.spark.sql.streaming.Trigger
+    stats.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (batch: Dataset[HostStatsRow], _: Long) =>
+        writeSnapshotAtomic(topHostsSnapshot(batch.toDF(), topN), outPath)
+      }
+  }
+}

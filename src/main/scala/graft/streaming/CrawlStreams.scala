@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.CrawlSchemas
+
+/** Structured-Streaming source/sink wiring for the crawl-event topics
+  * (SURVEY.md §2.1, §2.6). The Kafka connector jar
+  * (spark-sql-kafka-0-10) is a deployment-time dependency — not present in
+  * this build environment — so these builders only assemble configuration;
+  * every transformation downstream is source-agnostic (works identically on
+  * MemoryStream / file streams, which is how the test suite drives them).
+  */
+object CrawlStreams {
+
+  /** Kafka source config (reference report.py:243-268, analysis.py:182-191).
+    * Checkpointed offsets replace group-managed commits (ST1/ST2): Spark
+    * never relies on Kafka's commit log, strictly stronger than the
+    * reference's at-most/at-least-once mix.
+    */
+  final case class KafkaSource(
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "latest", // S1 tail / S2 "earliest"
+      maxOffsetsPerTrigger: Option[Long] = None) // S5 admission control
+
+  /** S1/S2: unbounded topic scan. */
+  def kafkaStream(spark: SparkSession, src: KafkaSource): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", src.bootstrap)
+      .option("subscribe", src.topic)
+      .option("startingOffsets", src.startingOffsets)
+    src.maxOffsetsPerTrigger.fold(r)(n =>
+      r.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
+
+  /** S3: bounded time-range replay (reference streamer.py:134-164) — the
+    * hand-rolled offsets_for_times/seek/terminate loop collapses into a
+    * batch read with timestamp bounds; Kafka's time index does the seek.
+    */
+  def kafkaBatchTimeRange(spark: SparkSession, src: KafkaSource,
+      startMs: Long, endMs: Long): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", src.bootstrap)
+      .option("subscribe", src.topic)
+      .option("startingTimestamp", startMs.toString)
+      .option("endingTimestamp", endMs.toString)
+      .load()
+
+  /** P1: raw Kafka frame (key/value binary) → typed crawl events under the
+    * union schema, with malformed records routed to a rejects column
+    * instead of being dropped silently (reference logs+skips,
+    * analysis.py:140-141).
+    */
+  def parseCrawlEvents(raw: DataFrame): DataFrame =
+    raw.select(
+        col("key").cast("string").as("kafka_key"),
+        col("value").cast("string").as("json"))
+      .withColumn("event", from_json(col("json"), CrawlSchemas.crawlEventSchema))
+      .withColumn("malformed", col("event").isNull ||
+        (col("event.url").isNull && col("event.status_code").isNull))
+      .select(col("kafka_key"), col("json"), col("event.*"), col("malformed"))
+      .withColumn("event_ts", to_timestamp(col("timestamp")))
+
+  /** S8: keyed JSON producer frame — the murmur3 authority key (P19/ST11)
+    * plus a JSON value column, ready for the kafka sink (`kafka.acks=all`
+    * configured at the writer, ST9).
+    */
+  def toKafkaSink(messages: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    messages.select(
+      col(keyCol).cast("binary").as("key"),
+      col(valueCol).cast("binary").as("value"))
+}

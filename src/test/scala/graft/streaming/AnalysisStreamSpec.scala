@@ -1,0 +1,146 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics tests (SURVEY.md §5.4): MemoryStream-driven stateful
+  * host stats across micro-batches, late/out-of-order events (the case the
+  * reference left accidental — ST7), windowed histogram, atomic snapshot.
+  */
+class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
+  import AnalysisStream._
+  import spark.implicits._
+
+  private def ev(host: String, ts: String, status: Int, mime: String = "text/html",
+      via: String = null): StatEvent =
+    StatEvent(host, java.sql.Timestamp.valueOf(ts), Some(status), Option(mime),
+      None, Option(via))
+
+  test("stateful host stats accumulate across micro-batches; late events fold in") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatEvent]
+    val q = hostStats(in.toDS()).writeStream
+      .format("memory").queryName("hs").outputMode("update").start()
+    try {
+      in.addData(
+        ev("a.org", "2021-01-16 17:00:00", 200,
+          via = "https://b.org/page"),
+        ev("a.org", "2021-01-16 17:05:00", 404, mime = "image/png",
+          via = "https://a.org/self")) // self-reference: excluded from via
+      q.processAllAvailable()
+      // batch 2: a late, out-of-order event older than everything seen
+      in.addData(ev("a.org", "2021-01-16 16:00:00", 200))
+      q.processAllAvailable()
+
+      val last = spark.table("hs").filter(col("host") === "a.org")
+        .orderBy(desc("total")).collect().head
+      assert(last.getAs[Long]("total") === 3)
+      assert(last.getAs[java.sql.Timestamp]("first_ts").toString
+        .startsWith("2021-01-16 16:00:00")) // late event moved first_ts back
+      assert(last.getAs[java.sql.Timestamp]("last_ts").toString
+        .startsWith("2021-01-16 17:05:00"))
+      val scs = last.getAs[Map[String, Long]]("statusCodes")
+      assert(scs === Map("200" -> 2L, "404" -> 1L))
+      val cts = last.getAs[Map[String, Long]]("contentTypes")
+      assert(cts === Map("text/html" -> 2L, "image/png" -> 1L))
+      val vias = last.getAs[Map[String, Long]]("viaHosts")
+      assert(vias === Map("b.org" -> 1L)) // self-via excluded
+    } finally q.stop()
+  }
+
+  test("status fallback chain: missing mimetype → content_type → unknown; null status → '-'") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatEvent]
+    val q = hostStats(in.toDS()).writeStream
+      .format("memory").queryName("hs2").outputMode("update").start()
+    try {
+      in.addData(
+        StatEvent("c.org", java.sql.Timestamp.valueOf("2021-01-16 17:00:00"),
+          None, None, Some("application/pdf"), None),
+        StatEvent("c.org", java.sql.Timestamp.valueOf("2021-01-16 17:01:00"),
+          Some(200), None, None, None))
+      q.processAllAvailable()
+      val r = spark.table("hs2").orderBy(desc("total")).collect().head
+      assert(r.getAs[Map[String, Long]]("contentTypes") ===
+        Map("application/pdf" -> 1L, "unknown-content-type" -> 1L))
+      assert(r.getAs[Map[String, Long]]("statusCodes") ===
+        Map("-" -> 1L, "200" -> 1L))
+    } finally q.stop()
+  }
+
+  test("windowed status histogram with watermark (A2 deterministic re-spec)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatEvent]
+    val agg = windowedStatusHistogram(
+      in.toDS().toDF().withColumn("event_ts", col("event_ts")),
+      "10 minutes", "5 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wh")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        ev("a.org", "2021-01-16 17:01:00", 200),
+        ev("a.org", "2021-01-16 17:02:00", 200),
+        ev("a.org", "2021-01-16 17:07:00", 404))
+      q.processAllAvailable()
+      val rows = spark.table("wh")
+        .filter(col("window_start") === "2021-01-16 17:00:00" &&
+          col("status_code") === 200)
+        .collect()
+      assert(rows.nonEmpty && rows.head.getAs[Long]("n") === 2)
+    } finally q.stop()
+  }
+
+  test("top-N snapshot bound + atomic write") {
+    val stats = Seq(
+      ("a.org", "2021-01-16 17:05:00", 10L),
+      ("b.org", "2021-01-16 17:09:00", 5L),
+      ("c.org", "2021-01-16 16:00:00", 99L))
+      .toDF("host", "last_ts", "total")
+      .withColumn("last_ts", to_timestamp(col("last_ts")))
+    val top2 = topHostsSnapshot(stats, 2).collect().map(_.getString(0)).toSeq
+    assert(top2 === Seq("b.org", "a.org")) // by recency, not volume
+
+    val out = java.nio.file.Files.createTempDirectory("snap")
+      .resolve("stats.json").toString
+    writeSnapshotAtomic(topHostsSnapshot(stats, 2), out)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    assert(json.startsWith("[") && json.contains("b.org") && !json.contains("c.org"))
+  }
+
+  test("snapshotQuery end-to-end: stream → stateful agg → periodic atomic snapshot file") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val in = MemoryStream[StatEvent]
+    val dir = java.nio.file.Files.createTempDirectory("snapq")
+    val out = dir.resolve("stats.json").toString
+    val q = snapshotQuery(hostStats(in.toDS()), out, topN = 500,
+      intervalMs = 100L, checkpoint = dir.resolve("ckpt").toString).start()
+    try {
+      in.addData(ev("a.org", "2021-01-16 17:00:00", 200),
+        ev("b.org", "2021-01-16 17:01:00", 404))
+      q.processAllAvailable()
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out)), "UTF-8")
+      assert(json.contains("a.org") && json.contains("b.org"))
+      assert(json.contains("\"statusCodes\":{\"404\":1}") ||
+        json.contains("\"404\":1"))
+    } finally q.stop()
+  }
+
+  test("parseCrawlEvents: malformed records flagged, not dropped") {
+    val raw = Seq(
+      (null.asInstanceOf[Array[Byte]], """{"url":"https://a.org/","status_code":200,"timestamp":"2021-01-16T17:00:00Z","thread":4}""".getBytes("UTF-8")),
+      (null.asInstanceOf[Array[Byte]], "not json at all".getBytes("UTF-8")))
+      .toDF("key", "value")
+    val parsed = CrawlStreams.parseCrawlEvents(raw)
+    val rows = parsed.select("url", "malformed", "event_ts").collect()
+    assert(rows.length === 2)
+    assert(rows.count(_.getBoolean(1)) === 1)
+    val good = rows.find(!_.getBoolean(1)).get
+    assert(good.getString(0) === "https://a.org/")
+    assert(good.getTimestamp(2) !== null)
+  }
+}
