@@ -147,7 +147,10 @@ object CrawlCols {
     ColumnBridge.column(AuthorityKey(ColumnBridge.expression(host)))
 
   /** Register SQL-callable forms of the custom expressions on a session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "authority_key", exprs => AuthorityKey(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  }
 }

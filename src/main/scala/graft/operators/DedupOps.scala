@@ -90,7 +90,7 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
-      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sig"))
+      TextFns.simhash64Fast(TextFns.tokens(col(textCol))).as("sig"))
       .filter(col("sig").isNotNull)
     val sliced = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

