@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CrawlCols
+
+/** Second-wave [Q] inventory: the remaining SURVEY §2 operators (A5
+  * first-via host summary, P6 log-line formatting, P11 launch-ts parse, A4
+  * map-counter assembly) plus engine surface the reference lacks but the
+  * harness exercises (window frames, cube, first/last/lag, percentiles).
+  */
+object ExtendedQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5: host summary with first-seen via (report.py:126-165) — min_by
+    // over event time with a FILTER clause excluding self-referring vias.
+    "a05_first_via" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("host", concat(lit("host"), col("user_id") % 20))
+        .withColumn("via_host",
+          concat(lit("host"), (col("user_id") + col("event_id")) % 20))
+        .withColumn("via", concat(lit("https://"), col("via_host"), lit("/p/"),
+          col("event_id")))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("tot"),
+          expr("min_by(via, struct(ts, event_id)) " +
+            "FILTER (WHERE via_host <> host)").as("first_via"))
+        .select(col("host"), CrawlCols.nullDash(col("first_via")).as("via"),
+          col("tot"))
+        .orderBy(col("host"))),
+
+    // P6: fixed-width crawl-log line over synthesized fields.
+    "p06_log_line" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select(col("event_id"),
+          CrawlCols.logLine(col("iso"),
+            (col("user_id") % 600).cast("int"),
+            when(col("user_id") % 7 =!= 0, col("event_id") * 100),
+            concat(lit("https://h"), col("user_id"), lit("/p")),
+            when(col("event_type") === "click", lit("")).otherwise(lit("LLE")),
+            lit(null).cast("string"),
+            concat(lit("sha1:"), col("event_id")),
+            lit("text/html"),
+            col("event_type")).as("line"))
+        .orderBy(col("event_id"))
+        .limit(300)),
+
+    // P11: launchTimestamp annotation parse → ISO.
+    "p11_launch_ts_parse" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ann", concat(lit("launchTimestamp:"),
+          date_format(col("ts"), "yyyyMMddHHmmss"), lit(",other")))
+        .select(col("event_id"),
+          date_format(try_to_timestamp(
+            CrawlCols.annotationWithPrefix(col("ann"), "launchTimestamp:"),
+            lit("yyyyMMddHHmmss")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("launch_iso"))
+        .orderBy(col("event_id"))
+        .limit(400)),
+
+    // A4 map assembly: per-user event_type counter map rendered as a sorted
+    // k:v CSV (deterministic serialization of the map-valued counter —
+    // analysis.py:120-133's content_types/status_codes maps).
+    "a04_counter_map" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_list(
+          concat(col("event_type"), lit(":"), col("n"))))).as("counters"))
+        .orderBy(col("user_id"))),
+
+    // Window frame: running revenue per customer (rowsBetween).
+    "q13_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Cube: all grouping-set combinations over two dims.
+    "q14_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority"))),
+
+    // lag/lead/first_value surface: per-user event gaps.
+    "q15_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap_s")).as("sum_gap_s"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // Percentiles (exact, linear interpolation).
+    "q16_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("price_p99"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a05_first_via" ->
+      """WITH e AS (
+        |  SELECT 'host' || (user_id % 20) AS host,
+        |         'host' || ((user_id + event_id) % 20) AS via_host,
+        |         'https://host' || ((user_id + event_id) % 20) || '/p/' || event_id AS via,
+        |         ts, event_id
+        |  FROM events),
+        |firsts AS (
+        |  SELECT host, via, row_number() OVER (PARTITION BY host
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM e WHERE via_host <> host),
+        |tots AS (SELECT host, count(*) AS tot FROM e GROUP BY host)
+        |SELECT t.host AS host, coalesce(f.via, '-') AS via, t.tot
+        |FROM tots t LEFT JOIN firsts f ON f.host = t.host AND f.rn = 1
+        |ORDER BY t.host""".stripMargin,
+    "p06_log_line" ->
+      """SELECT event_id,
+        |  printf('%s %6s %10s %s %s %s %s %s %s',
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+        |    CAST(user_id % 600 AS VARCHAR),
+        |    CASE WHEN user_id % 7 <> 0 THEN CAST(event_id * 100 AS VARCHAR) ELSE '-' END,
+        |    'https://h' || user_id || '/p',
+        |    CASE WHEN event_type = 'click' THEN '_' ELSE 'E' END,
+        |    '-', 'sha1:' || event_id, 'text/html', event_type) AS line
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
+    "p11_launch_ts_parse" ->
+      """SELECT event_id,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%dT%H:%M:%SZ') AS launch_iso
+        |FROM events ORDER BY event_id LIMIT 400""".stripMargin,
+    "a04_counter_map" ->
+      """SELECT user_id,
+        |  string_agg(event_type || ':' || n, ',' ORDER BY event_type || ':' || n) AS counters
+        |FROM (SELECT user_id, event_type, count(*) AS n
+        |      FROM events GROUP BY user_id, event_type)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q13_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders WHERE o_custkey < 300
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q14_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q15_lag_lead" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      - lag(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n,
+        |       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+        |FROM w WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
