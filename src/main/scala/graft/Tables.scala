@@ -26,6 +26,23 @@ object Tables {
         "timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Time-bounded events scan with the range predicate applied to the RAW
+    * nanosecond long BEFORE the timestamp conversion, so it reaches the
+    * parquet reader as a pushed filter (`PushedFilters: GreaterThanOrEqual/
+    * LessThan(ts, …)`) and prunes row groups via min/max stats. Filtering
+    * after the conversion defeats pushdown — a full scan at 100 TB.
+    * Bounds are [fromIncl, toExcl) in UTC.
+    */
+  def eventsRange(spark: SparkSession, sfDir: String,
+      fromIncl: java.time.Instant, toExcl: java.time.Instant): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    def ns(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= lit(ns(fromIncl)) && col("ts") < lit(ns(toExcl)))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

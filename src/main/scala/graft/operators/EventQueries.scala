@@ -119,11 +119,14 @@ object EventQueries {
         .orderBy(col("event_type"), col("user_bucket"))),
 
     // A8: bounded time-range count (test.py:31-41 / streamer.py:134-148) —
-    // predicate pushdown does the seek-to-timestamp work.
+    // the range predicate is applied to the raw ns column pre-conversion
+    // (Tables.eventsRange) so it reaches the parquet scan as a pushed
+    // filter and prunes row groups, the batch analogue of Kafka's
+    // offsets-for-times seek.
     "a08_time_range_count" -> ((s, d) =>
-      events(s, d)
-        .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
-                col("ts") <  lit("2024-01-05 00:00:00").cast("timestamp"))
+      graft.Tables.eventsRange(s, d,
+          java.time.Instant.parse("2024-01-02T00:00:00Z"),
+          java.time.Instant.parse("2024-01-05T00:00:00Z"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type")))
