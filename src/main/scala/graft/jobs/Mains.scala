@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.CrawlCols
+import graft.schema.CrawlSchemas
+
+/** CLI-equivalent drivers mirroring the reference's entry points
+  * (SURVEY.md §3, setup.py:23-27). Each main is arg-parsing + sink choice
+  * only — all logic lives in the operator modules.
+  */
+private[jobs] object JobSession {
+  def local(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(app)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** `crawlstreams` report CLI (reference report.py:228-281): read a
+  * crawl-log JSONL file (or swap in the Kafka source at deployment), render
+  * one of the four formats.
+  *
+  * Usage: ReportMain <input.jsonl> <raw|crawl-log|summary|solr> [outDir]
+  */
+object ReportMain {
+  def main(args: Array[String]): Unit = {
+    val Array(input, format, rest @ _*) = args
+    val spark = JobSession.local(s"graft-report-$format")
+    val events = spark.read.schema(CrawlSchemas.crawlEventSchema).json(input)
+    val out = format match {
+      case "raw" => ReportJob.rawStream(events)
+      case "crawl-log" => ReportJob.crawlLogStream(events)
+      case "summary" => ReportJob.hostSummary(events)
+      case "solr" => ReportJob.solrDocs(events)
+      case other => sys.error(s"unknown format: $other " +
+        "(expected raw|crawl-log|summary|solr)")
+    }
+    rest.headOption match {
+      case Some(dir) => out.write.mode("overwrite").json(dir)
+      case None => out.show(50, truncate = false)
+    }
+    spark.stop()
+  }
+}
+
+/** `launcher` CLI (reference launcher.py:214-237): evaluate a crawl-spec
+  * JSONL feed at an injected instant, write due launch messages.
+  *
+  * Usage: LauncherMain <specs.jsonl> <now: yyyy-MM-dd HH:mm:ss|now> <outDir>
+  */
+object LauncherMain {
+  def main(args: Array[String]): Unit = {
+    val Array(specsPath, nowArg, outDir) = args
+    val now = if (nowArg == "now") new java.sql.Timestamp(System.currentTimeMillis())
+      else java.sql.Timestamp.valueOf(nowArg)
+    val spark = JobSession.local("graft-launcher")
+    val specs = spark.read.schema(CrawlSchemas.crawlSpecSchema).json(specsPath)
+    val due = graft.operators.Launcher.dueLaunches(specs, now)
+    due.select(col("key"), col("value")).write.mode("overwrite").json(outDir)
+    val rejected = graft.operators.Launcher.malformedTargets(specs).count()
+    val launched = due.count()
+    // A6 counters (reference launcher.py:207-208), minus the dead gauge path
+    println(s"""{"launches":$launched,"target_errors":$rejected}""")
+    spark.stop()
+  }
+}
+
+/** `submit` CLI (reference submit.py): enqueue one URI or a file of URIs as
+  * keyed launch messages (S7 text scan, P18 scheme defaulting, P19 key).
+  *
+  * Usage: SubmitMain <uriOrFile> <source> <outDir>
+  */
+object SubmitMain {
+  def main(args: Array[String]): Unit = {
+    val Array(uriOrFile, source, outDir) = args
+    val spark = JobSession.local("graft-submit")
+    import spark.implicits._
+    val uris =
+      if (new java.io.File(uriOrFile).exists())
+        spark.read.text(uriOrFile).select(trim(col("value")).as("uri"))
+          .filter(length(col("uri")) > 0)
+      else Seq(uriOrFile).toDF("uri")
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val launchTs = date_format(lit(now), "yyyyMMddHHmmss")
+    val msgs = uris
+      .withColumn("uri", CrawlCols.withScheme(col("uri"))) // P18
+      .withColumn("key",
+        CrawlCols.authorityKey(CrawlCols.netlocOf(col("uri")))) // P19
+      .withColumn("value", to_json(graft.operators.Launcher.launchMessage(
+        col("uri"), lit(source), array().cast("array<string>"),
+        launchTs, lit(1), date_format(lit(now), "yyyy-MM-dd'T'HH:mm:ss"))))
+    msgs.select(col("key"), col("value")).write.mode("overwrite").json(outDir)
+    spark.stop()
+  }
+}

@@ -110,6 +110,32 @@ object ExtendedQueries {
         .orderBy(col("prev_type"), col("event_type"))
     }),
 
+    // As-of join: enrich each event with the most recent order (≤ event
+    // time) of the mapped customer. Right side pre-deduped to unique
+    // (key, ts) so tie-breaking is well-defined on both engines.
+    "q17_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 100 + 1).as("custkey"),
+          col("ts"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsofJoin.asof(ev, ord, Seq("custkey"), "ts", "o_orderdate",
+          Seq("o_orderkey"))
+        .select(col("event_id"), col("custkey"),
+          col("asof_o_orderkey").cast("long").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Salted two-phase aggregation for hot keys — result must equal the
+    // plain groupBy (the oracle computes it unsalted).
+    "q18_salted_agg" -> ((s, d) =>
+      Skew.saltedCountSum(Tables.events(s, d),
+          col("event_type"), col("value"), salts = 8)
+        .select(col("key").as("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))),
+
     // Percentiles (exact, linear interpolation).
     "q16_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -182,6 +208,22 @@ object ExtendedQueries {
         |       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
         |FROM w WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+    "q17_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, (user_id % 100 + 1) AS custkey,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |ord AS (
+        |  SELECT o_custkey AS custkey, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT ev.event_id, ev.custkey, ord.o_orderkey AS last_orderkey
+        |FROM ev ASOF LEFT JOIN ord
+        |  ON ev.custkey = ord.custkey AND ev.ts >= ord.o_orderdate
+        |ORDER BY ev.event_id""".stripMargin,
+    "q18_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q16_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,

@@ -139,6 +139,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       (meta(2L).n_frames + 4) / 5)
   }
 
+  test("salted aggregation equals unsalted on skewed data") {
+    val rnd = new scala.util.Random(11)
+    val skewed = (0 until 5000).map { i =>
+      (if (i % 10 < 9) "hot" else s"cold${rnd.nextInt(50)}", rnd.nextInt(1000).toDouble)
+    }.toDF("k", "v")
+    val salted = Skew.saltedCountSum(skewed, col("k"), col("v"), 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = skewed.groupBy("k").agg(count(lit(1)), sum(col("v")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet === plain.keySet)
+    plain.foreach { case (k, (n, s)) =>
+      assert(salted(k)._1 === n, s"count for $k")
+      assert(math.abs(salted(k)._2 - s) < 1e-6, s"sum for $k")
+    }
+    val dc = Skew.saltedDistinctCount(skewed, col("k"), col("v"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dcPlain = skewed.groupBy("k").agg(countDistinct(col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dc === dcPlain)
+  }
+
   test("rolling fingerprint: whitespace-invariant, order-sensitive") {
     val fp = Seq(
       ("a b c", 1), ("a  b   c", 2), ("c b a", 3))
