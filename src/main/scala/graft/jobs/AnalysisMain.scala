@@ -1,0 +1,54 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.schema.CrawlSchemas
+import graft.streaming.{AnalysisStream, CrawlStreams}
+
+/** `analyse` CLI (reference analysis.py:200-236, SURVEY.md §3.2): continuous
+  * per-host stats with periodic atomic JSON snapshots.
+  *
+  * Reads a JSONL directory as a file stream (drop-in: swap
+  * `CrawlStreams.kafkaStream` + `parseCrawlEvents` for the Kafka topic at
+  * deployment — the topology from the first transform on is identical).
+  *
+  * Usage: AnalysisMain <inputDir> <snapshotPath> <checkpointDir>
+  *        [intervalMs=10000] [topHosts=500] [--available-now]
+  *
+  * `--available-now` = S4 drain-and-stop: process everything present, emit
+  * one final snapshot, exit (the reference's consumer_timeout_ms idle-stop,
+  * made deterministic).
+  */
+object AnalysisMain {
+  def main(args: Array[String]): Unit = {
+    val Array(inputDir, snapshotPath, checkpointDir, rest @ _*) = args
+    val intervalMs = rest.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000L)
+    val topHosts = rest.filter(_.forall(_.isDigit)).drop(1).headOption
+      .map(_.toInt).getOrElse(500)
+    val availableNow = rest.contains("--available-now")
+
+    implicit val spark = JobSession.local("graft-analysis")
+    import spark.implicits._
+
+    val events = spark.readStream
+      .schema(CrawlSchemas.crawlEventSchema)
+      .json(inputDir)
+      .withColumn("event_ts", to_timestamp(col("timestamp")))
+      .select(
+        graft.functions.CrawlCols.hostOf(col("url")).as("host"),
+        col("event_ts"),
+        col("status_code"),
+        col("mimetype"),
+        col("content_type"),
+        col("via"))
+      .as[AnalysisStream.StatEvent]
+
+    val writer = AnalysisStream.snapshotQuery(
+      AnalysisStream.hostStats(events), snapshotPath, topHosts, intervalMs,
+      checkpointDir)
+    val q =
+      if (availableNow) writer.trigger(Trigger.AvailableNow()).start()
+      else writer.start()
+    if (availableNow) q.awaitTermination() else q.awaitTermination()
+  }
+}

@@ -136,6 +136,33 @@ object ExtendedQueries {
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
+    // TF-IDF term statistics: explode tokens → document frequency → idf.
+    // The explode-shuffle-on-term shape is the standard distributed TF-IDF
+    // plan; document payloads never shuffle, only (term, doc_id) pairs.
+    "q19_tfidf_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // corpus size — tiny driver scalar, not a collect of rows
+      docs
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFns.tokens(col("text"))))
+            .as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .withColumn("idf",
+          round(log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+        .filter(col("df") >= 10)
+        .orderBy(col("term"))
+    }),
+
+    // Approximate distinct (HLL++): engine-specific sketch → rows-only;
+    // the error bound vs exact is pinned in PipelineOpsSpec.
+    "a09_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // Percentiles (exact, linear interpolation).
     "q16_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -224,6 +251,17 @@ object ExtendedQueries {
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END)) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS df,
+        |       round(ln((n.n + 1.0) / (count(DISTINCT doc_id) + 1.0)), 6) AS idf
+        |FROM terms, n GROUP BY term, n.n HAVING count(DISTINCT doc_id) >= 10
+        |ORDER BY term""".stripMargin,
     "q16_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,

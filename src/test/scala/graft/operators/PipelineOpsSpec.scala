@@ -160,6 +160,15 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(dc === dcPlain)
   }
 
+  test("approx_count_distinct within 5% of exact at rsd=0.02") {
+    val df = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val rows = df.agg(
+      approx_count_distinct(col("user_id"), 0.02).as("a"),
+      countDistinct(col("user_id")).as("e")).collect().head
+    val (a, e) = (rows.getLong(0).toDouble, rows.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("rolling fingerprint: whitespace-invariant, order-sensitive") {
     val fp = Seq(
       ("a b c", 1), ("a  b   c", 2), ("c b a", 3))
