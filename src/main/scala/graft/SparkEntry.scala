@@ -18,12 +18,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.defs ++ RelationalQueries.defs ++ CrawlParityQueries.defs ++
-      LauncherQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs
+      LauncherQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs ++
+      CoverageQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       CrawlParityQueries.oracles ++ LauncherQueries.oracles ++
-      PipelineQueries.oracles ++ ExtendedQueries.oracles
+      PipelineQueries.oracles ++ ExtendedQueries.oracles ++
+      CoverageQueries.oracles
 }
