@@ -21,6 +21,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TimestampFilterPushdown.enable(spark)
+    graft.functions.CrawlCols.register(spark)
 
     // Warmup: touch every table (file-footer + page cache), force one
     // codegen'd aggregate through the whole stack.
