@@ -136,6 +136,19 @@ object ExtendedQueries {
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
+    // Range join: same-type event pairs within ±30 s, bucketed equi-join
+    // (no inequality join in the plan) — oracle is DuckDB's native range
+    // join over the same truncated-second semantics.
+    "q21_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      RangeJoin.within(ev, ev, "ts", 30, Seq("event_type"))
+        .filter(col("event_id") < col("r_event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"))
+    }),
+
     // TF-IDF term statistics: explode tokens → document frequency → idf.
     // The explode-shuffle-on-term shape is the standard distributed TF-IDF
     // plan; document payloads never shuffle, only (term, doc_id) pairs.
@@ -251,6 +264,17 @@ object ExtendedQueries {
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec
+        |  FROM events)
+        |SELECT a.event_type, count(*) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.event_type = b.event_type
+        | AND a.event_id < b.event_id
+        | AND abs(a.sec - b.sec) <= 30
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
     "q19_tfidf_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_distinct(
