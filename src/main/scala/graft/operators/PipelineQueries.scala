@@ -122,6 +122,12 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Hyperplane-LSH near-dup candidates (engine-seeded sketch → rows-only;
+    // planted-pair recall pinned in PipelineOpsSpec).
+    "s04_lsh_neardup" -> ((s, d) =>
+      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, d), 0.2, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- multimodal -------------------------------------------------------
     "m01_media_meta" -> ((s, d) => {
       import s.implicits._

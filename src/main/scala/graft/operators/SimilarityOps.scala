@@ -101,6 +101,51 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Random-hyperplane LSH sketch: `nBits` sign bits of dot products with
+    * deterministic pseudo-random planes (seeded Gaussian, generated at
+    * plan-build time and inlined as literals). Vectors with small cosine
+    * distance agree on most bits, so bucketing on the packed sketch (or
+    * banded slices of it) finds near neighbors without an all-pairs pass —
+    * the LSH alternative to IVF cells.
+    */
+  def hyperplaneSketch(vec: Column, dim: Int, nBits: Int, seed: Long = 0xA11CE): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed near-neighbor candidate pairs: vectors sharing any
+    * 8-bit slice of the 32-bit hyperplane sketch are candidates (banding:
+    * trades precision for recall exactly like the MinHash band join); exact
+    * cosine is computed only on candidates.
+    */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nBits = 32
+    val c = withNorm(corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v")), "v", "vn")
+      .withColumn("sketch", hyperplaneSketch(col("v"), dim, nBits))
+      .select(col("id"), col("v"), col("vn"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sketch"), b * 8).bitwiseAND(0xffL)): _*))
+          .as(Seq("slice", "slice_key")))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b,
+        col("a.slice") === col("b.slice") &&
+        col("a.slice_key") === col("b.slice_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by an
     * IVF cell to avoid the full cross join: only same-cell pairs are
     * compared (same recall trade as single-probe IVF search).

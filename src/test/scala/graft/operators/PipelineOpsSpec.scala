@@ -123,6 +123,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(self === 4)
   }
 
+  test("hyperplane LSH: planted near-dup vector pair found; recall vs brute force sane") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val vecs = ((0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (100L, base) :+ (101L, near)).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.lshNearDupPairs(vecs, 0.9, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"planted pair missing from $pairs")
+    // unrelated random 16-dim vectors at cos >= 0.9 are essentially impossible
+    assert(pairs.size <= 3)
+  }
+
   test("multimodal: stubbed decode preserves ids, byte length, frame sampling") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "abcdef".getBytes),
