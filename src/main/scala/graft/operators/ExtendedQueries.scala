@@ -136,6 +136,54 @@ object ExtendedQueries {
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
+    // A4 via a one-pass typed Aggregator (single shuffle, map-side partial
+    // maps) — must equal the composed two-shuffle form, which is what the
+    // oracle computes.
+    "a04_typed_aggregator" -> ((s, d) => {
+      import s.implicits._
+      val agg = graft.functions.HostStatsAgg.aggregator.toColumn
+      Tables.events(s, d)
+        .select(col("user_id").as("_1"),
+          struct(
+            unix_micros(col("ts")).as("tsMicros"),
+            when(col("event_type") =!= "error", col("event_type"))
+              .as("mimetype"),
+            when(col("value") > 50, floor(col("value") % 500).cast("int"))
+              .as("statusCode"))
+            .as("_2"))
+        .as[(Long, graft.functions.HostStatsAgg.In)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.name("stats"))
+        .select(col("key").as("user_id"),
+          col("stats.total").as("total"),
+          col("stats.content_types_csv").as("content_types"),
+          col("stats.status_codes_csv").as("status_codes"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Pivot: event_type columns per user bucket (conditional-agg parity).
+    "q22_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("bucket"))),
+
+    // Set operations: INTERSECT / EXCEPT between event-type populations.
+    "q23_set_ops" -> ((s, d) => {
+      val buyers = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val errorers = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      val both = buyers.intersect(errorers).withColumn("set_op", lit("both"))
+      val onlyBuy = buyers.except(errorers).withColumn("set_op", lit("buy_only"))
+      both.unionByName(onlyBuy)
+        .groupBy(col("set_op")).agg(count(lit(1)).as("n"))
+        .orderBy(col("set_op"))
+    }),
+
     // Range join: same-type event pairs within ±30 s, bucketed equi-join
     // (no inequality join in the plan) — oracle is DuckDB's native range
     // join over the same truncated-second semantics.
@@ -264,6 +312,44 @@ object ExtendedQueries {
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a04_typed_aggregator" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type <> 'error' THEN event_type
+        |         ELSE 'unknown-content-type' END AS ct,
+        |    CASE WHEN value > 50 THEN CAST(CAST(floor(value % 500) AS INTEGER) AS VARCHAR)
+        |         ELSE '-' END AS sc
+        |  FROM events),
+        |cts AS (SELECT user_id, string_agg(ct || ':' || n, ',' ORDER BY ct || ':' || n) AS ctcsv
+        |        FROM (SELECT user_id, ct, count(*) AS n FROM base GROUP BY 1, 2)
+        |        GROUP BY user_id),
+        |scs AS (SELECT user_id, string_agg(sc || ':' || n, ',' ORDER BY sc || ':' || n) AS sccsv
+        |        FROM (SELECT user_id, sc, count(*) AS n FROM base GROUP BY 1, 2)
+        |        GROUP BY user_id),
+        |tot AS (SELECT user_id, count(*) AS total FROM base GROUP BY user_id)
+        |SELECT t.user_id AS user_id, t.total, c.ctcsv AS content_types,
+        |       s.sccsv AS status_codes
+        |FROM tot t JOIN cts c USING (user_id) JOIN scs s USING (user_id)
+        |ORDER BY t.user_id""".stripMargin,
+    "q22_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS "error"
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q23_set_ops" ->
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+        |labeled AS (
+        |  SELECT user_id, 'both' AS set_op FROM buyers INTERSECT ALL
+        |    SELECT user_id, 'both' FROM errorers
+        |  UNION ALL
+        |  (SELECT user_id, 'buy_only' FROM buyers EXCEPT ALL
+        |    SELECT user_id, 'buy_only' FROM errorers))
+        |SELECT set_op, count(*) AS n FROM labeled
+        |GROUP BY set_op ORDER BY set_op""".stripMargin,
     "q21_range_join" ->
       """WITH e AS (
         |  SELECT event_id, event_type,
