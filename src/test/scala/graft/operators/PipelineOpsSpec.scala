@@ -59,6 +59,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("minhash signature agreement estimates Jaccard within tolerance") {
+    // controlled overlap: doc pairs sharing a known fraction of shingles
+    val vocab = (0 until 300).map(i => s"w$i")
+    def text(idxs: Seq[Int]) = idxs.map(vocab).mkString(" ")
+    val pairs = Seq(0.9, 0.5, 0.2).zipWithIndex.map { case (overlap, i) =>
+      val shared = (0 until (100 * overlap).toInt)
+      val a = shared ++ (100 until 100 + (100 - shared.size))
+      val b = shared ++ (150 until 150 + (100 - shared.size))
+      (i.toLong * 2, text(a), i.toLong * 2 + 1, text(b))
+    }
+    val docs = pairs.flatMap { case (ia, ta, ib, tb) =>
+      Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+    val k = 128
+    val sigs = docs.select(col("doc_id"),
+      TextFns.minhashSignature(TextFns.wordShingles(col("text"), 1), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sh = docs.select(col("doc_id"),
+      TextFns.wordShingles(col("text"), 1).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case (ia, _, ib, _) =>
+      val trueJ = sh(ia).intersect(sh(ib)).size.toDouble / sh(ia).union(sh(ib)).size
+      val est = sigs(ia).zip(sigs(ib)).count { case (x, y) => x == y }.toDouble / k
+      assert(math.abs(est - trueJ) < 0.15,
+        s"pair ($ia,$ib): est=$est true=$trueJ")
+    }
+  }
+
   test("simhash fast expression is bit-identical to the composed form") {
     val both = docs.select(
       TextFns.simhash64(TextFns.tokens(col("text"))).as("slow"),
