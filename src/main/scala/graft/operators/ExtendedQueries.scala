@@ -136,6 +136,40 @@ object ExtendedQueries {
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
+    // Sessionization: gap-based session assignment (new session when the
+    // per-user gap exceeds 30 min) via lag + running sum — the standard
+    // window-function formulation; per-user sessions then aggregate.
+    "q24_sessionize" -> ((s, d) => {
+      val wOrder = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(wOrder).cast("long"))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+            .as("duration_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          max(col("duration_s")).as("max_duration_s"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Histogram binning: fixed-width value buckets.
+    "q25_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("bin", floor(col("value") / 25.0).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy(col("bin"))),
+
     // A4 via a one-pass typed Aggregator (single shuffle, map-side partial
     // maps) — must equal the composed two-shuffle form, which is what the
     // oracle computes.
@@ -312,6 +346,34 @@ object ExtendedQueries {
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q24_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec,
+        |    ts
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, sec, ts, event_id,
+        |    CASE WHEN lag(sec) OVER w IS NULL
+        |              OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM tagged),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    max(sec) - min(sec) AS duration_s
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_events,
+        |  CAST(max(duration_s) AS BIGINT) AS max_duration_s
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q25_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
     "a04_typed_aggregator" ->
       """WITH base AS (
         |  SELECT user_id,
