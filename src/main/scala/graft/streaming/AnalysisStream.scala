@@ -136,6 +136,18 @@ object AnalysisStream {
       .orderBy(desc("event_ts"), col("orig"))
       .limit(n)
 
+  /** F8 streaming form: exactly-once-per-(url, launch_ts) event stream via
+    * watermark-bounded streaming dedup — state is evicted once the
+    * watermark passes, so memory is bounded by the dedup window, not the
+    * stream length (the launch-idempotency guarantee the reference
+    * delegates to the crawler, provided in-stream).
+    */
+  def dedupWithinWatermark(events: DataFrame, eventTsCol: String,
+      keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark(eventTsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** S9/ST5: atomic JSON snapshot publication — write to tmp then rename
     * (rename is atomic on POSIX). The snapshot is bounded (top-N hosts), so
     * a driver-side collect is by design, not a scalability leak.

@@ -130,6 +130,27 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark: duplicate keys collapse across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatEvent]
+    val deduped = dedupWithinWatermark(
+      in.toDS().toDF(), "event_ts", Seq("host"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev("a.org", "2021-01-16 17:00:00", 200),
+        ev("a.org", "2021-01-16 17:01:00", 404), // dup key within watermark
+        ev("b.org", "2021-01-16 17:02:00", 200))
+      q.processAllAvailable()
+      in.addData(ev("a.org", "2021-01-16 17:03:00", 500)) // still dup
+      q.processAllAvailable()
+      val hosts = spark.table("dd").groupBy("host").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hosts === Map("a.org" -> 1L, "b.org" -> 1L))
+    } finally q.stop()
+  }
+
   test("parseCrawlEvents: malformed records flagged, not dropped") {
     val raw = Seq(
       (null.asInstanceOf[Array[Byte]], """{"url":"https://a.org/","status_code":200,"timestamp":"2021-01-16T17:00:00Z","thread":4}""".getBytes("UTF-8")),
