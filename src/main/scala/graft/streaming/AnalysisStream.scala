@@ -62,7 +62,22 @@ object AnalysisStream {
     * min/max (not arrival order — ST7): late data folds in correctly.
     */
   private[streaming] def updateHost(host: String, events: Iterator[StatEvent],
+      state: GroupState[HostState]): Iterator[HostStatsRow] =
+    updateHostTtl(None)(host, events, state)
+
+  /** As [[updateHost]], with optional idle-TTL eviction: a host silent for
+    * `ttlMs` gets its state dropped on timeout (SURVEY §7.3 — the
+    * deterministic per-key replacement for the reference's cross-key
+    * 500-host insertion-order cap; combine with [[topHostsSnapshot]] for
+    * the output-side bound).
+    */
+  private[streaming] def updateHostTtl(ttlMs: Option[Long])(
+      host: String, events: Iterator[StatEvent],
       state: GroupState[HostState]): Iterator[HostStatsRow] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var s = state.getOption.getOrElse(
       HostState(Long.MaxValue, Long.MinValue, 0L, Map.empty, Map.empty, Map.empty))
     var changed = false
@@ -84,6 +99,7 @@ object AnalysisStream {
     if (!changed) Iterator.empty
     else {
       state.update(s)
+      ttlMs.foreach(state.setTimeoutDuration)
       Iterator.single(HostStatsRow(host,
         new java.sql.Timestamp(s.first_ts), new java.sql.Timestamp(s.last_ts),
         s.total, s.contentTypes, s.statusCodes, s.viaHosts))
@@ -97,14 +113,17 @@ object AnalysisStream {
     * snapshot-time top-N by last_ts ([[topHostsSnapshot]]), which dominates
     * it (SURVEY.md §7.3).
     */
-  def hostStats(events: Dataset[StatEvent]): Dataset[HostStatsRow] = {
+  def hostStats(events: Dataset[StatEvent],
+      idleTtlMs: Option[Long] = None): Dataset[HostStatsRow] = {
     import events.sparkSession.implicits._
+    val timeout = if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .filter(col("host").isNotNull && col("host") =!= "")
       .as[StatEvent]
       .groupByKey(_.host)
       .flatMapGroupsWithState[HostState, HostStatsRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateHost)
+        OutputMode.Update, timeout)(updateHostTtl(idleTtlMs))
   }
 
   /** Snapshot-time bound: keep the N most recently active hosts. */

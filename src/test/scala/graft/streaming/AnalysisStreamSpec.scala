@@ -130,6 +130,37 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("host stats idle-TTL transition: timeout evicts state, activity re-arms it") {
+    // Timeout semantics verified on the state-transition function directly
+    // via TestGroupState (a live ProcessingTimeTimeout query never settles
+    // under processAllAvailable/AvailableNow — timeout wakeups keep
+    // scheduling batches, so the transition is the testable unit).
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+
+    // active update: state written and TTL armed
+    val live = TestGroupState.create[HostState](Optional.empty[HostState](),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = updateHostTtl(Some(60000L))("ttl.org",
+      Iterator(ev("ttl.org", "2021-01-16 17:00:00", 200)), live).toSeq
+    assert(out.map(_.total) === Seq(1L))
+    assert(live.exists)
+    assert(live.getTimeoutTimestampMs.isPresent &&
+      live.getTimeoutTimestampMs.get() === 61000L) // batch time + TTL
+
+    // timeout firing: state evicted, nothing emitted
+    val timedOut = TestGroupState.create[HostState](
+      Optional.of(HostState(0L, 1L, 5L, Map.empty, Map.empty, Map.empty)),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 100000L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val evicted = updateHostTtl(Some(60000L))("ttl.org", Iterator.empty, timedOut).toSeq
+    assert(evicted.isEmpty)
+    assert(timedOut.isRemoved)
+  }
+
   test("streaming dedup within watermark: duplicate keys collapse across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StatEvent]
