@@ -26,7 +26,11 @@ object AsofJoin {
     * @param keys      equi-join key column names (present on both sides)
     * @param leftTs    left event-time column name
     * @param rightTs   right event-time column name
-    * @param payloadCols right columns to carry (must not collide with left)
+    * @param payloadCols right columns to carry (must not collide with left).
+    *                    NOTE: carried payloads are stringified (the
+    *                    union-side schema alignment needs one type); cast
+    *                    `asof_<col>` back at the call site when the payload
+    *                    is numeric — string ordering is lexicographic.
     * @param strict    if true, require right.ts < left.ts (strictly before);
     *                  default allows equality (≤, matching DuckDB ASOF JOIN)
     */

@@ -81,20 +81,28 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: signatures bucketed by 4 rotated 16-bit slices
-    * (any pair within Hamming distance ≤ 3 of a 64-bit hash shares at least
-    * one of 4 slices by pigeonhole when differences spread across slices —
-    * the standard simhash block-permutation scheme with 4 blocks tolerates
-    * up to 3 differing bits).
+  /** SimHash near-dup pairs via block-permutation bucketing: the signature
+    * is cut into `maxHamming + 1` bit slices, so by pigeonhole any pair
+    * within Hamming distance ≤ maxHamming agrees on at least one whole
+    * slice and is co-bucketed — candidate recall is complete for the
+    * requested radius (more slices = shorter keys = more candidates, the
+    * standard recall/cost trade).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming out of range: slices need ≥2 bits each")
+    val nSlices = maxHamming + 1
+    val bounds = (0 to nSlices).map(i => i * 64 / nSlices) // slice bit edges
     val sigs = docs.select(col(idCol).as("id"),
       TextFns.simhash64Fast(TextFns.tokens(col(textCol))).as("sig"))
       .filter(col("sig").isNotNull)
     val sliced = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL)): _*))
+      posexplode(array((0 until nSlices).map { b =>
+        val width = bounds(b + 1) - bounds(b)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("sig"), bounds(b)).bitwiseAND(mask)
+      }: _*))
         .as(Seq("slice", "slice_key")))
     val a = sliced.as("a")
     val b = sliced.as("b")

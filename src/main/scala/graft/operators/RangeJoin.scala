@@ -26,6 +26,8 @@ object RangeJoin {
     */
   def within(left: DataFrame, right: DataFrame, tsCol: String,
       toleranceSec: Long, extraKey: Seq[String] = Nil): DataFrame = {
+    require(toleranceSec > 0,
+      "toleranceSec must be positive (for exact-timestamp pairing use a plain equi-join on the timestamp)")
     val tol = lit(toleranceSec)
     def bucketOf(c: Column): Column = floor(c.cast("long") / tol)
 

@@ -26,15 +26,20 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
 
-  /** Salted distinct-count: exact, two-phase — phase 1 dedups (key, value)
-    * within salted groups, phase 2 dedups across salts then counts.
-    * For approximate at extreme scale use approx_count_distinct instead.
+  /** Salted distinct-count: exact, two-phase. The salt is `hash(value) mod
+    * salts`, which partitions each key's VALUE SPACE: phase 1 computes
+    * `countDistinct(v)` per (key, salt) — the hot key's distinct work is
+    * spread over `salts` reducers — and phase 2 SUMS the partials, which is
+    * exact because a given value always lands in the same salt (the
+    * per-salt distinct sets are disjoint). For approximate at extreme
+    * scale use approx_count_distinct instead.
     */
   def saltedDistinctCount(df: DataFrame, key: Column, valueCol: Column,
       salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(valueCol), lit(salts)))
-      .select(key.as("key"), col("__salt"), valueCol.as("__v"))
-      .distinct() // phase 1: (key, salt, v) — the salt spreads the hot key
+    df.select(key.as("key"), pmod(xxhash64(valueCol), lit(salts)).as("__salt"),
+        valueCol.as("__v"))
+      .groupBy(col("key"), col("__salt"))
+      .agg(countDistinct(col("__v")).as("__n")) // phase 1: spread per salt
       .groupBy(col("key"))
-      .agg(countDistinct(col("__v")).as("n_distinct"))
+      .agg(sum(col("__n")).as("n_distinct")) // phase 2: disjoint → exact sum
 }

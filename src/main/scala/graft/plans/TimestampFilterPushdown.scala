@@ -17,12 +17,18 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (observed via explain; the correctness gate can't see it).
   *
   * This rule rewrites comparisons of `timestamp_micros(raw DIV 1000)`
-  * against timestamp literals into exact raw-nanosecond comparisons, using
-  * the floor-division equivalences (for any long ns, µs = floor(ns/1000)):
+  * against timestamp literals into exact raw-nanosecond comparisons.
+  * `DIV` is Spark's IntegralDivide, which truncates TOWARD ZERO (not
+  * floor), so the bounds are sign-dependent; with t(ns) = trunc(ns/1000):
   *
-  *   µs ≥ A  ⟺  ns ≥ 1000·A          µs > A  ⟺  ns ≥ 1000·(A+1)
-  *   µs < B  ⟺  ns < 1000·B          µs ≤ B  ⟺  ns < 1000·(B+1)
-  *   µs = C  ⟺  1000·C ≤ ns < 1000·(C+1)
+  *   t(ns) ≥ A  ⟺  ns ≥ 1000·A            (A > 0)
+  *   t(ns) ≥ A  ⟺  ns ≥ 1000·A − 999      (A ≤ 0)
+  *   t(ns) ≤ B  ⟺  ns < 1000·B + 1000     (B ≥ 0)
+  *   t(ns) ≤ B  ⟺  ns < 1000·B + 1        (B < 0)
+  *   strict and equality forms reduce to the above (> A ≡ ≥ A+1 etc.).
+  *
+  * Both branches are exact for every long ns, pre-epoch (negative)
+  * included.
   *
   * The rewritten predicate references the raw attribute directly, so
   * FileSourceStrategy turns it into `PushedFilters: [GreaterThanOrEqual…]`
@@ -42,30 +48,39 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
     }
   }
 
-  private def nsLit(micros: Long): Literal = Literal(micros * 1000L, LongType)
+  /** Exact raw-ns lower bound for t(ns) ≥ micros (truncation-aware). */
+  private def geNs(raw: Expression, micros: Long): Expression =
+    GreaterThanOrEqual(raw,
+      Literal(if (micros > 0) micros * 1000L else micros * 1000L - 999L, LongType))
+
+  /** Exact raw-ns upper bound for t(ns) ≤ micros (truncation-aware). */
+  private def leNs(raw: Expression, micros: Long): Expression =
+    LessThan(raw,
+      Literal(if (micros >= 0) micros * 1000L + 1000L else micros * 1000L + 1L,
+        LongType))
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case GreaterThanOrEqual(NsToMicros(raw), Literal(a: Long, TimestampType)) =>
-      GreaterThanOrEqual(raw, nsLit(a))
+      geNs(raw, a)
     case GreaterThan(NsToMicros(raw), Literal(a: Long, TimestampType)) =>
-      GreaterThanOrEqual(raw, nsLit(a + 1))
+      geNs(raw, a + 1)
     case LessThan(NsToMicros(raw), Literal(b: Long, TimestampType)) =>
-      LessThan(raw, nsLit(b))
+      leNs(raw, b - 1)
     case LessThanOrEqual(NsToMicros(raw), Literal(b: Long, TimestampType)) =>
-      LessThan(raw, nsLit(b + 1))
+      leNs(raw, b)
     case EqualTo(NsToMicros(raw), Literal(c: Long, TimestampType)) =>
-      And(GreaterThanOrEqual(raw, nsLit(c)), LessThan(raw, nsLit(c + 1)))
+      And(geNs(raw, c), leNs(raw, c))
     // mirrored literal-first forms
     case GreaterThanOrEqual(Literal(b: Long, TimestampType), NsToMicros(raw)) =>
-      LessThan(raw, nsLit(b + 1))
+      leNs(raw, b)
     case GreaterThan(Literal(b: Long, TimestampType), NsToMicros(raw)) =>
-      LessThan(raw, nsLit(b))
+      leNs(raw, b - 1)
     case LessThan(Literal(a: Long, TimestampType), NsToMicros(raw)) =>
-      GreaterThanOrEqual(raw, nsLit(a + 1))
+      geNs(raw, a + 1)
     case LessThanOrEqual(Literal(a: Long, TimestampType), NsToMicros(raw)) =>
-      GreaterThanOrEqual(raw, nsLit(a))
+      geNs(raw, a)
     case EqualTo(Literal(c: Long, TimestampType), NsToMicros(raw)) =>
-      And(GreaterThanOrEqual(raw, nsLit(c)), LessThan(raw, nsLit(c + 1)))
+      And(geNs(raw, c), leNs(raw, c))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -83,13 +83,16 @@ object AnalysisStream {
     var changed = false
     events.foreach { e =>
       changed = true
-      val ts = if (e.event_ts == null) 0L else e.event_ts.getTime
       val ct = e.mimetype.orElse(e.content_type).getOrElse("unknown-content-type")
       val sc = e.status_code.map(_.toString).getOrElse("-")
       val viaH = e.via.map(hostOfUrl).getOrElse("")
+      // null event time: count the record but don't fold a bogus epoch-0
+      // into the first/last-seen bounds
+      val hasTs = e.event_ts != null
+      val ts = if (hasTs) e.event_ts.getTime else 0L
       s = s.copy(
-        first_ts = math.min(s.first_ts, ts),
-        last_ts = math.max(s.last_ts, ts),
+        first_ts = if (hasTs) math.min(s.first_ts, ts) else s.first_ts,
+        last_ts = if (hasTs) math.max(s.last_ts, ts) else s.last_ts,
         total = s.total + 1,
         contentTypes = bump(s.contentTypes, ct),
         statusCodes = bump(s.statusCodes, sc),
@@ -148,9 +151,8 @@ object AnalysisStream {
     */
   def recentScreenshots(events: DataFrame, n: Int): DataFrame =
     events
-      .filter(col("url").startsWith("screenshot:"))
-      .withColumn("orig", expr("substring(url, 12)"))
-      .filter(length(col("orig")) > 0)
+      .withColumn("orig", graft.functions.CrawlCols.screenshotOrig(col("url")))
+      .filter(graft.functions.CrawlCols.nonEmptyStr(col("orig")))
       .select(col("orig"), col("event_ts"))
       .orderBy(desc("event_ts"), col("orig"))
       .limit(n)
@@ -183,18 +185,37 @@ object AnalysisStream {
   }
 
   /** Wire the stats stream to a periodic snapshot file: every trigger,
-    * bound the state to the top-N hosts and publish atomically.
+    * merge the batch's refreshed hosts into an accumulated view (update
+    * mode only emits hosts touched this trigger — publishing the batch
+    * alone would silently drop every other tracked host from the file),
+    * bound to the top `topN` by recency, and publish atomically. The
+    * accumulator is pruned to `topN` each trigger, so driver memory is
+    * bounded regardless of total host cardinality.
     */
   def snapshotQuery(stats: Dataset[HostStatsRow], outPath: String,
       topN: Int, intervalMs: Long, checkpoint: String)
       (implicit spark: SparkSession) = {
     import org.apache.spark.sql.streaming.Trigger
+    val accumulated = scala.collection.mutable.Map[String, HostStatsRow]()
     stats.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch { (batch: Dataset[HostStatsRow], _: Long) =>
-        writeSnapshotAtomic(topHostsSnapshot(batch.toDF(), topN), outPath)
+        val rows = topHostsSnapshot(batch.toDF(), topN)
+          .as[HostStatsRow](batch.encoder).collect()
+        accumulated.synchronized {
+          rows.foreach(r => accumulated(r.host) = r)
+          if (accumulated.size > topN) {
+            val keep = accumulated.values.toSeq
+              .sortBy(r => (-r.last_ts.getTime, r.host)).take(topN)
+              .map(_.host).toSet
+            accumulated.filterInPlace { case (h, _) => keep(h) }
+          }
+          val snapshot = spark.createDataFrame(
+            spark.sparkContext.parallelize(accumulated.values.toSeq, 1))
+          writeSnapshotAtomic(topHostsSnapshot(snapshot, topN), outPath)
+        }
       }
   }
 }

@@ -55,6 +55,25 @@ class TimestampFilterPushdownSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("pre-epoch (negative ns) rows are not mispruned — DIV truncates toward zero") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("negns").toString + "/t"
+    // ns values straddling zero; trunc(-500/1000)=0 — a floor-based rewrite
+    // would wrongly prune it from ts >= epoch
+    Seq(-1500L, -1000L, -500L, 0L, 500L, 1500L).toDF("ts").write.parquet(dir)
+    val ev = spark.read.parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    TimestampFilterPushdown.enable(spark)
+    val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+    // t(ns) >= 0 ⟺ ns ∈ {-500, 0, 500, 1500} (trunc toward zero)
+    assert(ev.filter(col("ts") >= epoch).count() === 4)
+    // t(ns) <= -1ms... t(ns) < 0 ⟺ ns ∈ {-1500, -1000}
+    assert(ev.filter(col("ts") < epoch).count() === 2)
+    // equality at epoch: t(ns) = 0 ⟺ ns ∈ {-500, 0, 500}
+    assert(ev.filter(col("ts") === epoch).count() === 3)
+  }
+
   test("a microsecond-boundary equality matches rows within that microsecond") {
     // synthetic check of the equivalences themselves on exact boundaries
     import spark.implicits._

@@ -127,6 +127,15 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
       assert(json.contains("a.org") && json.contains("b.org"))
       assert(json.contains("\"statusCodes\":{\"404\":1}") ||
         json.contains("\"404\":1"))
+      // update mode only emits touched hosts per batch — the snapshot must
+      // still carry hosts from earlier batches (accumulated view)
+      in.addData(ev("c.org", "2021-01-16 17:02:00", 200))
+      q.processAllAvailable()
+      val json2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out)), "UTF-8")
+      assert(json2.contains("c.org"))
+      assert(json2.contains("a.org") && json2.contains("b.org"),
+        "hosts from earlier batches dropped from snapshot")
     } finally q.stop()
   }
 

@@ -37,8 +37,13 @@ def main():
         oracles = json.load(f)
 
     results = {}
-    names = sorted([d for d in os.listdir(out_dir)
+    found = sorted([d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d))])
+    # a query that crashed inside Verify writes no dir — that is a FAIL, not
+    # a silent absence from the compare set
+    for name in sorted(set(oracles) - set(found)):
+        results[name] = "MISSING_OUTPUT (query failed in Verify?)"
+    names = found
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
