@@ -136,6 +136,43 @@ object ExtendedQueries {
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
+    // Unpivot (melt): wide per-bucket counts back to long form.
+    "q26_unpivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("click"),
+          count(when(col("event_type") === "view", 1)).as("vview"),
+          count(when(col("event_type") === "error", 1)).as("verror"))
+        .unpivot(Array(col("bucket")),
+          Array(col("click"), col("vview"), col("verror")),
+          "etype", "n")
+        .orderBy(col("bucket"), col("etype"))),
+
+    // Window-function surface: ntile, percent_rank, cume_dist.
+    "q27_window_misc" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Edit distance (fuzzy near-dup primitive): adjacent-doc prefix
+    // levenshtein.
+    "q28_levenshtein" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      val a = t.select(col("doc_id").as("id_a"), col("p").as("pa"))
+      val b = t.select((col("doc_id") - 1).as("id_a"), col("p").as("pb"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"), levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .orderBy(col("id_a"))
+    }),
+
     // Sessionization: gap-based session assignment (new session when the
     // per-user gap exceeds 30 min) via lag + running sum — the standard
     // window-function formulation; per-user sessions then aggregate.
@@ -346,6 +383,32 @@ object ExtendedQueries {
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id % 10 AS bucket,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'view') AS vview,
+        |    count(*) FILTER (WHERE event_type = 'error') AS verror
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, etype, n FROM (
+        |  SELECT bucket, 'click' AS etype, click AS n FROM wide
+        |  UNION ALL SELECT bucket, 'vview', vview FROM wide
+        |  UNION ALL SELECT bucket, 'verror', verror FROM wide)
+        |ORDER BY bucket, etype""".stripMargin,
+    "q27_window_misc" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q28_levenshtein" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 40) AS p FROM documents)
+        |SELECT a.doc_id AS id_a, levenshtein(a.p, b.p) AS dist
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
     "q24_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,
