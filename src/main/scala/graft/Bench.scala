@@ -34,12 +34,17 @@ object Bench {
 
     // A failed query must not masquerade as a fast one: record -1.0 as its
     // time (excluded from the total) and list it under "failed".
+    // Each query runs twice and reports the better time — one-off scheduler
+    // /page-cache hiccups otherwise dominate sub-second queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      val first = once()
+      (name, if (first < 0) first else math.min(first, once()))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -100,6 +100,19 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("parsed"), col("k_mod"))),
 
+    // P1 (open-schema form): parse props as a string→long map — the
+    // `extra_info` open-object treatment (SURVEY §1.3): unknown keys need
+    // no schema change, lookups are map accesses.
+    "p01b_props_map" -> ((s, d) =>
+      events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k"),
+          size(col("m")).as("n_keys"))
+        .orderBy(col("event_id"))
+        .limit(800)),
+
     // S5: row limit on scan (report.py:30-31) — limit pushdown
     // (CollectLimitExec; on Kafka this is maxOffsetsPerTrigger).
     "s05_limited_scan" -> ((s, d) =>
@@ -171,6 +184,11 @@ object EventQueries {
         |       count(*) AS n,
         |       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2 ORDER BY parsed, k_mod""".stripMargin,
+    "p01b_props_map" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+        |  1 AS n_keys
+        |FROM events ORDER BY event_id LIMIT 800""".stripMargin,
     "s05_limited_scan" ->
       """SELECT event_id, event_type FROM events
         |ORDER BY event_id LIMIT 50""".stripMargin,

@@ -191,6 +191,12 @@ object AnalysisStream {
     * bound to the top `topN` by recency, and publish atomically. The
     * accumulator is pruned to `topN` each trigger, so driver memory is
     * bounded regardless of total host cardinality.
+    *
+    * Restart caveat: the accumulator is in-memory only — after a restart
+    * from checkpoint the snapshot re-fills as hosts receive traffic
+    * (keyed state survives in the state store, but update mode only
+    * re-emits touched hosts). A restart-complete snapshot would need the
+    * state-store reader API to rehydrate; deferred.
     */
   def snapshotQuery(stats: Dataset[HostStatsRow], outPath: String,
       topN: Int, intervalMs: Long, checkpoint: String)
