@@ -48,6 +48,14 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** µs literals whose ns equivalent (±1000 slack) fits a long — beyond
+    * this the multiply would wrap and silently corrupt the predicate, so
+    * the rewrite bails out and leaves the original filter in place (no
+    * pushdown, still correct).
+    */
+  private def inNsRange(micros: Long): Boolean =
+    micros > Long.MinValue / 1000L + 2L && micros < Long.MaxValue / 1000L - 2L
+
   /** Exact raw-ns lower bound for t(ns) ≥ micros (truncation-aware). */
   private def geNs(raw: Expression, micros: Long): Expression =
     GreaterThanOrEqual(raw,
@@ -60,27 +68,27 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
         LongType))
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {
-    case GreaterThanOrEqual(NsToMicros(raw), Literal(a: Long, TimestampType)) =>
-      geNs(raw, a)
-    case GreaterThan(NsToMicros(raw), Literal(a: Long, TimestampType)) =>
-      geNs(raw, a + 1)
-    case LessThan(NsToMicros(raw), Literal(b: Long, TimestampType)) =>
-      leNs(raw, b - 1)
-    case LessThanOrEqual(NsToMicros(raw), Literal(b: Long, TimestampType)) =>
-      leNs(raw, b)
-    case EqualTo(NsToMicros(raw), Literal(c: Long, TimestampType)) =>
-      And(geNs(raw, c), leNs(raw, c))
+    case GreaterThanOrEqual(NsToMicros(raw), Literal(a: Long, TimestampType))
+        if inNsRange(a) => geNs(raw, a)
+    case GreaterThan(NsToMicros(raw), Literal(a: Long, TimestampType))
+        if inNsRange(a) => geNs(raw, a + 1)
+    case LessThan(NsToMicros(raw), Literal(b: Long, TimestampType))
+        if inNsRange(b) => leNs(raw, b - 1)
+    case LessThanOrEqual(NsToMicros(raw), Literal(b: Long, TimestampType))
+        if inNsRange(b) => leNs(raw, b)
+    case EqualTo(NsToMicros(raw), Literal(c: Long, TimestampType))
+        if inNsRange(c) => And(geNs(raw, c), leNs(raw, c))
     // mirrored literal-first forms
-    case GreaterThanOrEqual(Literal(b: Long, TimestampType), NsToMicros(raw)) =>
-      leNs(raw, b)
-    case GreaterThan(Literal(b: Long, TimestampType), NsToMicros(raw)) =>
-      leNs(raw, b - 1)
-    case LessThan(Literal(a: Long, TimestampType), NsToMicros(raw)) =>
-      geNs(raw, a + 1)
-    case LessThanOrEqual(Literal(a: Long, TimestampType), NsToMicros(raw)) =>
-      geNs(raw, a)
-    case EqualTo(Literal(c: Long, TimestampType), NsToMicros(raw)) =>
-      And(geNs(raw, c), leNs(raw, c))
+    case GreaterThanOrEqual(Literal(b: Long, TimestampType), NsToMicros(raw))
+        if inNsRange(b) => leNs(raw, b)
+    case GreaterThan(Literal(b: Long, TimestampType), NsToMicros(raw))
+        if inNsRange(b) => leNs(raw, b - 1)
+    case LessThan(Literal(a: Long, TimestampType), NsToMicros(raw))
+        if inNsRange(a) => geNs(raw, a + 1)
+    case LessThanOrEqual(Literal(a: Long, TimestampType), NsToMicros(raw))
+        if inNsRange(a) => geNs(raw, a)
+    case EqualTo(Literal(c: Long, TimestampType), NsToMicros(raw))
+        if inNsRange(c) => And(geNs(raw, c), leNs(raw, c))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -103,8 +103,13 @@ object AnalysisStream {
     else {
       state.update(s)
       ttlMs.foreach(state.setTimeoutDuration)
-      Iterator.single(HostStatsRow(host,
-        new java.sql.Timestamp(s.first_ts), new java.sql.Timestamp(s.last_ts),
+      // sentinels mean "no timestamped event seen yet" — emit null bounds
+      // (Timestamp(Long.MaxValue) overflows Catalyst's µs conversion)
+      val first = if (s.first_ts == Long.MaxValue) null
+        else new java.sql.Timestamp(s.first_ts)
+      val last = if (s.last_ts == Long.MinValue) null
+        else new java.sql.Timestamp(s.last_ts)
+      Iterator.single(HostStatsRow(host, first, last,
         s.total, s.contentTypes, s.statusCodes, s.viaHosts))
     }
   }
@@ -203,25 +208,67 @@ object AnalysisStream {
       (implicit spark: SparkSession) = {
     import org.apache.spark.sql.streaming.Trigger
     val accumulated = scala.collection.mutable.Map[String, HostStatsRow]()
+    def recency(r: HostStatsRow): Long =
+      if (r.last_ts == null) Long.MinValue else r.last_ts.getTime
     stats.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch { (batch: Dataset[HostStatsRow], _: Long) =>
-        val rows = topHostsSnapshot(batch.toDF(), topN)
-          .as[HostStatsRow](batch.encoder).collect()
+        // the batch is one refreshed row per touched host (bounded by state
+        // size) — merge ALL of it; truncating before the merge would leave
+        // stale rows in the accumulator for refreshed-but-unranked hosts
+        val rows = batch.collect()
         accumulated.synchronized {
           rows.foreach(r => accumulated(r.host) = r)
           if (accumulated.size > topN) {
             val keep = accumulated.values.toSeq
-              .sortBy(r => (-r.last_ts.getTime, r.host)).take(topN)
-              .map(_.host).toSet
+              .sortBy(r => (-recency(r), r.host)).take(topN).map(_.host).toSet
             accumulated.filterInPlace { case (h, _) => keep(h) }
           }
-          val snapshot = spark.createDataFrame(
-            spark.sparkContext.parallelize(accumulated.values.toSeq, 1))
-          writeSnapshotAtomic(topHostsSnapshot(snapshot, topN), outPath)
+          // snapshot is driver-local and already bounded — serialize
+          // directly, no Spark job on the publish hot path
+          val ordered = accumulated.values.toSeq.sortBy(r => (-recency(r), r.host))
+          writeSnapshotRowsAtomic(ordered, outPath)
         }
       }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsonMap(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:$v" }
+      .mkString("{", ",", "}")
+
+  /** Driver-local snapshot serialization (same field names as the
+    * DataFrame JSON form; null timestamps omitted like to_json would).
+    */
+  private[streaming] def writeSnapshotRowsAtomic(rows: Seq[HostStatsRow],
+      outPath: String): Unit = {
+    val body = rows.map { r =>
+      val ts = Seq(
+        Option(r.first_ts).map(t => s""""first_ts":${jsonStr(t.toString)}"""),
+        Option(r.last_ts).map(t => s""""last_ts":${jsonStr(t.toString)}""")
+      ).flatten
+      (Seq(s""""host":${jsonStr(r.host)}""") ++ ts ++ Seq(
+        s""""total":${r.total}""",
+        s""""contentTypes":${jsonMap(r.contentTypes)}""",
+        s""""statusCodes":${jsonMap(r.statusCodes)}""",
+        s""""viaHosts":${jsonMap(r.viaHosts)}"""))
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val target = Paths.get(outPath)
+    val dir = target.toAbsolutePath.getParent
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".snapshot", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -40,8 +40,14 @@ def main():
     found = sorted([d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d))])
     # a query that crashed inside Verify writes no dir — that is a FAIL, not
-    # a silent absence from the compare set
-    for name in sorted(set(oracles) - set(found)):
+    # a silent absence from the compare set. queries.txt (full registry
+    # manifest) covers rows-only queries too; fall back to oracle keys.
+    manifest_path = os.path.join(out_dir, "queries.txt")
+    if os.path.exists(manifest_path):
+        expected = set(open(manifest_path).read().split())
+    else:
+        expected = set(oracles)
+    for name in sorted(expected - set(found)):
         results[name] = "MISSING_OUTPUT (query failed in Verify?)"
     names = found
     for name in names:
