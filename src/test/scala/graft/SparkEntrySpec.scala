@@ -1,0 +1,23 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: the smoke entry returns rows, every oracle
+  * key has a query, and names are unique across registries.
+  */
+class SparkEntrySpec extends AnyFunSuite with SparkSpec {
+
+  test("entry() flagship returns rows at sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("registry sizes: 75 queries, 67 with oracles") {
+    assert(SparkEntry.queries.size === 75)
+    assert(SparkEntry.oracleSql.size === 67)
+  }
+}
