@@ -85,7 +85,10 @@ object TextFns {
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
-    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"))
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"),
+    "it" -> Seq("il", "gli", "che", "di", "non", "sono", "per"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "não", "com"),
+    "nl" -> Seq("de", "het", "een", "van", "niet", "zijn", "voor"))
 
   /** Heuristic language ID over whitespace tokens: per-language stopword
     * hit count, argmax with deterministic tie-break (marker order), "und"

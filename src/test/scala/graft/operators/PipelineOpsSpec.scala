@@ -114,6 +114,8 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       ("le chat et la souris est une histoire", "fr"),
       ("der hund und die katze ist nicht da", "de"),
       ("el perro y los gatos es una historia para todos", "es"),
+      ("il cane che non sono per gli altri di qui", "it"),
+      ("het huis van een man die niet voor zijn werk komt", "nl"),
       ("zzz qqq xxx", "und"))
       .toDF("text", "want")
       .select(TextFns.langId(col("text")).as("got"), col("want"))
