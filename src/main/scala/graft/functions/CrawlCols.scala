@@ -127,16 +127,21 @@ object CrawlCols {
     */
   def nullDash(c: Column): Column = coalesce(c.cast("string"), lit("-"))
 
-  /** P6: fixed-width crawl-log line (reference report.py:57,
-    * streamer.py:112-122): ts, status, size, url, hop, via, digest,
-    * mimetype, annotations.
+  /** P6: fixed-width crawl-log line, field-for-field the reference's
+    * rendering (report.py:57): ts, status (%6s), size (%10s), url, full
+    * hop_path, via, mimetype, #thread, start_time_plus_duration,
+    * content_digest, seed, annotations — nulls rendered as "-" (P5).
+    * The reference leaves an empty (non-null) hop_path as-is, so no "_"
+    * normalization here.
     */
   def logLine(ts: Column, status: Column, size: Column, url: Column,
-      hop: Column, via: Column, digest: Column, mime: Column,
+      hopPath: Column, via: Column, mime: Column, thread: Column,
+      startTime: Column, digest: Column, seed: Column,
       annotations: Column): Column =
-    format_string("%s %6s %10s %s %s %s %s %s %s",
+    format_string("%s %6s %10s %s %s %s %s #%s %s %s %s %s",
       nullDash(ts), nullDash(status), nullDash(size), nullDash(url),
-      lastHop(hop), nullDash(via), nullDash(digest), nullDash(mime),
+      nullDash(hopPath), nullDash(via), nullDash(mime), nullDash(thread),
+      nullDash(startTime), nullDash(digest), nullDash(seed),
       nullDash(annotations))
 
   /** P19: Kafka partition key — LE-hex unsigned Murmur3-32(seed 0) of the

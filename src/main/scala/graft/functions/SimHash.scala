@@ -17,8 +17,12 @@ object SimHash64Impl {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      // A null token hashes to the seed itself (42) — exactly what the
+      // composed form's xxhash64(NULL) yields, so the two paths stay
+      // bit-identical on null-element input (and no NPE here).
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val h = if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -25,7 +25,8 @@ object ReportJob {
       .filter(col("thread").isNotNull) // F1
       .select(CrawlCols.logLine(col("timestamp"), col("status_code"),
         col("size"), col("url"), col("hop_path"), col("via"),
-        col("content_digest"), col("mimetype"), col("annotations")).as("line"))
+        col("mimetype"), col("thread"), col("start_time_plus_duration"),
+        col("content_digest"), col("seed"), col("annotations")).as("line"))
 
   /** `show_stream` variant dispatch (reference report.py:99-123 / F3):
     * route each record to discovered / crawled / unrecognised.

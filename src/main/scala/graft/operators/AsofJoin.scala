@@ -31,6 +31,13 @@ object AsofJoin {
     *                    union-side schema alignment needs one type); cast
     *                    `asof_<col>` back at the call site when the payload
     *                    is numeric — string ordering is lexicographic.
+    *                    Duplicate right rows at the same (key, ts) are
+    *                    tie-broken by the stringified payload struct, also
+    *                    lexicographically: of two candidate payloads "9"
+    *                    and "10", "9" wins (not numeric 10). Deterministic,
+    *                    but if numeric-max tie-breaking is wanted, dedupe
+    *                    right to unique (key, ts) first — e.g.
+    *                    `right.groupBy(keys :+ ts).agg(max_by(...))`.
     * @param strict    if true, require right.ts < left.ts (strictly before);
     *                  default allows equality (≤, matching DuckDB ASOF JOIN)
     */

@@ -43,8 +43,11 @@ object ExtendedQueries {
             concat(lit("https://h"), col("user_id"), lit("/p")),
             when(col("event_type") === "click", lit("")).otherwise(lit("LLE")),
             lit(null).cast("string"),
-            concat(lit("sha1:"), col("event_id")),
             lit("text/html"),
+            when(col("user_id") % 3 =!= 0, (col("user_id") % 90).cast("int")),
+            concat(lit("20210116170410000+"), col("event_id") % 1000),
+            concat(lit("sha1:"), col("event_id")),
+            concat(lit("tid:1:https://h"), col("user_id"), lit("/")),
             col("event_type")).as("line"))
         .orderBy(col("event_id"))
         .limit(300)),
@@ -324,13 +327,18 @@ object ExtendedQueries {
         |ORDER BY t.host""".stripMargin,
     "p06_log_line" ->
       """SELECT event_id,
-        |  printf('%s %6s %10s %s %s %s %s %s %s',
+        |  printf('%s %6s %10s %s %s %s %s #%s %s %s %s %s',
         |    strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
         |    CAST(user_id % 600 AS VARCHAR),
         |    CASE WHEN user_id % 7 <> 0 THEN CAST(event_id * 100 AS VARCHAR) ELSE '-' END,
         |    'https://h' || user_id || '/p',
-        |    CASE WHEN event_type = 'click' THEN '_' ELSE 'E' END,
-        |    '-', 'sha1:' || event_id, 'text/html', event_type) AS line
+        |    CASE WHEN event_type = 'click' THEN '' ELSE 'LLE' END,
+        |    '-', 'text/html',
+        |    CASE WHEN user_id % 3 <> 0 THEN CAST(user_id % 90 AS VARCHAR) ELSE '-' END,
+        |    '20210116170410000+' || (event_id % 1000),
+        |    'sha1:' || event_id,
+        |    'tid:1:https://h' || user_id || '/',
+        |    event_type) AS line
         |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
     "p11_launch_ts_parse" ->
       """SELECT event_id,

@@ -246,6 +246,14 @@ object AnalysisStream {
     m.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
 
+  /** ISO-8601 UTC, millisecond precision — the same rendering `to_json`
+    * gives a TimestampType under a UTC session timezone, and stable across
+    * hosts regardless of the JVM default zone (Timestamp.toString is not).
+    */
+  private val snapshotTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** Driver-local snapshot serialization (same field names as the
     * DataFrame JSON form; null timestamps omitted like to_json would).
     */
@@ -253,8 +261,10 @@ object AnalysisStream {
       outPath: String): Unit = {
     val body = rows.map { r =>
       val ts = Seq(
-        Option(r.first_ts).map(t => s""""first_ts":${jsonStr(t.toString)}"""),
-        Option(r.last_ts).map(t => s""""last_ts":${jsonStr(t.toString)}""")
+        Option(r.first_ts).map(t =>
+          s""""first_ts":${jsonStr(snapshotTsFmt.format(t.toInstant))}"""),
+        Option(r.last_ts).map(t =>
+          s""""last_ts":${jsonStr(snapshotTsFmt.format(t.toInstant))}""")
       ).flatten
       (Seq(s""""host":${jsonStr(r.host)}""") ++ ts ++ Seq(
         s""""total":${r.total}""",

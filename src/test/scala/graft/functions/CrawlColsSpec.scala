@@ -122,13 +122,24 @@ class CrawlColsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq("200", "-"))
   }
 
-  test("P6 logLine: 12-field fixed-width line with dashes for nulls") {
+  test("P6 logLine: report.py:57 field order with dashes for nulls") {
     val df = Seq(("2021-01-16T17:04:10Z", 200, 341L, "https://a.org/", "LLE",
-      "https://parent/", "sha1:XYZ", "text/html", "ip:1.2.3.4"))
-      .toDF("ts", "status", "size", "url", "hop", "via", "digest", "mime", "ann")
-    val line = df.select(CrawlCols.logLine(col("ts"), col("status"), col("size"),
-      col("url"), col("hop"), col("via"), col("digest"), col("mime"), col("ann"))
+      "https://parent/", "text/html", 89, "20210116170410123+45",
+      "sha1:XYZ", "tid:1:https://a.org/", "ip:1.2.3.4"))
+      .toDF("ts", "status", "size", "url", "hop", "via", "mime", "thread",
+        "start", "digest", "seed", "ann")
+    val line = df.select(CrawlCols.logLine(col("ts"), col("status"),
+      col("size"), col("url"), col("hop"), col("via"), col("mime"),
+      col("thread"), col("start"), col("digest"), col("seed"), col("ann"))
       .as("o")).collect().head.getString(0)
-    assert(line.startsWith("2021-01-16T17:04:10Z    200        341 https://a.org/ E"))
+    assert(line === "2021-01-16T17:04:10Z    200        341 https://a.org/ " +
+      "LLE https://parent/ text/html #89 20210116170410123+45 sha1:XYZ " +
+      "tid:1:https://a.org/ ip:1.2.3.4")
+    // null thread/via render as '-' (post null-swap, like the reference)
+    val df2 = Seq(("t", 1)).toDF("ts", "x")
+    val line2 = df2.select(CrawlCols.logLine(col("ts"), lit(null), lit(null),
+      lit(null), lit(""), lit(null), lit(null), lit(null), lit(null),
+      lit(null), lit(null), lit(null)).as("o")).collect().head.getString(0)
+    assert(line2 === "t      -          - -  - - #- - - - -")
   }
 }

@@ -97,6 +97,13 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     val r = spark.sql(
       "SELECT simhash64(array('a','b')) AS s, simhash64(array()) AS e").collect().head
     assert(!r.isNullAt(0) && r.isNullAt(1))
+    // null elements: both paths vote the null token as xxhash64(NULL)=42,
+    // neither NPEs nor degrades to null (user-callable via SQL)
+    import spark.implicits._
+    val nulls = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("toks").select(
+      TextFns.simhash64(col("toks")).as("slow"),
+      TextFns.simhash64Fast(col("toks")).as("fast")).collect().head
+    assert(!nulls.isNullAt(0) && nulls.getLong(0) === nulls.getLong(1))
   }
 
   test("jaccard: exact on known sets") {
