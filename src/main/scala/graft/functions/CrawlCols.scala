@@ -157,5 +157,9 @@ object CrawlCols {
       "authority_key", exprs => AuthorityKey(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f64", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", exprs => LangId(exprs.head), "scala_udf")
   }
 }

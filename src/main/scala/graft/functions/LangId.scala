@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass language-ID scorer matching the composed
+  * `regexp_count(lower(text), "\b(m1|m2|…)\b")`-per-language formulation
+  * exactly:
+  *
+  *  - a marker scores iff it appears with `\b` word boundaries on both
+  *    sides, where Java's default `\b` word-char test is
+  *    `ch == '_' || Character.isLetterOrDigit(ch)` — Unicode letters count
+  *    (no "os" inside "éos") and it is NOT whitespace tokenization
+  *    ("l'est" still scores "est");
+  *  - scanning is leftmost, non-overlapping, alternatives in declared
+  *    order, exactly the regex engine's behavior;
+  *  - argmax over (score, lang) with the lexicographically greatest lang
+  *    winning ties — the `array_max(struct(score, lang))` tie-break;
+  *  - zero total hits → "und".
+  *
+  * One fused scan per language in a tight char loop replaces seven regex
+  * machines per row (~100× per-row cost on the documents profile).
+  */
+object LangIdImpl {
+
+  /** (lang, markers) in scoring order; markers in alternation order. */
+  val langMarkers: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "and", "of", "to", "is", "that", "with"),
+    "fr" -> Array("le", "la", "et", "les", "des", "est", "une"),
+    "de" -> Array("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "es" -> Array("el", "los", "las", "es", "una", "que", "para"),
+    "it" -> Array("il", "gli", "che", "di", "non", "sono", "per"),
+    "pt" -> Array("o", "os", "as", "um", "uma", "não", "com"),
+    "nl" -> Array("de", "het", "een", "van", "niet", "zijn", "voor"))
+
+  private val und = UTF8String.fromString("und")
+  private val langU8 = langMarkers.map { case (l, _) => UTF8String.fromString(l) }
+
+  // Java Pattern's \b word-char test WITHOUT UNICODE_CHARACTER_CLASS is
+  // `ch == '_' || Character.isLetterOrDigit(ch)` — Unicode-aware letters
+  // (so "éos" does NOT contain a bounded "os") even though \w stays ASCII.
+  // Code-point based so astral letters behave like the regex engine too.
+  private def isWordBefore(s: String, i: Int): Boolean = {
+    if (i <= 0) return false
+    val cp = s.codePointBefore(i)
+    cp == '_' || Character.isLetterOrDigit(cp)
+  }
+
+  private def isWordAt(s: String, i: Int): Boolean = {
+    if (i >= s.length) return false
+    val cp = s.codePointAt(i)
+    cp == '_' || Character.isLetterOrDigit(cp)
+  }
+
+  /** Non-overlapping leftmost count of `markers` (alternation order) with
+    * `\b` edges, over an already-lowercased string.
+    */
+  private def countMarkers(s: String, markers: Array[String]): Int = {
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      var matched = 0
+      var m = 0
+      while (matched == 0 && m < markers.length) {
+        val mk = markers(m)
+        val len = mk.length
+        if (i + len <= n && s.regionMatches(i, mk, 0, len) &&
+            !isWordBefore(s, i) && !isWordAt(s, i + len)) {
+          matched = len
+        }
+        m += 1
+      }
+      if (matched > 0) { count += 1; i += matched } else i += 1
+    }
+    count
+  }
+
+  def eval(text: UTF8String): UTF8String = {
+    val s = text.toLowerCase.toString // same lowering as the lower() built-in
+    var bestScore = 0
+    var best = -1
+    var li = 0
+    while (li < langMarkers.length) {
+      val score = countMarkers(s, langMarkers(li)._2)
+      // strict >= on equal score picks the later (lexicographically larger)
+      // lang — lang codes happen to be declared in ascending order except
+      // the en/fr/de/es/it block; compare explicitly to be exact.
+      if (score > bestScore ||
+          (score == bestScore && best >= 0 && score > 0 &&
+            langMarkers(li)._1.compareTo(langMarkers(best)._1) > 0)) {
+        bestScore = score
+        best = li
+      }
+      li += 1
+    }
+    if (bestScore <= 0) und else langU8(best)
+  }
+}
+
+/** `lang_id(string) → string` as a native codegen'd Catalyst expression —
+  * see [[LangIdImpl]] for the exact semantics contract with the composed
+  * regexp_count form.
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdImpl.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdImpl.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}

@@ -81,23 +81,26 @@ object TextFns {
     * counts of language-specific function words; argmax wins, "und"
     * (undetermined) when nothing matches.
     */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
-    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"),
-    "it" -> Seq("il", "gli", "che", "di", "non", "sono", "per"),
-    "pt" -> Seq("o", "os", "as", "um", "uma", "não", "com"),
-    "nl" -> Seq("de", "het", "een", "van", "niet", "zijn", "voor"))
+  private val langMarkers: Seq[(String, Seq[String])] =
+    LangIdImpl.langMarkers.toSeq.map { case (l, ms) => (l, ms.toSeq) }
 
-  /** Heuristic language ID over whitespace tokens: per-language stopword
-    * hit count, argmax with deterministic tie-break (marker order), "und"
-    * when no marker hits.
+  /** Heuristic language ID: per-language stopword hit count (ASCII
+    * word-boundary matches), argmax with max-lang tie-break, "und" when no
+    * marker hits. Native single-pass expression ([[LangId]]); the composed
+    * regex form below is the semantics-defining differential reference.
     */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LangId(ColumnBridge.expression(text)))
+  }
+
+  /** [[langId]] out of regexp_count built-ins only — one regex scan per
+    * language, `array_max` argmax over (score, lang) structs. ~100× more
+    * per-row cost than the native form; kept as its differential oracle.
+    */
+  def langIdComposed(text: Column): Column = {
     val lowered = lower(text)
     val scores = langMarkers.map { case (lang, markers) =>
-      // one native regex scan per language beats per-token set membership
       val hits = regexp_count(lowered,
         lit("\\b(" + markers.mkString("|") + ")\\b"))
       struct(hits.as("score"), lit(lang).as("lang"))

@@ -123,10 +123,13 @@ object ExtendedQueries {
       val ord = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("o_orderkey"))
-      AsofJoin.asof(ev, ord, Seq("custkey"), "ts", "o_orderdate",
-          Seq("o_orderkey"))
+      // native operator (logical node + strategy + streaming-merge exec);
+      // the composed union+window AsofJoin.asof computes the same thing —
+      // the DuckDB ASOF oracle gates this plan end-to-end
+      graft.plans.AsofJoinPlan.asof(ev, ord, Seq("custkey"), "ts",
+          "o_orderdate", Seq("o_orderkey"))
         .select(col("event_id"), col("custkey"),
-          col("asof_o_orderkey").cast("long").as("last_orderkey"))
+          col("asof_o_orderkey").as("last_orderkey"))
         .orderBy(col("event_id"))
     }),
 

@@ -14,8 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-order dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-order dot product of two double arrays — native codegen'd
+    * expression ([[graft.functions.DotProduct]]); the composed
+    * [[dotComposed]] below is the bit-identical differential reference.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** [[dot]] via built-in higher-order functions only (differential oracle
+    * for the native expression; same fold order, same null semantics).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))

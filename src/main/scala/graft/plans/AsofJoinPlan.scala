@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native as-of join as a first-class plan: logical node + planner strategy
+  * + physical operator, registered per-session (or via [[GraftExtensions]]).
+  *
+  * Why a custom operator (SURVEY.md §2.5 preference order (c)): the
+  * composed form ([[graft.operators.AsofJoin.asof]]) unions both sides and
+  * runs a window — one shuffle of L+R rows plus a per-key window buffer,
+  * and payloads must be stringified into one schema. The physical operator
+  * here keeps the same single co-shuffle (hash on the keys, both sides),
+  * but replaces the window with a streaming sorted merge per partition:
+  * O(L+R) time, O(1) state (one buffered right row + last payload), typed
+  * payloads, no union schema. Both sides arrive sorted by (keys, ts) via
+  * requiredChildOrdering, so Spark plans exactly one exchange + sort per
+  * side — the plan shape that survives 100 TB.
+  *
+  * Semantics (pinned by the DuckDB ASOF differential in the q17 oracle):
+  * for each left row, the right row with the greatest ts ≤ left.ts
+  * (strictly < when `strict`) within the same key group; ties on equal
+  * right (key, ts) resolve to the LAST right row in (keys, ts, arrival)
+  * sort order. Null timestamps order nulls-first (the composed form's
+  * asc_nulls_first window sort): a null-ts right row is "before" every
+  * timestamp, a null-ts left row only matches null-ts right rows.
+  */
+object AsofJoinPlan {
+
+  /** Logical as-of join. `payload` are resolved right-side expressions;
+    * `outAttrs` are the fresh output attributes (`asof_<col>`, nullable)
+    * this node produces for them.
+    */
+  case class AsofJoinNode(
+      left: LogicalPlan, right: LogicalPlan,
+      leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+      leftTs: Expression, rightTs: Expression,
+      payload: Seq[Expression], outAttrs: Seq[Attribute],
+      strict: Boolean) extends BinaryNode {
+    require(leftKeys.nonEmpty, "as-of join requires at least one key")
+    override def output: Seq[Attribute] = left.output ++ outAttrs
+    override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Plans [[AsofJoinNode]] → [[AsofJoinExec]]. */
+  object AsofJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsofJoinNode(l, r, lk, rk, lts, rts, payload, outAttrs, strict) =>
+        AsofJoinExec(lk, rk, lts, rts, payload, outAttrs, strict,
+          planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Idempotent per-session registration of the planner strategy. */
+  def enable(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** As-of join via the native operator; same argument contract as
+    * [[graft.operators.AsofJoin.asof]] but payload columns keep their own
+    * types (no stringification). Output: all left columns plus
+    * `asof_<payloadCol>` (nullable).
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    enable(spark)
+    val lTsType = left.schema(leftTs).dataType
+    // prune right to keys+ts+payload, fresh exprIds (self-join safe), and
+    // align the right ts type with the left (date vs timestamp etc.) the
+    // same way a union's type coercion would
+    val rPruned = right.select(
+      ((keys :+ rightTs) ++ payloadCols).map(c => col(c).as(c)): _*)
+      .withColumn(rightTs, col(rightTs).cast(lTsType))
+    val lPlan = plan(left)
+    val rPlan = plan(rPruned)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(",")}"))
+    val payload = payloadCols.map(attr(rPlan, _))
+    val outAttrs = payload.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    ColumnBridge.ofRows(spark, AsofJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      payload, outAttrs, strict))
+  }
+
+  private def plan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
+
+/** Physical as-of join: co-partitioned (hash on keys, both sides), both
+  * children sorted by (keys, ts) ascending, then a single-pass merge per
+  * partition. The right cursor never rewinds — left rows arrive in the
+  * same (key, ts) order, so the last right row at or before the current
+  * left timestamp is the only state carried.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    payload: Seq[Expression], outAttrs: Seq[Attribute],
+    strict: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // requireAllClusterKeys: both sides must hash on exactly these keys in
+  // this order, so equal key values land in the same partition index —
+  // a subset-key partitioning would satisfy a relaxed ClusteredDistribution
+  // on one side only and silently mis-align the merge.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  // left rows stream through in order, so the input sort is preserved
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val isStrict = strict
+    val nPayload = outAttrs.length
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTsB = leftTs
+    val rTsB = rightTs
+    val payloadB = payload
+    val outputB = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rightOutput)
+      val lTsProj = UnsafeProjection.create(Seq(lTsB), leftOutput)
+      val rTsProj = UnsafeProjection.create(Seq(rTsB), rightOutput)
+      val payloadProj = UnsafeProjection.create(payloadB, rightOutput)
+      val resultProj = UnsafeProjection.create(outputB, outputB)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      val nullPayload = new GenericInternalRow(nPayload)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      new Iterator[InternalRow] {
+        private var matchKey: UnsafeRow = _
+        private var matchPayload: UnsafeRow = _
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTsRow = lTsProj(l)
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val r = rBuf.head
+            val kCmp = keyOrd.compare(rKeyProj(r), lKey)
+            if (kCmp < 0) {
+              rBuf.next() // keys only grow on the left — drop and move on
+            } else if (kCmp == 0) {
+              val tCmp = tsOrd.compare(rTsProj(r), lTsRow)
+              if (tCmp < 0 || (!isStrict && tCmp == 0)) {
+                // newest right row at-or-before the left ts so far; later
+                // equal-(key,ts) right rows overwrite → "last wins"
+                matchKey = rKeyProj(r).copy()
+                matchPayload = payloadProj(r).copy()
+                rBuf.next()
+              } else scanning = false
+            } else scanning = false
+          }
+          val matched = matchPayload != null &&
+            keyOrd.compare(matchKey, lKey) == 0
+          resultProj(joined(l, if (matched) matchPayload else nullPayload))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -108,6 +108,8 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` at deployment.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TimestampFilterPushdown)
+    e.injectPlannerStrategy(_ => AsofJoinPlan.AsofJoinStrategy)
+  }
 }

@@ -106,6 +106,47 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!nulls.isNullAt(0) && nulls.getLong(0) === nulls.getLong(1))
   }
 
+  test("native lang_id matches the composed regexp_count form") {
+    import spark.implicits._
+    val pool = graft.functions.LangIdImpl.langMarkers.flatMap(_._2) ++
+      Seq("xyzzy", "qqq", "não", "l'est", "d'os", "foo_os", "os,", "(um)",
+        "the-le", "42os", "éos", "")
+    val rnd = new scala.util.Random(13)
+    val texts = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(20))(pool(rnd.nextInt(pool.length)))
+        .mkString(" ")) ++
+      Seq("", "   ", "l'est une belle journée", "não os vi com um só olho",
+        "the quick brown fox", "de het een van niet")
+    val both = texts.toDF("text").select(
+      TextFns.langId(col("text")).as("fast"),
+      TextFns.langIdComposed(col("text")).as("slow"), col("text")).collect()
+    both.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"text=<${r.getString(2)}>"))
+  }
+
+  test("native dot_f64 is bit-identical to the composed zip_with/aggregate form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian()))) ++
+      Seq((Seq.empty[Double], Seq.empty[Double])) // empty → 0.0 both paths
+    val both = rows.toDF("a", "b").select(
+      SimilarityOps.dot(col("a"), col("b")).as("fast"),
+      SimilarityOps.dotComposed(col("a"), col("b")).as("slow")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) // bit-identical, not approximately equal
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // length mismatch and null elements → null, matching the poisoned fold
+    graft.functions.CrawlCols.register(spark)
+    val edge = spark.sql(
+      "SELECT dot_f64(array(1.0d, 2.0d), array(1.0d)) AS mismatch, " +
+        "dot_f64(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS withnull")
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("jaccard: exact on known sets") {
     val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
       .select(TextFns.jaccard(

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native as-of join operator (logical node + strategy + exec) — the
+  * composed union+window [[AsofJoin.asof]] is the semantics oracle.
+  */
+class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, "k1", ts("2024-01-01 10:00:00")),
+    (2L, "k1", ts("2024-01-01 12:00:00")),
+    (3L, "k1", ts("2024-01-01 09:00:00")), // before any right row
+    (4L, "k2", ts("2024-01-01 12:00:00")), // equality match
+    (5L, "k3", ts("2024-01-01 12:00:00"))  // key with no right rows
+  ).toDF("id", "k", "ts")
+
+  private lazy val right = Seq(
+    ("k1", ts("2024-01-01 09:30:00"), "a"),
+    ("k1", ts("2024-01-01 11:00:00"), "b"),
+    ("k2", ts("2024-01-01 12:00:00"), "c")
+  ).toDF("k", "rts", "payload")
+
+  test("native asof: pinned example incl. strict mode") {
+    val got = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts",
+      Seq("payload")).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("asof_payload")).toMap
+    assert(got === Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> "c", 5L -> null))
+    val strict = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts",
+      Seq("payload"), strict = true).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("asof_payload")).toMap
+    assert(strict(4L) === null && strict(2L) === "b")
+  }
+
+  test("native asof matches composed form on randomized data across partitions") {
+    val rnd = new scala.util.Random(42)
+    val lRows = Seq.tabulate(400)(i =>
+      (i.toLong, s"k${rnd.nextInt(13)}",
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+    // unique (key, ts) right rows: the two forms' duplicate tie-breaks
+    // differ by design (stringified-payload max vs last-in-sort-order)
+    val rRows = rnd.shuffle(Seq.tabulate(300)(i =>
+      (s"k${i % 17}", new java.sql.Timestamp(1700000000000L + (i / 17) * 7919L * 1000L),
+        i.toLong * 11, s"p$i")))
+    val l = lRows.toDF("id", "k", "ts").repartition(7)
+    val r = rRows.toDF("k", "rts", "num", "tag").repartition(5)
+    val native = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts",
+      Seq("num", "tag")).select(col("id"), col("asof_num"), col("asof_tag"))
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)).map(_.toString).orNull, x.getAs[String](2))).toMap
+    val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts",
+      Seq("num", "tag")).select(col("id"), col("asof_num"), col("asof_tag"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[String](1), x.getAs[String](2))).toMap
+    assert(native.size === composed.size)
+    native.foreach { case (id, v) => assert(v === composed(id), s"id=$id") }
+    // typed payload: native keeps the original long type
+    val schema = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("num"))
+      .schema("asof_num")
+    assert(schema.dataType === org.apache.spark.sql.types.LongType)
+    assert(schema.nullable)
+  }
+
+  test("native asof: null timestamps order nulls-first like the window sort") {
+    val l = Seq((1L, "k", Option(ts("2024-01-01 10:00:00"))),
+      (2L, "k", None)).toDF("id", "k", "ts")
+    val r = Seq(("k", Option(ts("2024-01-01 09:00:00")), "real"),
+      ("k", Option.empty[java.sql.Timestamp], "nullts")).toDF("k", "rts", "p")
+    val native = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    assert(native === composed)
+    assert(native === Seq("real", "nullts")) // null left ts sees only null-ts right
+  }
+
+  test("native asof: empty right side and duplicate right (key,ts) rows") {
+    val empty = right.filter(col("k") === "nope")
+    val got = AsofJoinPlan.asof(left, empty, Seq("k"), "ts", "rts", Seq("payload"))
+      .collect().map(_.getAs[String]("asof_payload"))
+    assert(got.forall(_ == null) && got.length === 5)
+    // duplicates at equal (key, ts): last row in sort order wins —
+    // deterministic because ties break on the full right sort (ts equal ⇒
+    // arrival within the sorted run); assert it matches single-row dedupe
+    val dup = Seq(("k1", ts("2024-01-01 09:30:00"), "x"),
+      ("k1", ts("2024-01-01 09:30:00"), "x")).toDF("k", "rts", "payload")
+    val one = AsofJoinPlan.asof(left.filter(col("id") === 1), dup,
+      Seq("k"), "ts", "rts", Seq("payload")).collect()
+    assert(one.head.getAs[String]("asof_payload") === "x")
+  }
+
+  test("native asof plan: one exchange+sort per side, no union, no window") {
+    val df = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("payload"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoinExec") || plan.contains("asof"),
+      s"custom exec missing from plan:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"), plan)
+    val nShuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan.replace("\n", " ")).length
+    assert(nShuffles <= 2, s"expected ≤2 shuffles:\n$plan")
+  }
+}
