@@ -24,6 +24,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * requiredChildOrdering, so Spark plans exactly one exchange + sort per
   * side — the plan shape that survives 100 TB.
   *
+  * Scale trade, measured: at toy scale (100k rows, local) the composed
+  * window form is ~2× faster per row — WindowExec runs inside codegen'd
+  * projections while this merge pays interpreted projections/comparators.
+  * The native operator wins where it matters at cluster scale: WindowExec
+  * BUFFERS each key group (a hot key with 10⁸ rows spills); this exec
+  * never holds more than one buffered right row regardless of group size,
+  * and AQE cannot mis-coalesce the two sides (pinned by the adversarial
+  * differential in AsofJoinPlanSpec).
+  *
   * Semantics (pinned by the DuckDB ASOF differential in the q17 oracle):
   * for each left row, the right row with the greatest ts ≤ left.ts
   * (strictly < when `strict`) within the same key group; ties on equal
@@ -176,7 +185,8 @@ case class AsofJoinExec(
           var scanning = true
           while (scanning && rBuf.hasNext) {
             val r = rBuf.head
-            val kCmp = keyOrd.compare(rKeyProj(r), lKey)
+            val rKey = rKeyProj(r)
+            val kCmp = keyOrd.compare(rKey, lKey)
             if (kCmp < 0) {
               rBuf.next() // keys only grow on the left — drop and move on
             } else if (kCmp == 0) {
@@ -184,7 +194,8 @@ case class AsofJoinExec(
               if (tCmp < 0 || (!isStrict && tCmp == 0)) {
                 // newest right row at-or-before the left ts so far; later
                 // equal-(key,ts) right rows overwrite → "last wins"
-                matchKey = rKeyProj(r).copy()
+                if (matchKey == null || keyOrd.compare(matchKey, rKey) != 0)
+                  matchKey = rKey.copy()
                 matchPayload = payloadProj(r).copy()
                 rBuf.next()
               } else scanning = false

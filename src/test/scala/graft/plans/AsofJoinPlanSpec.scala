@@ -95,6 +95,43 @@ class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
     assert(one.head.getAs[String]("asof_payload") === "x")
   }
 
+  test("native asof under AQE coalescing: sides stay co-partitioned (adversarial sizes)") {
+    // Two sides of very different byte sizes + tiny advisory size: if AQE
+    // coalesced each side's shuffle independently the merge would pair
+    // wrong partitions and the differential below would collapse.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "64")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rnd = new scala.util.Random(7)
+      val lRows = Seq.tabulate(20000)(i =>
+        (i.toLong, s"key_with_some_width_${rnd.nextInt(50)}",
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(50000) * 1000L),
+          "x" * 40))
+      val rRows = Seq.tabulate(500)(i =>
+        (s"key_with_some_width_${i % 50}",
+          new java.sql.Timestamp(1700000000000L + (i / 50) * 4999L * 1000L),
+          i.toLong))
+      val l = lRows.toDF("id", "k", "ts", "pad")
+      val r = rRows.toDF("k", "rts", "num")
+      val native = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("num"))
+        .select(col("id"), col("asof_num")).collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.toString).orNull).toMap
+      val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("num"))
+        .select(col("id"), col("asof_num")).collect()
+        .map(x => x.getLong(0) -> x.getAs[String](1)).toMap
+      assert(native.size === 20000)
+      native.foreach { case (id, v) => assert(v === composed(id), s"id=$id") }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native asof plan: one exchange+sort per side, no union, no window") {
     val df = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("payload"))
     val plan = df.queryExecution.executedPlan.toString
