@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.{AsofJoin, SimilarityOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based differentials: every native Catalyst implementation must
+  * agree with its composed built-ins reference on GENERATED inputs, not
+  * just the fixed-seed fixtures — nulls, empties, unicode, duplicate keys
+  * and timestamps included. Collected batches (one Spark job per property
+  * instead of one per case) keep this fast.
+  */
+class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // raw scalacheck (no scalatest bridge in this build): deterministic
+  // multi-seed sampling stands in for forAll
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.oneOf(LangIdImpl.langMarkers.flatMap(_._2).toSeq),
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("não", "l'est", "éos", "42os", "_os", "a_b", "x-y", "", " ",
+      "ação", "øre", "日本語", "emoji🙂end"))
+
+  test("property: lang_id native == composed on generated texts") {
+    val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(60,
+      Gen.listOf(token).map(_.mkString(" "))), s)) ++
+      Seq("", " ", "\t\n", "ÉOS Os oS", "a" * 500)
+    val rows = texts.toDF("text").select(
+      TextFns.langId(col("text")).as("fast"),
+      TextFns.langIdComposed(col("text")).as("slow"), col("text")).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"text=<${r.getString(2)}>"))
+  }
+
+  test("property: simhash native == composed on generated token arrays") {
+    val arrays = (1 to 4).flatMap(s => sample(Gen.listOfN(60, Gen.listOf(
+      Gen.oneOf(token, Gen.const(null: String)))), s))
+    val rows = arrays.map(Tuple1(_)).toDF("toks").select(
+      TextFns.simhash64(col("toks")).as("slow"),
+      TextFns.simhash64Fast(col("toks")).as("fast")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("property: dot_f64 native == composed incl. ragged/null/empty arrays") {
+    val vec: Gen[Seq[java.lang.Double]] = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1e3, 1e3).map(java.lang.Double.valueOf),
+        Gen.const(null: java.lang.Double))))
+    val pairs = (1 to 4).flatMap(s =>
+      sample(Gen.listOfN(80, Gen.zip(vec, vec)), s))
+    val rows = pairs.toDF("a", "b").select(
+      SimilarityOps.dot(col("a"), col("b")).as("fast"),
+      SimilarityOps.dotComposed(col("a"), col("b")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("property: native asof == composed on generated keyed series") {
+    val gen = for {
+      nKeys <- Gen.choose(1, 6)
+      lRows <- Gen.listOfN(120, for {
+        k <- Gen.choose(0, nKeys - 1)
+        t <- Gen.choose(0L, 40L)
+      } yield (k.toString, t))
+      rRows <- Gen.listOfN(40, for {
+        k <- Gen.choose(0, nKeys)   // incl. keys absent on the left
+        t <- Gen.choose(0L, 40L)
+      } yield (k.toString, t))
+    } yield (lRows, rRows)
+    (1 to 5).foreach { seed =>
+      val (lRows, rRows) = sample(gen, seed)
+      val l = lRows.zipWithIndex
+        .map { case ((k, t), i) =>
+          (i.toLong, k, new java.sql.Timestamp(1700000000000L + t * 1000)) }
+        .toDF("id", "k", "ts")
+      // unique (k, ts) on the right: duplicate tie-breaks legitimately
+      // differ between the two forms (documented)
+      val r = rRows.distinct.zipWithIndex
+        .map { case ((k, t), i) =>
+          (k, new java.sql.Timestamp(1700000000000L + t * 1000), i.toLong) }
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+        .toDF("k", "rts", "num")
+      val native = graft.plans.AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts",
+        Seq("num")).select(col("id"), col("asof_num")).collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.toString).orNull).toMap
+      val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("num"))
+        .select(col("id"), col("asof_num")).collect()
+        .map(x => x.getLong(0) -> x.getAs[String](1)).toMap
+      assert(native === composed)
+    }
+  }
+}
