@@ -10,7 +10,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q05_revenue_by_nation", "q03_order_revenue",
         "a08_time_range_count", "s05_limited_scan", "d01_exact_dedup",
-        "s01_knn_brute", "q07_semi_join")
+        "s01_knn_brute", "q07_semi_join",
+        "q17_asof_join", "q21_range_join", "s04_lsh_neardup", "t04_lang_id")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
