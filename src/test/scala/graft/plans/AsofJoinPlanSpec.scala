@@ -132,6 +132,31 @@ class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native asof: multi-key join and self-join (fresh exprIds) work") {
+    // two keys of different types exercises the composite key ordering
+    val l2 = Seq((1L, "a", 1, ts("2024-01-01 10:00:00")),
+      (2L, "a", 2, ts("2024-01-01 10:00:00")),
+      (3L, "b", 1, ts("2024-01-01 10:00:00"))).toDF("id", "k1", "k2", "ts")
+    val r2 = Seq(("a", 1, ts("2024-01-01 09:00:00"), "a1"),
+      ("a", 2, ts("2024-01-01 09:00:00"), "a2"),
+      ("b", 2, ts("2024-01-01 09:00:00"), "b2")).toDF("k1", "k2", "rts", "p")
+    val got = AsofJoinPlan.asof(l2, r2, Seq("k1", "k2"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    assert(got === Seq("a1", "a2", null))
+    val native2 = AsofJoin.asof(l2, r2, Seq("k1", "k2"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    assert(got === native2)
+    // self-join: same DataFrame both sides — the builder re-aliases the
+    // right side so analysis doesn't see conflicting attribute ids
+    val events = Seq((1L, "k", ts("2024-01-01 10:00:00")),
+      (2L, "k", ts("2024-01-01 11:00:00"))).toDF("id", "k", "ts")
+    val self = AsofJoinPlan.asof(events, events.withColumnRenamed("ts", "rts")
+        .withColumnRenamed("id", "rid"),
+      Seq("k"), "ts", "rts", Seq("rid"), strict = true)
+      .orderBy("id").collect().map(r => Option(r.get(r.length - 1))).toSeq
+    assert(self === Seq(None, Some(1L))) // row 2's strict predecessor is row 1
+  }
+
   test("native asof plan: one exchange+sort per side, no union, no window") {
     val df = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("payload"))
     val plan = df.queryExecution.executedPlan.toString
