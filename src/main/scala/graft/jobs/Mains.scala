@@ -99,3 +99,39 @@ object SubmitMain {
     spark.stop()
   }
 }
+
+/** `streamer` CLI (reference streamer.py:169-206): bounded time-range
+  * replay of RAW crawl-log records — `[start, end)` on the record's own
+  * timestamp, optional row limit, raw JSON lines out (the reference prints
+  * `msg.value` untouched). The batch analogue of the Kafka
+  * offsets-for-times seek (swap in `CrawlStreams.kafkaBatchTimeRange` at
+  * deployment — S3); on files, the timestamp predicate prunes before any
+  * JSON decode beyond the one extracted field.
+  *
+  * Usage: StreamerMain <input.jsonl> <startIso> <endIso> [limit] [outDir]
+  */
+object StreamerMain {
+
+  /** `[startIso, endIso)` filter on the raw line's own `timestamp` field. */
+  private[graft] def timeRange(raw: org.apache.spark.sql.DataFrame,
+      startIso: String, endIso: String): org.apache.spark.sql.DataFrame = {
+    val ts = to_timestamp(get_json_object(col("value"), "$.timestamp"))
+    raw.filter(ts >= lit(startIso).cast("timestamp") &&
+      ts < lit(endIso).cast("timestamp"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(input, startIso, endIso, rest @ _*) = args
+    val limit = rest.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+    val outDir = rest.drop(if (limit.isDefined) 1 else 0).headOption
+    val spark = JobSession.local("graft-streamer")
+    val ranged = timeRange(spark.read.text(input), startIso, endIso)
+    val bounded = limit.fold(ranged)(ranged.limit)
+    outDir match {
+      case Some(dir) => bounded.write.mode("overwrite").text(dir)
+      case None => bounded.collect().foreach(r => println(r.getString(0)))
+    }
+    println(s"""{"returned":${bounded.count()}}""")
+    spark.stop()
+  }
+}

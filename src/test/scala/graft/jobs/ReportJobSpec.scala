@@ -65,4 +65,20 @@ class ReportJobSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map("crawled" -> 1000L)) // all fragment records have status
   }
+
+  test("streamer time-range: [start, end) on the record's own timestamp, raw lines out") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"timestamp": "2021-01-16T16:59:59.999Z", "url": "http://a/"}""",
+      """{"timestamp": "2021-01-16T17:00:00.000Z", "url": "http://b/"}""",
+      """{"timestamp": "2021-01-16T17:59:59.000Z", "url": "http://c/"}""",
+      """{"timestamp": "2021-01-16T18:00:00.000Z", "url": "http://d/"}""",
+      """{"url": "http://no-ts/"}""").toDF("value")
+    val got = StreamerMain.timeRange(raw,
+      "2021-01-16T17:00:00", "2021-01-16T18:00:00")
+      .collect().map(_.getString(0)).toSeq
+    // start inclusive, end exclusive, missing-timestamp rows dropped,
+    // lines passed through byte-identical
+    assert(got === raw.collect().map(_.getString(0)).slice(1, 3).toSeq)
+  }
 }
