@@ -34,7 +34,11 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     // Fact-fact equi-join + group: orders ⋈ lineitem on the natural key.
-    // Both sides shuffle-partition on orderkey; AQE coalesces post-shuffle.
+    // Plan is left to Catalyst/AQE on purpose: at bench SF the filtered
+    // orders side auto-broadcasts (BroadcastHashJoin, no lineitem shuffle);
+    // past the broadcast threshold both sides shuffle-partition on orderkey
+    // — or pre-bucket both tables on orderkey (sources.Bucketing) and the
+    // join plans with no exchange at any scale.
     "q03_order_revenue" -> ((s, d) => {
       val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
       val l = Tables.lineitem(s, d)

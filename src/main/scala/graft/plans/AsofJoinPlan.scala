@@ -89,6 +89,10 @@ object AsofJoinPlan {
       strict: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     enable(spark)
+    val collisions = payloadCols.map("asof_" + _).toSet
+      .intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"output column(s) ${collisions.mkString(", ")} already exist on the left side")
     val lTsType = left.schema(leftTs).dataType
     // prune right to keys+ts+payload, fresh exprIds (self-join safe), and
     // align the right ts type with the left (date vs timestamp etc.) the
