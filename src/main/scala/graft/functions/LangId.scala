@@ -43,38 +43,65 @@ object LangIdImpl {
   // `ch == '_' || Character.isLetterOrDigit(ch)` — Unicode-aware letters
   // (so "éos" does NOT contain a bounded "os") even though \w stays ASCII.
   // Code-point based so astral letters behave like the regex engine too.
-  private def isWordBefore(s: String, i: Int): Boolean = {
-    if (i <= 0) return false
-    val cp = s.codePointBefore(i)
-    cp == '_' || Character.isLetterOrDigit(cp)
-  }
-
   private def isWordAt(s: String, i: Int): Boolean = {
     if (i >= s.length) return false
     val cp = s.codePointAt(i)
     cp == '_' || Character.isLetterOrDigit(cp)
   }
 
-  /** Non-overlapping leftmost count of `markers` (alternation order) with
-    * `\b` edges, over an already-lowercased string.
+  // Per-language first-char dispatch: markers grouped by first char
+  // (declared order preserved within a group — the alternation-order
+  // contract only matters among markers that could match at the same
+  // position, which requires the same first char). Every marker starts
+  // and ends with an ASCII letter, which the scan below relies on.
+  private val dispatch: Array[Array[Array[String]]] =
+    langMarkers.map { case (_, markers) =>
+      val table = new Array[Array[String]](128)
+      markers.foreach { m =>
+        val c = m.charAt(0)
+        table(c) = Option(table(c)).getOrElse(Array.empty) :+ m
+      }
+      table
+    }
+
+  /** Non-overlapping leftmost count of one language's markers (alternation
+    * order) with `\b` edges, over an already-lowercased string. A match can
+    * only start where the previous code point is non-word (markers start
+    * with word chars), so a running boundary flag skips interior positions
+    * without touching the marker table — O(|s|) with ~one candidate probe
+    * per word start instead of |markers| probes per char.
     */
-  private def countMarkers(s: String, markers: Array[String]): Int = {
+  private def countMarkers(s: String, byFirstChar: Array[Array[String]]): Int = {
     val n = s.length
     var count = 0
     var i = 0
+    var prevWord = false // virtual char before position 0 is non-word
     while (i < n) {
+      val cp = s.codePointAt(i)
       var matched = 0
-      var m = 0
-      while (matched == 0 && m < markers.length) {
-        val mk = markers(m)
-        val len = mk.length
-        if (i + len <= n && s.regionMatches(i, mk, 0, len) &&
-            !isWordBefore(s, i) && !isWordAt(s, i + len)) {
-          matched = len
+      if (!prevWord && cp < 128) {
+        val cands = byFirstChar(cp)
+        if (cands != null) {
+          var m = 0
+          while (matched == 0 && m < cands.length) {
+            val mk = cands(m)
+            val len = mk.length
+            if (i + len <= n && s.regionMatches(i, mk, 0, len) &&
+                !isWordAt(s, i + len)) {
+              matched = len
+            }
+            m += 1
+          }
         }
-        m += 1
       }
-      if (matched > 0) { count += 1; i += matched } else i += 1
+      if (matched > 0) {
+        count += 1
+        i += matched
+        prevWord = true // markers end with an ASCII letter
+      } else {
+        prevWord = cp == '_' || Character.isLetterOrDigit(cp)
+        i += Character.charCount(cp)
+      }
     }
     count
   }
@@ -85,7 +112,7 @@ object LangIdImpl {
     var best = -1
     var li = 0
     while (li < langMarkers.length) {
-      val score = countMarkers(s, langMarkers(li)._2)
+      val score = countMarkers(s, dispatch(li))
       // strict >= on equal score picks the later (lexicographically larger)
       // lang — lang codes happen to be declared in ascending order except
       // the en/fr/de/es/it block; compare explicitly to be exact.
