@@ -13,6 +13,19 @@ import graft.functions.CrawlCols
   */
 object ExtendedQueries {
 
+  /** Shared q17/q17b inputs: events keyed to a synthetic custkey, orders
+    * deduped to unique (custkey, o_orderdate) — the as-of right side.
+    */
+  private def q17Inputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), (col("user_id") % 100 + 1).as("custkey"),
+        col("ts"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    (ev, ord)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A5: host summary with first-seen via (report.py:126-165) — min_by
     // over event time with a FILTER clause excluding self-referring vias.
@@ -116,16 +129,21 @@ object ExtendedQueries {
     // As-of join: enrich each event with the most recent order (≤ event
     // time) of the mapped customer. Right side pre-deduped to unique
     // (key, ts) so tie-breaking is well-defined on both engines.
+    // q17 runs the composed union+window form; q17b runs the native
+    // operator (logical node + strategy + streaming-merge exec) — BOTH are
+    // gated by the same DuckDB ASOF oracle, so the two implementations are
+    // pinned equal end-to-end every round.
     "q17_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), (col("user_id") % 100 + 1).as("custkey"),
-          col("ts"))
-      val ord = Tables.orders(s, d)
-        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"))
-      // native operator (logical node + strategy + streaming-merge exec);
-      // the composed union+window AsofJoin.asof computes the same thing —
-      // the DuckDB ASOF oracle gates this plan end-to-end
+      val (ev, ord) = q17Inputs(s, d)
+      AsofJoin.asof(ev, ord, Seq("custkey"), "ts", "o_orderdate",
+          Seq("o_orderkey"))
+        .select(col("event_id"), col("custkey"),
+          col("asof_o_orderkey").cast("long").as("last_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q17b_asof_native" -> ((s, d) => {
+      val (ev, ord) = q17Inputs(s, d)
       graft.plans.AsofJoinPlan.asof(ev, ord, Seq("custkey"), "ts",
           "o_orderdate", Seq("o_orderkey"))
         .select(col("event_id"), col("custkey"),
@@ -379,6 +397,19 @@ object ExtendedQueries {
         |FROM w WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
     "q17_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, (user_id % 100 + 1) AS custkey,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |ord AS (
+        |  SELECT o_custkey AS custkey, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT ev.event_id, ev.custkey, ord.o_orderkey AS last_orderkey
+        |FROM ev ASOF LEFT JOIN ord
+        |  ON ev.custkey = ord.custkey AND ev.ts >= ord.o_orderdate
+        |ORDER BY ev.event_id""".stripMargin,
+    "q17b_asof_native" ->
       """WITH ev AS (
         |  SELECT event_id, (user_id % 100 + 1) AS custkey,
         |         CAST(ts AS TIMESTAMP) AS ts

@@ -16,8 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 75 queries, 67 with oracles") {
-    assert(SparkEntry.queries.size === 75)
-    assert(SparkEntry.oracleSql.size === 67)
+  test("registry sizes: 76 queries, 68 with oracles") {
+    assert(SparkEntry.queries.size === 76)
+    assert(SparkEntry.oracleSql.size === 68)
   }
 }
