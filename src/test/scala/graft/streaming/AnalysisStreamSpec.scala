@@ -204,4 +204,50 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
     assert(good.getString(0) === "https://a.org/")
     assert(good.getTimestamp(2) !== null)
   }
+
+  test("ST8 restart from checkpoint: state survives a query restart, files not reprocessed") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart")
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = new java.io.File(s"$base/$name.tmp")
+      val w = new java.io.PrintWriter(tmp)
+      lines.foreach(w.println); w.close()
+      tmp.renameTo(new java.io.File(s"$inDir/$name.jsonl")) // atomic add
+    }
+    def run(): Map[String, Long] = {
+      val events = spark.readStream
+        .schema("host STRING, event_ts TIMESTAMP, status_code INT, " +
+          "mimetype STRING, content_type STRING, via STRING")
+        .json(inDir)
+        .as[AnalysisStream.StatEvent]
+      val out = scala.collection.mutable.Map[String, Long]()
+      val q = AnalysisStream.hostStats(events).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AnalysisStream.HostStatsRow], _: Long) =>
+          b.collect().foreach(r => out(r.host) = r.total)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      out.toMap
+    }
+    try {
+      writeBatch("b1", Seq(
+        """{"host": "a.org", "event_ts": "2021-01-16T17:00:00.000Z", "status_code": 200}""",
+        """{"host": "a.org", "event_ts": "2021-01-16T17:01:00.000Z", "status_code": 404}"""))
+      val first = run()
+      assert(first === Map("a.org" -> 2L))
+      writeBatch("b2", Seq(
+        """{"host": "a.org", "event_ts": "2021-01-16T17:02:00.000Z", "status_code": 200}""",
+        """{"host": "b.org", "event_ts": "2021-01-16T17:03:00.000Z", "status_code": 200}"""))
+      // fresh query instance, same checkpoint: flatMapGroupsWithState state
+      // restores (a.org continues from 2, not 1) and b1 is NOT reprocessed
+      // (emitted totals come only from the touched hosts of batch 2)
+      val second = run()
+      assert(second === Map("a.org" -> 3L, "b.org" -> 1L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
