@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -24,13 +24,17 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * requiredChildOrdering, so Spark plans exactly one exchange + sort per
   * side — the plan shape that survives 100 TB.
   *
-  * Scale trade, measured: at toy scale (100k rows, local) the composed
-  * window form is ~2× faster per row — WindowExec runs inside codegen'd
-  * projections while this merge pays interpreted projections/comparators.
-  * The native operator wins where it matters at cluster scale: WindowExec
-  * BUFFERS each key group (a hot key with 10⁸ rows spills); this exec
-  * never holds more than one buffered right row regardless of group size,
-  * and AQE cannot mis-coalesce the two sides (pinned by the adversarial
+  * Scale trade, measured (100k rows, local[32]): the composed window form
+  * finishes in roughly one exchange+sort's wall time (~0.4 s); the native
+  * plan pays ~2-3× that. Component timing attributes the delta to stage
+  * COUNT — two shuffle stages plus a separate merge stage versus the
+  * union's single shuffle — i.e. fixed per-stage scheduling latency, plus
+  * an interpreted (non-codegen) merge. Both costs amortize away at
+  * cluster scale, where the native operator wins on what actually limits
+  * 100 TB runs: WindowExec buffers each key group in memory (a hot key
+  * with 10⁸ rows spills); this exec holds ONE buffered right row
+  * regardless of group size, emits via a bitwise UnsafeRow joiner, and
+  * AQE cannot mis-coalesce the two sides (pinned by the adversarial
   * differential in AsofJoinPlanSpec).
   *
   * Semantics (pinned by the DuckDB ASOF differential in the q17 oracle):
@@ -166,48 +170,57 @@ case class AsofJoinExec(
     val payloadB = payload
     val outputB = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeysB, leftOutput)
-      val rKeyProj = UnsafeProjection.create(rKeysB, rightOutput)
-      val lTsProj = UnsafeProjection.create(Seq(lTsB), leftOutput)
-      val rTsProj = UnsafeProjection.create(Seq(rTsB), rightOutput)
+      // ONE combined (keys, ts) projection per side: the full lexicographic
+      // compare IS the advance decision (rKey < lKey, or equal keys with
+      // rTs ≤/< lTs, both collapse to fullOrd ≤/< 0), and the keys-only
+      // ordering reads the same row's prefix for equality checks.
+      val lSortProj = UnsafeProjection.create(lKeysB :+ lTsB, leftOutput)
+      val rSortProj = UnsafeProjection.create(rKeysB :+ rTsB, rightOutput)
       val payloadProj = UnsafeProjection.create(payloadB, rightOutput)
-      val resultProj = UnsafeProjection.create(outputB, outputB)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
-      val nullPayload = new GenericInternalRow(nPayload)
-      val joined = new JoinedRow
+      val fullOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes :+ tsType)
+      // bitwise row concat (memcpy-style) instead of a field-by-field
+      // projection over a JoinedRow — the output-side cost per left row
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(
+          org.apache.spark.sql.types.StructType(leftOutput.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))),
+          org.apache.spark.sql.types.StructType(outAttrs.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
+      // sorts upstream emit UnsafeRow; the projection is a safety net only
+      val toUnsafeLeft = UnsafeProjection.create(leftOutput, leftOutput)
+      val nullPayload = UnsafeProjection.create(outAttrs, outAttrs)(
+        new GenericInternalRow(nPayload)).copy()
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {
-        private var matchKey: UnsafeRow = _
+        private var matchSort: UnsafeRow = _
         private var matchPayload: UnsafeRow = _
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lKey = lKeyProj(l)
-          val lTsRow = lTsProj(l)
+          val lSort = lSortProj(l)
           var scanning = true
           while (scanning && rBuf.hasNext) {
-            val r = rBuf.head
-            val rKey = rKeyProj(r)
-            val kCmp = keyOrd.compare(rKey, lKey)
-            if (kCmp < 0) {
-              rBuf.next() // keys only grow on the left — drop and move on
-            } else if (kCmp == 0) {
-              val tCmp = tsOrd.compare(rTsProj(r), lTsRow)
-              if (tCmp < 0 || (!isStrict && tCmp == 0)) {
+            val rSort = rSortProj(rBuf.head)
+            val cmp = fullOrd.compare(rSort, lSort)
+            if (cmp < 0 || (!isStrict && cmp == 0)) {
+              if (keyOrd.compare(rSort, lSort) == 0) {
                 // newest right row at-or-before the left ts so far; later
                 // equal-(key,ts) right rows overwrite → "last wins"
-                if (matchKey == null || keyOrd.compare(matchKey, rKey) != 0)
-                  matchKey = rKey.copy()
-                matchPayload = payloadProj(r).copy()
-                rBuf.next()
-              } else scanning = false
+                matchSort = rSort.copy()
+                matchPayload = payloadProj(rBuf.head).copy()
+              } // else: right key the left has passed — drop and move on
+              rBuf.next()
             } else scanning = false
           }
           val matched = matchPayload != null &&
-            keyOrd.compare(matchKey, lKey) == 0
-          resultProj(joined(l, if (matched) matchPayload else nullPayload))
+            keyOrd.compare(matchSort, lSort) == 0
+          val lu = l match {
+            case u: UnsafeRow => u
+            case other => toUnsafeLeft(other)
+          }
+          joiner.join(lu, if (matched) matchPayload else nullPayload)
         }
       }
     }
