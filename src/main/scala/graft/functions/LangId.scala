@@ -36,7 +36,9 @@ object LangIdImpl {
     "pt" -> Array("o", "os", "as", "um", "uma", "não", "com"),
     "nl" -> Array("de", "het", "een", "van", "niet", "zijn", "voor"))
 
-  private val und = UTF8String.fromString("und")
+  /** "und" as UTF8String — also the null-input result (see [[LangId]]). */
+  def und: UTF8String = undetermined
+  private val undetermined = UTF8String.fromString("und")
   private val langU8 = langMarkers.map { case (l, _) => UTF8String.fromString(l) }
 
   // Java Pattern's \b word-char test WITHOUT UNICODE_CHARACTER_CLASS is
@@ -124,17 +126,20 @@ object LangIdImpl {
       }
       li += 1
     }
-    if (bestScore <= 0) und else langU8(best)
+    if (bestScore <= 0) undetermined else langU8(best)
   }
 }
 
 /** `lang_id(string) → string` as a native codegen'd Catalyst expression —
   * see [[LangIdImpl]] for the exact semantics contract with the composed
-  * regexp_count form.
+  * regexp_count form. NULL text yields "und", NOT null: the composed
+  * form's `when(score > 0, …).otherwise("und")` falls through to "und" on
+  * null input (null > 0 is null), so this expression is never-null too.
   */
 case class LangId(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+  override def nullable: Boolean = false
   override def prettyName: String = "lang_id"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -144,11 +149,23 @@ case class LangId(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string argument, got $other")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    LangIdImpl.eval(input.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LangIdImpl.und else LangIdImpl.eval(v.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdImpl.eval($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? graft.functions.LangIdImpl.und()
+          : graft.functions.LangIdImpl.eval(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LangId =
     copy(child = newChild)

@@ -122,16 +122,28 @@ object StreamerMain {
 
   def main(args: Array[String]): Unit = {
     val Array(input, startIso, endIso, rest @ _*) = args
-    val limit = rest.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+    // a digits-only 4th arg is the limit; use `StreamerMain … <limit> <dir>`
+    // when the output directory name itself is digits-only
+    val limit = rest.headOption.flatMap(_.toIntOption).filter(_ >= 0)
     val outDir = rest.drop(if (limit.isDefined) 1 else 0).headOption
     val spark = JobSession.local("graft-streamer")
     val ranged = timeRange(spark.read.text(input), startIso, endIso)
     val bounded = limit.fold(ranged)(ranged.limit)
-    outDir match {
-      case Some(dir) => bounded.write.mode("overwrite").text(dir)
-      case None => bounded.collect().foreach(r => println(r.getString(0)))
+    // single materialization: count what was emitted, never re-run the scan
+    val returned = outDir match {
+      case Some(dir) =>
+        bounded.write.mode("overwrite").text(dir)
+        spark.read.text(dir).count() // re-reads the (bounded) OUTPUT only
+      case None =>
+        // stream partitions to the driver instead of buffering them all
+        import scala.jdk.CollectionConverters._
+        var n = 0L
+        bounded.toLocalIterator().asScala.foreach { r =>
+          println(r.getString(0)); n += 1
+        }
+        n
     }
-    println(s"""{"returned":${bounded.count()}}""")
+    println(s"""{"returned":$returned}""")
     spark.stop()
   }
 }

@@ -99,10 +99,18 @@ object AsofJoinPlan {
       s"output column(s) ${collisions.mkString(", ")} already exist on the left side")
     val lTsType = left.schema(leftTs).dataType
     // prune right to keys+ts+payload, fresh exprIds (self-join safe), and
-    // align the right ts type with the left (date vs timestamp etc.) the
-    // same way a union's type coercion would
+    // align the right ts AND key types with the left (int-vs-bigint drift,
+    // date vs timestamp): the exec hashes and compares each side with the
+    // LEFT types, so an unaligned right key would mis-partition silently.
+    // ANSI cast turns an unrepresentable right key into a runtime error
+    // instead of a wrong answer.
+    val keyCasts = keys.map { k =>
+      val lt = left.schema(k).dataType
+      if (right.schema(k).dataType == lt) col(k).as(k)
+      else col(k).cast(lt).as(k)
+    }
     val rPruned = right.select(
-      ((keys :+ rightTs) ++ payloadCols).map(c => col(c).as(c)): _*)
+      (keyCasts :+ col(rightTs).as(rightTs)) ++ payloadCols.map(c => col(c).as(c)): _*)
       .withColumn(rightTs, col(rightTs).cast(lTsType))
     val lPlan = plan(left)
     val rPlan = plan(rPruned)

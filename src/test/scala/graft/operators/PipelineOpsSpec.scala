@@ -122,6 +122,12 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       TextFns.langIdComposed(col("text")).as("slow"), col("text")).collect()
     both.foreach(r => assert(r.getString(0) === r.getString(1),
       s"text=<${r.getString(2)}>"))
+    // null text → "und" on BOTH paths (composed's when/otherwise falls
+    // through on null; the native expression is declared never-null)
+    val nullText = Seq(Tuple1(null: String)).toDF("text").select(
+      TextFns.langId(col("text")).as("fast"),
+      TextFns.langIdComposed(col("text")).as("slow")).collect().head
+    assert(nullText.getString(0) === "und" && nullText.getString(1) === "und")
   }
 
   test("native dot_f64 is bit-identical to the composed zip_with/aggregate form") {

@@ -157,6 +157,19 @@ class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
     assert(self === Seq(None, Some(1L))) // row 2's strict predecessor is row 1
   }
 
+  test("native asof: mismatched key types (int vs long) coerce instead of mis-partitioning") {
+    val l = Seq((1L, 5, ts("2024-01-01 10:00:00")),
+      (2L, 6, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts") // k: int
+    val r = Seq((5L, ts("2024-01-01 09:00:00"), "five"),
+      (7L, ts("2024-01-01 09:00:00"), "seven")).toDF("k", "rts", "p") // k: long
+    val native = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    assert(native === Seq("five", null))
+    val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    assert(native === composed)
+  }
+
   test("native asof plan: one exchange+sort per side, no union, no window") {
     val df = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("payload"))
     val plan = df.queryExecution.executedPlan.toString
