@@ -75,12 +75,15 @@ object AsofJoinPlan {
     }
   }
 
-  /** Idempotent per-session registration of the planner strategy. */
+  /** Idempotent per-session registration of the planner strategy and the
+    * prune/pushdown optimizer rules ([[AsofJoinOptimizations]]).
+    */
   def enable(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
     if (!exp.extraStrategies.contains(AsofJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+    AsofJoinOptimizations.enable(spark)
   }
 
   /** As-of join via the native operator; same argument contract as

@@ -110,6 +110,7 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TimestampFilterPushdown)
+    e.injectOptimizerRule(_ => AsofJoinOptimizations)
     e.injectPlannerStrategy(_ => AsofJoinPlan.AsofJoinStrategy)
   }
 }
