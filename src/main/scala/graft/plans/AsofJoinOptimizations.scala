@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -22,63 +22,41 @@ import AsofJoinPlan.AsofJoinNode
   *    then shrinks the shuffle instead of running after it. Conjuncts on
   *    the produced `asof_*` columns stay above (they depend on the match).
   *
-  * Both run in `experimental.extraOptimizations` (or via
-  * [[GraftExtensions]]), i.e. inside the normal optimizer fixpoint, so
-  * they compose with Spark's own pruning/pushdown.
+  * Registered in the operator-optimization fixpoint (GraftExtensions) or
+  * `experimental.extraOptimizations` (self-registration via
+  * [[AsofJoinPlan.enable]]), so they compose with Spark's own
+  * pruning/pushdown. Both rewrites are idempotent — required, since an
+  * extensions-configured session that also calls `asof()` runs the rule
+  * in both batches.
   */
-object AsofJoinOptimizations extends Rule[LogicalPlan] {
+object AsofJoinOptimizations extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // ---- predicate pushdown (left-only conjuncts) -----------------------
     case f @ Filter(cond, aj: AsofJoinNode) =>
-      val (pushable, kept) = splitConjuncts(cond).partition(c =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(c =>
         c.references.subsetOf(aj.left.outputSet) && c.deterministic)
       if (pushable.isEmpty) f
       else {
-        val pushed = aj.copy(left =
-          Filter(pushable.reduce(org.apache.spark.sql.catalyst.expressions.And),
-            aj.left))
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
         kept match {
           case Nil => pushed
-          case ks => Filter(
-            ks.reduce(org.apache.spark.sql.catalyst.expressions.And), pushed)
+          case ks => Filter(ks.reduce(And), pushed)
         }
       }
 
     // ---- column pruning (left side) -------------------------------------
-    case p @ Project(projectList, aj: AsofJoinNode)
-        if prunableLeft(projectList, aj).nonEmpty =>
-      val keep = requiredLeft(projectList, aj)
-      p.copy(child = aj.copy(left = Project(keep, aj.left)))
-  }
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
-  }
-
-  /** Left output attributes the projection does NOT need (prunable). */
-  private def prunableLeft(refs: Seq[Expression], aj: AsofJoinNode) = {
-    val needed = neededLeft(refs, aj)
-    aj.left.output.filterNot(needed.contains)
-  }
-
-  private def neededLeft(refs: Seq[Expression], aj: AsofJoinNode): AttributeSet =
-    AttributeSet(refs.flatMap(_.references)) ++
-      AttributeSet(aj.leftKeys.flatMap(_.references)) ++ aj.leftTs.references
-
-  /** Left columns to keep, in original order (output stability). */
-  private def requiredLeft(projectList: Seq[Expression],
-      aj: AsofJoinNode) = {
-    val needed = neededLeft(projectList, aj)
-    aj.left.output.filter(needed.contains)
+    case p @ Project(projectList, aj: AsofJoinNode) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++ aj.leftTs.references
+      val keep = aj.left.output.filter(needed.contains)
+      if (keep.length == aj.left.output.length) p
+      else p.copy(child = aj.copy(left = Project(keep, aj.left)))
   }
 
   /** Idempotent per-session registration (alongside the asof strategy). */
   def enable(spark: SparkSession): Unit = {
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .experimental
+    val exp = spark.experimental
     if (!exp.extraOptimizations.contains(AsofJoinOptimizations))
       exp.extraOptimizations = exp.extraOptimizations :+ AsofJoinOptimizations
   }

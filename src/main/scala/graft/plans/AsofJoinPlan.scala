@@ -79,8 +79,7 @@ object AsofJoinPlan {
     * prune/pushdown optimizer rules ([[AsofJoinOptimizations]]).
     */
   def enable(spark: SparkSession): Unit = {
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .experimental
+    val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsofJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
     AsofJoinOptimizations.enable(spark)

@@ -46,7 +46,6 @@ class AsofJoinOptimizationsSpec extends AnyFunSuite with SparkSpec {
     // the id filter sits below the asof node (on its left child subtree)
     val aj = optimized.collectFirst {
       case n: AsofJoinPlan.AsofJoinNode => n }.get
-    assert(aj.left.toString.contains("id"), aj.left.toString)
     assert(aj.left.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
         if f.condition.toString.contains("id") => f }.nonEmpty,
