@@ -56,7 +56,7 @@ object AsofJoin {
       .withColumn("__side", lit(leftOrd))
       .withColumn("__payload", lit(null).cast(
         s"struct<${payloadCols.map(c => s"$c:string").mkString(",")}>"))
-    val lCols = left.columns
+    val lCols = left.columns.toIndexedSeq
 
     val r = right
       .select((keyCols :+ col(rightTs).as("__ts")) :+

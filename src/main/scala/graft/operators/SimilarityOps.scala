@@ -124,7 +124,7 @@ object SimilarityOps {
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
