@@ -149,6 +149,12 @@ case class AsofJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   // requireAllClusterKeys: both sides must hash on exactly these keys in
@@ -167,6 +173,8 @@ case class AsofJoinExec(
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val isStrict = strict
@@ -226,6 +234,8 @@ case class AsofJoinExec(
           }
           val matched = matchPayload != null &&
             keyOrd.compare(matchSort, lSort) == 0
+          numOutputRows += 1
+          if (matched) numMatched += 1
           val lu = l match {
             case u: UnsafeRow => u
             case other => toUnsafeLeft(other)

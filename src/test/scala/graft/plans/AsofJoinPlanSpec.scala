@@ -172,7 +172,23 @@ class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
 
   test("native asof plan: one exchange+sort per side, no union, no window") {
     val df = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("payload"))
+    // plan-shape snapshot BEFORE execution (the post-run adaptive string
+    // repeats the tree as Final + Initial and would double-count)
     val plan = df.queryExecution.executedPlan.toString
+    // operator metrics: 5 output rows, 3 with a match (ids 1, 2, 4)
+    df.collect()
+    // query stages are leaf wrappers — descend into them explicitly
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan): Option[AsofJoinExec] = p match {
+      case e: AsofJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findExec(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findExec(q.plan)
+      case other => other.children.iterator.flatMap(findExec(_)).nextOption()
+    }
+    val exec = findExec(df.queryExecution.executedPlan).get
+    assert(exec.metrics("numOutputRows").value === 5)
+    assert(exec.metrics("numMatched").value === 3)
     assert(plan.contains("AsofJoinExec") || plan.contains("asof"),
       s"custom exec missing from plan:\n$plan")
     assert(!plan.contains("Window") && !plan.contains("Union"), plan)
