@@ -23,4 +23,20 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Expose what a `SparkSessionExtensions` instance would register
+    * (`build*` are private[sql]) — lets specs verify the
+    * `spark.sql.extensions=graft.plans.GraftExtensions` deployment path
+    * without tearing down the shared test session.
+    */
+  def builtOptimizerRules(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    e.buildOptimizerRules(spark)
+
+  def builtPlannerStrategies(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark)
 }

@@ -88,4 +88,15 @@ class TimestampFilterPushdownSpec extends AnyFunSuite with SparkSpec {
     val eq = ev.filter(col("ts") === lit("1970-01-01 00:00:01").cast("timestamp"))
     assert(eq.count() === 2) // 1000000000 and 1000000999 ns are in second 1... µs 1_000_000
   }
+
+  test("GraftExtensions registers the pushdown rules and the asof strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rules = ColumnBridge.builtOptimizerRules(ext, spark)
+    assert(rules.contains(TimestampFilterPushdown))
+    assert(rules.contains(AsofJoinOptimizations))
+    val strategies = ColumnBridge.builtPlannerStrategies(ext, spark)
+    assert(strategies.contains(AsofJoinPlan.AsofJoinStrategy))
+  }
 }
