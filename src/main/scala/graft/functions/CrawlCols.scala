@@ -161,5 +161,11 @@ object CrawlCols {
       "dot_f64", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangId(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head, exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be an integer literal, got $other")
+      }), "scala_udf")
   }
 }

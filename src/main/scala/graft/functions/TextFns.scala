@@ -152,6 +152,16 @@ object TextFns {
     when(size(shingles) > 0, sig)
   }
 
+  /** [[minhashSignature]] as a native single-pass Catalyst expression
+    * (same signatures bit-for-bit, one array walk instead of k+1) — the
+    * production form; the composed version above is the differential
+    * reference.
+    */
+  def minhashSignatureFast(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+  }
+
   /** LSH band keys: split the signature into `bands` bands of rows and hash
     * each band → array<long> of length `bands`. Candidate pairs = rows
     * sharing any (band_index, band_key) bucket.

@@ -46,7 +46,7 @@ object DedupOps {
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
     val sigs = docs.select(
       col(idCol).as("id"),
-      TextFns.minhashSignature(
+      TextFns.minhashSignatureFast(
         TextFns.wordShingles(col(textCol), shingleWords), k).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("id"),

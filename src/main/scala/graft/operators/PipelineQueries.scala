@@ -85,7 +85,7 @@ object PipelineQueries {
     "d04_minhash_signatures" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          TextFns.minhashSignature(
+          TextFns.minhashSignatureFast(
             TextFns.wordShingles(col("text"), 3), 16).as("sig"))
         .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
         .orderBy(col("doc_id"))),

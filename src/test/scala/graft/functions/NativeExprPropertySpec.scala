@@ -50,6 +50,18 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: minhash_sig native == composed on generated shingle arrays") {
+    val arrays = (1 to 4).flatMap(s => sample(Gen.listOfN(40, Gen.listOf(
+      Gen.oneOf(token, Gen.const(null: String)))), s))
+    val rows = arrays.map(Tuple1(_)).toDF("sh").select(
+      TextFns.minhashSignature(col("sh"), 16).as("slow"),
+      TextFns.minhashSignatureFast(col("sh"), 16).as("fast")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("property: dot_f64 native == composed incl. ragged/null/empty arrays") {
     val vec: Gen[Seq[java.lang.Double]] = Gen.choose(0, 8).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(

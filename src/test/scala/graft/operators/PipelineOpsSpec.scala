@@ -130,6 +130,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(nullText.getString(0) === "und" && nullText.getString(1) === "und")
   }
 
+  test("native minhash_sig is bit-identical to the composed form") {
+    import spark.implicits._
+    val both = docs.select(
+      TextFns.minhashSignature(TextFns.wordShingles(col("text"), 3), 16).as("slow"),
+      TextFns.minhashSignatureFast(TextFns.wordShingles(col("text"), 3), 16).as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // empty + null-element inputs
+    val edge = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq[String]("a b c", null)))
+      .toDF("sh").select(
+        TextFns.minhashSignature(col("sh"), 8).as("slow"),
+        TextFns.minhashSignatureFast(col("sh"), 8).as("fast")).collect()
+    assert(edge(0).isNullAt(0) && edge(0).isNullAt(1))
+    assert(edge(1).getSeq[Long](0) === edge(1).getSeq[Long](1))
+    // SQL registration with a literal k
+    graft.functions.CrawlCols.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('x y z'), 4) AS s").collect().head.getSeq[Long](0)
+    assert(viaSql.length === 4)
+  }
+
   test("native dot_f64 is bit-identical to the composed zip_with/aggregate form") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
