@@ -108,9 +108,13 @@ object SubmitMain {
   * deployment — S3); on files, the timestamp predicate prunes before any
   * JSON decode beyond the one extracted field.
   *
-  * Usage: StreamerMain <input.jsonl> <startIso> <endIso> [limit] [outDir]
+  * Usage: StreamerMain <input.jsonl> <startIso> <endIso>
+  *                     [--limit N] [outDir]
   */
 object StreamerMain {
+
+  private val usage =
+    "usage: StreamerMain <input.jsonl> <startIso> <endIso> [--limit N] [outDir]"
 
   /** `[startIso, endIso)` filter on the raw line's own `timestamp` field. */
   private[graft] def timeRange(raw: org.apache.spark.sql.DataFrame,
@@ -121,11 +125,20 @@ object StreamerMain {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) { System.err.println(usage); sys.exit(2) }
     val Array(input, startIso, endIso, rest @ _*) = args
-    // a digits-only 4th arg is the limit; use `StreamerMain … <limit> <dir>`
-    // when the output directory name itself is digits-only
-    val limit = rest.headOption.flatMap(_.toIntOption).filter(_ >= 0)
-    val outDir = rest.drop(if (limit.isDefined) 1 else 0).headOption
+    val (limit, outDir) = rest match {
+      case Seq() => (None, None)
+      case Seq("--limit", n, tail @ _*) if tail.length <= 1 =>
+        val parsed = n.toIntOption.filter(_ >= 0)
+        if (parsed.isEmpty) {
+          System.err.println(s"--limit requires a non-negative integer, got '$n'\n$usage")
+          sys.exit(2)
+        }
+        (parsed, tail.headOption)
+      case Seq(dir) => (None, Some(dir))
+      case _ => System.err.println(usage); sys.exit(2); (None, None)
+    }
     val spark = JobSession.local("graft-streamer")
     val ranged = timeRange(spark.read.text(input), startIso, endIso)
     val bounded = limit.fold(ranged)(ranged.limit)

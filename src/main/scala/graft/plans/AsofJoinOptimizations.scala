@@ -33,13 +33,19 @@ object AsofJoinOptimizations extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // ---- predicate pushdown (left-only conjuncts) -----------------------
+    // Only the deterministic PREFIX of the conjunct list may move (same
+    // contract as Spark's PushPredicateThroughNonJoin): pushing a
+    // deterministic conjunct written AFTER a nondeterministic one would
+    // change how many rows the nondeterministic predicate evaluates over.
     case f @ Filter(cond, aj: AsofJoinNode) =>
-      val (pushable, kept) = splitConjunctivePredicates(cond).partition(c =>
-        c.references.subsetOf(aj.left.outputSet) && c.deterministic)
+      val (candidates, nonDeterministic) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (pushable, keptDet) = candidates.partition(
+        _.references.subsetOf(aj.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
-        kept match {
+        keptDet ++ nonDeterministic match {
           case Nil => pushed
           case ks => Filter(ks.reduce(And), pushed)
         }

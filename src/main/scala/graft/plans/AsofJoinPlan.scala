@@ -44,6 +44,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * sort order. Null timestamps order nulls-first (the composed form's
   * asc_nulls_first window sort): a null-ts right row is "before" every
   * timestamp, a null-ts left row only matches null-ts right rows.
+  *
+  * Null KEYS group and match each other (hash-partition + natural ordering
+  * treat null == null) — the same contract as the composed union+window
+  * form, and the same as `groupBy` on a null key, but UNLIKE SQL/DuckDB
+  * ASOF equality, which null-rejects. Callers needing SQL semantics
+  * pre-filter null-key rows (`.filter(keys.map(_.isNotNull).reduce(_ && _))`)
+  * on both sides; the q17/q17b oracle keys are non-null so both contracts
+  * agree there. Pinned by the null-key spec in AsofJoinPlanSpec.
   */
 object AsofJoinPlan {
 

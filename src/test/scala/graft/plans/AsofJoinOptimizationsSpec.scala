@@ -58,6 +58,27 @@ class AsofJoinOptimizationsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(2L, 3L)) // id=1 filtered; both have matches
   }
 
+  test("pushdown stops at the first nondeterministic conjunct (span contract)") {
+    def asofFiltered(cond: org.apache.spark.sql.Column) =
+      AsofJoinPlan.asof(wideLeft, right, Seq("k"), "ts", "rts", Seq("payload"))
+        .filter(cond)
+    def pushedBelow(q: org.apache.spark.sql.DataFrame): Boolean = {
+      val aj = q.queryExecution.optimizedPlan.collectFirst {
+        case n: AsofJoinPlan.AsofJoinNode => n }.get
+      aj.left.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("id") => f }.nonEmpty
+    }
+    // n.b. `rand() >= 0` would be range-folded to true by Spark 4's
+    // optimizer — the threshold must keep the predicate alive
+    // det conjunct BEFORE the nondet one: pushable (deterministic prefix)
+    assert(pushedBelow(asofFiltered(col("id") >= 2 && rand() < 0.5)))
+    // det conjunct AFTER a nondet one: pushing it would change how many
+    // rows rand() evaluates over — must stay above (PushPredicateThroughNonJoin
+    // parity)
+    assert(!pushedBelow(asofFiltered(rand() < 0.5 && col("id") >= 2)))
+  }
+
   test("pushdown differential on parquet: filter reaches PushedFilters") {
     val d = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, d)

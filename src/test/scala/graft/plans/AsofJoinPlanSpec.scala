@@ -80,6 +80,26 @@ class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
     assert(native === Seq("real", "nullts")) // null left ts sees only null-ts right
   }
 
+  test("native asof: null keys group and match each other (documented contract)") {
+    // null == null for grouping (like groupBy, UNLIKE SQL equality) — both
+    // forms agree; SQL semantics callers pre-filter null keys.
+    val l = Seq((1L, Option("k"), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val r = Seq((Option("k"), ts("2024-01-01 09:00:00"), "kk"),
+      (Option.empty[String], ts("2024-01-01 09:00:00"), "nn")).toDF("k", "rts", "p")
+    val native = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_p")).toSeq
+    assert(native === composed)
+    assert(native === Seq("kk", "nn")) // the null-key left row matched the null-key right row
+    // pre-filtering null keys recovers SQL/DuckDB ASOF equality semantics
+    val sqlized = AsofJoinPlan.asof(l.filter(col("k").isNotNull),
+      r.filter(col("k").isNotNull), Seq("k"), "ts", "rts", Seq("p"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getAs[String]("asof_p")).toMap
+    assert(sqlized === Map(1L -> "kk"))
+  }
+
   test("native asof: empty right side and duplicate right (key,ts) rows") {
     val empty = right.filter(col("k") === "nope")
     val got = AsofJoinPlan.asof(left, empty, Seq("k"), "ts", "rts", Seq("payload"))
