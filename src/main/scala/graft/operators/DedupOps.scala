@@ -115,4 +115,81 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact-Jaccard near-dup edges within equality blocks: self-join on the
+    * blocking columns (the only shuffle — keyed on the block), verify with
+    * exact token-set Jaccard ≥ threshold. Equality blocking keeps the
+    * pairing SQL-expressible (the d06 oracle recomputes it verbatim in
+    * DuckDB); at 100 TB swap the blocking key for LSH bands
+    * ([[minhashCandidates]]) — the clustering downstream is identical.
+    */
+  def jaccardEdges(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val t = docs.select(
+      (col(idCol).as("jid") +: blockCols.map(col)) :+
+        array_distinct(TextFns.tokens(col(textCol))).as("toks"): _*)
+    val a = t.as("a")
+    val b = t.as("b")
+    val blockEq = blockCols.map(k => col(s"a.$k") === col(s"b.$k"))
+    a.join(b, (blockEq :+ (col("a.jid") < col("b.jid"))).reduce(_ && _))
+      .filter(TextFns.jaccard(col("a.toks"), col("b.toks")) >= threshold)
+      .select(col("a.jid").as("src"), col("b.jid").as("dst"))
+  }
+
+  /** Connected components over an undirected edge set by iterative min-label
+    * propagation: every node's label converges to the smallest node id in
+    * its component — the canonical representative for near-dup cluster
+    * collapse (keep `id == cluster_id`, drop the rest).
+    *
+    * Scale shape: each iteration is one shuffle join (edges ⋈ labels on
+    * src) + one partial-aggregated min per dst + one label join — all keyed
+    * shuffles, no driver-side row data. The driver sees a single scalar per
+    * iteration (Σ labels, monotonically non-increasing; equal sums ⇒ fixed
+    * point since labels only ever decrease element-wise). Iterations are
+    * bounded by the component diameter — near-dup clusters are shallow
+    * (single-digit), unlike web graphs. `localCheckpoint` cuts the lineage
+    * each round so plan size stays O(1) across iterations.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val both = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // Only edge endpoints can ever change label — iterate over them alone;
+    // singletons (the vast majority after blocking, at corpus scale) skip
+    // the loop entirely and rejoin as their own cluster at the end.
+    var labels = both.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    // The convergence check rides inside the hop output (`old` column on the
+    // checkpointed rows) so each hop is ONE materializing job plus an
+    // isEmpty scan of in-memory rows — no re-join against the previous
+    // state. Measured against chaining k hops lazily between checks: one
+    // hop per job wins (deeper chained plans cost more in optimization and
+    // lost exchange reuse than the saved driver round-trips, at toy and at
+    // shuffle-bound scale alike).
+    def hop(cur: DataFrame): DataFrame = {
+      val nbrMin = both.join(cur, both("src") === cur("id"))
+        .groupBy(both("dst").as("nid"))
+        .agg(min(col("label")).as("nbr_label"))
+      cur.join(nbrMin, cur("id") === nbrMin("nid"), "left")
+        .select(cur("id"), cur("label").as("old"),
+          least(cur("label"), coalesce(col("nbr_label"), cur("label")))
+            .as("label"))
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val step = hop(labels).localCheckpoint()
+      // Labels only ever decrease, so one unchanged hop IS the fixed point.
+      converged = step.filter(col("label") =!= col("old")).isEmpty
+      labels = step.select(col("id"), col("label"))
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter hops")
+    val singletons = nodes.select(col("id"))
+      .join(labels, Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
+  }
 }

@@ -96,6 +96,25 @@ object PipelineQueries {
           TextFns.simhash64Fast(TextFns.tokens(col("text"))).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // Near-dup CLUSTER collapse: jaccard edges within (lang, source,
+    // length-band) blocks → connected components by iterative min-label
+    // propagation → canonical doc per cluster (min doc_id). The oracle
+    // recomputes the same edges and closes them with a recursive CTE — the
+    // full "cluster then keep one" training-data dedup step, end-to-end
+    // differential-checked. The length band is the standard recall/cost
+    // trade (a near-dup pair rarely differs by a whole band); doc_id<1000
+    // bounds the bench working set (the operator itself is unbounded).
+    "d06_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+        .withColumn("len_band", expr("n_chars DIV 100"))
+      val edges = DedupOps.jaccardEdges(docs, "doc_id", "text",
+        Seq("lang", "source", "len_band"), 0.6)
+      DedupOps.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity -------------------------------------------------------
     "s01_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -191,6 +210,27 @@ object PipelineQueries {
         |    AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS len_band,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        >= 0.6),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id,
+        |       (id = min(label)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "s01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -46,6 +46,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       "unrelated docs must not pair")
   }
 
+  test("jaccard edges: planted near-dups edge within block, blocks separate") {
+    val d = docs.withColumn("blk", lit(1))
+    val edges = DedupOps.jaccardEdges(d, "doc_id", "text", Seq("blk"), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((0L, 1L)), "exact pair edges")
+    assert(edges.contains((0L, 2L)), "one-word-change near-dup edges")
+    assert(!edges.exists { case (a, b) => Set(a, b) == Set(4L, 5L) },
+      "unrelated docs must not edge")
+    // blocking is a hard wall: same texts in different blocks never pair
+    val split = docs.withColumn("blk", (col("doc_id") % 2).cast("int"))
+    val none = DedupOps.jaccardEdges(split, "doc_id", "text", Seq("blk"), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!none.contains((0L, 1L)), "cross-block pair must be invisible")
+  }
+
+  test("connected components: chain collapses transitively, singletons kept") {
+    // chain 10-11-12 (no direct 10-12 edge), pair 20-21, singletons 30,31
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 30L, 31L).toDF("id")
+    val edges = Seq((11L, 10L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 31L))
+    // long path: min label must walk the full diameter
+    val path = (0L to 6L).toDF("id")
+    val pathEdges = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = DedupOps.connectedComponents(path, pathEdges)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(labels === Set(0L))
+  }
+
   test("simhash: identical texts share signature; near-dups are close") {
     val sigs = docs.select(col("doc_id"),
       TextFns.simhash64(TextFns.tokens(col("text"))).as("sig"))
