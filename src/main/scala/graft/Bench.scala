@@ -56,18 +56,34 @@ object Bench {
         (name, (first +: retries.filter(_ >= 0)).min)
       }
     }
-    // Millisecond precision keeps the one-line JSON short enough to survive
-    // the driver's bounded tail capture (full nano precision overflowed it
-    // in round 1 → "parsed": null).
+    // The driver captures only the last ~2.9 KB of output, and full query
+    // names at 76+ queries overflowed that in rounds 1 AND 2 ("parsed":
+    // null). The printed line therefore uses abbreviated per-query keys
+    // (id prefix + word initials: a04_counter_map → a04cm; collisions fall
+    // back to the full name) at 3 dp — ~1.2 KB at 77 queries. The full-name
+    // map is written to BENCH_FULL.json alongside for the permanent record.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val shortOf: Map[String, String] = {
+      val raw = results.map { case (k, _) =>
+        val parts = k.split('_')
+        k -> (parts.head + parts.tail.map(_.head).mkString)
+      }.toMap
+      val counts = raw.values.groupBy(identity).view.mapValues(_.size)
+      raw.map { case (k, s) => k -> (if (counts(s) > 1) k else s) }
+    }
+    def qsJson(key: String => String): String = results
+      .map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    def line(key: String => String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(key)},"failed":$failed,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line(identity) + "\n")
+    println(line(shortOf))
     spark.stop()
   }
 }
