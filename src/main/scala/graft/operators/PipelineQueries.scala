@@ -132,6 +132,18 @@ object PipelineQueries {
         .orderBy(col("centroid_id"))
     }),
 
+    // IVF single-probe ANN top-k — the scale path the s01 brute-force
+    // baseline is traded against: assignment confines each query's scan to
+    // one cell's inverted list. Differential-checked against DuckDB
+    // recomputing the identical assign+probe, so the approximation itself
+    // (not just the plumbing) is pinned.
+    "s07_ivf_probe_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.probeTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-dup above a low threshold, IVF-blocked (rows-only:
     // pair set depends on cell assignment; exactness pinned in spec).
     "s03_cosine_neardup" -> ((s, d) => {
@@ -258,6 +270,34 @@ object PipelineQueries {
         |  FROM embeddings e, cent)
         |SELECT centroid_id, count(*) AS n, round(sum(round(sim, 6)), 4) AS sum_sim
         |FROM scored WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "s07_ivf_probe_topk" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS rn
+        |    FROM embeddings e, cent) WHERE rn = 1),
+        |q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        |      WHERE e.vec_id < 10),
+        |c AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+        |scored AS (
+        |  SELECT q.query_id, c.corpus_id,
+        |         list_cosine_similarity(q.qv, c.sv) AS sim,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |                            ORDER BY list_cosine_similarity(q.qv, c.sv) DESC,
+        |                            c.corpus_id) AS rank
+        |  FROM q JOIN c ON c.centroid_id = q.centroid_id
+        |               AND c.corpus_id <> q.query_id)
+        |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -79,13 +79,18 @@ object SimilarityOps {
       asDouble(col(vecCol)).as("v")), "v", "vn")
     val cent = withNorm(centroids.select(col(idCol).as("centroid_id"),
       asDouble(col(vecCol)).as("cv")), "cv", "cn")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("sim"), col("centroid_id"))
+    // argmax by (sim desc, centroid_id asc) as a hash aggregate, not a
+    // ranking window: max_by over struct(sim, -centroid_id) partial-
+    // aggregates map-side, so the shuffle carries one row per vector
+    // instead of one per (vector × centroid) — the difference between
+    // shuffling the corpus and shuffling it × nCentroids at scale.
     c.crossJoin(broadcast(cent))
       .withColumn("sim", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("sim")),
+        struct(col("sim"), (-col("centroid_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        round(col("best.sim"), 6).as("sim"))
   }
 
   /** IVF probe: top-k among vectors sharing the query's cell (single-probe).
