@@ -167,6 +167,20 @@ object PipelineQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // Frame-sampling fan-out over video rows (decode → every 5th frame →
+    // per-frame signature): generator-shaped multimodal processing as a
+    // declarative explode, no UDTF. The oracle recomputes the stubbed
+    // decoder's frame count and the sampled index sequence in SQL, pinning
+    // the fan-out shape and per-frame derivation end-to-end.
+    "m02_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val meta = Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d)).toDF()
+      Multimodal.sampleFrames(meta, 5)
+        .withColumn("frame_sig",
+          (col("media_id") * 1000003L + col("frame_idx") * 7919L) % 1000000007L)
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -305,6 +319,17 @@ object PipelineQueries {
         |  64 + (ord(substr(text, 1, 1)) % 64) * 16 AS width,
         |  64 + (ord(substr(text, 2, 1)) % 64) * 16 AS height,
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + ord(substr(text, 1, 1)) % 30 ELSE 1 END AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m02_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, 1 + ord(substr(text, 1, 1)) % 30 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id,
+        |         unnest([g FOR g IN generate_series(0, n_frames - 1, 5)]) AS frame_idx
+        |  FROM v)
+        |SELECT media_id, frame_idx,
+        |       (media_id * 1000003 + frame_idx * 7919) % 1000000007 AS frame_sig
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
 }
