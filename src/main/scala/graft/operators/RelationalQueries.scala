@@ -42,10 +42,16 @@ object RelationalQueries {
     "q03_order_revenue" -> ((s, d) => {
       val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
       val l = Tables.lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+      // Aggregation keys are functionally dependent on the join key, so the
+      // sum pushes below the join: lineitem partial-aggregates map-side and
+      // the join sees one row per orderkey instead of every line item —
+      // and its output partitioning (l_orderkey) is reused by the join's
+      // shuffle, so the rewrite trades nothing for the smaller exchange.
+      val rev = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("rev"), 2).as("revenue"))
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(20)
     }),

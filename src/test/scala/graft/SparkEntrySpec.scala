@@ -16,8 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 76 queries, 68 with oracles") {
-    assert(SparkEntry.queries.size === 76)
-    assert(SparkEntry.oracleSql.size === 68)
+  test("registry sizes: 79 queries, 71 with oracles") {
+    assert(SparkEntry.queries.size === 79)
+    assert(SparkEntry.oracleSql.size === 71)
   }
 }
