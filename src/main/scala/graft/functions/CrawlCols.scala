@@ -162,6 +162,8 @@ object CrawlCols {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangId(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(

@@ -46,6 +46,16 @@ object TextFns {
 
   /** Exact n-gram-token Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** [[jaccard]] via built-in set functions only (differential reference for
+    * the native expression; materializes both the intersection and union
+    * arrays per pair just to measure them).
+    */
+  def jaccardComposed(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)

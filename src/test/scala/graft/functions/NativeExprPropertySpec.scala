@@ -80,6 +80,26 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: jaccard_sim native == composed on generated token arrays") {
+    val arr: Gen[Seq[String]] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(token, Gen.const(null: String))))
+    val pairs = (1 to 4).flatMap(s =>
+      sample(Gen.listOfN(80, Gen.zip(arr, arr)), s)) ++
+      Seq((Seq.empty[String], Seq.empty[String]),
+        (Seq("a", "a", "b"), Seq("b", "b", "a")),
+        (Seq(null, "x"), Seq(null, "y")),
+        (null, Seq("x")), (Seq("x"), null), (null, null))
+    val rows = pairs.toDF("a", "b").select(
+      TextFns.jaccard(col("a"), col("b")).as("fast"),
+      TextFns.jaccardComposed(col("a"), col("b")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("property: native asof == composed on generated keyed series") {
     val gen = for {
       nKeys <- Gen.choose(1, 6)

@@ -77,6 +77,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(labels === Set(0L))
   }
 
+  test("property: connected components == driver union-find on random graphs") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (_ <- 1 to 6) {
+      val n = 2 + rnd.nextInt(50)
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("id")
+      val edgeDf = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.toDF("src", "dst")
+      val got = DedupOps.connectedComponents(nodes, edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("simhash: identical texts share signature; near-dups are close") {
     val sigs = docs.select(col("doc_id"),
       TextFns.simhash64(TextFns.tokens(col("text"))).as("sig"))
