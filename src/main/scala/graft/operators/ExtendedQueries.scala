@@ -27,6 +27,23 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL-text entry point: the same engine surface through spark.sql over a
+    // registered temp view (CTE + aggregate + running-total window), proving
+    // the library is usable SQL-first, not only via the DataFrame API —
+    // Catalyst plans both identically.
+    "q29_sql_text" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH daily AS (
+          SELECT event_type,
+                 date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                 count(*) AS n
+          FROM events_v GROUP BY 1, 2)
+        SELECT event_type, day, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY day) AS cum
+        FROM daily ORDER BY event_type, day""")
+    }),
+
     // A5: host summary with first-seen via (report.py:126-165) — min_by
     // over event time with a FILTER clause excluding self-referring vias.
     "a05_first_via" -> ((s, d) =>
@@ -331,6 +348,14 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_sql_text" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "a05_first_via" ->
       """WITH e AS (
         |  SELECT 'host' || (user_id % 20) AS host,

@@ -57,6 +57,20 @@ object PipelineQueries {
           TextFns.rollingFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic corpus sampling / split assignment: bucket = first 4
+    // md5-hex chars of the key, mod 10 — reproducible across engines, runs
+    // and partitionings (unlike rand()-based sample()), shuffle-free, and
+    // stable under corpus growth: a doc's split never changes when other
+    // docs arrive. The 10% sample keeps bucket 0.
+    "t06_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+            16, 10).cast("int") % 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("bucket"))),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -217,6 +231,11 @@ object PipelineQueries {
         |  round(avg(CASE WHEN len(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "t06_hash_split" ->
+      """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |            AS INTEGER) % 10 AS INT) AS bucket,
+        |  count(*) AS n, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

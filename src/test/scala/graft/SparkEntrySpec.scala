@@ -16,8 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 79 queries, 71 with oracles") {
-    assert(SparkEntry.queries.size === 79)
-    assert(SparkEntry.oracleSql.size === 71)
+  test("registry sizes: 81 queries, 73 with oracles") {
+    assert(SparkEntry.queries.size === 81)
+    assert(SparkEntry.oracleSql.size === 73)
   }
 }
