@@ -75,4 +75,23 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(stride))).as("frame_idx"))
+
+  /** Resize plan: fit (width, height) into a `target`×`target` box
+    * preserving aspect ratio, plus letterbox padding — the metadata half of
+    * an image-resize stage (the pixel op itself belongs in the stubbed
+    * decoder). All-integer arithmetic (scale via `w*target DIV max(w,h)`)
+    * so the plan is engine-portable with no float-rounding hazards, and a
+    * pure projection — no shuffle, runs inside the scan's codegen stage.
+    */
+  def resizePlan(meta: DataFrame, target: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    // floor() on exact small doubles == integer DIV on both engines; avoid
+    // bare double→int casts (Spark truncates, DuckDB rounds)
+    val outW = floor(col("width") * target / longest).cast("int")
+    val outH = floor(col("height") * target / longest).cast("int")
+    meta.select(col("media_id"), col("width"), col("height"),
+      outW.as("out_w"), outH.as("out_h"),
+      floor((lit(target) - outW) / 2).cast("int").as("pad_x"),
+      floor((lit(target) - outH) / 2).cast("int").as("pad_y"))
+  }
 }

@@ -195,6 +195,16 @@ object PipelineQueries {
         .withColumn("frame_sig",
           (col("media_id") * 1000003L + col("frame_idx") * 7919L) % 1000000007L)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Resize planning (fit into 224×224 + letterbox padding) over decoded
+    // image metadata — pure projection, no shuffle; the oracle recomputes
+    // the stub decoder's dimensions and the integer resize math.
+    "m03_resize_plan" -> ((s, d) => {
+      import s.implicits._
+      val meta = Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d)).toDF()
+      Multimodal.resizePlan(meta.filter(col("kind") === "image"), 224)
+        .orderBy(col("media_id"))
     })
   )
 
@@ -349,6 +359,21 @@ object PipelineQueries {
         |  FROM v)
         |SELECT media_id, frame_idx,
         |       (media_id * 1000003 + frame_idx * 7919) % 1000000007 AS frame_sig
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "m03_resize_plan" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |         64 + (ord(substr(text, 1, 1)) % 64) * 16 AS width,
+        |         64 + (ord(substr(text, 2, 1)) % 64) * 16 AS height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT media_id, width, height,
+        |         CAST(floor(width * 224.0 / greatest(width, height)) AS INT) AS out_w,
+        |         CAST(floor(height * 224.0 / greatest(width, height)) AS INT) AS out_h
+        |  FROM img)
+        |SELECT media_id, width, height, out_w, out_h,
+        |       CAST(floor((224 - out_w) / 2.0) AS INT) AS pad_x,
+        |       CAST(floor((224 - out_h) / 2.0) AS INT) AS pad_y
+        |FROM r ORDER BY media_id""".stripMargin
   )
 }

@@ -320,6 +320,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       Multimodal.extractMeta(media).toDF(), stride = 5)
     assert(frames.filter(col("media_id") === 2L).count() ===
       (meta(2L).n_frames + 4) / 5)
+    // resize plan: longest edge lands exactly on target, aspect preserved,
+    // padding centers the short edge
+    val rp = Multimodal.resizePlan(Multimodal.extractMeta(media).toDF(), 224)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rp.values.foreach { r =>
+      val (w, h, ow, oh, px, py) = (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6))
+      assert(math.max(ow, oh) === 224)
+      assert(ow <= 224 && oh <= 224 && px >= 0 && py >= 0)
+      assert(px === (224 - ow) / 2 && py === (224 - oh) / 2)
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.02)
+    }
   }
 
   test("salted aggregation equals unsalted on skewed data") {
