@@ -158,8 +158,9 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Embedding near-dup above a low threshold, IVF-blocked (rows-only:
-    // pair set depends on cell assignment; exactness pinned in spec).
+    // Embedding near-dup above a low threshold, IVF-blocked. The cell
+    // assignment is deterministic (same argmax the s02 oracle recomputes),
+    // so the full candidate-generation + verify pipeline is oracled.
     "s03_cosine_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // 16 cells: quadratically fewer same-cell pairs than 8 at equal recall trade
@@ -313,6 +314,25 @@ object PipelineQueries {
         |  FROM embeddings e, cent)
         |SELECT centroid_id, count(*) AS n, round(sum(round(sim, 6)), 4) AS sum_sim
         |FROM scored WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "s03_cosine_neardup" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS rn
+        |    FROM embeddings e, cent) WHERE rn = 1),
+        |v AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       round(list_cosine_similarity(a.vv, b.vv), 6) AS sim
+        |FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.id < b.id
+        |WHERE list_cosine_similarity(a.vv, b.vv) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "s07_ivf_probe_topk" ->
       """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
         |              FROM embeddings WHERE vec_id < 8),
