@@ -163,6 +163,15 @@ object CrawlCols {
       "lang_id", exprs => LangId(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_minhash $what must be an integer literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_minhash", exprs => ShingleMinHash(exprs.head,
+        intLit(exprs(1), "n"), intLit(exprs(2), "k")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

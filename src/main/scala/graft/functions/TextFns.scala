@@ -36,12 +36,25 @@ object TextFns {
         i => text.substr(i, lit(n)))))
 
   /** Word n-gram shingles (distinct), joined with a single space. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
+
+  /** [[wordShingles]] over a pre-tokenized array. */
+  def wordShinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+
+  /** Fused tokenize-window-shingle-minhash ([[ShingleMinHash]]): signatures
+    * bit-identical to `minhashSignatureFast(wordShinglesFromTokens(ts, n), k)`
+    * (MinHash is duplicate-invariant, so skipping array_distinct changes
+    * nothing) without materializing any shingle string or intermediate
+    * array — the production form for signature computation over documents.
+    */
+  def shingleMinhash(ts: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(ts), n, k))
   }
 
   /** Exact n-gram-token Jaccard similarity between two shingle arrays. */

@@ -46,8 +46,8 @@ object DedupOps {
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
     val sigs = docs.select(
       col(idCol).as("id"),
-      TextFns.minhashSignatureFast(
-        TextFns.wordShingles(col(textCol), shingleWords), k).as("sig"))
+      TextFns.shingleMinhash(
+        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("id"),
         posexplode(TextFns.lshBandKeys(col("sig"), k, bands))

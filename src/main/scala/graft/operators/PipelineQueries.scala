@@ -99,8 +99,7 @@ object PipelineQueries {
     "d04_minhash_signatures" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          TextFns.minhashSignatureFast(
-            TextFns.wordShingles(col("text"), 3), 16).as("sig"))
+          TextFns.shingleMinhash(TextFns.tokens(col("text")), 3, 16).as("sig"))
         .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
         .orderBy(col("doc_id"))),
 

@@ -55,18 +55,29 @@ object ShuffleAudit {
       else if (b >= 1024) f"${b / 1024.0}%.1f KiB"
       else s"$b B"
 
-    val rows = names.map { name =>
-      collector.reset()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      // listener events post asynchronously (no public drain API): wait for
-      // the stage counter to go quiet before reading
+    // listener events post asynchronously (no public drain API): wait for
+    // the stage counter to go quiet before reading
+    def quiesce(): Unit = {
       var last = -1
       while (last != collector.stages) {
         last = collector.stages
         Thread.sleep(200)
       }
-      (name, n, collector.stages, collector.shuffleBytes,
-        collector.shuffleRecords, collector.spillBytes)
+    }
+    val rows = names.map { name =>
+      quiesce()
+      collector.reset()
+      // metrics span query BUILD + a noop-sink run: iterative operators
+      // execute their loop jobs eagerly at build time, and count() would
+      // let Catalyst prune computed columns and trailing windows, auditing
+      // a hollow plan
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      quiesce()
+      val (st, bytes, recs, spill) = (collector.stages,
+        collector.shuffleBytes, collector.shuffleRecords, collector.spillBytes)
+      val n = df.count()
+      (name, n, st, bytes, recs, spill)
     }.sortBy(-_._4)
 
     val sb = new StringBuilder

@@ -80,6 +80,26 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: shingle_minhash fused == shingle-then-minhash composed chain") {
+    val arr: Gen[Seq[String]] = Gen.choose(0, 15).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf(token, Gen.const(null: String))))
+    val arrays = (1 to 4).flatMap(s => sample(Gen.listOfN(60, arr), s)) ++
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq(null, null, null),
+        Seq("x", null, "y", "x", null, "y"))
+    for (n <- Seq(1, 3)) {
+      val rows = arrays.map(Tuple1(_)).toDF("ts").select(
+        TextFns.shingleMinhash(col("ts"), n, 16).as("fused"),
+        TextFns.minhashSignatureFast(
+          TextFns.wordShinglesFromTokens(col("ts"), n), 16).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1), s"n=$n nullability")
+        if (!r.isNullAt(0))
+          assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
   test("property: jaccard_sim native == composed on generated token arrays") {
     val arr: Gen[Seq[String]] = Gen.choose(0, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(token, Gen.const(null: String))))
