@@ -19,6 +19,7 @@ object CoverageQueries {
     // parse under the crawl-spec schema, extract typed fields back.
     "s06_spec_json_scan" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(500) // top-k before build+parse
         .withColumn("line", concat(
           lit("""{"id":"""), col("user_id"),
           lit(""","title":"t-"""), lit(""), col("event_id"),
@@ -32,13 +33,13 @@ object CoverageQueries {
           size(col("spec.seeds")).as("n_seeds"),
           element_at(col("spec.seeds"), 1).as("first_seed"),
           col("spec.ignoreRobotsTxt").as("ignore_robots"))
-        .orderBy(col("event_id"))
-        .limit(500)),
+        .orderBy(col("event_id"))),
 
     // P10: start_time_plus_duration split on synthesized strings, both with
     // and without the +duration suffix.
     "p10_start_time_split" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(500) // top-k before format+split
         .withColumn("raw", concat(
           date_format(col("ts"), "yyyyMMddHHmmssSSS"),
           when(col("user_id") % 3 =!= 0,
@@ -47,14 +48,14 @@ object CoverageQueries {
         .select(col("event_id"),
           date_format(col("st.start_time"), "yyyy-MM-dd HH:mm:ss.SSS").as("start_time"),
           col("st.duration_ms").as("duration_ms"))
-        .orderBy(col("event_id"))
-        .limit(500)),
+        .orderBy(col("event_id"))),
 
     // P20/P21: launch-message construction semantics (sheets derivation,
     // source tag, parallel queues) — the JSON envelope is pinned by
     // LauncherSpec; the oracle checks the derived fields.
     "p20_launch_build" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(500) // top-k before message build
         .withColumn("scope",
           when(col("user_id") % 3 === 0, "subdomains")
             .when(col("user_id") % 3 === 1, "plus1Scope").otherwise(""))
@@ -71,8 +72,7 @@ object CoverageQueries {
             col("scope"), col("depth"))).as("sheets"),
           when(col("seed").contains("twitter.com"), lit(2)).otherwise(lit(1))
             .as("parallel_queues"))
-        .orderBy(col("event_id"))
-        .limit(500)),
+        .orderBy(col("event_id"))),
 
     // F1: variant filter via the thread marker (keep-Heritrix).
     "f01_heritrix_filter" -> ((s, d) =>

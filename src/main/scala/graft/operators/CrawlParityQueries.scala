@@ -14,7 +14,10 @@ import graft.functions.CrawlCols
 object CrawlParityQueries {
 
   private def withUrls(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("url",
+    addUrls(Tables.events(s, d))
+
+  private def addUrls(df: DataFrame): DataFrame =
+    df.withColumn("url",
       // three URL shapes: plain http(s), dns:, screenshot:
       when(col("event_type") === "error",
         concat(lit("dns:Host"), col("user_id") % 20, lit(".example.org")))
@@ -50,12 +53,19 @@ object CrawlParityQueries {
         .orderBy(col("event_type"))),
 
     // P7: wayback timestamp = digits-only of the ISO rendering.
+    // Top-k BEFORE the projection: `orderBy(event_id).limit(n)` over the
+    // bare scan plans as TakeOrderedAndProject (per-partition top-k, no
+    // full shuffle) on the pruned columns, so the per-row string work runs
+    // on n rows instead of the whole table — at 100 TB that is the
+    // difference between formatting 500 rows and formatting everything.
+    // (Spark only defers projections written ABOVE the sort, so the
+    // `.select` must come after `.limit` in the DataFrame program.)
     "p07_wayback_ts" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(500)
         .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .select(col("event_id"), CrawlCols.waybackTs(col("iso")).as("wb"))
-        .orderBy(col("event_id"))
-        .limit(500)),
+        .orderBy(col("event_id"))),
 
     // P8: hop-path normalization + last hop over synthesized hop paths.
     "p08_last_hop" -> ((s, d) =>
@@ -70,6 +80,7 @@ object CrawlParityQueries {
     // P12/P13: annotation tokenizer + prefix routing over synthesized tags.
     "p12_annotations" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(1000) // top-k first (see p07)
         .withColumn("annotations",
           concat(lit("ip:10.0.0."), col("user_id") % 250,
             lit(", "), col("event_type"),
@@ -81,17 +92,15 @@ object CrawlParityQueries {
           CrawlCols.annotationWithPrefix(col("annotations"), "dol:").cast("long").as("dol"),
           CrawlCols.retriesAnnotation(col("annotations")).as("retries"),
           size(CrawlCols.annotationsArr(col("annotations"))).as("n_tags"))
-        .orderBy(col("event_id"))
-        .limit(1000)),
+        .orderBy(col("event_id"))),
 
     // P14: doc-id synthesis.
     "p14_doc_id" -> ((s, d) =>
-      withUrls(s, d)
+      addUrls(Tables.events(s, d).orderBy(col("event_id")).limit(500))
         .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .select(col("event_id"),
           CrawlCols.docId(col("iso"), col("url")).as("id"))
-        .orderBy(col("event_id"))
-        .limit(500)),
+        .orderBy(col("event_id"))),
 
     // P16: crawler derivation from the thread marker.
     "p16_crawler_of" -> ((s, d) =>

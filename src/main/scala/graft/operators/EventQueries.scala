@@ -105,13 +105,13 @@ object EventQueries {
     // no schema change, lookups are map accesses.
     "p01b_props_map" -> ((s, d) =>
       events(s, d)
+        .orderBy(col("event_id")).limit(800) // top-k before the JSON parse
         .withColumn("m", from_json(col("props"),
           org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
         .select(col("event_id"),
           element_at(col("m"), "k").as("k"),
           size(col("m")).as("n_keys"))
-        .orderBy(col("event_id"))
-        .limit(800)),
+        .orderBy(col("event_id"))),
 
     // S5: row limit on scan (report.py:30-31) — limit pushdown
     // (CollectLimitExec; on Kafka this is maxOffsetsPerTrigger).

@@ -65,6 +65,7 @@ object ExtendedQueries {
     // P6: fixed-width crawl-log line over synthesized fields.
     "p06_log_line" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(300) // top-k before the formatting
         .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .select(col("event_id"),
           CrawlCols.logLine(col("iso"),
@@ -79,20 +80,19 @@ object ExtendedQueries {
             concat(lit("sha1:"), col("event_id")),
             concat(lit("tid:1:https://h"), col("user_id"), lit("/")),
             col("event_type")).as("line"))
-        .orderBy(col("event_id"))
-        .limit(300)),
+        .orderBy(col("event_id"))),
 
     // P11: launchTimestamp annotation parse → ISO.
     "p11_launch_ts_parse" -> ((s, d) =>
       Tables.events(s, d)
+        .orderBy(col("event_id")).limit(400) // top-k before format+reparse
         .withColumn("ann", concat(lit("launchTimestamp:"),
           date_format(col("ts"), "yyyyMMddHHmmss"), lit(",other")))
         .select(col("event_id"),
           date_format(try_to_timestamp(
             CrawlCols.annotationWithPrefix(col("ann"), "launchTimestamp:"),
             lit("yyyyMMddHHmmss")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("launch_iso"))
-        .orderBy(col("event_id"))
-        .limit(400)),
+        .orderBy(col("event_id"))),
 
     // A4 map assembly: per-user event_type counter map rendered as a sorted
     // k:v CSV (deterministic serialization of the map-valued counter —
@@ -336,15 +336,23 @@ object ExtendedQueries {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
-    // Percentiles (exact, linear interpolation).
-    "q16_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("price_p99"))
-        .orderBy(col("l_returnflag")))
+    // Percentiles (exact, linear interpolation) — computed via the
+    // bounded-memory histogram/rank formulation (PercentileOps) instead of
+    // the buffer-shipping built-in `percentile`; bit-equality between the
+    // two is pinned by PercentileOpsSpec, value-equality by the oracle.
+    "q16_percentiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = PercentileOps.exactPercentiles(li, "l_returnflag",
+        "l_quantity", Seq(0.5 -> "p50r", 0.9 -> "p90r"))
+      val price = PercentileOps.exactPercentiles(li, "l_returnflag",
+        "l_extendedprice", Seq(0.99 -> "p99r"))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("p50r"), 4).as("p50"),
+          round(col("p90r"), 4).as("p90"),
+          round(col("p99r"), 2).as("price_p99"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
