@@ -28,6 +28,16 @@ object TextFns {
     size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
       t => length(trim(t)) > 0))
 
+  /** Fused `struct(n_tokens, n_distinct, n_subwords)` in one native char
+    * scan ([[TokenStats]]) — value-identical to `tokenCount` /
+    * `size(array_distinct(tokens))` / `subwordCount` above (the composed
+    * forms are its differential oracle in NativeExprPropertySpec).
+    */
+  def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text)))
+  }
+
   /** Character n-gram shingles (distinct) — the MinHash/Jaccard input. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))

@@ -17,10 +17,11 @@ object PipelineQueries {
     // ---- text analysis ----------------------------------------------------
     "t01_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokenStats(col("text")).as("t"))
         .select(col("doc_id"),
-          TextFns.tokenCount(col("text")).as("n_tokens"),
-          size(array_distinct(TextFns.tokens(col("text")))).as("n_distinct"),
-          TextFns.subwordCount(col("text")).as("n_subwords"))
+          col("t.n_tokens").as("n_tokens"),
+          col("t.n_distinct").as("n_distinct"),
+          col("t.n_subwords").as("n_subwords"))
         .orderBy(col("doc_id"))),
 
     "t02_quality_features" -> ((s, d) =>

@@ -38,6 +38,31 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
       s"text=<${r.getString(2)}>"))
   }
 
+  test("property: token_stats native == composed splits on generated texts") {
+    val piece: Gen[String] = Gen.oneOf(token, Gen.oneOf(
+      " ", "  ", "\t", "\n", "\u000B", "\f", "\r", ",", "a,b", "..", "🙂",
+      "x🙂1", "é", "_", "-", "a1b2", "0", " \t ", ""))
+    val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(80,
+      Gen.listOf(piece).map(_.mkString(""))), s)) ++
+      Seq("", " ", "   ", "\t", " \t", "\t ", " a ", "\ta\t", "a  b",
+        " ,a, ", "🙂", "a🙂b", "🙂🙂", "a🙂🙂b", null)
+    val rows = texts.toDF("text").select(
+      TextFns.tokenStats(col("text")).as("f"),
+      TextFns.tokenCount(col("text")).as("nt"),
+      size(array_distinct(TextFns.tokens(col("text")))).as("nd"),
+      TextFns.subwordCount(col("text")).as("ns"), col("text")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(4)) assert(r.isNullAt(0) && r.isNullAt(1))
+      else {
+        val f = r.getStruct(0)
+        val clue = s"text=<${r.getString(4)}>"
+        assert(f.getInt(0) === r.getInt(1), s"$clue n_tokens")
+        assert(f.getInt(1) === r.getInt(2), s"$clue n_distinct")
+        assert(f.getInt(2) === r.getInt(3), s"$clue n_subwords")
+      }
+    }
+  }
+
   test("property: simhash native == composed on generated token arrays") {
     val arrays = (1 to 4).flatMap(s => sample(Gen.listOfN(60, Gen.listOf(
       Gen.oneOf(token, Gen.const(null: String)))), s))
