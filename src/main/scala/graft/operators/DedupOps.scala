@@ -168,14 +168,20 @@ object DedupOps {
     // hop per job wins (deeper chained plans cost more in optimization and
     // lost exchange reuse than the saved driver round-trips, at toy and at
     // shuffle-bound scale alike).
+    // One hop = one join + one aggregation (2 shuffles, not 3): the min
+    // over {self} ∪ neighbors is a single groupBy over the union of
+    // propagated neighbor labels and the node's own row; the previous
+    // label rides along on the self row (null on neighbor rows, min-folded
+    // back out) so the convergence flag needs no extra join.
     def hop(cur: DataFrame): DataFrame = {
-      val nbrMin = both.join(cur, both("src") === cur("id"))
-        .groupBy(both("dst").as("nid"))
-        .agg(min(col("label")).as("nbr_label"))
-      cur.join(nbrMin, cur("id") === nbrMin("nid"), "left")
-        .select(cur("id"), cur("label").as("old"),
-          least(cur("label"), coalesce(col("nbr_label"), cur("label")))
-            .as("label"))
+      val nbr = both.join(cur, both("src") === cur("id"))
+        .select(both("dst").as("id"), col("label"),
+          when(lit(false), col("label")).as("old"))
+      val self = cur.select(col("id"), col("label"), col("label").as("old"))
+      nbr.unionByName(self)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+        .select(col("id"), col("old"), col("label"))
     }
     var converged = false
     var iter = 0

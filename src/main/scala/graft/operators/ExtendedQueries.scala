@@ -340,19 +340,16 @@ object ExtendedQueries {
     // bounded-memory histogram/rank formulation (PercentileOps) instead of
     // the buffer-shipping built-in `percentile`; bit-equality between the
     // two is pinned by PercentileOpsSpec, value-equality by the oracle.
-    "q16_percentiles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val qty = PercentileOps.exactPercentiles(li, "l_returnflag",
-        "l_quantity", Seq(0.5 -> "p50r", 0.9 -> "p90r"))
-      val price = PercentileOps.exactPercentiles(li, "l_returnflag",
-        "l_extendedprice", Seq(0.99 -> "p99r"))
-      qty.join(price, Seq("l_returnflag"))
+    "q16_percentiles" -> ((s, d) =>
+      PercentileOps.exactPercentilesMulti(Tables.lineitem(s, d),
+        "l_returnflag", Seq(
+          "l_quantity" -> Seq(0.5 -> "p50r", 0.9 -> "p90r"),
+          "l_extendedprice" -> Seq(0.99 -> "p99r")))
         .select(col("l_returnflag"),
           round(col("p50r"), 4).as("p50"),
           round(col("p90r"), 4).as("p90"),
           round(col("p99r"), 2).as("price_p99"))
-        .orderBy(col("l_returnflag"))
-    })
+        .orderBy(col("l_returnflag")))
   )
 
   val oracles: Map[String, String] = Map(

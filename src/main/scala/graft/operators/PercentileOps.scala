@@ -16,19 +16,24 @@ import org.apache.spark.sql.functions._
   * values no longer fit in memory.
   *
   * This formulation computes the same numbers with bounded memory
-  * everywhere:
+  * everywhere, for ALL requested measure columns in one scan:
   *
-  *   1. `groupBy(group, value).count()` — map-side combine collapses the
-  *      data to distinct (group, value) pairs before anything is shuffled;
+  *   1. explode each row to (group, measure, value) and
+  *      `groupBy(group, measure, value).count()` — map-side combine
+  *      collapses the data to distinct triples before anything is shuffled;
   *      a spillable hash aggregate, never a per-row in-memory list.
-  *   2. A running `sum(count)` window ordered by value gives each distinct
-  *      value its cumulative rank; WindowExec sorts externally (spills to
-  *      disk) instead of holding the histogram in one buffer row.
+  *   2. A running `sum(count)` window per (group, measure) ordered by value
+  *      gives each distinct value its cumulative rank; WindowExec sorts
+  *      externally (spills to disk) instead of holding the histogram in one
+  *      buffer row. The unordered total-count window shares the same
+  *      exchange and sort.
   *   3. An exact percentile is then two bracket lookups: with 0-indexed
   *      fractional position `pos = (n-1)·p`, the bracketing values are the
   *      smallest values whose cumulative count reaches `⌊pos⌋+1` and
   *      `⌈pos⌉+1`, interpolated as `(1-frac)·lo + frac·hi`
   *      (the built-in's formula; pinned bit-for-bit by PercentileOpsSpec).
+  *      The bracket min-aggregation is partial (map-side), so the final
+  *      shuffle carries one row per (group, partition).
   *
   * The remaining per-group serial work is the sorted cumsum over DISTINCT
   * values — for bounded-cardinality measures (quantities, status codes,
@@ -40,38 +45,56 @@ import org.apache.spark.sql.functions._
 object PercentileOps {
 
   /** One row per group: `grpCol` plus one unrounded double column per
-    * `(percentile, alias)`. Nulls in `valueCol` are ignored, matching the
-    * built-in; a group with only nulls disappears (the built-in would
-    * return null — callers here never feed all-null groups).
+    * requested `(percentile, alias)` across all measures, computed in a
+    * single input scan. Values are compared as doubles (the built-in also
+    * interpolates in double). Nulls in a value column are ignored,
+    * matching the built-in; a group whose values are all null disappears
+    * (the built-in would return null — callers here never feed all-null
+    * groups).
     */
-  def exactPercentiles(df: DataFrame, grpCol: String, valueCol: String,
-      ps: Seq[(Double, String)]): DataFrame = {
-    require(ps.nonEmpty)
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(grpCol), col(valueCol).as("__v"))
+  def exactPercentilesMulti(df: DataFrame, grpCol: String,
+      measures: Seq[(String, Seq[(Double, String)])]): DataFrame = {
+    require(measures.nonEmpty && measures.forall(_._2.nonEmpty))
+    val exploded = df.select(col(grpCol), explode(array(
+      measures.zipWithIndex.map { case ((valueCol, _), mi) =>
+        struct(lit(mi).as("m"), col(valueCol).cast("double").as("v"))
+      }: _*)).as("x"))
+      .select(col(grpCol), col("x.m").as("__m"), col("x.v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = exploded
+      .groupBy(col(grpCol), col("__m"), col("__v"))
       .agg(count(lit(1)).as("__c"))
+    val byMeasure = Window.partitionBy(grpCol, "__m")
     val cum = counts
-      .withColumn("__cum", sum("__c").over(
-        Window.partitionBy(grpCol).orderBy("__v")))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(grpCol)))
-    val aggs = ps.flatMap { case (p, alias) =>
-      val pos = (col("__n") - 1) * lit(p) // 0-indexed fractional rank
-      Seq(
-        min(when(col("__cum") >= floor(pos) + 1, col("__v")))
-          .cast("double").as(s"__lo_$alias"),
-        min(when(col("__cum") >= ceil(pos) + 1, col("__v")))
-          .cast("double").as(s"__hi_$alias"),
-        first(pos).as(s"__pos_$alias"))
+      .withColumn("__cum", sum("__c").over(byMeasure.orderBy("__v")))
+      .withColumn("__n", sum("__c").over(byMeasure))
+    val aggs = measures.zipWithIndex.flatMap { case ((_, ps), mi) =>
+      ps.flatMap { case (p, alias) =>
+        val mine = col("__m") === mi
+        val pos = (col("__n") - 1) * lit(p) // 0-indexed fractional rank
+        Seq(
+          min(when(mine && col("__cum") >= floor(pos) + 1, col("__v")))
+            .as(s"__lo_$alias"),
+          min(when(mine && col("__cum") >= ceil(pos) + 1, col("__v")))
+            .as(s"__hi_$alias"),
+          first(when(mine, pos), ignoreNulls = true).as(s"__pos_$alias"))
+      }
     }
     val bracketed = cum.groupBy(col(grpCol)).agg(aggs.head, aggs.drop(1): _*)
-    val outCols: Seq[Column] = col(grpCol) +: ps.map { case (_, alias) =>
-      val lo = col(s"__lo_$alias")
-      val hi = col(s"__hi_$alias")
-      val frac = col(s"__pos_$alias") - floor(col(s"__pos_$alias"))
-      when(hi === lo, lo)
-        .otherwise((lit(1.0) - frac) * lo + frac * hi)
-        .as(alias)
+    val outCols: Seq[Column] = col(grpCol) +: measures.flatMap(_._2).map {
+      case (_, alias) =>
+        val lo = col(s"__lo_$alias")
+        val hi = col(s"__hi_$alias")
+        val frac = col(s"__pos_$alias") - floor(col(s"__pos_$alias"))
+        when(hi === lo, lo)
+          .otherwise((lit(1.0) - frac) * lo + frac * hi)
+          .as(alias)
     }
     bracketed.select(outCols: _*)
   }
+
+  /** Single-measure convenience over [[exactPercentilesMulti]]. */
+  def exactPercentiles(df: DataFrame, grpCol: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame =
+    exactPercentilesMulti(df, grpCol, Seq(valueCol -> ps))
 }

@@ -63,6 +63,26 @@ class PercentileOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multi-measure single-pass == per-measure builtin percentiles") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i =>
+      ("g" + (i % 3), (i % 13).toDouble, i * 1.37))
+    val df = rows.toDF("g", "q", "x")
+    val ours = PercentileOps.exactPercentilesMulti(df, "g", Seq(
+      "q" -> Seq(0.5 -> "q50", 0.9 -> "q90"),
+      "x" -> Seq(0.99 -> "x99")))
+      .orderBy("g").collect()
+    val builtin = df.groupBy("g").agg(
+      expr("percentile(q, 0.5)").as("q50"),
+      expr("percentile(q, 0.9)").as("q90"),
+      expr("percentile(x, 0.99)").as("x99"))
+      .orderBy("g").collect()
+    ours.zip(builtin).foreach { case (o, b) =>
+      (1 to 3).foreach(i => assert(o.getDouble(i) === b.getDouble(i),
+        s"col $i of group ${o.getString(0)}"))
+    }
+  }
+
   test("nulls in the value column are ignored like the builtin") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
