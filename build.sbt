@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tails sbt's combined output and line-parses the ONE
+// JSON line Bench prints. sbt's default logger prefixes forked-run output
+// with "[info] " (and echoes a trailing "[success] Total time" line), so
+// a line-wise json.loads never sees bare JSON — r1..r3 all recorded
+// "parsed": null. StdoutOutput passes the forked JVM's stdout through
+// verbatim; showSuccess drops the trailing banner so the JSON line is the
+// last thing printed.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -91,7 +91,12 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(key)},"failed":$failed,"flaky":$flakyJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), line(identity) + "\n")
-    println(line(shortOf))
+    // The driver line-parses the tail of combined output for bare JSON —
+    // stop Spark (and silence shutdown-path logging) BEFORE printing so
+    // the JSON line is the final line of the run.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line(shortOf))
+    System.out.flush()
   }
 }
