@@ -41,7 +41,13 @@ object Bench {
     // fails after a successful first run marks the query "flaky" (its
     // successful time still counts).
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q16_percentiles,q17_asof_join restricts the
+    // run to named queries (unset in driver runs — full registry).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ns =>
+      SparkEntry.queries.filter { case (k, _) => ns(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink, NOT count(): under count() Catalyst prunes every column
       // the row count doesn't need — a projection query times as a bare
       // scan and a trailing window vanishes entirely (confirmed via task

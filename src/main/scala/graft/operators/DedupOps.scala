@@ -152,15 +152,25 @@ object DedupOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // No `distinct` on the symmetrized edges: min-label propagation is
+    // idempotent under duplicate edges (the min-fold absorbs them), so a
+    // dedup shuffle buys nothing — duplicates only re-deliver an identical
+    // label. (Callers with pathologically duplicate-heavy edge sets can
+    // pre-distinct; the near-dup pair generators here emit each pair once.)
     val both = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint()
     // Only edge endpoints can ever change label — iterate over them alone;
     // singletons (the vast majority after blocking, at corpus scale) skip
     // the loop entirely and rejoin as their own cluster at the end.
-    var labels = both.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Initialization IS the first hop, fused: from identity labels, hop 1
+    // yields min({id} ∪ neighbors) — computable directly from the edge list
+    // with one groupBy, replacing both the endpoint-distinct shuffle and a
+    // full join+agg hop.
+    var labels = both.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("label"))
+      .localCheckpoint()
     // The convergence check rides inside the hop output (`old` column on the
     // checkpointed rows) so each hop is ONE materializing job plus an
     // isEmpty scan of in-memory rows — no re-join against the previous

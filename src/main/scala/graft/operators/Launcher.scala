@@ -24,11 +24,19 @@ object Launcher {
     * Blank strings parse to null via try_to_timestamp, subsuming the
     * reference's falsy-string checks.
     */
-  def inWindow(now: Column, startDate: Column, endDate: Column): Column = {
-    val sd = try_to_timestamp(startDate, lit("yyyy-MM-dd HH:mm:ss"))
-    val ed = try_to_timestamp(endDate, lit("yyyy-MM-dd HH:mm:ss"))
+  /** The reference's spec dates are strings; parse blank→null once. */
+  def parseSpecTs(c: Column): Column =
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))
+
+  def inWindow(now: Column, startDate: Column, endDate: Column): Column =
+    inWindowParsed(now, parseSpecTs(startDate), parseSpecTs(endDate))
+
+  /** [[inWindow]] over already-parsed timestamps — materialize the parse in
+    * a prior projection so each string is decoded once per row, not once
+    * per predicate branch (the parse dominates per-row cost otherwise).
+    */
+  def inWindowParsed(now: Column, sd: Column, ed: Column): Column =
     sd.isNotNull && now >= sd && (ed.isNull || now <= ed)
-  }
 
   /** F7: frequency-due predicate (reference launcher.py:86-134) plus the
     * hour gate (launcher.py:161-163 — written `is`, works by CPython
@@ -38,8 +46,11 @@ object Launcher {
     * schedule fires Jan/Apr/Jul/Oct (month % 3 == startMonth % 3).
     * DOMAINCRAWL and unknown frequencies are never due.
     */
-  def frequencyDue(now: Column, startDate: Column, frequency: Column): Column = {
-    val sd = try_to_timestamp(startDate, lit("yyyy-MM-dd HH:mm:ss"))
+  def frequencyDue(now: Column, startDate: Column, frequency: Column): Column =
+    frequencyDueParsed(now, parseSpecTs(startDate), frequency)
+
+  /** [[frequencyDue]] over an already-parsed start timestamp. */
+  def frequencyDueParsed(now: Column, sd: Column, frequency: Column): Column = {
     val dayMatch = dayofmonth(now) === dayofmonth(sd)
     val freqOk =
       when(frequency === "DAILY", lit(true))
@@ -58,6 +69,13 @@ object Launcher {
   def scheduleDue(now: Column, startDate: Column, endDate: Column,
       frequency: Column): Column =
     inWindow(now, startDate, endDate) && frequencyDue(now, startDate, frequency)
+
+  /** Combined due predicate over pre-parsed timestamps (see
+    * [[inWindowParsed]] for why callers should materialize the parse).
+    */
+  def scheduleDueParsed(now: Column, sd: Column, ed: Column,
+      frequency: Column): Column =
+    inWindowParsed(now, sd, ed) && frequencyDueParsed(now, sd, frequency)
 
   /** Sheet derivation from spec enums (reference launcher.py:174-189). */
   def sheetsFor(ignoreRobotsTxt: Column, scope: Column, depth: Column): Column =
@@ -116,8 +134,11 @@ object Launcher {
         concat(lit("tid:"), col("id"), lit(":"), element_at(col("seeds"), 1)))
       .select(col("id"), col("seeds"), col("source"), col("ignoreRobotsTxt"),
         col("scope"), col("depth"), explode(col("schedules")).as("schedule"))
-      .filter(scheduleDue(nowLit, col("schedule.startDate"),
-        col("schedule.endDate"), col("schedule.frequency")))
+      .withColumn("__sd", parseSpecTs(col("schedule.startDate")))
+      .withColumn("__ed", parseSpecTs(col("schedule.endDate")))
+      .filter(scheduleDueParsed(nowLit, col("__sd"), col("__ed"),
+        col("schedule.frequency")))
+      .drop("__sd", "__ed")
       // a target due under several schedules launches once per reference
       // semantics? No — the reference launches per matching schedule; we
       // keep one row per (target, schedule) to match, then explode seeds.
@@ -152,6 +173,13 @@ object LauncherQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f07_schedule_due" -> ((s, d) =>
       graft.Tables.events(s, d)
+        // Sort FIRST, on the narrow raw columns: a global orderBy runs its
+        // child twice (range-partition sampling pass + the sort itself), so
+        // any projection above the sort is computed once, below it twice.
+        // The date formatting/parsing dominates this query's per-row cost —
+        // keep it in the post-sort (order-preserving) projection.
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
         .withColumn("startDate",
           date_format(col("ts") - expr("INTERVAL 30 DAYS"), "yyyy-MM-dd HH:mm:ss"))
         .withColumn("endDate",
@@ -164,11 +192,16 @@ object LauncherQueries {
             .when(col("event_type") === "signup", "MONTHLY")
             .when(col("event_type") === "purchase", "QUARTERLY")
             .otherwise("ANNUAL"))
+        // Materialize the string→timestamp parse once per row; the
+        // predicate then reads the parsed attributes (same pipelined
+        // codegen stage, ~4× fewer per-row date decodes than inlining
+        // the parse into every predicate branch).
+        .withColumn("sd", Launcher.parseSpecTs(col("startDate")))
+        .withColumn("ed", Launcher.parseSpecTs(col("endDate")))
         .select(col("event_id"),
-          Launcher.scheduleDue(
+          Launcher.scheduleDueParsed(
             lit("2024-01-15 13:00:00").cast("timestamp"),
-            col("startDate"), col("endDate"), col("frequency")).as("due"))
-        .orderBy(col("event_id")))
+            col("sd"), col("ed"), col("frequency")).as("due")))
   )
 
   val oracles: Map[String, String] = Map(

@@ -118,14 +118,28 @@ object RelationalQueries {
         .orderBy(col("status"), col("priority"))),
 
     // Distinct aggregates (free engine surface; reference has none).
-    "q11_distinct_counts" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // Written as two-level aggregations rather than
+    // `agg(countDistinct, countDistinct, count)`: multiple distinct
+    // aggregates plan an Expand that triples every input row before the
+    // shuffle. Two-level groupBy partial-aggregates each branch map-side
+    // (the orderkey branch carries the row count for free), so the
+    // shuffles move only distinct (flag, key) pairs — the standard
+    // rewrite that survives high-cardinality keys at scale.
+    "q11_distinct_counts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val orders = li
+        .groupBy(col("l_returnflag"), col("l_orderkey"))
+        .agg(count(lit(1)).as("__n"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"))),
+        .agg(count(lit(1)).as("n_orders"), sum(col("__n")).as("n_rows"))
+      val parts = li
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts"))
+      orders.join(parts, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Self-join surface: the discovery-graph child.via = parent.url edge
     // (SURVEY §2.5) — modeled on orders⋈customer grouped by nation pairs.
