@@ -55,12 +55,17 @@ object PercentileOps {
   def exactPercentilesMulti(df: DataFrame, grpCol: String,
       measures: Seq[(String, Seq[(Double, String)])]): DataFrame = {
     require(measures.nonEmpty && measures.forall(_._2.nonEmpty))
-    val exploded = df.select(col(grpCol), explode(array(
-      measures.zipWithIndex.map { case ((valueCol, _), mi) =>
-        struct(lit(mi).as("m"), col(valueCol).cast("double").as("v"))
-      }: _*)).as("x"))
-      .select(col(grpCol), col("x.m").as("__m"), col("x.v").as("__v"))
-      .filter(col("__v").isNotNull)
+    // One branch per measure, unioned — NOT explode(array(struct(...))):
+    // the union stays entirely inside whole-stage codegen (no per-row
+    // array/struct allocation, no generator), and each branch's parquet
+    // scan prunes to exactly (group, measure) columns. Catalyst dedups the
+    // shared scan via exchange reuse where applicable; the per-branch scan
+    // cost is a column-pruned read, dwarfed by the shuffle it feeds.
+    val exploded = measures.zipWithIndex.map { case ((valueCol, _), mi) =>
+      df.select(col(grpCol), lit(mi).as("__m"),
+        col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+    }.reduce(_ unionByName _)
     val counts = exploded
       .groupBy(col(grpCol), col("__m"), col("__v"))
       .agg(count(lit(1)).as("__c"))
