@@ -77,6 +77,10 @@ object Launcher {
       frequency: Column): Column =
     inWindowParsed(now, sd, ed) && frequencyDueParsed(now, sd, frequency)
 
+  /** P21 (reference launcher.py:63-64): `tid:<id>:<first seed>` source tag. */
+  def seedSource(id: Column, seeds: Column): Column =
+    concat(lit("tid:"), id, lit(":"), element_at(seeds, 1))
+
   /** Sheet derivation from spec enums (reference launcher.py:174-189). */
   def sheetsFor(ignoreRobotsTxt: Column, scope: Column, depth: Column): Column =
     array_compact(array(
@@ -130,8 +134,7 @@ object Launcher {
     val launchTs = date_format(nowLit, "yyyyMMddHHmmss")
     specs
       .filter(size(col("seeds")) > 0) // F5
-      .withColumn("source", // P21
-        concat(lit("tid:"), col("id"), lit(":"), element_at(col("seeds"), 1)))
+      .withColumn("source", seedSource(col("id"), col("seeds"))) // P21
       .select(col("id"), col("seeds"), col("source"), col("ignoreRobotsTxt"),
         col("scope"), col("depth"), explode(col("schedules")).as("schedule"))
       .withColumn("__sd", parseSpecTs(col("schedule.startDate")))
@@ -201,7 +204,56 @@ object LauncherQueries {
         .select(col("event_id"),
           Launcher.scheduleDueParsed(
             lit("2024-01-15 13:00:00").cast("timestamp"),
-            col("sd"), col("ed"), col("frequency")).as("due")))
+            col("sd"), col("ed"), col("frequency")).as("due"))),
+
+    // F6 isolated: the schedule-window filter alone, including the
+    // blank-startDate reject path (reference launcher.py:69-77 skips
+    // missing/blank startDate; blank parses to null via try_to_timestamp).
+    "f06_window_filter" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("event_id")) // narrow sort first, heavy projection above
+        .withColumn("startDate",
+          when(col("user_id") % 5 === 0, lit(""))
+            .otherwise(date_format(col("ts") - expr("INTERVAL 30 DAYS"),
+              "yyyy-MM-dd HH:mm:ss")))
+        .withColumn("endDate",
+          when(col("user_id") % 4 === 0,
+            date_format(col("ts") + expr("INTERVAL 10 DAYS"),
+              "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(lit("")))
+        .select(col("event_id"),
+          Launcher.inWindow(lit("2024-01-15 13:00:00").cast("timestamp"),
+            col("startDate"), col("endDate")).as("in_window"))),
+
+    // P21 isolated: tid-source tagging from (id, seeds) — array-first
+    // semantics (first seed of the seeds list, reference launcher.py:63-64).
+    "p21_seed_source" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .orderBy(col("event_id")).limit(500)
+        .withColumn("seeds", array(
+          concat(lit("https://h"), col("user_id"), lit(".org/")),
+          concat(lit("https://h"), col("user_id"), lit(".org/about"))))
+        .select(col("event_id"),
+          Launcher.seedSource(col("user_id"), col("seeds")).as("source"))
+        .orderBy(col("event_id"))),
+
+    // A6: launch/error counters (reference launcher.py:51-61, 207-208) —
+    // total seeds launched across valid targets plus malformed-target
+    // rejects, in ONE scan (the F5 predicate routes each row to a counter;
+    // no separate pass per metric).
+    "a06_launch_counters" -> ((s, d) => {
+      val malformed = size(col("seeds")) === 0 || col("seeds").isNull
+      graft.Tables.events(s, d)
+        .withColumn("seeds",
+          when(col("user_id") % 10 === 0, array().cast("array<string>"))
+            .otherwise(array(
+              concat(lit("https://h"), col("user_id"), lit(".org/")),
+              concat(lit("https://h"), col("user_id"), lit(".org/about")))))
+        .agg(
+          sum(when(!malformed, size(col("seeds")))).as("i_launches"),
+          count(when(malformed, 1)).as("target_errors"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +276,32 @@ object LauncherQueries {
         |        WHEN 'QUARTERLY' THEN day(now) = day(sd) AND month(now) % 3 = month(sd) % 3
         |        ELSE day(now) = day(sd) AND month(now) = month(sd) END
         |   AND hour(now) = hour(sd)) AS due
-        |FROM s ORDER BY event_id""".stripMargin
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "f06_window_filter" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |    TIMESTAMP '2024-01-15 13:00:00' AS now,
+        |    CASE WHEN user_id % 5 = 0 THEN NULL
+        |         ELSE date_trunc('second', CAST(ts AS TIMESTAMP) - INTERVAL 30 DAY) END AS sd,
+        |    CASE WHEN user_id % 4 = 0
+        |         THEN date_trunc('second', CAST(ts AS TIMESTAMP) + INTERVAL 10 DAY) END AS ed
+        |  FROM events)
+        |SELECT event_id,
+        |  (sd IS NOT NULL AND now >= sd AND (ed IS NULL OR now <= ed)) AS in_window
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "p21_seed_source" ->
+      """SELECT event_id,
+        |  'tid:' || user_id || ':' || 'https://h' || user_id || '.org/' AS source
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "a06_launch_counters" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE 2 END AS nseeds
+        |  FROM events)
+        |SELECT CAST(sum(CASE WHEN nseeds > 0 THEN nseeds END) AS BIGINT) AS i_launches,
+        |  count(CASE WHEN nseeds = 0 THEN 1 END) AS target_errors
+        |FROM s""".stripMargin
   )
 }
