@@ -66,6 +66,13 @@ object PercentileOps {
         col(valueCol).cast("double").as("__v"))
         .filter(col("__v").isNotNull)
     }.reduce(_ unionByName _)
+    // Two exchanges by design: the histogram groupBy's map-side combine
+    // collapses duplicate values BEFORE anything is shuffled, so for
+    // bounded-cardinality measures the shuffle carries distinct triples
+    // only. (A single-exchange variant — repartition on (group, measure)
+    // up front, whose partitioning satisfies both the aggregation and the
+    // windows — measured no faster here and ships raw rows, forfeiting
+    // that combine at scale.)
     val counts = exploded
       .groupBy(col(grpCol), col("__m"), col("__v"))
       .agg(count(lit(1)).as("__c"))
