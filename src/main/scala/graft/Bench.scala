@@ -95,8 +95,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(key: String => String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(key)},"failed":$failed,"flaky":$flakyJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line(identity) + "\n")
+    // Only a full-registry run may refresh the committed artifact — a
+    // SPARK_GRAFT_ONLY profiling run would silently truncate it.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line(identity) + "\n")
     // The driver line-parses the tail of combined output for bare JSON —
     // stop Spark (and silence shutdown-path logging) BEFORE printing so
     // the JSON line is the final line of the run.
