@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
@@ -71,6 +72,30 @@ object PipelineQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("bucket"))),
+
+    // The composed cleaning pass a training corpus actually runs: quality
+    // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
+    // min-id canonical) → per-(lang, source) accounting of every drop
+    // reason. Two shuffles total: the digest window and the final rollup —
+    // document text never moves, only (digest, id) pairs and counters.
+    "t07_clean_corpus" -> ((s, d) => {
+      val flagged = Tables.documents(s, d)
+        .withColumn("keep_q",
+          TextFns.qualityFeatures(col("text")).getField("keep"))
+        .withColumn("digest", md5(col("text").cast("binary")))
+        .withColumn("min_id", min(when(col("keep_q"), col("doc_id")))
+          .over(Window.partitionBy(col("digest"))))
+      flagged
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(!col("keep_q"), 1)).as("n_quality_rejected"),
+          count(when(col("keep_q") && col("doc_id") =!= col("min_id"), 1))
+            .as("n_dup_rejected"),
+          count(when(col("keep_q") && col("doc_id") === col("min_id"), 1))
+            .as("n_kept"))
+        .orderBy(col("lang"), col("source"))
+    }),
 
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
@@ -242,6 +267,24 @@ object PipelineQueries {
         |  round(avg(CASE WHEN len(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "t07_clean_corpus" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    (len(text) >= 20 AND len(text) <= 100000 AND
+        |     (len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |       / greatest(CAST(len(text) AS DOUBLE), 1.0) > 0.5) AS keep_q,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, min(CASE WHEN keep_q THEN doc_id END)
+        |              OVER (PARTITION BY digest) AS min_id
+        |  FROM f)
+        |SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  count(CASE WHEN NOT keep_q THEN 1 END) AS n_quality_rejected,
+        |  count(CASE WHEN keep_q AND doc_id <> min_id THEN 1 END) AS n_dup_rejected,
+        |  count(CASE WHEN keep_q AND doc_id = min_id THEN 1 END) AS n_kept
+        |FROM g GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "t06_hash_split" ->
       """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |            AS INTEGER) % 10 AS INT) AS bucket,

@@ -92,6 +92,24 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Full-outer join: completes the join-type surface (inner/left/semi/
+    // anti elsewhere) — low-key customers vs big-spender aggregate, with
+    // unmatched rows surviving on BOTH sides.
+    "q30_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      c.join(big, c("c_custkey") === big("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("-")).as("segment"),
+          coalesce(col("n_big"), lit(0)).as("n_big"))
+        .orderBy(col("custkey"))
+    }),
+
     // Ranking window: top-3 orders per customer (SURVEY §2.5 — the
     // "last N by recency" ranking pattern, A2/A3's deterministic form).
     "q09_topn_per_customer" -> ((s, d) => {
@@ -189,6 +207,17 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q30_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 300),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n_big FROM orders
+        |  WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, b.o_custkey) AS custkey,
+        |  coalesce(c.c_mktsegment, '-') AS segment,
+        |  CAST(coalesce(b.n_big, 0) AS BIGINT) AS n_big
+        |FROM c FULL OUTER JOIN b ON c.c_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q09_topn_per_customer" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -16,8 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 85 queries, 78 with oracles") {
-    assert(SparkEntry.queries.size === 85)
-    assert(SparkEntry.oracleSql.size === 78)
+  test("registry sizes: 87 queries, 80 with oracles") {
+    assert(SparkEntry.queries.size === 87)
+    assert(SparkEntry.oracleSql.size === 80)
   }
 }
