@@ -174,6 +174,37 @@ object AnalysisStream {
       .withWatermark(eventTsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** ST8 restart completion: read the keyed host state back from a
+    * checkpoint's state store (Spark's `statestore` batch source) and
+    * render it as the rows [[hostStats]] emits. A restarted snapshot query
+    * seeds its accumulator from this instead of waiting for every host to
+    * receive fresh traffic (update mode only re-emits touched hosts).
+    * Timestamp sentinels (no timestamped event yet) map back to nulls the
+    * same way the live emit path does. Returns an empty Dataset when the
+    * checkpoint has no committed state.
+    */
+  def rehydrateHostStats(spark: SparkSession,
+      checkpoint: String): Dataset[HostStatsRow] = {
+    import spark.implicits._
+    val committed = Files.exists(Paths.get(checkpoint, "state", "0")) &&
+      Option(Paths.get(checkpoint, "commits").toFile.list())
+        .exists(_.nonEmpty)
+    if (!committed) return spark.emptyDataset[HostStatsRow]
+    val g = "value.groupState"
+    spark.read.format("statestore").load(checkpoint)
+      .select(
+        col("key.value").as("host"),
+        when(col(s"$g.first_ts") === Long.MaxValue, lit(null))
+          .otherwise(timestamp_millis(col(s"$g.first_ts"))).as("first_ts"),
+        when(col(s"$g.last_ts") === Long.MinValue, lit(null))
+          .otherwise(timestamp_millis(col(s"$g.last_ts"))).as("last_ts"),
+        col(s"$g.total").as("total"),
+        col(s"$g.contentTypes").as("contentTypes"),
+        col(s"$g.statusCodes").as("statusCodes"),
+        col(s"$g.viaHosts").as("viaHosts"))
+      .as[HostStatsRow]
+  }
+
   /** S9/ST5: atomic JSON snapshot publication — write to tmp then rename
     * (rename is atomic on POSIX). The snapshot is bounded (top-N hosts), so
     * a driver-side collect is by design, not a scalability leak.
@@ -197,19 +228,29 @@ object AnalysisStream {
     * accumulator is pruned to `topN` each trigger, so driver memory is
     * bounded regardless of total host cardinality.
     *
-    * Restart caveat: the accumulator is in-memory only — after a restart
-    * from checkpoint the snapshot re-fills as hosts receive traffic
-    * (keyed state survives in the state store, but update mode only
-    * re-emits touched hosts). A restart-complete snapshot would need the
-    * state-store reader API to rehydrate; deferred.
+    * On restart (`rehydrate=true`, the default) the accumulator is seeded
+    * from the checkpoint's state store ([[rehydrateHostStats]]) and the
+    * seeded snapshot published immediately, so the file is restart-complete
+    * instead of re-filling as hosts receive traffic. The seed read is
+    * bounded to the top `topN` by recency before it reaches the driver.
     */
   def snapshotQuery(stats: Dataset[HostStatsRow], outPath: String,
-      topN: Int, intervalMs: Long, checkpoint: String)
+      topN: Int, intervalMs: Long, checkpoint: String,
+      rehydrate: Boolean = true)
       (implicit spark: SparkSession) = {
     import org.apache.spark.sql.streaming.Trigger
     val accumulated = scala.collection.mutable.Map[String, HostStatsRow]()
     def recency(r: HostStatsRow): Long =
       if (r.last_ts == null) Long.MinValue else r.last_ts.getTime
+    if (rehydrate) {
+      val seeded = rehydrateHostStats(spark, checkpoint)
+        .orderBy(desc("last_ts"), col("host")).limit(topN).collect()
+      if (seeded.nonEmpty) accumulated.synchronized {
+        seeded.foreach(r => accumulated(r.host) = r)
+        val ordered = accumulated.values.toSeq.sortBy(r => (-recency(r), r.host))
+        writeSnapshotRowsAtomic(ordered, outPath)
+      }
+    }
     stats.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
