@@ -45,6 +45,11 @@ object Bench {
     // run to named queries (unset in driver runs — full registry).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { ns =>
+      val unknown = ns -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(ns =>
       SparkEntry.queries.filter { case (k, _) => ns(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -45,12 +45,18 @@ import org.apache.spark.sql.functions._
 object PercentileOps {
 
   /** One row per group: `grpCol` plus one unrounded double column per
-    * requested `(percentile, alias)` across all measures, computed in a
-    * single input scan. Values are compared as doubles (the built-in also
-    * interpolates in double). Nulls in a value column are ignored,
-    * matching the built-in; a group whose values are all null disappears
-    * (the built-in would return null — callers here never feed all-null
-    * groups).
+    * requested `(percentile, alias)` across all measures. Values are
+    * compared as doubles (the built-in also interpolates in double). Nulls
+    * in a value column are ignored, matching the built-in; a group whose
+    * values are all null disappears (the built-in would return null —
+    * callers here never feed all-null groups).
+    *
+    * Input contract: `df` is read once PER MEASURE (one union branch
+    * each) — for a parquet-backed frame that is N column-pruned scans,
+    * cheaper than the one-pass explode(array(struct)) form it replaced
+    * (which allocated per-row through a generator). Callers passing an
+    * expensive computed frame should cache it first; nondeterministic
+    * inputs are out of contract (each branch would see its own snapshot).
     */
   def exactPercentilesMulti(df: DataFrame, grpCol: String,
       measures: Seq[(String, Seq[(Double, String)])]): DataFrame = {

@@ -145,17 +145,24 @@ object RelationalQueries {
     // rewrite that survives high-cardinality keys at scale.
     "q11_distinct_counts" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // count(DISTINCT x) ignores NULLs — the second-level count must skip
+      // the null-key group (which still contributes its rows to n_rows),
+      // and a flag whose partkeys are all null must survive the join with
+      // n_parts = 0, matching the oracle. TPC-H data is non-null here; the
+      // guards keep the operator, not just this dataset, oracle-equal.
       val orders = li
         .groupBy(col("l_returnflag"), col("l_orderkey"))
         .agg(count(lit(1)).as("__n"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("__n")).as("n_rows"))
+        .agg(count(when(col("l_orderkey").isNotNull, 1)).as("n_orders"),
+          sum(col("__n")).as("n_rows"))
       val parts = li
         .select(col("l_returnflag"), col("l_partkey")).distinct()
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts"))
-      orders.join(parts, Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
-          col("n_rows"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_partkey").isNotNull, 1)).as("n_parts"))
+      orders.join(parts, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_orders"),
+          coalesce(col("n_parts"), lit(0L)).as("n_parts"), col("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 

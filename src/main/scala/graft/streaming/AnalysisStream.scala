@@ -186,9 +186,16 @@ object AnalysisStream {
   def rehydrateHostStats(spark: SparkSession,
       checkpoint: String): Dataset[HostStatsRow] = {
     import spark.implicits._
-    val committed = Files.exists(Paths.get(checkpoint, "state", "0")) &&
-      Option(Paths.get(checkpoint, "commits").toFile.list())
-        .exists(_.nonEmpty)
+    // Probe through the Hadoop filesystem of the checkpoint URI — a
+    // java.nio probe would silently report "no state" for file:/// URIs or
+    // any non-local checkpoint and disable rehydration exactly where it
+    // matters.
+    val commitsPath = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = commitsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = fs.exists(commitsPath) &&
+      fs.listStatus(commitsPath).exists(f =>
+        !f.getPath.getName.startsWith(".")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(checkpoint, "state/0"))
     if (!committed) return spark.emptyDataset[HostStatsRow]
     val g = "value.groupState"
     spark.read.format("statestore").load(checkpoint)

@@ -138,4 +138,18 @@ class LauncherSpec extends AnyFunSuite with SparkSpec {
     val rejects = Launcher.malformedTargets(specs).collect()
     assert(rejects.map(_.getLong(0)).toSeq === Seq(3L))
   }
+
+  test("f07/f06 emit totally ordered output without a top-level ORDER BY") {
+    // Both queries sort the NARROW raw columns mid-plan and project the
+    // heavy date work above the sort (so the range-sampling pass doesn't
+    // run it twice). The oracle compare is ordered, so this pins the
+    // order-preservation invariant (Project stays above Sort; coalesce(1)
+    // concatenates range partitions in order) against future plan changes.
+    for (q <- Seq("f07_schedule_due", "f06_window_filter")) {
+      val ids = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"$q output not sorted by event_id")
+      assert(ids.nonEmpty)
+    }
+  }
 }
