@@ -202,7 +202,31 @@ object CrawlParityQueries {
     "p05_null_dash" ->
       """SELECT CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
         |            ELSE '-' END AS shown, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY shown""".stripMargin
-    // p19_authority_key: intentionally no oracle (rows-only check)
+        |FROM events GROUP BY 1 ORDER BY shown""".stripMargin,
+    // p19: the key column is a cross-IMPLEMENTATION differential — the hex
+    // vectors below were computed by an independent pure-Python
+    // murmur3_x86_32 (public Appleby algorithm, validated against the
+    // reference's example.org → df8c385f vector), NOT by this engine.
+    // Screenshot ('view') rows parse to a null host → null key group.
+    "p19_authority_key" ->
+      """WITH h AS (
+        |  SELECT CASE WHEN event_type = 'view' THEN NULL
+        |              ELSE 'host' || (user_id % 20) || '.example.org' END AS host
+        |  FROM events),
+        |c AS (SELECT host, count(*) AS n FROM h GROUP BY host),
+        |k(host, key) AS (VALUES
+        |  ('host0.example.org', 'bfa69726'), ('host1.example.org', '0e9b1d9b'),
+        |  ('host2.example.org', '10b38893'), ('host3.example.org', 'fd97ba9f'),
+        |  ('host4.example.org', '9b1e1955'), ('host5.example.org', '3ecacca5'),
+        |  ('host6.example.org', '3e978705'), ('host7.example.org', 'ff0a5425'),
+        |  ('host8.example.org', '1bbf9005'), ('host9.example.org', '941a40ac'),
+        |  ('host10.example.org', '99d1f885'), ('host11.example.org', '31b38e6c'),
+        |  ('host12.example.org', 'af84c2f3'), ('host13.example.org', 'cfa26e2f'),
+        |  ('host14.example.org', 'c0ecd0a6'), ('host15.example.org', 'a78bd810'),
+        |  ('host16.example.org', '8d3fdbbf'), ('host17.example.org', 'c7d43448'),
+        |  ('host18.example.org', 'c78ff6e4'), ('host19.example.org', 'b6fc84e1'))
+        |SELECT k.key AS key, c.host AS host, c.n AS n
+        |FROM c LEFT JOIN k USING (host)
+        |ORDER BY key, host""".stripMargin
   )
 }
