@@ -314,16 +314,21 @@ object ExtendedQueries {
     // plan; document payloads never shuffle, only (term, doc_id) pairs.
     "q19_tfidf_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count() // corpus size — tiny driver scalar, not a collect of rows
+      // corpus size as a broadcast 1-row join, not a driver-side count():
+      // keeps the whole computation ONE plan (a build-time count() re-runs
+      // as its own job on every execution of the query)
+      val n = docs.agg(count(lit(1)).as("__corpus_n"))
       docs
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.TextFns.tokens(col("text"))))
             .as("term"))
         .groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(n))
         .withColumn("idf",
-          round(log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+          round(log((col("__corpus_n") + 1.0) / (col("df") + 1.0)), 6))
         .filter(col("df") >= 10)
+        .select(col("term"), col("df"), col("idf"))
         .orderBy(col("term"))
     }),
 
