@@ -8,8 +8,53 @@ import org.apache.spark.sql.SparkSession
   * Session/table warmup happens before any timing so the first measured
   * query doesn't absorb JVM/codegen/file-cache startup; queries run in
   * sorted name order for run-to-run comparability.
+  *
+  * Output protocol (round-critical, spec-pinned in BenchLineSpec): the
+  * driver captures only the last ~2.9 KB of combined output and
+  * line-parses it for bare JSON, so the line must (a) be the LAST line
+  * printed — Spark is stopped and quieted first, sbt's logger prefix and
+  * success banner are disabled in build.sbt — and (b) stay well under the
+  * capture window: per-query keys are abbreviated (id prefix + word
+  * initials, collisions fall back to the full name) at 3 dp. The
+  * full-name line is written to BENCH_FULL.json for the permanent record.
   */
 object Bench {
+
+  /** 3-dp rendering; failures are the sentinel -1. */
+  private[graft] def r3(v: Double): String =
+    if (v < 0) "-1"
+    else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Abbreviated key per query name: id prefix + word initials
+    * (`a04_counter_map` → `a04cm`); names whose abbreviation collides
+    * keep their full name so keys stay unique.
+    */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    val raw = names.map { k =>
+      val parts = k.split('_')
+      k -> (parts.head + parts.tail.map(_.head).mkString)
+    }.toMap
+    val counts = raw.values.groupBy(identity).view.mapValues(_.size)
+    raw.map { case (k, s) => k -> (if (counts(s) > 1) k else s) }
+  }
+
+  /** The one-line JSON protocol record. `results` in report order;
+    * failed queries carry a negative time and are excluded from the
+    * total. `key` maps a query name to its printed key.
+    */
+  private[graft] def renderLine(results: Seq[(String, Double)],
+      flaky: Seq[String], sfDir: String,
+      key: String => String): String = {
+    val qs = results
+      .map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -75,42 +120,19 @@ object Bench {
         (name, (first +: retries.filter(_ >= 0)).min)
       }
     }
-    // The driver captures only the last ~2.9 KB of output, and full query
-    // names at 76+ queries overflowed that in rounds 1 AND 2 ("parsed":
-    // null). The printed line therefore uses abbreviated per-query keys
-    // (id prefix + word initials: a04_counter_map → a04cm; collisions fall
-    // back to the full name) at 3 dp — ~1.2 KB at 77 queries. The full-name
-    // map is written to BENCH_FULL.json alongside for the permanent record.
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val shortOf: Map[String, String] = {
-      val raw = results.map { case (k, _) =>
-        val parts = k.split('_')
-        k -> (parts.head + parts.tail.map(_.head).mkString)
-      }.toMap
-      val counts = raw.values.groupBy(identity).view.mapValues(_.size)
-      raw.map { case (k, s) => k -> (if (counts(s) > 1) k else s) }
-    }
-    def qsJson(key: String => String): String = results
-      .map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
-    val flakyJson = flaky.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    def line(key: String => String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(key)},"failed":$failed,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    val short = shortKeys(results.map(_._1))
     // Only a full-registry run may refresh the committed artifact — a
     // SPARK_GRAFT_ONLY profiling run would silently truncate it.
     if (only.isEmpty)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), line(identity) + "\n")
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        renderLine(results, flaky.toSeq, sfDir, identity) + "\n")
     // The driver line-parses the tail of combined output for bare JSON —
     // stop Spark (and silence shutdown-path logging) BEFORE printing so
     // the JSON line is the final line of the run.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(line(shortOf))
+    println(renderLine(results, flaky.toSeq, sfDir, short))
     System.out.flush()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench output line is the driver's only machine-readable performance
+  * record (it tail-captures ~2.9 KB of output and line-parses for bare
+  * JSON) — pin the protocol: valid single-line JSON, abbreviated unique
+  * keys, failure/flaky accounting, and a size budget at full registry
+  * scale.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def parse(line: String): Map[String, Any] = {
+    // dependency-free structural checks: no JSON lib on the main classpath
+    assert(!line.contains("\n"))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    Map.empty
+  }
+
+  test("renderLine emits one valid line; failures excluded from total") {
+    val line = Bench.renderLine(
+      Seq("a01_x" -> 0.5, "b02_y" -> -1.0, "c03_z" -> 0.25),
+      flaky = Seq("c03_z"), sfDir = "/sf", key = identity)
+    parse(line)
+    assert(line.contains(""""value":0.75""")) // 0.5 + 0.25, -1 excluded
+    assert(line.contains(""""b02_y":-1"""))
+    assert(line.contains(""""failed":["b02_y"]"""))
+    assert(line.contains(""""flaky":["c03_z"]"""))
+    assert(line.contains(""""sf":"/sf""""))
+  }
+
+  test("shortKeys abbreviate uniquely; collisions fall back to full names") {
+    val ks = Bench.shortKeys(Seq("a04_counter_map", "a04_cool_mix", "q01_agg"))
+    // a04_counter_map and a04_cool_mix both abbreviate to a04cm → both
+    // keep their full names; q01_agg abbreviates freely
+    assert(ks("a04_counter_map") === "a04_counter_map")
+    assert(ks("a04_cool_mix") === "a04_cool_mix")
+    assert(ks("q01_agg") === "q01a")
+    assert(ks.values.toSeq.distinct.size === ks.size)
+  }
+
+  test("full-registry line fits the driver's capture window with margin") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val short = Bench.shortKeys(names)
+    assert(short.values.toSeq.distinct.size === names.size, "key collision")
+    val line = Bench.renderLine(names.map(_ -> 99.999), Seq.empty,
+      "/root/testdata/sf0.1", short)
+    assert(line.length < 2300,
+      s"bench line ${line.length} B — too close to the ~2.9 KB tail capture")
+  }
+
+  test("3dp rendering: rounding and failure sentinel") {
+    assert(Bench.r3(1.23456) === "1.235")
+    assert(Bench.r3(0.0004) === "0.000")
+    assert(Bench.r3(-1.0) === "-1")
+  }
+}
