@@ -44,6 +44,21 @@ object ExtendedQueries {
         FROM daily ORDER BY event_type, day""")
     }),
 
+    // GROUPING SETS through the SQL entry point — the explicit form of
+    // the q10 rollup / q14 cube family (arbitrary grouping combinations
+    // in one pass; one Expand, one shuffle).
+    "q31_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v31")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders_v31
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    }),
+
     // A5: host summary with first-seen via (report.py:126-165) — min_by
     // over event time with a FILTER clause excluding self-referring vias.
     "a05_first_via" -> ((s, d) =>
@@ -358,6 +373,14 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "q29_sql_text" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -16,8 +16,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 87 queries, 81 with oracles") {
-    assert(SparkEntry.queries.size === 87)
-    assert(SparkEntry.oracleSql.size === 81)
+  test("registry sizes: 88 queries, 82 with oracles") {
+    assert(SparkEntry.queries.size === 88)
+    assert(SparkEntry.oracleSql.size === 82)
   }
 }
