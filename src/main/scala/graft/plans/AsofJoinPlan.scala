@@ -40,8 +40,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Semantics (pinned by the DuckDB ASOF differential in the q17 oracle):
   * for each left row, the right row with the greatest ts ≤ left.ts
   * (strictly < when `strict`) within the same key group; ties on equal
-  * right (key, ts) resolve to the LAST right row in (keys, ts, arrival)
-  * sort order. Null timestamps order nulls-first (the composed form's
+  * right (key, ts) resolve to the GREATEST payload tuple under native-type
+  * ordering (the right sort appends the payload when orderable —
+  * deterministic across runs and task retries; unorderable payloads fall
+  * back to arrival order). Key/ts types align on the WIDER common type
+  * (never narrowing — a right TIMESTAMP is not truncated to a left DATE),
+  * and float keys normalize (-0.0 ≡ 0.0, canonical NaN) like Spark's own
+  * join keys. Null timestamps order nulls-first (the composed form's
   * asc_nulls_first window sort): a null-ts right row is "before" every
   * timestamp, a null-ts left row only matches null-ts right rows.
   *
@@ -68,6 +73,17 @@ object AsofJoinPlan {
     require(leftKeys.nonEmpty, "as-of join requires at least one key")
     override def output: Seq[Attribute] = left.output ++ outAttrs
     override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+    // Output is exactly one row per left row — without this override the
+    // generic stats visitor estimates an unknown binary node as the PRODUCT
+    // of its children's sizes, which poisons every broadcast/CBO decision
+    // above the join (a 1 GB ⋈ 1 MB asof would "weigh" a petabyte). The
+    // right side contributes at most the carried payload per row; its full
+    // size is a safe linear upper bound for the payload columns.
+    override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+        rowCount = left.stats.rowCount)
+    override def maxRows: Option[Long] = left.maxRows
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
       copy(left = newLeft, right = newRight)
@@ -107,34 +123,72 @@ object AsofJoinPlan {
       .intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"output column(s) ${collisions.mkString(", ")} already exist on the left side")
-    val lTsType = left.schema(leftTs).dataType
-    // prune right to keys+ts+payload, fresh exprIds (self-join safe), and
-    // align the right ts AND key types with the left (int-vs-bigint drift,
-    // date vs timestamp): the exec hashes and compares each side with the
-    // LEFT types, so an unaligned right key would mis-partition silently.
-    // ANSI cast turns an unrepresentable right key into a runtime error
-    // instead of a wrong answer.
-    val keyCasts = keys.map { k =>
-      val lt = left.schema(k).dataType
-      if (right.schema(k).dataType == lt) col(k).as(k)
-      else col(k).cast(lt).as(k)
+    // Fail API-side with clear messages instead of deep inside planning:
+    // duplicate payloads produce ambiguous asof_* columns; a payload that
+    // repeats a key or the ts column would duplicate names in the pruned
+    // projection; map-typed keys are neither hashable nor orderable.
+    require(payloadCols.distinct == payloadCols,
+      s"duplicate payload columns: ${payloadCols.diff(payloadCols.distinct).mkString(", ")}")
+    require(!payloadCols.contains(rightTs),
+      s"payload may not repeat the timestamp column '$rightTs' — alias it on the right side first")
+    require(keys.forall(!payloadCols.contains(_)),
+      "payload may not repeat a join key — key values are already on every left row")
+    keys.foreach { k =>
+      require(RowOrdering.isOrderable(left.schema(k).dataType),
+        s"join key '$k' has unorderable type ${left.schema(k).dataType} — " +
+          "as-of joins hash-partition and sort on the keys")
+    }
+    // Align each key and the timestamp on the WIDER of the two sides' types
+    // (never narrow): casting right timestamps down to a left DATE would
+    // truncate them and match right rows that are actually AFTER the left
+    // event — the composed form's unionByName promotes to the wider type,
+    // and this operator documents the same contract. Mixed types with no
+    // common widening are a caller error.
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    def wider(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType, what: String) =
+      if (a == b) a
+      else TypeCoercion.findWiderTypeForTwo(a, b).getOrElse(
+        throw new IllegalArgumentException(
+          s"no common type for $what: $a vs $b"))
+    val keyTypes = keys.map(k =>
+      k -> wider(left.schema(k).dataType, right.schema(k).dataType, s"key '$k'"))
+    val tsWide = wider(left.schema(leftTs).dataType,
+      right.schema(rightTs).dataType, "timestamp")
+    // prune right to keys+ts+payload with fresh exprIds (self-join safe),
+    // casting up to the common types; ANSI cast turns an unrepresentable
+    // value into a runtime error instead of a wrong answer.
+    val keyCasts = keyTypes.map { case (k, wt) =>
+      if (right.schema(k).dataType == wt) col(k).as(k) else col(k).cast(wt).as(k)
     }
     val rPruned = right.select(
-      (keyCasts :+ col(rightTs).as(rightTs)) ++ payloadCols.map(c => col(c).as(c)): _*)
-      .withColumn(rightTs, col(rightTs).cast(lTsType))
+      (keyCasts :+ col(rightTs).cast(tsWide).as(rightTs)) ++
+        payloadCols.map(c => col(c).as(c)): _*)
     val lPlan = plan(left)
     val rPlan = plan(rPruned)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${p.output.map(_.name).mkString(",")}"))
+    // Left-side comparison expressions: cast up where the right was wider,
+    // and normalize floating-point keys (-0.0 → 0.0, canonical NaN) on BOTH
+    // sides — Spark's NormalizeFloatingNumbers rule covers only its own
+    // operators, so without this a DoubleType key of -0.0 would hash to a
+    // different partition than 0.0 and silently miss its match. The casts
+    // feed only partitioning/ordering/comparison; output columns keep their
+    // original left types.
+    def widened(a: Attribute, wt: org.apache.spark.sql.types.DataType): Expression =
+      if (a.dataType == wt) a
+      else org.apache.spark.sql.catalyst.expressions.Cast(a, wt)
+    def keyExpr(p: LogicalPlan)(kt: (String, org.apache.spark.sql.types.DataType)): Expression =
+      ColumnBridge.normalizeFloats(widened(attr(p, kt._1), kt._2))
     val payload = payloadCols.map(attr(rPlan, _))
     val outAttrs = payload.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
     ColumnBridge.ofRows(spark, AsofJoinNode(
       lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      keyTypes.map(keyExpr(lPlan)), keyTypes.map(keyExpr(rPlan)),
+      widened(attr(lPlan, leftTs), tsWide), attr(rPlan, rightTs),
       payload, outAttrs, strict))
   }
 
@@ -173,9 +227,18 @@ case class AsofJoinExec(
     ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
       ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
 
+  // Right side additionally sorts by the payload when every payload column
+  // is orderable: duplicate right (key, ts) rows then resolve "last wins"
+  // to the GREATEST payload tuple under native-type ordering — a
+  // deterministic answer across runs and task retries, where bare
+  // (keys, ts) sorting leaves equal rows in shuffle-arrival order. (With
+  // an unorderable payload type the tie-break stays arrival-order;
+  // callers wanting determinism pre-dedupe right to unique (key, ts).)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    ((rightKeys :+ rightTs) ++
+      (if (payload.forall(p => RowOrdering.isOrderable(p.dataType))) payload
+       else Nil)).map(SortOrder(_, Ascending)))
 
   // left rows stream through in order, so the input sort is preserved
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
@@ -189,12 +252,15 @@ case class AsofJoinExec(
     val nPayload = outAttrs.length
     val leftOutput = left.output
     val rightOutput = right.output
+    // local copies so the zipPartitions closure captures plain values, not
+    // `this` (which would serialize the whole operator subtree per task) —
+    // every operator field referenced below MUST be mirrored here
     val lKeysB = leftKeys
     val rKeysB = rightKeys
     val lTsB = leftTs
     val rTsB = rightTs
     val payloadB = payload
-    val outputB = output
+    val outAttrsB = outAttrs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // ONE combined (keys, ts) projection per side: the full lexicographic
       // compare IS the advance decision (rKey < lKey, or equal keys with
@@ -211,11 +277,11 @@ case class AsofJoinExec(
         .GenerateUnsafeRowJoiner.create(
           org.apache.spark.sql.types.StructType(leftOutput.map(a =>
             org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))),
-          org.apache.spark.sql.types.StructType(outAttrs.map(a =>
+          org.apache.spark.sql.types.StructType(outAttrsB.map(a =>
             org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
       // sorts upstream emit UnsafeRow; the projection is a safety net only
       val toUnsafeLeft = UnsafeProjection.create(leftOutput, leftOutput)
-      val nullPayload = UnsafeProjection.create(outAttrs, outAttrs)(
+      val nullPayload = UnsafeProjection.create(outAttrsB, outAttrsB)(
         new GenericInternalRow(nPayload)).copy()
       val rBuf = rIter.buffered
 

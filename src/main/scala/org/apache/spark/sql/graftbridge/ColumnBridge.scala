@@ -39,4 +39,13 @@ object ColumnBridge {
       spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.execution.SparkStrategy] =
     e.buildPlannerStrategies(spark)
+
+  /** `NormalizeFloatingNumbers.normalize` is private[sql]: canonicalizes
+    * -0.0 → 0.0 and NaN bit patterns (incl. nested in structs/arrays) so
+    * float-typed expressions hash and compare consistently — what Spark
+    * applies to its own join/grouping keys, exposed for custom operators'
+    * keys.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

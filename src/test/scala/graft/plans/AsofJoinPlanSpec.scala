@@ -216,4 +216,78 @@ class AsofJoinPlanSpec extends AnyFunSuite with SparkSpec {
       .findAllIn(plan.replace("\n", " ")).length
     assert(nShuffles <= 2, s"expected ≤2 shuffles:\n$plan")
   }
+
+  test("type alignment widens, never narrows: left DATE vs right TIMESTAMP") {
+    // A right row later the same day must NOT match a left DATE row — a
+    // narrowing timestamp→date cast would truncate it into equality and
+    // leak future data into the temporal join.
+    val l = Seq((1L, "k", java.sql.Date.valueOf("2024-01-02")))
+      .toDF("id", "k", "ts")
+    val r = Seq(("k", ts("2024-01-02 23:00:00"), "future"),
+      ("k", ts("2024-01-01 05:00:00"), "past"))
+      .toDF("k", "rts", "payload")
+    val got = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("payload"))
+      .collect().map(_.getAs[String]("asof_payload")).toSeq
+    assert(got === Seq("past"))
+    // composed form agrees (unionByName promotes to the wider type)
+    val composed = AsofJoin.asof(l, r, Seq("k"), "ts", "rts", Seq("payload"))
+      .collect().map(_.getAs[String]("asof_payload")).toSeq
+    assert(composed === Seq("past"))
+  }
+
+  test("float keys normalize: -0.0 and 0.0 (and NaNs) meet in one group") {
+    val l = Seq((1L, -0.0, ts("2024-01-01 12:00:00")),
+      (2L, Double.NaN, ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "ts")
+    val r = Seq((0.0, ts("2024-01-01 10:00:00"), "zero"),
+      (Double.NaN, ts("2024-01-01 10:00:00"), "nan"))
+      .toDF("k", "rts", "payload")
+    val got = AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("payload"))
+      .orderBy("id").collect().map(_.getAs[String]("asof_payload")).toSeq
+    assert(got === Seq("zero", "nan"),
+      "float keys must normalize like Spark's own join keys")
+  }
+
+  test("duplicate right (key, ts) tie-break is deterministic: greatest payload wins") {
+    val l = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("id", "k", "ts")
+    // same (key, ts); payloads 9 and 10 — native-type ordering picks 10
+    // (the composed form's stringified tiebreak picks "9"; divergence
+    // documented on AsofJoin.asof)
+    val r = Seq(("k", ts("2024-01-01 10:00:00"), 9L),
+      ("k", ts("2024-01-01 10:00:00"), 10L))
+      .toDF("k", "rts", "payload").repartition(4) // scatter across tasks
+    val runs = (1 to 3).map { _ =>
+      AsofJoinPlan.asof(l, r, Seq("k"), "ts", "rts", Seq("payload"))
+        .collect().map(_.getAs[Long]("asof_payload")).toSeq
+    }
+    assert(runs.forall(_ === Seq(10L)), s"nondeterministic tie-break: $runs")
+  }
+
+  test("API-side validation: duplicate/colliding payloads, unorderable keys") {
+    intercept[IllegalArgumentException] {
+      AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts",
+        Seq("payload", "payload"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("rts"))
+    }
+    val mapKeyed = Seq((1L, Map("a" -> 1), ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "ts")
+    intercept[IllegalArgumentException] {
+      AsofJoinPlan.asof(mapKeyed, mapKeyed
+        .withColumnRenamed("ts", "rts").withColumn("payload", lit("x")),
+        Seq("k"), "ts", "rts", Seq("payload"))
+    }
+  }
+
+  test("node stats are linear in the inputs, not the children's product") {
+    val df = AsofJoinPlan.asof(left, right, Seq("k"), "ts", "rts", Seq("payload"))
+    val node = df.queryExecution.analyzed.collectFirst {
+      case n: AsofJoinPlan.AsofJoinNode => n
+    }.get
+    val l = node.left.stats.sizeInBytes
+    val r = node.right.stats.sizeInBytes
+    assert(node.stats.sizeInBytes === l + r,
+      s"expected linear size estimate, got ${node.stats.sizeInBytes} for children $l × $r")
+  }
 }
