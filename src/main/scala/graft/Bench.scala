@@ -42,6 +42,21 @@ object Bench {
     * failed queries carry a negative time and are excluded from the
     * total. `key` maps a query name to its printed key.
     */
+  /** Per-query measurement policy: a FIRST-run failure is terminal
+    * ((-1, not-flaky) — never retried into a success, so the bench can't
+    * mask a broken query as a fast one); a successful first run takes
+    * best-of-three against ambient scheduler/page-cache noise, and a retry
+    * failure AFTER a successful first run reports (best success, flaky).
+    */
+  private[graft] def measure(once: () => Double): (Double, Boolean) = {
+    val first = once()
+    if (first < 0) (-1.0, false)
+    else {
+      val retries = Seq(once(), once())
+      ((first +: retries.filter(_ >= 0)).min, retries.exists(_ < 0))
+    }
+  }
+
   private[graft] def renderLine(results: Seq[(String, Double)],
       flaky: Seq[String], sfDir: String,
       key: String => String): String = {
@@ -112,13 +127,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      val first = once()
-      if (first < 0) (name, -1.0)
-      else {
-        val retries = Iterator.continually(once()).take(2).toSeq
-        if (retries.exists(_ < 0)) flaky += name
-        (name, (first +: retries.filter(_ >= 0)).min)
-      }
+      val (best, isFlaky) = measure(() => once())
+      if (isFlaky) flaky += name
+      (name, best)
     }
     val short = shortKeys(results.map(_._1))
     // Only a full-registry run may refresh the committed artifact — a

@@ -124,21 +124,38 @@ object StreamerMain {
       ts < lit(endIso).cast("timestamp"))
   }
 
-  def main(args: Array[String]): Unit = {
-    if (args.length < 3) { System.err.println(usage); sys.exit(2) }
-    val Array(input, startIso, endIso, rest @ _*) = args
-    val (limit, outDir) = rest match {
-      case Seq() => (None, None)
-      case Seq("--limit", n, tail @ _*) if tail.length <= 1 =>
-        val parsed = n.toIntOption.filter(_ >= 0)
-        if (parsed.isEmpty) {
-          System.err.println(s"--limit requires a non-negative integer, got '$n'\n$usage")
-          sys.exit(2)
+  /** Parsed CLI invocation: positional input/range, optional limit/outDir. */
+  private[graft] final case class StreamerArgs(input: String, startIso: String,
+      endIso: String, limit: Option[Int], outDir: Option[String])
+
+  /** Pure arg parsing (unit-testable; main only adds exit/stderr plumbing).
+    * `--limit` is an explicit flag — never inferred from a digits-only
+    * positional — and a trailing positional is the output directory.
+    */
+  private[graft] def parseArgs(args: Seq[String]): Either[String, StreamerArgs] =
+    args match {
+      case Seq(input, startIso, endIso, rest @ _*) =>
+        rest match {
+          case Seq() => Right(StreamerArgs(input, startIso, endIso, None, None))
+          case Seq("--limit", n, tail @ _*) if tail.length <= 1 =>
+            n.toIntOption.filter(_ >= 0)
+              .toRight(s"--limit requires a non-negative integer, got '$n'")
+              .map(l => StreamerArgs(input, startIso, endIso, Some(l), tail.headOption))
+          case Seq(dir) if !dir.startsWith("--") =>
+            Right(StreamerArgs(input, startIso, endIso, None, Some(dir)))
+          case other => Left(s"unrecognized arguments: ${other.mkString(" ")}")
         }
-        (parsed, tail.headOption)
-      case Seq(dir) => (None, Some(dir))
-      case _ => System.err.println(usage); sys.exit(2); (None, None)
+      case _ => Left("expected at least <input.jsonl> <startIso> <endIso>")
     }
+
+  def main(args: Array[String]): Unit = {
+    val StreamerArgs(input, startIso, endIso, limit, outDir) =
+      parseArgs(args.toSeq) match {
+        case Right(parsed) => parsed
+        case Left(err) =>
+          System.err.println(s"$err\n$usage"); sys.exit(2)
+          throw new IllegalStateException("unreachable")
+      }
     val spark = JobSession.local("graft-streamer")
     val ranged = timeRange(spark.read.text(input), startIso, endIso)
     val bounded = limit.fold(ranged)(ranged.limit)

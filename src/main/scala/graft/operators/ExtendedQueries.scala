@@ -337,8 +337,11 @@ object ExtendedQueries {
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.TextFns.tokens(col("text"))))
             .as("term"))
+        // array_distinct above makes every (term, doc_id) pair unique, so
+        // df = count(*) — a distinct aggregate here would plan a second
+        // aggregate phase to deduplicate pairs that are already unique
         .groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .withColumn("idf",
           round(log((col("__corpus_n") + 1.0) / (col("df") + 1.0)), 6))

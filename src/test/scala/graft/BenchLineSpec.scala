@@ -49,6 +49,26 @@ class BenchLineSpec extends AnyFunSuite {
       s"bench line ${line.length} B — too close to the ~2.9 KB tail capture")
   }
 
+  test("measure: first-run failure is terminal, never retried to success") {
+    var calls = 0
+    val (t, flaky) = Bench.measure(() => { calls += 1; -1.0 })
+    assert(t === -1.0 && !flaky)
+    assert(calls === 1, "a failed first run must not be retried")
+  }
+
+  test("measure: clean best-of-three is not flaky") {
+    val runs = Iterator(0.9, 0.4, 0.6)
+    val (t, flaky) = Bench.measure(() => runs.next())
+    assert(t === 0.4 && !flaky)
+  }
+
+  test("measure: retry failure after a successful first run marks flaky") {
+    val runs = Iterator(0.9, -1.0, 0.5)
+    val (t, flaky) = Bench.measure(() => runs.next())
+    assert(t === 0.5, "best SUCCESSFUL time wins")
+    assert(flaky, "a post-success failure must surface as flaky")
+  }
+
   test("3dp rendering: rounding and failure sentinel") {
     assert(Bench.r3(1.23456) === "1.235")
     assert(Bench.r3(0.0004) === "0.000")
