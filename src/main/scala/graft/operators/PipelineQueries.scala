@@ -9,8 +9,11 @@ import graft.functions.TextFns
 /** [Q] registry for the training-data pipeline operators (builder brief):
   * text analysis, dedup, similarity search, multimodal metadata — over the
   * documents/embeddings tables. SQL-expressible ops carry DuckDB oracles;
-  * signature-based ops (minhash/simhash/fingerprint, engine-specific
-  * hashing) are rows-only here and pinned by ScalaTest fixtures instead.
+  * signature-based ops (minhash/simhash/fingerprint/lang-id) carry
+  * cross-implementation VALUES oracles ([[SignatureVectors]], the p19
+  * murmur3 recipe) — only a09's HLL++ sketch stays rows-only (the sketch
+  * is legitimately engine-specific; its error bound vs exact is pinned in
+  * PipelineOpsSpec instead).
   */
 object PipelineQueries {
 
@@ -44,15 +47,17 @@ object PipelineQueries {
           round(avg(TextFns.tokenCount(col("text"))), 4).as("avg_tokens"))
         .orderBy(col("source"), col("lang"))),
 
-    // Lang-ID heuristic: rows-only on synthetic word-salad text (real
-    // markers pinned in TextFnsSpec on real-language fixtures).
+    // Lang-ID heuristic: cross-implementation oracle (independent Python
+    // regex scorer over the same corpus → expected per-language counts);
+    // real-language markers additionally pinned in TextFnsSpec.
     "t04_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(TextFns.langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
-    // Rolling-hash fingerprint: engine-specific hash → rows-only.
+    // Rolling-hash fingerprint: cross-implementation oracle (independent
+    // Python xxHash64 + polynomial fold → per-doc expected values).
     "t05_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -120,8 +125,9 @@ object PipelineQueries {
         .orderBy(col("id_a"))
     }),
 
-    // MinHash-LSH near-dup candidates (engine-hash-specific → rows-only;
-    // recall/precision pinned on planted dups in DedupSpec).
+    // MinHash signatures: cross-implementation oracle (independent Python
+    // xxHash64/LCG/universal-hash pipeline → per-doc expected signatures);
+    // LSH recall/precision additionally pinned on planted dups in DedupSpec.
     "d04_minhash_signatures" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -193,8 +199,10 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Hyperplane-LSH near-dup candidates (engine-seeded sketch → rows-only;
-    // planted-pair recall pinned in PipelineOpsSpec).
+    // Hyperplane-LSH near-dup candidates: the sketch ints are engine-
+    // exported (arbitrary by construction — seeded planes), and the full
+    // downstream band/bucket/pair/cosine pipeline is oracled in DuckDB;
+    // planted-pair recall additionally pinned in PipelineOpsSpec.
     "s04_lsh_neardup" -> ((s, d) =>
       SimilarityOps.lshNearDupPairs(Tables.embeddings(s, d), 0.2, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
@@ -235,6 +243,58 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Cross-IMPLEMENTATION oracles (the p19 murmur3 recipe): the VALUES
+    // rows in SignatureVectors were computed by an independent pure-Python
+    // implementation of each public algorithm over the same corpus —
+    // xxHash64 from the public spec, java.util.Random's published LCG for
+    // the (a·x+b) mod p minhash family, sign-vote SimHash, the polynomial
+    // rolling hash, and the regex stopword lang-id — NOT by this engine.
+    // LEFT JOIN from documents keeps a row (as a visible null mismatch)
+    // if either side ever covers a different doc set.
+    "d04_minhash_signatures" ->
+      s"""WITH k(doc_id, sig_csv) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.d04Minhash)})
+         |SELECT d.doc_id, k.sig_csv
+         |FROM documents d LEFT JOIN k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "d05_simhash_signatures" ->
+      s"""WITH k(doc_id, simhash) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.d05Simhash)})
+         |SELECT d.doc_id, CAST(k.simhash AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t05_fingerprint" ->
+      s"""WITH k(doc_id, fingerprint) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.t05Fingerprint)})
+         |SELECT d.doc_id, CAST(k.fingerprint AS BIGINT) AS fingerprint
+         |FROM documents d LEFT JOIN k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t04_lang_id" ->
+      s"""WITH k(lang_pred, n) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.t04LangCounts)})
+         |SELECT lang_pred, CAST(n AS BIGINT) AS n FROM k
+         |ORDER BY lang_pred""".stripMargin,
+    // s04: the 32-bit hyperplane sketch is arbitrary by construction
+    // (seeded pseudo-random planes), so the sketch ints are engine-exported
+    // (graft.tools.SketchDump — integer export, no float-literal formatting
+    // at sign boundaries) and everything downstream of them — band slicing,
+    // bucketed pair generation, distinctness, exact-cosine verify,
+    // threshold — is independently recomputed here.
+    "s04_lsh_neardup" ->
+      s"""WITH sk(id, sketch) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.s04Sketch)}),
+         |v AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vv, sk.sketch
+         |      FROM embeddings e JOIN sk ON sk.id = e.vec_id),
+         |sl AS (SELECT v.id, s.slice, (v.sketch >> (s.slice * 8)) & 255 AS slice_key
+         |       FROM v, (VALUES (0), (1), (2), (3)) s(slice)),
+         |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |      FROM sl a JOIN sl b ON a.slice = b.slice
+         |                         AND a.slice_key = b.slice_key
+         |                         AND a.id < b.id)
+         |SELECT p.id_a, p.id_b, round(list_cosine_similarity(va.vv, vb.vv), 6) AS sim
+         |FROM p JOIN v va ON va.id = p.id_a JOIN v vb ON vb.id = p.id_b
+         |WHERE list_cosine_similarity(va.vv, vb.vv) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
