@@ -108,6 +108,33 @@ object TextFns {
       (len >= 20 && len <= 100000 && nAlpha / safeLen > 0.5).as("keep"))
   }
 
+  /** Gopher-style intra-document repetition signals as one struct:
+    * duplicate-token fraction, most-frequent-token fraction (the max run
+    * length in the SORTED token array — a single fold, no map-building),
+    * duplicate-2-gram fraction. Per-row array algebra only — no explode,
+    * no shuffle; ratios are exact integer-count divisions rounded at 6
+    * for cross-engine comparison.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val toks = tokens(text)
+    val topRun = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val n = size(toks).cast("double")
+    val distinct2 = size(wordShinglesFromTokens(toks, 2)).cast("double")
+    struct(
+      round(lit(1.0) - size(array_distinct(toks)) / n, 6).as("dup_token_frac"),
+      round(topRun / n, 6).as("top_token_frac"),
+      when(n > 1, round(lit(1.0) - distinct2 / (n - 1.0), 6)).otherwise(0.0)
+        .as("dup_2gram_frac"))
+  }
+
   // ---------------------------------------------------------------- lang id
 
   /** Stopword marker sets for the n-gram language-ID heuristic. Scores are

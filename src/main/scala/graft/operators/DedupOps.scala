@@ -32,6 +32,27 @@ object DedupOps {
   // Catalyst/AQE picks SMJ — the hint is advisory, not load-bearing.
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
+  /** Train/eval decontamination: per corpus doc, how many of its distinct
+    * word n-grams appear anywhere in the benchmark set (docs sharing any
+    * n-gram are contamination suspects). The benchmark shingle set is tiny
+    * relative to the corpus → broadcast join, so corpus shingles never
+    * shuffle; for very large eval suites drop the hint and the same plan
+    * becomes a shingle-keyed shuffle join. `wordShingles` is per-doc
+    * distinct, so count(*) == countDistinct(sh) in one aggregate phase.
+    */
+  def decontaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(graft.functions.TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol),
+        explode(graft.functions.TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .join(org.apache.spark.sql.functions.broadcast(benchShingles), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs over word shingles.
     *
     * Stages (classic shingle→minhash→band→bucket-join):

@@ -102,10 +102,42 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Gopher-style intra-document repetition signals: duplicate-token
+    // fraction, most-frequent-token fraction, duplicate-2-gram fraction —
+    // the standard "repetitive junk" quality gates for a training corpus.
+    // Everything is per-row array algebra (the top-token count is the max
+    // run length in the SORTED token array, a single fold) — no explode,
+    // no shuffle: at 100 TB each doc scores where it lives.
+    "t08_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_token_frac").as("dup_token_frac"),
+          col("r.top_token_frac").as("top_token_frac"),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"))
+        .orderBy(col("doc_id"))),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("digest"))),
+
+    // Train/eval decontamination: flag corpus docs sharing any word
+    // 3-gram with the benchmark split (doc_id % 50 == 0 — the holdout the
+    // hash-split t06 would produce). The benchmark shingle set is tiny
+    // relative to the corpus → broadcast join, so corpus shingles never
+    // shuffle; for very large eval suites drop the broadcast hint and let
+    // AQE pick the shuffle join — same plan shape, still keyed on the
+    // shingle. wordShingles is per-doc distinct, so count(*) ==
+    // countDistinct(sh) with one aggregate phase.
+    "d07_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminationCounts(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
 
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -353,6 +385,42 @@ object PipelineQueries {
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "t08_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_cnt FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+        |    GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |    AS dup_token_frac,
+        |  round(CAST(top_cnt AS DOUBLE) / len(t), 6) AS top_token_frac,
+        |  CASE WHEN len(t) > 1 THEN
+        |    round(1 - CAST(len(list_distinct([array_to_string(t[g:g+1], ' ')
+        |            FOR g IN generate_series(1, len(t) - 1)])) AS DOUBLE)
+        |          / (len(t) - 1), 6)
+        |  ELSE 0.0 END AS dup_2gram_frac
+        |FROM tok JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "d07_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+        |                FOR g IN generate_series(1, len(t) - 2)]) END) AS sh
+        |  FROM tok),
+        |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM c JOIN b USING (sh)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     "d02_shingle_cardinality" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) < 5 THEN 0

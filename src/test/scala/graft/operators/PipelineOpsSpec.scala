@@ -355,6 +355,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(dc === dcPlain)
   }
 
+  test("repetition signals: hand-computed fractions on a planted doc") {
+    // "a a a b c": 5 tokens, 3 distinct -> dup_token 0.4; top run "a a a"
+    // -> 3/5 = 0.6; 2-grams [a a, a a, a b, b c] -> 3 distinct of 4 -> 0.25
+    val r = Seq(Tuple1("a a a b c")).toDF("text")
+      .select(TextFns.repetitionSignals(col("text")).as("r"))
+      .select("r.dup_token_frac", "r.top_token_frac", "r.dup_2gram_frac")
+      .collect().head
+    assert(r.getDouble(0) === 0.4)
+    assert(r.getDouble(1) === 0.6)
+    assert(r.getDouble(2) === 0.25)
+    // no repetition: all-distinct tokens score 0 / 1-per-token / 0
+    val clean = Seq(Tuple1("w x y z")).toDF("text")
+      .select(TextFns.repetitionSignals(col("text")).as("r"))
+      .select("r.dup_token_frac", "r.top_token_frac", "r.dup_2gram_frac")
+      .collect().head
+    assert(clean.getDouble(0) === 0.0)
+    assert(clean.getDouble(1) === 0.25)
+    assert(clean.getDouble(2) === 0.0)
+  }
+
+  test("decontamination: planted benchmark overlap counted, clean doc absent") {
+    // bench doc = doc 0's text; doc 1 (exact dup) shares ALL its 3-grams,
+    // docs 4/5 (unrelated) share none and must not appear.
+    val bench = docs.filter(col("doc_id") === 0)
+    val corpus = docs.filter(col("doc_id") > 0)
+    val out = DedupOps.decontaminationCounts(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nShingles = docs.filter(col("doc_id") === 1)
+      .select(size(TextFns.wordShingles(col("text"), 3))).collect().head.getInt(0)
+    assert(out(1L) === nShingles.toLong, "exact dup shares every 3-gram")
+    assert(out.contains(2L) && out(2L) < nShingles, "near dup shares some")
+    assert(!out.contains(4L) && !out.contains(5L), "unrelated docs are clean")
+  }
+
   test("approx_count_distinct within 5% of exact at rsd=0.02") {
     val df = graft.Tables.events(spark, "/root/testdata/sf0.01")
     val rows = df.agg(
