@@ -49,8 +49,18 @@ object TextFns {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
-  /** [[wordShingles]] over a pre-tokenized array. */
-  def wordShinglesFromTokens(ts: Column, n: Int): Column =
+  /** [[wordShingles]] over a pre-tokenized array — native one-pass
+    * expression ([[WordShingles]]); the composed chain below is the
+    * value-identical differential reference (four interpreted lambda
+    * walks per row — it was the dominant cost of d07 at bench scale).
+    */
+  def wordShinglesFromTokens(ts: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(ts), n))
+  }
+
+  /** [[wordShinglesFromTokens]] out of built-ins only (differential). */
+  def wordShinglesFromTokensComposed(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(ts) - n),
@@ -109,13 +119,33 @@ object TextFns {
   }
 
   /** Gopher-style intra-document repetition signals as one struct:
-    * duplicate-token fraction, most-frequent-token fraction (the max run
-    * length in the SORTED token array — a single fold, no map-building),
+    * duplicate-token fraction, most-frequent-token fraction,
     * duplicate-2-gram fraction. Per-row array algebra only — no explode,
-    * no shuffle; ratios are exact integer-count divisions rounded at 6
-    * for cross-engine comparison.
+    * no shuffle; the counters come from one native hash-counting pass
+    * ([[RepetitionStats]] — the composed sort-fold formulation below is
+    * the differential reference) and the ratios are exact integer-count
+    * divisions rounded at 6 for cross-engine comparison.
     */
   def repetitionSignals(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val s = ColumnBridge.column(
+      RepetitionStats(ColumnBridge.expression(tokens(text))))
+    val n = s.getField("n_tokens").cast("double")
+    // empty token array → null struct (ANSI double division by zero
+    // throws, and "repetition of nothing" has no meaningful value)
+    when(n > 0, struct(
+      round(lit(1.0) - s.getField("n_distinct") / n, 6).as("dup_token_frac"),
+      round(s.getField("top_count") / n, 6).as("top_token_frac"),
+      when(n > 1,
+        round(lit(1.0) - s.getField("n_distinct_2grams") / (n - 1.0), 6))
+        .otherwise(0.0).as("dup_2gram_frac")))
+  }
+
+  /** [[repetitionSignals]] out of built-ins only (differential reference):
+    * the top-token count is the max run length in the SORTED token array
+    * (a struct-accumulator fold), 2-grams via the composed shingle chain.
+    */
+  def repetitionSignalsComposed(text: Column): Column = {
     val toks = tokens(text)
     val topRun = aggregate(array_sort(toks),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
@@ -127,12 +157,12 @@ object TextFns {
       },
       acc => acc.getField("best"))
     val n = size(toks).cast("double")
-    val distinct2 = size(wordShinglesFromTokens(toks, 2)).cast("double")
-    struct(
+    val distinct2 = size(wordShinglesFromTokensComposed(toks, 2)).cast("double")
+    when(n > 0, struct( // empty → null struct, matching the native form
       round(lit(1.0) - size(array_distinct(toks)) / n, 6).as("dup_token_frac"),
       round(topRun / n, 6).as("top_token_frac"),
       when(n > 1, round(lit(1.0) - distinct2 / (n - 1.0), 6)).otherwise(0.0)
-        .as("dup_2gram_frac"))
+        .as("dup_2gram_frac")))
   }
 
   // ---------------------------------------------------------------- lang id

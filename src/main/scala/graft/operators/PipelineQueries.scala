@@ -19,25 +19,32 @@ object PipelineQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
+    // Per-doc scoring queries sort the NARROW (doc_id, text) projection
+    // first and compute the heavy per-row expressions ABOVE the sort
+    // (order-preserving): a global orderBy executes its child twice
+    // (range-sampling pass + sort), so scoring below it runs every
+    // expression 2× (the f07 lesson, applied across this file).
     "t01_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), TextFns.tokenStats(col("text")).as("t"))
         .select(col("doc_id"),
           col("t.n_tokens").as("n_tokens"),
           col("t.n_distinct").as("n_distinct"),
-          col("t.n_subwords").as("n_subwords"))
-        .orderBy(col("doc_id"))),
+          col("t.n_subwords").as("n_subwords"))),
 
     "t02_quality_features" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), TextFns.qualityFeatures(col("text")).as("q"))
         .select(col("doc_id"), col("q.n_chars").as("n_chars"),
           col("q.n_tokens").as("n_tokens"),
           col("q.alpha_ratio").as("alpha_ratio"),
           col("q.space_ratio").as("space_ratio"),
           col("q.mean_token_len").as("mean_token_len"),
-          col("q.keep").as("keep"))
-        .orderBy(col("doc_id"))),
+          col("q.keep").as("keep"))),
 
     "t03_source_lang_rollup" -> ((s, d) =>
       Tables.documents(s, d)
@@ -60,9 +67,10 @@ object PipelineQueries {
     // Python xxHash64 + polynomial fold → per-doc expected values).
     "t05_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below, hash above (see t01)
         .select(col("doc_id"),
-          TextFns.rollingFingerprint(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))),
+          TextFns.rollingFingerprint(col("text")).as("fingerprint"))),
 
     // Deterministic corpus sampling / split assignment: bucket = first 4
     // md5-hex chars of the key, mod 10 — reproducible across engines, runs
@@ -109,13 +117,17 @@ object PipelineQueries {
     // run length in the SORTED token array, a single fold) — no explode,
     // no shuffle: at 100 TB each doc scores where it lives.
     "t08_repetition" -> ((s, d) =>
+      // narrow sort FIRST, signal projection above it (order-preserving):
+      // a global orderBy executes its child twice (range-sampling pass +
+      // sort), so the per-row scoring must sit above the sort, not below
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"), TextFns.repetitionSignals(col("text")).as("r"))
         .select(col("doc_id"),
           col("r.dup_token_frac").as("dup_token_frac"),
           col("r.top_token_frac").as("top_token_frac"),
-          col("r.dup_2gram_frac").as("dup_2gram_frac"))
-        .orderBy(col("doc_id"))),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"))),
 
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
@@ -162,16 +174,18 @@ object PipelineQueries {
     // LSH recall/precision additionally pinned on planted dups in DedupSpec.
     "d04_minhash_signatures" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below, signature above (t01)
         .select(col("doc_id"),
           TextFns.shingleMinhash(TextFns.tokens(col("text")), 3, 16).as("sig"))
-        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))),
 
     "d05_simhash_signatures" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below, signature above (t01)
         .select(col("doc_id"),
-          TextFns.simhash64Fast(TextFns.tokens(col("text"))).as("simhash"))
-        .orderBy(col("doc_id"))),
+          TextFns.simhash64Fast(TextFns.tokens(col("text"))).as("simhash"))),
 
     // Near-dup CLUSTER collapse: jaccard edges within (lang, source,
     // length-band) blocks → connected components by iterative min-label

@@ -38,6 +38,44 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
       s"text=<${r.getString(2)}>"))
   }
 
+  test("property: word_shingles native == composed chain on generated texts") {
+    val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(60,
+      Gen.listOf(token).map(_.mkString(" "))), s)) ++
+      Seq("", " ", "a", "a b", "a b c", "a a a a", "x y x y x y", null)
+    for (n <- Seq(2, 3, 5)) {
+      val rows = texts.toDF("text").select(
+        TextFns.wordShinglesFromTokens(TextFns.tokens(col("text")), n).as("fast"),
+        TextFns.wordShinglesFromTokensComposed(TextFns.tokens(col("text")), n)
+          .as("slow"), col("text")).collect()
+      rows.foreach { r =>
+        val clue = s"n=$n text=<${if (r.isNullAt(2)) null else r.getString(2)}>"
+        if (r.isNullAt(1)) assert(r.isNullAt(0), clue)
+        else assert(r.getSeq[String](0) === r.getSeq[String](1), clue)
+      }
+    }
+  }
+
+  test("property: repetition signals native == composed on generated texts") {
+    val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(60,
+      Gen.listOf(token).map(_.mkString(" "))), s)) ++
+      Seq(" ", "a", "a a", "a b a b", "z z z", "lone", null)
+    val rows = texts.toDF("text").select(
+      TextFns.repetitionSignals(col("text")).as("fast"),
+      TextFns.repetitionSignalsComposed(col("text")).as("slow"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val clue = s"text=<${if (r.isNullAt(2)) null else r.getString(2)}>"
+      if (r.isNullAt(1)) assert(r.isNullAt(0), clue)
+      else {
+        val (f, s) = (r.getStruct(0), r.getStruct(1))
+        (0 until 3).foreach { i =>
+          val (a, b) = (f.getDouble(i), s.getDouble(i))
+          assert(a === b || (a.isNaN && b.isNaN), s"$clue field $i: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("property: token_stats native == composed splits on generated texts") {
     val piece: Gen[String] = Gen.oneOf(token, Gen.oneOf(
       " ", "  ", "\t", "\n", "\u000B", "\f", "\r", ",", "a,b", "..", "🙂",
