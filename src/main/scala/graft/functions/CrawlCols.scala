@@ -167,16 +167,21 @@ object CrawlCols {
         what: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
-        s"shingle_minhash $what must be an integer literal, got $other")
+        s"$what must be an integer literal, got $other")
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_minhash", exprs => ShingleMinHash(exprs.head,
-        intLit(exprs(1), "n"), intLit(exprs(2), "k")), "scala_udf")
+        intLit(exprs(1), "shingle_minhash n"), intLit(exprs(2), "shingle_minhash k")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
           s"minhash_sig k must be an integer literal, got $other")
       }), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head,
+        intLit(exprs(1), "word_shingles n")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats", exprs => RepetitionStats(exprs.head), "scala_udf")
   }
 }

@@ -355,6 +355,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(dc === dcPlain)
   }
 
+  test("word_shingles and repetition_stats are SQL-callable") {
+    graft.functions.CrawlCols.register(spark)
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c','a','b','c'), 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c a", "c a b")) // distinct, first-occurrence
+    val r = spark.sql(
+      "SELECT r.s.* FROM (SELECT repetition_stats(array('a','a','b')) AS s) r")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 2L, 2L))) // 3 tokens, 2 distinct, top 'a'x2, 2-grams {a a, a b}
+  }
+
   test("repetition signals: hand-computed fractions on a planted doc") {
     // "a a a b c": 5 tokens, 3 distinct -> dup_token 0.4; top run "a a a"
     // -> 3/5 = 0.6; 2-grams [a a, a a, a b, b c] -> 3 distinct of 4 -> 0.25
