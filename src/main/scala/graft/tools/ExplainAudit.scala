@@ -12,7 +12,8 @@ object ExplainAudit {
         "a08_time_range_count", "s05_limited_scan", "d01_exact_dedup",
         "s01_knn_brute", "q07_semi_join",
         "q17_asof_join", "q21_range_join", "s04_lsh_neardup", "t04_lang_id",
-        "s07_ivf_probe_topk", "m02_frame_sample", "t06_hash_split")
+        "s07_ivf_probe_topk", "m02_frame_sample", "t06_hash_split",
+        "d07_decontaminate", "t08_repetition")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
