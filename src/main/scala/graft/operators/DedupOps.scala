@@ -12,16 +12,27 @@ import graft.functions.TextFns
   */
 object DedupOps {
 
+  /** THE content-digest definition, shared by every exact-dedup surface
+    * (batch d01/t07 and streaming [[graft.streaming.PipelineStreams]]) —
+    * one definition so at-ingest dedup and the batch backstop can never
+    * silently diverge. md5 as a 32-char hex string (~32 bytes of state
+    * per key; use `unhex` for the 16-byte binary form if state size ever
+    * dominates — changing it is a corpus-wide migration, not a local
+    * edit).
+    */
+  def contentDigest(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(text.cast("binary"))
+
   /** Exact dedup by content hash: one canonical (min-id) row per digest.
-    * Shuffle is on the 16-byte digest, partial-aggregated map-side.
+    * Shuffle is on the digest only, partial-aggregated map-side.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol).cast("binary")).as("digest"))
+    docs.groupBy(contentDigest(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** IDs to drop under exact dedup (all but the canonical row per digest). */
   def exactDedupDrops(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val d = docs.withColumn("digest", md5(col(textCol).cast("binary")))
+    val d = docs.withColumn("digest", contentDigest(col(textCol)))
     val keep = exactDedup(docs, idCol, textCol)
     d.join(broadcastIfSmall(keep), Seq("digest"))
       .filter(col(idCol) =!= col("keep_id"))

@@ -95,7 +95,7 @@ object PipelineQueries {
       val flagged = Tables.documents(s, d)
         .withColumn("keep_q",
           TextFns.qualityFeatures(col("text")).getField("keep"))
-        .withColumn("digest", md5(col("text").cast("binary")))
+        .withColumn("digest", DedupOps.contentDigest(col("text")))
         .withColumn("min_id", min(when(col("keep_q"), col("doc_id")))
           .over(Window.partitionBy(col("digest"))))
       flagged

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** At-ingest pipeline operators over MemoryStream micro-batches: exact
+  * dedup keyed on the content digest with watermark-bounded state, and the
+  * stateless quality gate.
+  */
+class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def doc(ts: String, text: String) =
+    (java.sql.Timestamp.valueOf(ts), text)
+
+  test("streaming dedup: same-batch and cross-batch dups within watermark drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = PipelineStreams.dedupByDigest(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc("2021-01-16 17:00:00", "alpha body"),
+        doc("2021-01-16 17:01:00", "alpha body"), // same-batch dup
+        doc("2021-01-16 17:02:00", "beta body"))
+      q.processAllAvailable()
+      in.addData( // next batch, still inside the 10-minute watermark
+        doc("2021-01-16 17:03:00", "alpha body"), // cross-batch dup
+        doc("2021-01-16 17:04:00", "gamma body"))
+      q.processAllAvailable()
+      val texts = spark.table("sd").select("text").as[String].collect().sorted
+      assert(texts === Array("alpha body", "beta body", "gamma body"))
+      // exactly one survivor per digest (which copy survives is
+      // partition-order-arbitrary by contract — not asserted)
+      val perDigest = spark.table("sd").groupBy("digest").count()
+        .select("count").as[Long].collect()
+      assert(perDigest.length === 3 && perDigest.forall(_ === 1L))
+      // the output digest matches the batch d01 definition, so the batch
+      // backstop recognizes at-ingest survivors
+      val expected = spark.sql("SELECT md5(CAST('alpha body' AS BINARY))")
+        .as[String].collect().head
+      assert(spark.table("sd").filter(col("text") === "alpha body")
+        .select("digest").as[String].collect().head === expected)
+    } finally q.stop()
+  }
+
+  test("quality gate: short/junk docs filtered, real docs kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val gated = PipelineStreams.qualityGate(in.toDF().toDF("ts", "text"), "text")
+    val q = gated.writeStream.format("memory").queryName("qg")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc("2021-01-16 17:00:00", "too short"),                // len < 20
+        doc("2021-01-16 17:01:00", "1234567890 0987654321 #$%"), // alpha < 0.5
+        doc("2021-01-16 17:02:00",
+          "a perfectly reasonable document with enough letters"))
+      q.processAllAvailable()
+      val kept = spark.table("qg").select("text").as[String].collect()
+      assert(kept === Array(
+        "a perfectly reasonable document with enough letters"))
+    } finally q.stop()
+  }
+}
