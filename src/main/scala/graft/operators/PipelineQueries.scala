@@ -235,6 +235,15 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Multi-probe variant of s07: union of the query's 2 nearest cells —
+    // the recall/cost knob, oracled with the identical probe ranking.
+    "s08_ivf_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.multiProbeTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 10), 5, 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-dup above a low threshold, IVF-blocked. The cell
     // assignment is deterministic (same argmax the s02 oracle recomputes),
     // so the full candidate-generation + verify pipeline is oracled.
@@ -543,6 +552,39 @@ object PipelineQueries {
         |                            ORDER BY list_cosine_similarity(q.qv, c.sv) DESC,
         |                            c.corpus_id) AS rank
         |  FROM q JOIN c ON c.centroid_id = q.centroid_id
+        |               AND c.corpus_id <> q.query_id)
+        |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s08_ivf_multiprobe" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS rn
+        |    FROM embeddings e, cent) WHERE rn = 1),
+        |qp AS (
+        |  SELECT query_id, centroid_id, qv FROM (
+        |    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |           cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS pr
+        |    FROM embeddings e, cent WHERE e.vec_id < 10) WHERE pr <= 2),
+        |c AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+        |scored AS (
+        |  SELECT q.query_id, c.corpus_id,
+        |         list_cosine_similarity(q.qv, c.sv) AS sim,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |                            ORDER BY list_cosine_similarity(q.qv, c.sv) DESC,
+        |                            c.corpus_id) AS rank
+        |  FROM qp q JOIN c ON c.centroid_id = q.centroid_id
         |               AND c.corpus_id <> q.query_id)
         |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -118,6 +118,46 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF multi-probe: top-k among vectors in the UNION of the query's
+    * `probes` nearest cells — the standard IVF recall/cost knob (recall
+    * rises toward brute force as probes → nCentroids at ~probes× the
+    * scan cost; probes=1 degenerates to [[probeTopK]]). Corpus cells are
+    * disjoint (single-cell assignment), so the union needs no dedup.
+    * Probe selection ranks the (query × centroid) table — the QUERY side,
+    * small by definition — with the same (sim desc, id asc) tie-break the
+    * oracle recomputes; the corpus still never shuffles (cell-keyed
+    * broadcast join).
+    */
+  def multiProbeTopK(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, probes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    val c = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+      .join(assigned.withColumnRenamed("vec_id", "corpus_id"), Seq("corpus_id"))
+    val cent = withNorm(centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("pv")), "pv", "pn")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("psim"), col("centroid_id"))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", dot(col("qv"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= probes)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Random-hyperplane LSH sketch: `nBits` sign bits of dot products with
     * deterministic pseudo-random planes (seeded Gaussian, generated at
     * plan-build time and inlined as literals). Vectors with small cosine

@@ -292,6 +292,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(self === 4)
   }
 
+  test("ivf multi-probe: recall >= single-probe, == brute force at full probes") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") < 4)
+    val queries = vecs.filter(col("vec_id") < 6)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(SimilarityOps.bruteForceTopK(vecs, queries, 3))
+    val p1 = hits(SimilarityOps.probeTopK(vecs, centroids, queries, 3))
+    val p2 = hits(SimilarityOps.multiProbeTopK(vecs, centroids, queries, 3, 2))
+    val p4 = hits(SimilarityOps.multiProbeTopK(vecs, centroids, queries, 3, 4))
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    assert(recall(p2) >= recall(p1), "more probes must not lose recall")
+    // all 4 cells probed == scanning everything == brute force exactly
+    assert(p4 === brute)
+  }
+
   test("hyperplane LSH: planted near-dup vector pair found; recall vs brute force sane") {
     val rnd = new scala.util.Random(5)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)
