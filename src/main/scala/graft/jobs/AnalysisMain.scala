@@ -20,8 +20,17 @@ import graft.streaming.{AnalysisStream, CrawlStreams}
   * made deterministic).
   */
 object AnalysisMain {
+  private val usage = "usage: AnalysisMain <inputDir> <snapshotPath> " +
+    "<checkpointDir> [intervalMs] [topN] [--available-now]"
+
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) JobSession.usageExit(usage)
     val Array(inputDir, snapshotPath, checkpointDir, rest @ _*) = args
+    // positional optionals are numeric in declared order; anything else
+    // must be a known flag
+    val unknown = rest.filterNot(a => a.forall(_.isDigit) || a == "--available-now")
+    if (unknown.nonEmpty)
+      JobSession.usageExit(usage, s"unrecognized arguments: ${unknown.mkString(" ")}")
     val intervalMs = rest.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000L)
     val topHosts = rest.filter(_.forall(_.isDigit)).drop(1).headOption
       .map(_.toInt).getOrElse(500)

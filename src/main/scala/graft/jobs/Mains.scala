@@ -10,6 +10,15 @@ import graft.schema.CrawlSchemas
   * only — all logic lives in the operator modules.
   */
 private[jobs] object JobSession {
+  /** Uniform CLI contract: malformed invocations print usage and exit 2
+    * (never a bare MatchError). */
+  def usageExit(usage: String, detail: String = ""): Nothing = {
+    if (detail.nonEmpty) System.err.println(detail)
+    System.err.println(usage)
+    sys.exit(2)
+    throw new IllegalStateException("unreachable")
+  }
+
   def local(app: String): SparkSession = {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -29,7 +38,11 @@ private[jobs] object JobSession {
   * Usage: ReportMain <input.jsonl> <raw|crawl-log|summary|solr> [outDir]
   */
 object ReportMain {
+  private val usage =
+    "usage: ReportMain <input.jsonl> <raw|crawl-log|summary|solr> [outDir]"
+
   def main(args: Array[String]): Unit = {
+    if (args.length < 2 || args.length > 3) JobSession.usageExit(usage)
     val Array(input, format, rest @ _*) = args
     val spark = JobSession.local(s"graft-report-$format")
     val events = spark.read.schema(CrawlSchemas.crawlEventSchema).json(input)
@@ -55,10 +68,17 @@ object ReportMain {
   * Usage: LauncherMain <specs.jsonl> <now: yyyy-MM-dd HH:mm:ss|now> <outDir>
   */
 object LauncherMain {
+  private val usage =
+    "usage: LauncherMain <specs.jsonl> <now: yyyy-MM-dd HH:mm:ss|now> <outDir>"
+
   def main(args: Array[String]): Unit = {
+    if (args.length != 3) JobSession.usageExit(usage)
     val Array(specsPath, nowArg, outDir) = args
     val now = if (nowArg == "now") new java.sql.Timestamp(System.currentTimeMillis())
-      else java.sql.Timestamp.valueOf(nowArg)
+      else try java.sql.Timestamp.valueOf(nowArg) catch {
+        case _: IllegalArgumentException => JobSession.usageExit(usage,
+          s"bad instant '$nowArg' (expected yyyy-MM-dd HH:mm:ss or 'now')")
+      }
     val spark = JobSession.local("graft-launcher")
     val specs = spark.read.schema(CrawlSchemas.crawlSpecSchema).json(specsPath)
     val due = graft.operators.Launcher.dueLaunches(specs, now)
@@ -77,7 +97,10 @@ object LauncherMain {
   * Usage: SubmitMain <uriOrFile> <source> <outDir>
   */
 object SubmitMain {
+  private val usage = "usage: SubmitMain <uriOrFile> <source> <outDir>"
+
   def main(args: Array[String]): Unit = {
+    if (args.length != 3) JobSession.usageExit(usage)
     val Array(uriOrFile, source, outDir) = args
     val spark = JobSession.local("graft-submit")
     import spark.implicits._

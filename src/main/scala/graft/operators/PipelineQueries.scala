@@ -135,8 +135,9 @@ object PipelineQueries {
         .orderBy(col("digest"))),
 
     // Train/eval decontamination: flag corpus docs sharing any word
-    // 3-gram with the benchmark split (doc_id % 50 == 0 — the holdout the
-    // hash-split t06 would produce). The benchmark shingle set is tiny
+    // 3-gram with the benchmark split (doc_id % 50 == 0 — a deterministic
+    // 2% holdout, SQL-recomputable; production would use the t06
+    // md5-bucket split). The benchmark shingle set is tiny
     // relative to the corpus → broadcast join, so corpus shingles never
     // shuffle; for very large eval suites drop the broadcast hint and let
     // AQE pick the shuffle join — same plan shape, still keyed on the
