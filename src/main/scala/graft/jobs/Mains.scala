@@ -55,6 +55,11 @@ object ReportMain {
         "(expected raw|crawl-log|summary|solr)")
     }
     rest.headOption match {
+      // an http(s) target with the solr format drives the real sink
+      // (reference report.py:222-224); anything else is a JSON file dump
+      case Some(url) if format == "solr" && url.startsWith("http") =>
+        val n = graft.sources.SolrSink.write(out, url)
+        println(s"""{"indexed":$n}""")
       case Some(dir) => out.write.mode("overwrite").json(dir)
       case None => out.show(50, truncate = false)
     }
