@@ -64,6 +64,34 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Corpus-internal boilerplate accounting (the MassiveText/CCNet-style
+    * repeated-span signal, adapted to span-free docs): per document, how
+    * many of its distinct word n-grams occur in at least `minDf` documents
+    * corpus-wide. High fractions mark template/boilerplate-heavy docs.
+    *
+    * Scale shape: the only thing that ever shuffles is (id, gram) pairs —
+    * once into the gram-keyed document-frequency aggregate (partial
+    * map-side), once into the gram-keyed join back (the two exchanges
+    * share a key, so the df side's exchange is reused), then a final
+    * id-keyed rollup. Document text never moves, and unlike
+    * [[decontaminationCounts]] there is no broadcastable side: the df
+    * table is corpus-sized, so the join stays shuffle-keyed by design.
+    * `wordShingles` is per-doc distinct, so df = count(*) per gram and
+    * n_grams = count(*) per doc, each in one aggregate phase.
+    */
+  def boilerplateNgramCounts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    val df = grams.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= minDf, 1)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs over word shingles.
     *
     * Stages (classic shingle→minhash→band→bucket-join):

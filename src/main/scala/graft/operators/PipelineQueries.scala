@@ -129,6 +129,15 @@ object PipelineQueries {
           col("r.top_token_frac").as("top_token_frac"),
           col("r.dup_2gram_frac").as("dup_2gram_frac"))),
 
+    // BM25 top-k corpus slicing: corpus stats (N, avgdl, per-term df) are
+    // one broadcast scalar row; per-doc term frequencies are per-row array
+    // algebra (no explode); the top-k is TakeOrderedAndProject (per-
+    // partition heaps, no global sort shuffle). The oracle recomputes the
+    // identical formula in the identical association order.
+    "t09_bm25_topk" -> ((s, d) =>
+      RelevanceOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "window"), 20)),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -151,6 +160,16 @@ object PipelineQueries {
         "doc_id", "text", 3)
         .orderBy(col("doc_id"))
     }),
+
+    // Corpus-internal boilerplate accounting: distinct word 3-grams with
+    // document frequency >= 4 are "boilerplate"; per doc, how much of it
+    // is made of them. Unlike d07 there is no broadcastable side — both
+    // the df aggregate and the join back are keyed on the gram, and the
+    // exchanges share that key. Text never shuffles.
+    "d08_boilerplate_ngrams" -> ((s, d) =>
+      DedupOps.boilerplateNgramCounts(Tables.documents(s, d),
+        "doc_id", "text", 3, 4)
+        .orderBy(col("doc_id"))),
 
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -243,6 +262,21 @@ object PipelineQueries {
       SimilarityOps.multiProbeTopK(emb, emb.filter(col("vec_id") < 8),
         emb.filter(col("vec_id") < 10), 5, 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-vector int8 scalar quantization — shuffle-free embedding
+    // compression; the integer codes are an exact cross-engine oracle
+    // (deterministic double math in array order, floor(u+0.5) rounding).
+    "s09_quantize_int8" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))),
+
+    // One Lloyd step of k-means over the IVF centroids (index training):
+    // s02's oracled assignment feeds a (centroid, dim) element-wise mean.
+    "s10_centroid_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.centroidRefine(emb, emb.filter(col("vec_id") < 8))
+        .orderBy(col("centroid_id"), col("dim"))
     }),
 
     // Embedding near-dup above a low threshold, IVF-blocked. The cell
@@ -445,6 +479,61 @@ object PipelineQueries {
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM c JOIN b USING (sh)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "d08_boilerplate_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+        |                FOR g IN generate_series(1, len(t) - 2)]) END) AS sh
+        |  FROM tok),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_grams,
+        |  count(CASE WHEN df.df >= 4 THEN 1 END) AS n_boiler,
+        |  round(CAST(count(CASE WHEN df.df >= 4 THEN 1 END) AS DOUBLE)
+        |        / count(*), 6) AS boiler_frac
+        |FROM sh s JOIN df USING (sh)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // BM25: the SQL spells the identical formula in the identical
+    // association order as RelevanceOps.bm25TopK (term0 + term1 + term2,
+    // (0.75*dl)/avgdl, (n - df + 0.5)), so the doubles match bit-for-bit
+    // up to ln (libm, <=1 ulp, absorbed by round 6).
+    "t09_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |      ln(1.0 + (st.n_docs - st.df_0 + 0.5) / (st.df_0 + 0.5))
+        |        * (CAST(len(list_filter(d.t, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(len(list_filter(d.t, x -> x = 'spark')) AS DOUBLE)
+        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs)))
+        |    + ln(1.0 + (st.n_docs - st.df_1 + 0.5) / (st.df_1 + 0.5))
+        |        * (CAST(len(list_filter(d.t, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(len(list_filter(d.t, x -> x = 'join')) AS DOUBLE)
+        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs)))
+        |    + ln(1.0 + (st.n_docs - st.df_2 + 0.5) / (st.df_2 + 0.5))
+        |        * (CAST(len(list_filter(d.t, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(len(list_filter(d.t, x -> x = 'window')) AS DOUBLE)
+        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs)))
+        |      AS score_raw
+        |  FROM d, st)
+        |SELECT doc_id, round(score_raw, 6) AS score
+        |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
     "d02_shingle_cardinality" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) < 5 THEN 0
@@ -589,6 +678,52 @@ object PipelineQueries {
         |               AND c.corpus_id <> q.query_id)
         |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s09: the integer codes are deterministic double math in array order
+    // (floor(u+0.5)), so q_csv/q_sum are EXACT cross-engine checks; the
+    // error metric is a max fold (order-independent), not a sum.
+    "s09_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, vv,
+        |        list_aggregate(vv, 'min') AS mn,
+        |        list_aggregate(vv, 'max') AS mx,
+        |        (list_aggregate(vv, 'max') - list_aggregate(vv, 'min')) / 255.0 AS sc
+        |      FROM v),
+        |q AS (SELECT vec_id, vv, mn, mx, sc,
+        |        CASE WHEN sc = 0 THEN [0 FOR x IN vv]
+        |             ELSE [CAST(floor((x - mn) / sc + 0.5) AS INT) FOR x IN vv]
+        |        END AS qq
+        |      FROM s)
+        |SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+        |  CAST(list_sum(qq) AS BIGINT) AS q_sum,
+        |  array_to_string(qq, ',') AS q_csv,
+        |  round(list_aggregate([abs(vv[g] - (mn + qq[g] * sc))
+        |        FOR g IN generate_series(1, len(vv))], 'max'), 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // s10: s02's oracled argmax assignment feeds an element-wise mean per
+    // (centroid, dim); parallel unnest zips the value list with its
+    // 1-based index list.
+    "s10_centroid_refine" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS rn
+        |    FROM embeddings e, cent) WHERE rn = 1),
+        |x AS (
+        |  SELECT a.centroid_id,
+        |         unnest(generate_series(1, len(v.vv))) AS g,
+        |         unnest(v.vv) AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |        FROM embeddings) v
+        |  JOIN asg a ON a.vec_id = v.vec_id)
+        |SELECT centroid_id, CAST(g - 1 AS INT) AS dim, count(*) AS n,
+        |       round(avg(x), 4) + 0.0 AS mean_val
+        |FROM x GROUP BY centroid_id, g ORDER BY centroid_id, dim""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

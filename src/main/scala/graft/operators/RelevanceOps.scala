@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Keyword relevance scoring over the document corpus: Okapi BM25 top-k.
+  *
+  * The training-pipeline use case is targeted corpus slicing ("pull the k
+  * documents most about X") without building a serving index: corpus-level
+  * statistics (N, avgdl, per-term document frequency) are one tiny
+  * aggregate row, broadcast back onto the corpus, and every document
+  * scores itself where it lives.
+  *
+  * Scale shape (the whole point of the design):
+  *  - the stats aggregate reduces to ONE row — partial aggregation
+  *    map-side, a single-row shuffle, then a broadcast nested-loop join
+  *    back onto the corpus (document text never moves);
+  *  - per-document term frequencies are per-row array algebra over the
+  *    token array (no explode — a query of q terms would otherwise
+  *    multiply the corpus by its token count in the exploded join);
+  *  - the final top-k is `orderBy(...).limit(k)` which Spark plans as
+  *    TakeOrderedAndProject: per-partition heaps of size k, no global
+  *    sort shuffle. At 100 TB the only data movement is one scalar row
+  *    and k result rows.
+  *
+  * Determinism: the score arithmetic is written in a fixed association
+  * order (term 0 + term 1 + ...; `(b*dl)/avgdl`), so a SQL oracle spelling
+  * the same order reproduces the doubles bit-for-bit up to `ln` (libm,
+  * ≤1 ulp); output rounds to 6 decimals and ranks on the raw double with
+  * a doc-id tiebreak.
+  */
+object RelevanceOps {
+
+  /** BM25 top-k documents for a bag of query terms.
+    *
+    * score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *            · tf · (k1+1) / (tf + k1·(1 − b + (b·dl)/avgdl))
+    *
+    * (the Lucene-style `ln(1 + …)` idf, never negative). Ties rank by
+    * ascending id for a total order.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(col(idCol),
+        TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // Corpus stats: N, Σdl (exact — integral doubles), df per term.
+    val statAggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1).otherwise(0))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+
+    val scored = toks.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl")))
+    }.reduce(_ + _)
+
+    scored.withColumn("score_raw", score)
+      .orderBy(col("score_raw").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("score_raw"), 6).as("score"))
+  }
+}

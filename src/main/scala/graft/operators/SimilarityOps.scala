@@ -225,4 +225,64 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Per-vector int8 scalar quantization (the standard ANN-index / embedding
+    * storage compression): q_i = round_half_up((x_i − min)/scale) with
+    * scale = (max − min)/255, so the dequantized error is bounded by
+    * scale/2. Constant vectors (scale 0) quantize to all zeros.
+    *
+    * Pure per-row array algebra — no shuffle at any scale; each vector
+    * compresses where it lives. Everything is deterministic double math in
+    * array order (`floor(u + 0.5)`, not a locale/mode-dependent round), so
+    * the integer codes are bit-identical across engines; `max_abs_err`
+    * uses a max fold (order-independent) rather than a sum.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vv"))
+      .withColumn("mn", array_min(col("vv")))
+      .withColumn("mx", array_max(col("vv")))
+      .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
+    val q = when(col("sc") === 0.0,
+        transform(col("vv"), _ => lit(0)))
+      .otherwise(transform(col("vv"),
+        x => floor((x - col("mn")) / col("sc") + lit(0.5)).cast("int")))
+    v.withColumn("q", q)
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("vmin"),
+        round(col("mx"), 6).as("vmax"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        concat_ws(",", col("q")).as("q_csv"),
+        round(aggregate(
+          zip_with(col("vv"), col("q"),
+            (x, qq) => abs(x - (col("mn") + qq * col("sc")))),
+          lit(0.0), (a, e) => greatest(a, e)), 6).as("max_abs_err"))
+  }
+
+  /** One Lloyd refinement step for the IVF centroids: assign every vector
+    * to its nearest centroid ([[ivfAssign]] — the same argmax the s02
+    * oracle pins), then emit the element-wise mean per (centroid, dim).
+    * Iterating this is k-means training for the IVF index; one step is the
+    * differential-checkable unit (each step's output is a deterministic
+    * function of the input given the assignment tie-break).
+    *
+    * Scale shape: the assignment is a broadcast of the centroids with a
+    * one-row-per-vector map-side-combined argmax; the vector payloads join
+    * that assignment id-keyed, then posexplode feeds a (centroid, dim)
+    * aggregate whose partial aggregation reduces each partition to at most
+    * k·dim rows before the shuffle — the dim-fanout never hits the wire.
+    */
+  def centroidRefine(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vv"))
+      .join(asg, Seq("vec_id"))
+      .select(col("centroid_id"), posexplode(col("vv")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      // + 0.0 canonicalizes IEEE −0.0 (a mean that rounds to zero from
+      // below) to +0.0, matching the oracle's identical normalization
+      .agg(count(lit(1)).as("n"),
+        (round(avg(col("x")), 4) + lit(0.0)).as("mean_val"))
+  }
 }

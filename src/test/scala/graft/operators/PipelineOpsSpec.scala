@@ -440,4 +440,81 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fp(1) === fp(2)) // whitespace normalization
     assert(fp(1) !== fp(3)) // order matters
   }
+
+  test("boilerplate ngrams: shared gram counted at threshold, unique doc flags none") {
+    // "x y z" appears in docs 0..2 (df=3); everything else is unique.
+    val d = Seq(
+      (0L, "x y z a b c"),
+      (1L, "p q x y z r"),
+      (2L, "x y z"),
+      (3L, "u v w t s m")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateNgramCounts(d, "doc_id", "text", 3, 3)
+      .orderBy("doc_id").collect()
+    // doc 0: grams {x y z, y z a, z a b, a b c} -> 4 grams, 1 boiler
+    assert(out(0).getAs[Long]("n_grams") === 4L)
+    assert(out(0).getAs[Long]("n_boiler") === 1L)
+    // doc 2 is exactly the boilerplate gram
+    assert(out(2).getAs[Long]("n_grams") === 1L)
+    assert(out(2).getAs[Long]("n_boiler") === 1L)
+    assert(out(2).getAs[Double]("boiler_frac") === 1.0)
+    // doc 3 shares nothing
+    assert(out(3).getAs[Long]("n_boiler") === 0L)
+  }
+
+  test("bm25: hand-computed score on a two-doc corpus; more hits rank higher") {
+    val d = Seq(
+      (0L, "spark spark shuffle"),
+      (1L, "kafka topics offsets")
+    ).toDF("doc_id", "text")
+    val out = RelevanceOps.bm25TopK(d, "doc_id", "text", Seq("spark"), 2)
+      .collect()
+    // independent recomputation of the same formula:
+    // N=2, df=1, avgdl=3, dl=3, tf=2
+    val idf = math.log(1.0 + (2.0 - 1.0 + 0.5) / 1.5)
+    val expected = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + (0.75 * 3.0) / 3.0))
+    assert(out.head.getAs[Long]("doc_id") === 0L)
+    assert(math.abs(out.head.getAs[Double]("score") - expected) < 1e-6)
+    // the no-hit doc scores exactly 0
+    assert(out(1).getAs[Double]("score") === 0.0)
+  }
+
+  test("int8 quantization: exact codes on a known vector, zeros on a constant one") {
+    val d = Seq(
+      (0L, Array(0.0f, 1.0f, 2.0f)),
+      (1L, Array(5.0f, 5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(d).orderBy("vec_id").collect()
+    // scale = 2/255; q = floor(x*127.5 + 0.5) -> 0, 128, 255
+    assert(out(0).getAs[String]("q_csv") === "0,128,255")
+    assert(out(0).getAs[Long]("q_sum") === 383L)
+    // dequant error bounded by scale/2 (+5e-7: the output rounds to 6dp)
+    assert(out(0).getAs[Double]("max_abs_err") <= (2.0 / 255.0) / 2 + 5e-7)
+    // constant vector: scale 0 -> all-zero codes, zero error
+    assert(out(1).getAs[String]("q_csv") === "0,0,0")
+    assert(out(1).getAs[Double]("max_abs_err") === 0.0)
+    assert(out(1).getAs[Double]("vmin") === 5.0)
+  }
+
+  test("centroid refine: one Lloyd step lands on the per-cluster dim means") {
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid A
+      (1L, Array(0.0f, 1.0f)),   // centroid B
+      (2L, Array(1.0f, 0.2f)),   // near A
+      (3L, Array(0.9f, 0.0f)),   // near A
+      (4L, Array(0.1f, 1.0f))    // near B
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.centroidRefine(d, d.filter(col("vec_id") < 2))
+      .orderBy("centroid_id", "dim").collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_val"))).toMap
+    // cluster A = {0, 2, 3}: dim0 mean (1 + 1 + 0.9)/3, dim1 (0 + 0.2 + 0)/3
+    assert(out((0L, 0))._1 === 3L)
+    assert(math.abs(out((0L, 0))._2 - 0.9667) < 1e-9)
+    assert(math.abs(out((0L, 1))._2 - 0.0667) < 1e-9)
+    // cluster B = {1, 4}: dim0 mean 0.05, dim1 mean 1.0
+    assert(out((1L, 0))._1 === 2L)
+    assert(math.abs(out((1L, 0))._2 - 0.05) < 1e-9)
+    assert(math.abs(out((1L, 1))._2 - 1.0) < 1e-9)
+  }
 }
