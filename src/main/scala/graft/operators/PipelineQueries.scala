@@ -138,6 +138,14 @@ object PipelineQueries {
       RelevanceOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "join", "window"), 20)),
 
+    // Vocabulary/coverage table (tokenizer-training stats): vocab-sized
+    // term-count shuffle with map-side combine; the unpartitioned ranking
+    // window runs over at most topN rows (cut by TakeOrderedAndProject
+    // first), never the corpus.
+    "t10_vocab_coverage" -> ((s, d) =>
+      RelevanceOps.vocabCoverage(Tables.documents(s, d), "text", 30)
+        .orderBy(col("rank"))),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -277,6 +285,15 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.centroidRefine(emb, emb.filter(col("vec_id") < 8))
         .orderBy(col("centroid_id"), col("dim"))
+    }),
+
+    // ANN over int8-quantized embeddings (the compressed-index search
+    // path): both sides dequantized from their codes, ranked exactly like
+    // s01; recall vs the exact baseline is spec-pinned.
+    "s11_quantized_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Embedding near-dup above a low threshold, IVF-blocked. The cell
@@ -534,6 +551,22 @@ object PipelineQueries {
         |  FROM d, st)
         |SELECT doc_id, round(score_raw, 6) AS score
         |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
+    "t10_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS n
+        |       FROM (SELECT unnest(t) AS term FROM tok) GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM tc),
+        |top AS (
+        |  SELECT term, n,
+        |         row_number() OVER (ORDER BY n DESC, term) AS rank,
+        |         sum(n) OVER (ORDER BY n DESC, term
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tc)
+        |SELECT rank, term, n, round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+        |FROM top, tot WHERE rank <= 30 ORDER BY rank""".stripMargin,
     "d02_shingle_cardinality" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) < 5 THEN 0
@@ -700,6 +733,33 @@ object PipelineQueries {
         |  round(list_aggregate([abs(vv[g] - (mn + qq[g] * sc))
         |        FOR g IN generate_series(1, len(vv))], 'max'), 6) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // s11: dequantization (mn + code*scale) is spelled in the identical
+    // association order; the ranking mirrors s01's established
+    // list_cosine_similarity parity.
+    "s11_quantized_knn" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, vv, list_aggregate(vv, 'min') AS mn,
+        |        (list_aggregate(vv, 'max') - list_aggregate(vv, 'min')) / 255.0 AS sc
+        |      FROM v),
+        |ap AS (SELECT vec_id,
+        |        CASE WHEN sc = 0 THEN vv
+        |             ELSE [mn + CAST(floor((x - mn) / sc + 0.5) AS INT) * sc
+        |                   FOR x IN vv]
+        |        END AS av
+        |      FROM a),
+        |q AS (SELECT vec_id AS query_id, av AS qv FROM ap WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS corpus_id,
+        |         list_cosine_similarity(q.qv, c.av) AS sim
+        |  FROM q, ap c WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, corpus_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // s10: s02's oracled argmax assignment feeds an element-wise mean per
     // (centroid, dim); parallel unnest zips the value list with its
     // 1-based index list.

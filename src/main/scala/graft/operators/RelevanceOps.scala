@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -72,5 +73,36 @@ object RelevanceOps {
       .orderBy(col("score_raw").desc, col(idCol))
       .limit(topK)
       .select(col(idCol), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Tokenizer-training vocabulary statistics: the top-N terms by corpus
+    * frequency with cumulative token-coverage fraction ("the 30 most
+    * frequent terms cover X% of all tokens") — the first artifact of any
+    * BPE/vocab build.
+    *
+    * Scale shape: the term-count aggregate partial-aggregates map-side, so
+    * the shuffle carries one (term, count) row per partition per term —
+    * vocab-sized, not corpus-sized. The top-N cut is
+    * `orderBy(...).limit(n)` (TakeOrderedAndProject: per-partition heaps),
+    * and the unpartitioned ranking/cumsum window then runs over AT MOST
+    * topN rows by construction — bounded, unlike a corpus-sized
+    * single-partition window. Cutting top-N before the window is exact
+    * because cumulative coverage over a prefix of the (count desc, term)
+    * order equals the full cumsum restricted to that prefix.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val terms = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = terms.agg(sum(col("n")).as("total"))
+    val order = Seq(col("n").desc, col("term"))
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms.orderBy(order: _*).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("cum_frac",
+        round(sum(col("n")).over(w).cast("double") / col("total"), 6))
+      .select(col("rank"), col("term"), col("n"), col("cum_frac"))
   }
 }

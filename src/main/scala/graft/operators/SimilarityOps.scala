@@ -259,6 +259,31 @@ object SimilarityOps {
           lit(0.0), (a, e) => greatest(a, e)), 6).as("max_abs_err"))
   }
 
+  /** ANN search over int8-quantized vectors: both sides are dequantized
+    * (x ≈ mn + q·scale, the [[quantizeInt8]] codes) and ranked exactly as
+    * [[bruteForceTopK]]. This is the compressed-index search path — at
+    * scale the corpus stores 1 byte/dim instead of 4 and the top-k is
+    * recomputed from codes; recall vs the exact baseline is the measured
+    * trade (spec-pinned). Dequantization is per-row array algebra in
+    * array order, so the approximate similarities are deterministic and
+    * cross-engine oracle-able like s01.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def approx(df: DataFrame): DataFrame = {
+      val v = df.select(col(idCol), asDouble(col(vecCol)).as("vv"))
+        .withColumn("mn", array_min(col("vv")))
+        .withColumn("sc", (array_max(col("vv")) - col("mn")) / lit(255.0))
+      v.select(col(idCol),
+        when(col("sc") === 0.0, col("vv"))
+          .otherwise(transform(col("vv"),
+            x => col("mn") +
+              floor((x - col("mn")) / col("sc") + lit(0.5)).cast("int") *
+              col("sc"))).as(vecCol))
+    }
+    bruteForceTopK(approx(corpus), approx(queries), k, idCol, vecCol)
+  }
+
   /** One Lloyd refinement step for the IVF centroids: assign every vector
     * to its nearest centroid ([[ivfAssign]] — the same argmax the s02
     * oracle pins), then emit the element-wise mean per (centroid, dim).

@@ -496,6 +496,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).getAs[Double]("vmin") === 5.0)
   }
 
+  test("vocab coverage: ranks, counts, and cumulative fractions on a tiny corpus") {
+    val d = Seq((0L, "a a a b b c"), (1L, "a b d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, d=1 (total 9); ties break by term asc
+    val out = RelevanceOps.vocabCoverage(d, "text", 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[String]("term"),
+      r.getAs[Long]("n"))).toSeq ===
+      Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 1L)))
+    assert(math.abs(out(0).getAs[Double]("cum_frac") - 4.0 / 9) < 1e-6)
+    assert(math.abs(out(2).getAs[Double]("cum_frac") - 8.0 / 9) < 1e-6)
+  }
+
+  test("quantized knn: planted duplicate still top-1; top-5 overlaps exact search") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    // vector 59 := near-exact copy of vector 0
+    val vecs = (base.dropRight(1) :+
+      (59L, base.head._2.map(_ + 1e-4f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val quant = SimilarityOps.quantizedTopK(vecs, q, 5).orderBy("rank").collect()
+    assert(quant.head.getAs[Long]("corpus_id") === 59L)
+    // recall@5 vs the exact baseline: int8 on 16 dims stays close
+    val exact = SimilarityOps.bruteForceTopK(vecs, q, 5)
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    val overlap = quant.map(_.getAs[Long]("corpus_id")).count(exact.contains)
+    assert(overlap >= 3, s"recall@5 too low: $overlap/5")
+  }
+
   test("centroid refine: one Lloyd step lands on the per-cluster dim means") {
     val d = Seq(
       (0L, Array(1.0f, 0.0f)),   // centroid A
