@@ -81,16 +81,18 @@ object DedupOps {
     */
   def boilerplateNgramCounts(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col(idCol),
       explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
-    // df as a whole-partition window over the gram key rather than an
-    // aggregate + join back: ONE explode pass and ONE gram-keyed shuffle
-    // instead of two of each (measured 1.16 -> 0.82 s solo at sf0.1; the
-    // window's per-key buffer is a gram's occurrence list, bounded by the
-    // corpus doc count for the worst boilerplate gram)
-    grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    // df deliberately as aggregate + join back, NOT as
+    // `count over Window.partitionBy(sh)`: the window variant measured
+    // faster solo at sf0.1 (0.82 vs 1.16 s — it saves the second explode
+    // pass) but buffers each gram's whole occurrence list in one window
+    // group, and a boilerplate gram is BY DEFINITION the hottest key in
+    // the corpus — unbounded per-key state at scale. The aggregate
+    // collapses hot grams map-side before its shuffle, and the join's
+    // residual skew is exactly what AQE skew-split handles.
+    val df = grams.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") >= minDf, 1)).as("n_boiler"))
