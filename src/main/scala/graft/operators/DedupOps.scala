@@ -149,6 +149,48 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** End-to-end MinHash LSH audit: every banded candidate pair with BOTH
+    * the signature-estimated Jaccard (fraction of agreeing minhash
+    * components — the unbiased MinHash estimator) and the exact shingle
+    * Jaccard, so estimator quality is measurable per pair.
+    *
+    * Scale shape: candidates come from [[minhashCandidates]] (the band-key
+    * join is the only corpus-sized shuffle); signatures and shingle arrays
+    * then join back id-keyed, but only onto the candidate pairs — at
+    * realistic near-dup rates that side is tiny and broadcasts. Signature
+    * computation runs once per join branch (three times total) rather than
+    * being cached: it is per-row, shuffle-free work, and recomputing it is
+    * cheaper at scale than persisting a corpus-sized intermediate.
+    *
+    * Pairing caveat (shared with [[minhashCandidates]]): the band key is a
+    * 64-bit hash of the signature slice, so two UNEQUAL slices could in
+    * principle co-bucket on a hash collision and emit a pair an
+    * equality-on-slices oracle lacks; deterministic per dataset, and at
+    * 2⁻⁶⁴ per bucket it never bounds recall (collisions only ADD
+    * candidates).
+    */
+  def minhashEstimates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
+    val side = docs.select(col(idCol).as("jid"),
+      TextFns.shingleMinhash(
+        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
+      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(col("sig").isNotNull)
+    def renamed(suffix: String) = side.select(col("jid").as(s"id_$suffix"),
+      col("sig").as(s"sig_$suffix"), col("sh").as(s"sh_$suffix"))
+    cands
+      .join(renamed("a"), Seq("id_a"))
+      .join(renamed("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // agreeing components / k: an integer ratio over a power-of-two k,
+        // exact in binary, so round(6) is a no-op normalization.
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), b => b)).cast("double") / k, 6)
+          .as("est_jaccard"),
+        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs via block-permutation bucketing: the signature
     * is cut into `maxHamming + 1` bit slices, so by pigeonhole any pair
     * within Hamming distance ≤ maxHamming agrees on at least one whole

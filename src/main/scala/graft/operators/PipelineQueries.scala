@@ -146,6 +146,15 @@ object PipelineQueries {
       RelevanceOps.vocabCoverage(Tables.documents(s, d), "text", 30)
         .orderBy(col("rank"))),
 
+    // CCNet-style unigram LM quality score + perplexity bucket. Bucket
+    // thresholds sit at the corpus's observed head/tail knees (xent spans
+    // ~3.38–3.70 on this synthetic vocabulary); production would derive
+    // them from t11's own quantiles (q16's exact-percentile path).
+    "t11_unigram_xent" -> ((s, d) =>
+      RelevanceOps.unigramCrossEntropy(Tables.documents(s, d),
+        "doc_id", "text", headBelow = 3.40, tailFrom = 3.41)
+        .orderBy(col("doc_id"))),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -178,6 +187,17 @@ object PipelineQueries {
       DedupOps.boilerplateNgramCounts(Tables.documents(s, d),
         "doc_id", "text", 3, 4)
         .orderBy(col("doc_id"))),
+
+    // End-to-end LSH audit: banded candidate pairs with the signature-
+    // estimated AND exact Jaccard side by side. The oracle recomputes the
+    // banding, pairing, and estimator from the independently-generated d04
+    // signature vectors (slice equality stands in for the engine's
+    // slice-hash band key — identical pairs absent a 2⁻⁶⁴ hash collision)
+    // and the exact Jaccard from raw text, so the whole pipeline —
+    // signature → band → pair → estimate — is pinned, not just signatures.
+    "d09_lsh_estimates" -> ((s, d) =>
+      DedupOps.minhashEstimates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
 
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -370,6 +390,38 @@ object PipelineQueries {
          |SELECT d.doc_id, CAST(k.simhash AS BIGINT) AS simhash
          |FROM documents d LEFT JOIN k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // LSH end-to-end from the independent d04 signature vectors: banding
+    // by slice equality (the engine's band key is a hash OF the slice, so
+    // the pair sets agree absent a 64-bit collision), the MinHash
+    // estimator as agreeing-components/16, exact Jaccard from raw text.
+    "d09_lsh_estimates" ->
+      s"""WITH kk(doc_id, sig_csv) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
+         |s AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
+         |      WHERE len(string_split(sig_csv, ',')) = 16),
+         |bk AS (SELECT doc_id, g,
+         |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+         |       FROM s, range(0, 4) t(g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bk a JOIN bk b
+         |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |        FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+         |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
+         |       FROM tok)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+         |        AS DOUBLE) / 16.0, 6) AS est_jaccard,
+         |  round(CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+         |        / (len(ja.shs) + len(jb.shs) - len(list_intersect(ja.shs, jb.shs))),
+         |        6) AS jaccard
+         |FROM cand c
+         |JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+         |JOIN sh ja ON ja.doc_id = c.id_a JOIN sh jb ON jb.doc_id = c.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
     "t05_fingerprint" ->
       s"""WITH k(doc_id, fingerprint) AS (VALUES
          |  ${SignatureVectors.values(SignatureVectors.t05Fingerprint)})
@@ -567,6 +619,32 @@ object PipelineQueries {
         |  FROM tc)
         |SELECT rank, term, n, round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
         |FROM top, tot WHERE rank <= 30 ORDER BY rank""".stripMargin,
+    // Per-(doc, term) contributions round to INTEGER micro-nats before the
+    // per-doc sum — exact 64-bit arithmetic, no order dependence (a float
+    // sum of rounded doubles measurably loses the round-half lottery:
+    // 2/500 docs at 4 dp). xent derives from the identical integers.
+    "t11_unigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+        |c AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(round(tf.tf * ln(tot.total / cnt.cnt) * 1e6)
+        |             AS BIGINT) AS contrib_micro
+        |      FROM tf JOIN cnt USING (term), tot),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |        CAST(sum(contrib_micro) AS BIGINT) AS nll_micro
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, nll_micro,
+        |  round(nll_micro / 1e6 / n_tokens, 4) AS xent,
+        |  CASE WHEN round(nll_micro / 1e6 / n_tokens, 4) < 3.40 THEN 'head'
+        |       WHEN round(nll_micro / 1e6 / n_tokens, 4) < 3.41 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM d ORDER BY doc_id""".stripMargin,
     "d02_shingle_cardinality" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) < 5 THEN 0

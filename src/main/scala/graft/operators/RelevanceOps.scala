@@ -75,6 +75,54 @@ object RelevanceOps {
       .select(col(idCol), round(col("score_raw"), 6).as("score"))
   }
 
+  /** CCNet-style unigram language-model quality score: per document, the
+    * cross-entropy of its tokens under the corpus's own unigram
+    * distribution, xent(d) = (1/|d|) Σ_t tf_t · ln(total/count_t), plus a
+    * head/middle/tail perplexity bucket — the standard shape for
+    * LM-quality corpus filtering (low xent = common-word prose, high
+    * xent = rare-token outliers).
+    *
+    * Scale shape: tokens explode to (doc, term) pairs but partial-aggregate
+    * map-side before the (doc, term)-keyed tf shuffle; the corpus term
+    * table is vocab-sized (broadcast back, with the grand total folded in
+    * as one scalar row like t09's stats); the final rollup is doc-keyed.
+    * Document text itself never shuffles.
+    *
+    * Determinism across engines: each (doc, term) contribution is rounded
+    * to an INTEGER count of micro-nats (×1e6) before the per-doc sum, so
+    * the sum is exact 64-bit integer arithmetic with zero order dependence
+    * — a float sum of rounded doubles still loses a round-half lottery
+    * when the decimal sum lands exactly on the rounding boundary (measured:
+    * 2 of 500 docs at 4 dp). `ln`'s ≤1-ulp libm spread would need to
+    * straddle a .5 micro-nat boundary to flip a contribution (~1e-9/term).
+    * xent then derives from the already-identical integers.
+    *
+    * Docs that tokenize to zero tokens have no defined cross-entropy and
+    * drop out (inner-join semantics), mirroring the SQL recomputation.
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      headBelow: Double, tailFrom: Double): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    tf.join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("contrib_micro", round(col("tf").cast("double") *
+        log(col("total") / col("cnt").cast("double")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("contrib_micro")).as("nll_micro"))
+      .withColumn("xent",
+        round(col("nll_micro") / 1e6 / col("n_tokens"), 4))
+      .withColumn("ppl_bucket",
+        when(col("xent") < headBelow, "head")
+          .when(col("xent") < tailFrom, "middle")
+          .otherwise("tail"))
+  }
+
   /** Tokenizer-training vocabulary statistics: the top-N terms by corpus
     * frequency with cumulative token-coverage fraction ("the 30 most
     * frequent terms cover X% of all tokens") — the first artifact of any

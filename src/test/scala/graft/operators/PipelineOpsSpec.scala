@@ -147,6 +147,43 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minhash estimates: exact dup pair at est=1.0, est tracks exact jaccard") {
+    val rows = DedupOps.minhashEstimates(docs, "doc_id", "text", k = 32, bands = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val (estDup, exactDup) = rows((0L, 1L))
+    assert(estDup === 1.0, "identical docs must agree on every component")
+    assert(exactDup === 1.0)
+    rows.foreach { case (pair, (est, exact)) =>
+      assert(est >= 0.0 && est <= 1.0, s"$pair est out of range")
+      assert(math.abs(est - exact) < 0.5,
+        s"$pair estimator wildly off: est=$est exact=$exact")
+    }
+  }
+
+  test("unigram cross-entropy: hand-computed micro-nats on a tiny corpus") {
+    // corpus "a a b" / "b c": total=5; counts a=2, b=2, c=1
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = RelevanceOps.unigramCrossEntropy(tiny, "doc_id", "text",
+        headBelow = 0.95, tailFrom = 1.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    def micro(tf: Int, cnt: Int) =
+      math.round(tf * math.log(5.0 / cnt) * 1e6)
+    val nll1 = micro(2, 2) + micro(1, 2) // a×2, b×1
+    val nll2 = micro(1, 2) + micro(1, 1) // b×1, c×1
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 === nll1)
+    assert(got(1L)._3 ===
+      BigDecimal(nll1 / 1e6 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got(1L)._4 === "head")   // 3·ln(2.5)/3 ≈ 0.9163 < 0.95
+    assert(got(2L)._1 === 2L)
+    assert(got(2L)._2 === nll2)
+    assert(got(2L)._4 === "tail")   // (ln 2.5 + ln 5)/2 ≈ 1.263 ≥ 1.2
+  }
+
   test("simhash fast expression is bit-identical to the composed form") {
     val both = docs.select(
       TextFns.simhash64(TextFns.tokens(col("text"))).as("slow"),
