@@ -307,6 +307,17 @@ object PipelineQueries {
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
+    // Full k-means training loop (2 Lloyd rounds from the s02/s10 seed):
+    // the oracle unrolls both rounds in SQL — because each round's means
+    // are 4dp-decimal-exact cross-engine, round 2's assignment compares
+    // bit-identical doubles and the whole trajectory is pinned, not just
+    // one step.
+    "s12_kmeans_train" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.kmeansTrain(emb, emb.filter(col("vec_id") < 8), iters = 2)
+        .orderBy(col("centroid_id"), col("dim"))
+    }),
+
     // ANN over int8-quantized embeddings (the compressed-index search
     // path): both sides dequantized from their codes, ranked exactly like
     // s01; recall vs the exact baseline is spec-pinned.
@@ -862,6 +873,41 @@ object PipelineQueries {
         |SELECT centroid_id, CAST(g - 1 AS INT) AS dim, count(*) AS n,
         |       round(avg(x), 4) + 0.0 AS mean_val
         |FROM x GROUP BY centroid_id, g ORDER BY centroid_id, dim""".stripMargin,
+    // Two unrolled Lloyd rounds; round-1 means rebuild into centroid
+    // vectors ordered by dim, so round 2 assigns against the identical
+    // 4dp decimals the engine uses.
+    "s12_kmeans_train" ->
+      """WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |              FROM embeddings),
+        |cent0 AS (SELECT vec_id AS centroid_id, vv AS cv
+        |          FROM corp WHERE vec_id < 8),
+        |asg1 AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT c.vec_id, cent0.centroid_id,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |                              ORDER BY list_cosine_similarity(c.vv, cent0.cv) DESC,
+        |                              cent0.centroid_id) AS rn
+        |    FROM corp c, cent0) WHERE rn = 1),
+        |x1 AS (SELECT a.centroid_id,
+        |         unnest(generate_series(1, len(v.vv))) AS g, unnest(v.vv) AS x
+        |       FROM corp v JOIN asg1 a ON a.vec_id = v.vec_id),
+        |mm1 AS (SELECT centroid_id, g, round(avg(x), 4) + 0.0 AS mean_val
+        |        FROM x1 GROUP BY centroid_id, g),
+        |cent1 AS (SELECT centroid_id, list(mean_val ORDER BY g) AS cv
+        |          FROM mm1 GROUP BY centroid_id),
+        |asg2 AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT c.vec_id, cent1.centroid_id,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |                              ORDER BY list_cosine_similarity(c.vv, cent1.cv) DESC,
+        |                              cent1.centroid_id) AS rn
+        |    FROM corp c, cent1) WHERE rn = 1),
+        |x2 AS (SELECT a.centroid_id,
+        |         unnest(generate_series(1, len(v.vv))) AS g, unnest(v.vv) AS x
+        |       FROM corp v JOIN asg2 a ON a.vec_id = v.vec_id)
+        |SELECT centroid_id, CAST(g - 1 AS INT) AS dim, count(*) AS n,
+        |       round(avg(x), 4) + 0.0 AS mean_val
+        |FROM x2 GROUP BY centroid_id, g ORDER BY centroid_id, dim""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

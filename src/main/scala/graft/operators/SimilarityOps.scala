@@ -310,4 +310,42 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"),
         (round(avg(col("x")), 4) + lit(0.0)).as("mean_val"))
   }
+
+  /** Full Lloyd's k-means training loop: `iters` rounds of assign →
+    * recompute means, starting from `init` — the step that TRAINS the
+    * centroid table the IVF query path ([[ivfAssign]]/[[probeTopK]]/
+    * [[multiProbeTopK]]) consumes; [[centroidRefine]] is one round of it.
+    * Returns the final round's (centroid_id, dim, n, mean_val) table.
+    *
+    * Scale shape: each round is the s10 plan — broadcast centroids,
+    * shuffle-free assignment, (centroid, dim)-keyed partial-aggregated
+    * means (the dim fanout never moves) — plus one k-row aggregate to
+    * rebuild centroid vectors. The rebuilt centroid table is
+    * `localCheckpoint`ed per round (the d06 iterative pattern): lineage
+    * is cut so round i+1's plan doesn't re-execute rounds 1..i, and the
+    * materialized state is model-sized (k vectors), never row data.
+    *
+    * Determinism: means round to 4 dp with −0.0 canonicalized (the s10
+    * recipe), so every round's centroids are decimal-exact cross-engine
+    * and the next assignment compares bit-identical doubles. Clusters
+    * that lose every vector drop out (standard Lloyd behavior — `init`
+    * chooses how k is kept populated).
+    */
+  def kmeansTrain(corpus: DataFrame, init: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters=$iters: need at least one Lloyd round")
+    var cent = init.select(col(idCol), col(vecCol))
+    var means: DataFrame = null
+    for (i <- 1 to iters) {
+      means = centroidRefine(corpus, cent, idCol, vecCol)
+      if (i < iters) // the final round's rebuild would be dead work
+        cent = means.groupBy(col("centroid_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("mean_val")))),
+            s => s.getField("mean_val")).as(vecCol))
+          .withColumnRenamed("centroid_id", idCol)
+          .localCheckpoint()
+    }
+    means
+  }
 }

@@ -584,4 +584,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out((1L, 0))._2 - 0.05) < 1e-9)
     assert(math.abs(out((1L, 1))._2 - 1.0) < 1e-9)
   }
+
+  test("kmeans train: one round == centroidRefine; rounds converge on blobs") {
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.2f)), (3L, Array(0.9f, 0.0f)),
+      (4L, Array(0.1f, 1.0f)), (5L, Array(0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val init = d.filter(col("vec_id") < 2)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("centroid_id", "dim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    assert(table(SimilarityOps.kmeansTrain(d, init, iters = 1)) ===
+      table(SimilarityOps.centroidRefine(d, init)))
+    // well-separated blobs: assignment is stable, so round 2 reproduces
+    // round 1's means (the converged fixed point)
+    assert(table(SimilarityOps.kmeansTrain(d, init, iters = 2)) ===
+      table(SimilarityOps.kmeansTrain(d, init, iters = 1)))
+  }
 }
