@@ -107,7 +107,11 @@ object RelevanceOps {
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    // grand total from the token stream directly (a partial-aggregated
+    // scalar count), NOT sum(vocab.cnt): the vocab subplan feeds the
+    // broadcast join, and reusing it here would evaluate the term
+    // aggregate twice (one extra exchange, measured in PlanShapeSpec)
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
     tf.join(broadcast(vocab), Seq("term"))
       .crossJoin(broadcast(total))
       .withColumn("contrib_micro", round(col("tf").cast("double") *

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regression pins for the operators whose scale story
+  * depends on a specific plan: shuffle-exchange counts stay at (or under)
+  * the designed number, intended broadcasts stay broadcasts, and top-k
+  * stays TakeOrderedAndProject. A refactor that silently degrades one of
+  * these (a broadcast falling back to a shuffle join, a per-row operator
+  * growing an exchange) fails here long before a bench shows it.
+  *
+  * Counts are on the pre-execution plan (AQE's initial plan), which is
+  * exactly what the design controls; AQE may only merge/elide at runtime.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only — BroadcastExchange is counted separately. */
+  private def shuffles(df: DataFrame): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(planOf(df)).size
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "one two three four five six seven eight nine ten"),
+    (3L, "ten nine eight seven six five four three two one")
+  ).toDF("doc_id", "text")
+
+  private lazy val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.0f, 0.9f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("per-row operators plan zero exchanges") {
+    assert(shuffles(SimilarityOps.quantizeInt8(emb)) === 0)
+    val meta = Seq((1L, 640, 480)).toDF("media_id", "width", "height")
+    assert(shuffles(Multimodal.resizePlan(meta, 64)) === 0)
+  }
+
+  test("exact dedup is exactly one digest-keyed exchange") {
+    assert(shuffles(DedupOps.exactDedup(docs, "doc_id", "text")) === 1)
+  }
+
+  test("ivf assign: centroids broadcast, one vec-keyed exchange") {
+    val p = planOf(SimilarityOps.ivfAssign(emb, emb.filter(col("vec_id") < 2)))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(shuffles(SimilarityOps.ivfAssign(emb, emb.filter(col("vec_id") < 2))) === 1)
+  }
+
+  test("brute-force knn: corpus side never shuffles before scoring") {
+    val df = SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 2)
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange"), p)
+    // the only shuffle is the per-query ranking window's repartition
+    assert(shuffles(df) <= 1, p)
+  }
+
+  test("bm25: stats are one broadcast scalar row; top-k is a heap, not a sort") {
+    val df = RelevanceOps.bm25TopK(docs, "doc_id", "text", Seq("alpha"), 2)
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // single-row stats aggregate: partial + one SinglePartition exchange
+    assert(shuffles(df) <= 1, p)
+  }
+
+  test("decontamination: benchmark shingles broadcast onto the corpus") {
+    val df = DedupOps.decontaminationCounts(
+      docs.filter(col("doc_id") > 0), docs.filter(col("doc_id") === 0),
+      "doc_id", "text", 3)
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange"), p)
+    // benchmark distinct + final per-doc rollup; the corpus side's
+    // shingles must reach the join without an exchange of their own
+    assert(shuffles(df) <= 2, p)
+  }
+
+  test("unigram xent: tf/vocab aggregates bounded, count table broadcast") {
+    val df = RelevanceOps.unigramCrossEntropy(docs, "doc_id", "text", 1.0, 2.0)
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange"), p)
+    // (doc,term) tf agg + vocab agg + scalar total + final doc rollup
+    assert(shuffles(df) <= 4, p)
+  }
+
+  test("minhash candidates: only the band-keyed self-join moves data") {
+    val df = DedupOps.minhashCandidates(docs, "doc_id", "text")
+    // two join-side exchanges on (band, band_key) + the pair distinct
+    assert(shuffles(df) <= 3, planOf(df))
+  }
+}
