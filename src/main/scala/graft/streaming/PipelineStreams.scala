@@ -43,4 +43,31 @@ object PipelineStreams {
   def qualityGate(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(
       graft.functions.TextFns.qualityFeatures(col(textCol)).getField("keep"))
+
+  /** Ingest-duplication observability: per event-time window, how many
+    * documents arrived vs how many distinct contents — the dup_frac series
+    * a crawl operator watches to catch a feed gone circular (the at-ingest
+    * counterpart of auditing d01's drop counts).
+    *
+    * Two stacked streaming aggregations (supported append-mode shape):
+    * (window, digest) counts — state keyed on the digest inside the
+    * watermark horizon, the same bound as [[dedupByDigest]] — rolled up to
+    * one row per window once the watermark closes it. Exact distinct
+    * counting WITHOUT unbounded state: the first aggregate is the
+    * distinct set, but windowed and watermark-expired.
+    */
+  def dupRateByWindow(docs: DataFrame, tsCol: String, textCol: String,
+      window_ : String, watermark: String): DataFrame =
+    docs
+      .withColumn("digest", graft.operators.DedupOps.contentDigest(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("digest"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("window"))
+      .agg(sum(col("copies")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 6)
+          .as("dup_frac"))
 }

@@ -48,6 +48,32 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dup rate by window: stacked aggregation emits exact per-window stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val rates = PipelineStreams.dupRateByWindow(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val q = rates.writeStream.format("memory").queryName("dr")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc("2021-01-16 17:00:00", "alpha body"),
+        doc("2021-01-16 17:01:00", "alpha body"), // dup
+        doc("2021-01-16 17:02:00", "beta body"),
+        doc("2021-01-16 17:03:00", "alpha body")) // dup
+      q.processAllAvailable()
+      // append mode: nothing emits until the watermark closes the window
+      in.addData(doc("2021-01-16 17:30:00", "closer"))
+      q.processAllAvailable()
+      val rows = spark.table("dr")
+        .filter(col("window_start") === "2021-01-16 17:00:00").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("n_docs") === 4L)
+      assert(rows.head.getAs[Long]("n_distinct") === 2L)
+      assert(rows.head.getAs[Double]("dup_frac") === 0.5)
+    } finally q.stop()
+  }
+
   test("quality gate: short/junk docs filtered, real docs kept") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
