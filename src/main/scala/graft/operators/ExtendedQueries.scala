@@ -44,6 +44,29 @@ object ExtendedQueries {
         FROM daily ORDER BY event_type, day""")
     }),
 
+    // Subquery surface through the SQL entry point: a correlated scalar
+    // subquery plus EXISTS / NOT EXISTS — Catalyst decorrelates all three
+    // into aggregate-then-join / semi-join / anti-join (never a per-row
+    // re-execution), so the subquery syntax costs exactly what the q07/q08
+    // DataFrame forms cost. The oracle runs the same text in DuckDB.
+    "q32_subqueries" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v32")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v32")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+               (SELECT count(*) FROM orders_v32 o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v32 c
+        WHERE EXISTS (SELECT 1 FROM orders_v32 o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v32 o3
+                          WHERE o3.o_custkey = c.c_custkey
+                            AND o3.o_orderstatus = 'F'
+                            AND o3.o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    }),
+
     // GROUPING SETS through the SQL entry point — the explicit form of
     // the q10 rollup / q14 cube family (arbitrary grouping combinations
     // in one pass; one Expand, one shuffle).
@@ -384,6 +407,19 @@ object ExtendedQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "q32_subqueries" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o2
+        |              WHERE o2.o_custkey = c.c_custkey
+        |                AND o2.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o3
+        |                  WHERE o3.o_custkey = c.c_custkey
+        |                    AND o3.o_orderstatus = 'F'
+        |                    AND o3.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
     "q29_sql_text" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -89,6 +89,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(df) <= 4, p)
   }
 
+  test("correlated subqueries decorrelate to joins, not per-row re-execution") {
+    val df = graft.SparkEntry.queries("q32_subqueries")(
+      spark, "/root/testdata/sf0.001")
+    val p = planOf(df)
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("minhash candidates: only the band-keyed self-join moves data") {
     val df = DedupOps.minhashCandidates(docs, "doc_id", "text")
     // two join-side exchanges on (band, band_key) + the pair distinct
