@@ -138,6 +138,25 @@ object AnalysisStream {
   def topHostsSnapshot(stats: DataFrame, n: Int): DataFrame =
     stats.orderBy(desc("last_ts"), col("host")).limit(n)
 
+  /** Streaming sessionization via NATIVE session windows: per-host crawl
+    * bursts separated by ≥`gap` of silence become one row each, emitted
+    * when the watermark closes the session. Unlike the batch q24 form
+    * (lag + running sum over a sorted window), session_window state MERGES
+    * as events arrive out of order inside the watermark — the
+    * streaming-only capability; state per key is one [start, end) interval
+    * per open session, watermark-expired.
+    */
+  def hostSessions(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events
+      .filter(col("host").isNotNull && col("host") =!= "")
+      .withWatermark("event_ts", watermark)
+      .groupBy(session_window(col("event_ts"), gap), col("host"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("host"), col("n_events"))
+
   /** A2 re-specified: status histogram over sliding event-time windows with
     * a watermark (replacing the processing-order "last 10k events" deque).
     */

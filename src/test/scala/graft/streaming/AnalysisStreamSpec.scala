@@ -92,6 +92,32 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("native session windows: bursts merge, silence splits, append on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatEvent]
+    val sessions = AnalysisStream.hostSessions(
+      in.toDS().toDF(), "30 minutes", "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev("a.org", "2021-01-16 17:00:00", 200),
+        ev("a.org", "2021-01-16 17:20:00", 200), // within gap: same session
+        ev("a.org", "2021-01-16 19:00:00", 200)) // ≥30 min silence: new one
+      q.processAllAvailable()
+      in.addData(ev("b.org", "2021-01-16 23:00:00", 200)) // watermark closer
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("host") === "a.org")
+        .orderBy("session_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n_events") === 2L)
+      // session extends gap past the LAST merged event
+      assert(rows(0).getAs[java.sql.Timestamp]("session_end").toString
+        === "2021-01-16 17:50:00.0")
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
   test("top-N snapshot bound + atomic write") {
     val stats = Seq(
       ("a.org", "2021-01-16 17:05:00", 10L),
