@@ -67,6 +67,22 @@ object ExtendedQueries {
         ORDER BY c_custkey""")
     }),
 
+    // LATERAL correlated derived table with ORDER BY + LIMIT (top order
+    // per customer) — Catalyst decorrelates it into a ranking window +
+    // join (verified in PlanShapeSpec), the same plan q09 writes by hand;
+    // customers with no orders drop (inner lateral semantics).
+    "q33_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v33")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v33")
+      s.sql("""
+        SELECT c.c_custkey, l.top_price, l.top_order
+        FROM customer_v33 c, LATERAL (
+          SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_order
+          FROM orders_v33 o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) l
+        ORDER BY c.c_custkey""")
+    }),
+
     // GROUPING SETS through the SQL entry point — the explicit form of
     // the q10 rollup / q14 cube family (arbitrary grouping combinations
     // in one pass; one Expand, one shuffle).
@@ -407,6 +423,13 @@ object ExtendedQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "q33_lateral" ->
+      """SELECT c.c_custkey, l.top_price, l.top_order
+        |FROM customer c, LATERAL (
+        |  SELECT o.o_totalprice AS top_price, o.o_orderkey AS top_order
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) l
+        |ORDER BY c.c_custkey""".stripMargin,
     "q32_subqueries" ->
       """SELECT c.c_custkey, c.c_name,
         |  (SELECT count(*) FROM orders o

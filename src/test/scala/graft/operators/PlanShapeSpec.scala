@@ -97,6 +97,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("lateral limit-1 decorrelates to a ranking window + join") {
+    val df = graft.SparkEntry.queries("q33_lateral")(
+      spark, "/root/testdata/sf0.001")
+    val p = planOf(df)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash candidates: only the band-keyed self-join moves data") {
     val df = DedupOps.minhashCandidates(docs, "doc_id", "text")
     // two join-side exchanges on (band, band_key) + the pair distinct
