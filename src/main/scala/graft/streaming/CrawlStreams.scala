@@ -70,4 +70,34 @@ object CrawlStreams {
     messages.select(
       col(keyCol).cast("binary").as("key"),
       col(valueCol).cast("binary").as("value"))
+
+  /** Launch-to-outcome correlation: stream-stream join of the launch topic
+    * against the crawled-results topic on URL, bounded to outcomes within
+    * `horizon` of the launch — the per-URL feedback loop ("did what we
+    * launched get crawled, and how fast") the reference can only eyeball
+    * across two consoles.
+    *
+    * State on both sides is watermark+time-range bounded: a launch row is
+    * dropped from join state once the result-side watermark passes
+    * launch_ts + horizon, and vice versa — bounded regardless of stream
+    * volume. `leftOuter` additionally emits launches with NO outcome
+    * inside the horizon (null crawl_ts/latency) once their state expires:
+    * the crawl-failure detector.
+    *
+    * Expects `launches(url, launch_ts)` and `results(crawl_url,
+    * crawl_ts)`; emits (url, launch_ts, crawl_ts, latency_s).
+    */
+  def launchOutcomes(launches: DataFrame, results: DataFrame,
+      horizon: String, leftOuter: Boolean = false): DataFrame = {
+    val l = launches.withWatermark("launch_ts", horizon)
+    val r = results.withWatermark("crawl_ts", horizon)
+    l.join(r,
+        col("crawl_url") === col("url") &&
+          col("crawl_ts") >= col("launch_ts") &&
+          col("crawl_ts") <= col("launch_ts") + expr(s"INTERVAL $horizon"),
+        if (leftOuter) "leftOuter" else "inner")
+      .select(col("url"), col("launch_ts"), col("crawl_ts"),
+        (col("crawl_ts").cast("long") - col("launch_ts").cast("long"))
+          .as("latency_s"))
+  }
 }
