@@ -67,6 +67,36 @@ object ExtendedQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over the
+    // adjacent-doc near-dup chain graph — min-label per component, the
+    // SQL-first twin of d06's iterative DataFrame connected components.
+    // Edges only point forward (src = id-1 → dst = id), so the recursion
+    // is acyclic and every doc has ≤1 inbound edge: UNION ALL terminates
+    // and never duplicates a (id, label) path. Each recursion step is one
+    // join — the same per-hop shuffle shape as d06, planned by Catalyst.
+    "q34_recursive_cte" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_v34")
+      s.sql("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id,
+                array_distinct(CASE WHEN length(trim(text)) = 0
+                  THEN array() ELSE split(trim(text), '\\s+') END) AS toks
+              FROM docs_v34),
+        e AS (
+          SELECT b.doc_id AS src, a.doc_id AS dst
+          FROM t a JOIN t b ON b.doc_id = a.doc_id - 1
+          WHERE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (size(a.toks) + size(b.toks)
+                   - size(array_intersect(a.toks, b.toks))) >= 0.85),
+        reach(id, label) AS (
+          SELECT doc_id, doc_id FROM t
+          UNION ALL
+          SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id)
+        SELECT id AS doc_id, min(label) AS cluster_id,
+               (id = min(label)) AS is_head
+        FROM reach GROUP BY id ORDER BY doc_id""")
+    }),
+
     // LATERAL correlated derived table with ORDER BY + LIMIT (top order
     // per customer) — Catalyst decorrelates it into a ranking window +
     // join (verified in PlanShapeSpec), the same plan q09 writes by hand;
@@ -423,6 +453,24 @@ object ExtendedQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "q34_recursive_cte" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |        list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |      FROM documents),
+        |e AS (
+        |  SELECT b.doc_id AS src, a.doc_id AS dst
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id - 1
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / (len(a.toks) + len(b.toks)
+        |           - len(list_intersect(a.toks, b.toks))) >= 0.85),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION ALL
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id,
+        |       (id = min(label)) AS is_head
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q33_lateral" ->
       """SELECT c.c_custkey, l.top_price, l.top_order
         |FROM customer c, LATERAL (
