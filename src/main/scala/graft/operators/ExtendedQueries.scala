@@ -67,6 +67,21 @@ object ExtendedQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Spark 4 VARIANT over the semi-structured props column: parse once,
+    // typed-path extraction, aggregate — the modern shredded-JSON path
+    // (binary variant encoding, no per-row schema inference), vs p01's
+    // from_json-with-declared-schema. The oracle extracts the same path
+    // with DuckDB's JSON functions.
+    "q35_variant" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v35")
+      s.sql("""
+        SELECT event_type,
+               count(*) AS n,
+               sum(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+               min(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k
+        FROM events_v35 GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over the
     // adjacent-doc near-dup chain graph — min-label per component, the
     // SQL-first twin of d06's iterative DataFrame connected components.
@@ -453,6 +468,11 @@ object ExtendedQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "q35_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q34_recursive_cte" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id,

@@ -16,9 +16,9 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 103 queries, 102 with oracles") {
-    assert(SparkEntry.queries.size === 103)
-    assert(SparkEntry.oracleSql.size === 102)
+  test("registry sizes: 104 queries, 103 with oracles") {
+    assert(SparkEntry.queries.size === 104)
+    assert(SparkEntry.oracleSql.size === 103)
     // a09's HLL++ sketch is the single rows-only entry by design (engine-
     // specific sketch; error bound pinned in PipelineOpsSpec instead)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
