@@ -585,6 +585,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out((1L, 1))._2 - 1.0) < 1e-9)
   }
 
+  test("kmeans train: a centroid that attracts nothing drops out") {
+    // two identical init centroids: cosine ties break to the smaller
+    // centroid_id (max_by tie struct), so centroid 1 gets zero vectors and
+    // must vanish from the refined table — standard Lloyd drop semantics
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeansTrain(d, d.filter(col("vec_id") < 2), 2)
+    assert(out.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+    // all four vectors still accounted for in the surviving cluster
+    assert(out.filter(col("dim") === 0)
+      .select("n").collect().map(_.getLong(0)).sum === 4L)
+  }
+
   test("kmeans train: one round == centroidRefine; rounds converge on blobs") {
     val d = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
