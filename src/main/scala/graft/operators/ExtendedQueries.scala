@@ -476,7 +476,9 @@ object ExtendedQueries {
     "q34_recursive_cte" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id,
-        |        list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |        list_distinct(CASE WHEN len(trim(text)) = 0
+        |          THEN CAST([] AS VARCHAR[])
+        |          ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks
         |      FROM documents),
         |e AS (
         |  SELECT b.doc_id AS src, a.doc_id AS dst
