@@ -4,7 +4,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** The continuous stats service (reference analysis.py, SURVEY.md §3.2) as
   * one Structured Streaming topology: per-host rolling stats with bounded
@@ -137,6 +139,80 @@ object AnalysisStream {
   /** Snapshot-time bound: keep the N most recently active hosts. */
   def topHostsSnapshot(stats: DataFrame, n: Int): DataFrame =
     stats.orderBy(desc("last_ts"), col("host")).limit(n)
+
+  /** An idle-host alert: `host` went silent after `n_events` events, last
+    * seen at `last_ts` (event time).
+    */
+  final case class IdleAlert(host: String, n_events: Long,
+      last_ts: java.sql.Timestamp)
+
+  /** Idle-host detector on the transformWithState API (the arbitrary-
+    * stateful-processing successor to flatMapGroupsWithState): per host,
+    * keep (last event-time, event count) and an EVENT-TIME timer at
+    * last + idleMs; every new batch re-arms the timer, and when the
+    * watermark passes it — the host really has been silent for idleMs of
+    * stream time — one alert emits and the state clears. The "this host
+    * dropped out of the crawl" monitor, with per-key state + timers
+    * managed by the state store (RocksDB provider required by the API).
+    *
+    * Event-time (not processing-time) timers make the semantics replay-
+    * deterministic: a backfill at 10× speed fires the same alerts.
+    */
+  final class IdleHostDetector(idleMs: Long)
+      extends StatefulProcessor[String, StatEvent, IdleAlert] {
+    @transient private var lastSeen: ValueState[Long] = _
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[Long]("lastSeen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      nEvents = getHandle.getValueState[Long]("nEvents",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(host: String, rows: Iterator[StatEvent],
+        timers: TimerValues): Iterator[IdleAlert] = {
+      var last = if (lastSeen.exists()) lastSeen.get() else 0L
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        last = math.max(last, e.event_ts.getTime)
+      }
+      lastSeen.update(last)
+      nEvents.update(n)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val at = last + idleMs
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(host: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[IdleAlert] = {
+      val out = IdleAlert(host, nEvents.get(),
+        new java.sql.Timestamp(lastSeen.get()))
+      lastSeen.clear(); nEvents.clear(); timerAt.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** [[IdleHostDetector]] wired onto a StatEvent stream: watermark bounds
+    * both late data and timer firing; output is append-mode alerts.
+    */
+  def idleHosts(events: Dataset[StatEvent], idleMs: Long,
+      watermark: String): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("host").isNotNull && col("host") =!= "")
+      .withWatermark("event_ts", watermark)
+      .as[StatEvent]
+      .groupByKey(_.host)
+      .transformWithState(new IdleHostDetector(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Streaming sessionization via NATIVE session windows: per-host crawl
     * bursts separated by ≥`gap` of silence become one row each, emitted

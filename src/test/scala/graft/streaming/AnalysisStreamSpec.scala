@@ -118,6 +118,48 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState idle-host alert fires on watermark, not arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StatEvent]
+    val q = AnalysisStream.idleHosts(in.toDS(), idleMs = 30 * 60 * 1000L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("idle")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev("a.org", "2021-01-16 17:00:00", 200),
+        ev("a.org", "2021-01-16 17:05:00", 200),
+        ev("b.org", "2021-01-16 17:06:00", 200))
+      q.processAllAvailable()
+      // nothing idle yet: watermark has not passed last_ts + 30 min
+      assert(spark.table("idle").isEmpty)
+      // b.org keeps crawling; a.org stays silent → only a.org alerts once
+      // the watermark passes 17:05 + 30 min
+      in.addData(ev("b.org", "2021-01-16 18:00:00", 200))
+      q.processAllAvailable()
+      in.addData(ev("b.org", "2021-01-16 18:30:00", 200))
+      q.processAllAvailable()
+      val alerts = spark.table("idle").collect()
+      assert(alerts.map(_.getAs[String]("host")).toSeq === Seq("a.org"))
+      assert(alerts.head.getAs[Long]("n_events") === 2L)
+      assert(alerts.head.getAs[java.sql.Timestamp]("last_ts").toString
+        === "2021-01-16 17:05:00.0")
+      // re-arming works: the timer moved with b.org's later events, so no
+      // spurious alert for a host that kept reporting
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("top-N snapshot bound + atomic write") {
     val stats = Seq(
       ("a.org", "2021-01-16 17:05:00", 10L),
