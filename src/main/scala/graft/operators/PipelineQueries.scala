@@ -254,6 +254,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The LSH pipeline EXECUTED end-to-end: signature → band → candidate
+    // pair → exact-Jaccard verify (≥ 0.9) → connected-component collapse →
+    // canonical flag. d09 audits the estimator; this is the dedup decision
+    // itself at LSH scale (no equality blocking — the band join IS the
+    // blocker). Oracle: d09's independent-signature pairing + text verify,
+    // then the d06 recursive closure.
+    "d10_lsh_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = DedupOps.minhashVerified(docs, "doc_id", "text",
+          threshold = 0.9)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      DedupOps.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity -------------------------------------------------------
     "s01_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -672,6 +689,42 @@ object PipelineQueries {
         |    AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    // d09's independent-signature banding/pairing + raw-text verify at
+    // ≥ 0.9, closed transitively like d06. The exact-Jaccard filter
+    // compares the identical integer-ratio double on both engines.
+    "d10_lsh_clusters" ->
+      s"""WITH RECURSIVE kk(doc_id, sig_csv) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
+         |s AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
+         |      WHERE len(string_split(sig_csv, ',')) = 16),
+         |bk AS (SELECT doc_id, g,
+         |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+         |       FROM s, range(0, 4) t(g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bk a JOIN bk b
+         |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |        FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+         |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
+         |       FROM tok),
+         |e AS (SELECT c.id_a AS src, c.id_b AS dst
+         |      FROM cand c
+         |      JOIN sh ja ON ja.doc_id = c.id_a
+         |      JOIN sh jb ON jb.doc_id = c.id_b
+         |      WHERE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+         |            / (len(ja.shs) + len(jb.shs)
+         |               - len(list_intersect(ja.shs, jb.shs))) >= 0.9),
+         |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id,
+         |       (id = min(label)) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d06_dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS len_band,

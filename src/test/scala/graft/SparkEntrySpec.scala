@@ -16,9 +16,9 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 104 queries, 103 with oracles") {
-    assert(SparkEntry.queries.size === 104)
-    assert(SparkEntry.oracleSql.size === 103)
+  test("registry sizes: 105 queries, 104 with oracles") {
+    assert(SparkEntry.queries.size === 105)
+    assert(SparkEntry.oracleSql.size === 104)
     // a09's HLL++ sketch is the single rows-only entry by design (engine-
     // specific sketch; error bound pinned in PipelineOpsSpec instead)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
