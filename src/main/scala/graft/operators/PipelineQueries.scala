@@ -397,6 +397,31 @@ object PipelineQueries {
     })
   )
 
+  /** Shared d09/d10 oracle prologue: independent d04 signature VALUES →
+    * parsed sigs → band keys (slice equality ≡ the engine's slice-hash
+    * band key absent a 2⁻⁶⁴ collision) → candidate pairs, plus word
+    * 3-gram shingle sets for exact-Jaccard verification. One constant so
+    * the two oracles' banding/pairing/shingle logic can never drift.
+    */
+  private val lshOraclePrologue: String =
+    s"""kk(doc_id, sig_csv) AS (VALUES
+       |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
+       |s AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
+       |      WHERE len(string_split(sig_csv, ',')) = 16),
+       |bk AS (SELECT doc_id, g,
+       |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+       |       FROM s, range(0, 4) t(g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bk a JOIN bk b
+       |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |        FROM documents),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+       |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+       |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
+       |       FROM tok)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Cross-IMPLEMENTATION oracles (the p19 murmur3 recipe): the VALUES
     // rows in SignatureVectors were computed by an independent pure-Python
@@ -423,33 +448,17 @@ object PipelineQueries {
     // the pair sets agree absent a 64-bit collision), the MinHash
     // estimator as agreeing-components/16, exact Jaccard from raw text.
     "d09_lsh_estimates" ->
-      s"""WITH kk(doc_id, sig_csv) AS (VALUES
-         |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
-         |s AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
-         |      WHERE len(string_split(sig_csv, ',')) = 16),
-         |bk AS (SELECT doc_id, g,
-         |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
-         |       FROM s, range(0, 4) t(g)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bk a JOIN bk b
-         |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-         |        FROM documents),
-         |sh AS (SELECT doc_id,
-         |         CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-         |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
-         |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
-         |       FROM tok)
-         |SELECT c.id_a, c.id_b,
-         |  round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
-         |        AS DOUBLE) / 16.0, 6) AS est_jaccard,
-         |  round(CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
-         |        / (len(ja.shs) + len(jb.shs) - len(list_intersect(ja.shs, jb.shs))),
-         |        6) AS jaccard
-         |FROM cand c
-         |JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
-         |JOIN sh ja ON ja.doc_id = c.id_a JOIN sh jb ON jb.doc_id = c.id_b
-         |ORDER BY id_a, id_b""".stripMargin,
+      (s"WITH $lshOraclePrologue\n" +
+      """SELECT c.id_a, c.id_b,
+        |  round(CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+        |        AS DOUBLE) / 16.0, 6) AS est_jaccard,
+        |  round(CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+        |        / (len(ja.shs) + len(jb.shs) - len(list_intersect(ja.shs, jb.shs))),
+        |        6) AS jaccard
+        |FROM cand c
+        |JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+        |JOIN sh ja ON ja.doc_id = c.id_a JOIN sh jb ON jb.doc_id = c.id_b
+        |ORDER BY id_a, id_b""".stripMargin),
     "t05_fingerprint" ->
       s"""WITH k(doc_id, fingerprint) AS (VALUES
          |  ${SignatureVectors.values(SignatureVectors.t05Fingerprint)})
@@ -693,38 +702,22 @@ object PipelineQueries {
     // ≥ 0.9, closed transitively like d06. The exact-Jaccard filter
     // compares the identical integer-ratio double on both engines.
     "d10_lsh_clusters" ->
-      s"""WITH RECURSIVE kk(doc_id, sig_csv) AS (VALUES
-         |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
-         |s AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
-         |      WHERE len(string_split(sig_csv, ',')) = 16),
-         |bk AS (SELECT doc_id, g,
-         |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
-         |       FROM s, range(0, 4) t(g)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bk a JOIN bk b
-         |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-         |        FROM documents),
-         |sh AS (SELECT doc_id,
-         |         CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-         |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
-         |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
-         |       FROM tok),
-         |e AS (SELECT c.id_a AS src, c.id_b AS dst
-         |      FROM cand c
-         |      JOIN sh ja ON ja.doc_id = c.id_a
-         |      JOIN sh jb ON jb.doc_id = c.id_b
-         |      WHERE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
-         |            / (len(ja.shs) + len(jb.shs)
-         |               - len(list_intersect(ja.shs, jb.shs))) >= 0.9),
-         |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-         |reach(id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
-         |SELECT id AS doc_id, min(label) AS cluster_id,
-         |       (id = min(label)) AS is_canonical
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      (s"WITH RECURSIVE $lshOraclePrologue,\n" +
+      """e AS (SELECT c.id_a AS src, c.id_b AS dst
+        |      FROM cand c
+        |      JOIN sh ja ON ja.doc_id = c.id_a
+        |      JOIN sh jb ON jb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+        |            / (len(ja.shs) + len(jb.shs)
+        |               - len(list_intersect(ja.shs, jb.shs))) >= 0.9),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id,
+        |       (id = min(label)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "d06_dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS len_band,

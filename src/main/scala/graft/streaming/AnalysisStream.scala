@@ -162,31 +162,37 @@ object AnalysisStream {
       extends StatefulProcessor[String, StatEvent, IdleAlert] {
     @transient private var lastSeen: ValueState[Long] = _
     @transient private var nEvents: ValueState[Long] = _
-    @transient private var timerAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastSeen = getHandle.getValueState[Long]("lastSeen",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       nEvents = getHandle.getValueState[Long]("nEvents",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-      timerAt = getHandle.getValueState[Long]("timerAt",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
+    // The armed timer is always lastSeen + idleMs — derived, not stored:
+    // one fewer state column, and the two can never drift.
     override def handleInputRows(host: String, rows: Iterator[StatEvent],
         timers: TimerValues): Iterator[IdleAlert] = {
-      var last = if (lastSeen.exists()) lastSeen.get() else 0L
+      val prev = if (lastSeen.exists()) lastSeen.get() else 0L
+      var last = prev
       var n = if (nEvents.exists()) nEvents.get() else 0L
       rows.foreach { e =>
+        // null event time: count the record but don't fold a bogus
+        // epoch-0 (the updateHostTtl contract; the watermark predicate
+        // does NOT drop null-ts rows, so they do reach here)
         n += 1
-        last = math.max(last, e.event_ts.getTime)
+        if (e.event_ts != null) last = math.max(last, e.event_ts.getTime)
       }
       lastSeen.update(last)
       nEvents.update(n)
-      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
-      val at = last + idleMs
-      getHandle.registerTimer(at)
-      timerAt.update(at)
+      // invariant: state with lastSeen > 0 ⟺ one timer armed at
+      // lastSeen + idleMs; last == 0 (only null-ts events so far) means
+      // nothing to go idle from yet
+      if (last > prev) {
+        if (prev > 0L) getHandle.deleteTimer(prev + idleMs)
+        getHandle.registerTimer(last + idleMs)
+      }
       Iterator.empty
     }
 
@@ -194,7 +200,7 @@ object AnalysisStream {
         expired: ExpiredTimerInfo): Iterator[IdleAlert] = {
       val out = IdleAlert(host, nEvents.get(),
         new java.sql.Timestamp(lastSeen.get()))
-      lastSeen.clear(); nEvents.clear(); timerAt.clear()
+      lastSeen.clear(); nEvents.clear()
       Iterator.single(out)
     }
   }
