@@ -100,9 +100,11 @@ object ExtendedQueries {
         e AS (
           SELECT b.doc_id AS src, a.doc_id AS dst
           FROM t a JOIN t b ON b.doc_id = a.doc_id - 1
-          WHERE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
-                / (size(a.toks) + size(b.toks)
-                   - size(array_intersect(a.toks, b.toks))) >= 0.85),
+          WHERE CASE WHEN size(a.toks) + size(b.toks) = 0 THEN 0.0
+                ELSE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / (size(a.toks) + size(b.toks)
+                        - size(array_intersect(a.toks, b.toks)))
+                END >= 0.85),
         reach(id, label) AS (
           SELECT doc_id, doc_id FROM t
           UNION ALL
@@ -483,9 +485,11 @@ object ExtendedQueries {
         |e AS (
         |  SELECT b.doc_id AS src, a.doc_id AS dst
         |  FROM t a JOIN t b ON b.doc_id = a.doc_id - 1
-        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / (len(a.toks) + len(b.toks)
-        |           - len(list_intersect(a.toks, b.toks))) >= 0.85),
+        |  WHERE CASE WHEN len(a.toks) + len(b.toks) = 0 THEN 0.0
+        |        ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |             / (len(a.toks) + len(b.toks)
+        |                - len(list_intersect(a.toks, b.toks)))
+        |        END >= 0.85),
         |reach(id, label) AS (
         |  SELECT doc_id, doc_id FROM t
         |  UNION ALL

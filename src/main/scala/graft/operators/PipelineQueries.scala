@@ -549,9 +549,15 @@ object PipelineQueries {
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    // Empty-text guard: tokens([]) not [''], LEFT JOIN (an empty doc has no
+    // top-token row), and len(t)=0 → NULL on all three signals — matching
+    // the engine's null struct ("repetition of nothing" has no value,
+    // TextFns.repetitionSignals).
     "t08_repetition" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |  FROM documents),
         |top AS (
         |  SELECT doc_id, max(c) AS top_cnt FROM (
@@ -560,15 +566,19 @@ object PipelineQueries {
         |    GROUP BY doc_id, w)
         |  GROUP BY doc_id)
         |SELECT tok.doc_id,
-        |  round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
-        |    AS dup_token_frac,
-        |  round(CAST(top_cnt AS DOUBLE) / len(t), 6) AS top_token_frac,
-        |  CASE WHEN len(t) > 1 THEN
+        |  CASE WHEN len(t) = 0 THEN NULL
+        |    ELSE round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |  END AS dup_token_frac,
+        |  CASE WHEN len(t) = 0 THEN NULL
+        |    ELSE round(CAST(top_cnt AS DOUBLE) / len(t), 6)
+        |  END AS top_token_frac,
+        |  CASE WHEN len(t) = 0 THEN NULL
+        |    WHEN len(t) > 1 THEN
         |    round(1 - CAST(len(list_distinct([array_to_string(t[g:g+1], ' ')
         |            FOR g IN generate_series(1, len(t) - 1)])) AS DOUBLE)
         |          / (len(t) - 1), 6)
         |  ELSE 0.0 END AS dup_2gram_frac
-        |FROM tok JOIN top USING (doc_id)
+        |FROM tok LEFT JOIN top USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "d07_decontaminate" ->
       """WITH tok AS (
@@ -688,14 +698,20 @@ object PipelineQueries {
         |       ELSE len(list_distinct([substr(text, g, 5)
         |                 FOR g IN generate_series(1, len(text) - 4)])) END AS n_shingles
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // Empty-text guard (DuckDB split('') = ['']) + explicit 0/0 → 0.0 so an
+    // empty-vs-empty pair matches JaccardSim's empty-union-is-0.0 semantics
+    // instead of diverging to NULL/NaN if fixtures ever gain empty docs.
     "d03_adjacent_jaccard" ->
       """WITH t AS (
-        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(regexp_split_to_array(trim(text), '\s+')) END AS toks
         |  FROM documents)
         |SELECT a.doc_id AS id_a,
-        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
-        |    AS jaccard
+        |  round(CASE WHEN len(a.toks) + len(b.toks) = 0 THEN 0.0
+        |        ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        END, 6) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
     // d09's independent-signature banding/pairing + raw-text verify at
@@ -718,19 +734,26 @@ object PipelineQueries {
         |SELECT id AS doc_id, min(label) AS cluster_id,
         |       (id = min(label)) AS is_canonical
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // Same empty-text guard as d03: empty docs tokenize to [] (not ['']),
+    // and the edge predicate computes the Jaccard through a CASE so an
+    // empty-vs-empty pair is 0.0 (< threshold, no edge — JaccardSim
+    // semantics) rather than a 0/0 NULL/NaN.
     "d06_dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, source, n_chars // 100 AS len_band,
-        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE list_distinct(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS toks
         |  FROM documents WHERE doc_id < 1000),
         |e AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.source = b.source
         |   AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-        |        >= 0.6),
+        |  WHERE CASE WHEN len(a.toks) + len(b.toks) = 0 THEN 0.0
+        |        ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        END >= 0.6),
         |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
         |reach(id, label) AS (
         |  SELECT doc_id, doc_id FROM t
