@@ -43,29 +43,46 @@ class BenchLineSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val short = Bench.shortKeys(names)
     assert(short.values.toSeq.distinct.size === names.size, "key collision")
+    // worst-case extras block mirroring main()'s audit fields
+    val extras = Seq(
+      "value_median" -> "9999.999",
+      "runs_per_query" -> "3",
+      "calib" -> """{"cpu":[99.999,99.999,99.999],"scan":[99.999,99.999,99.999],"cpu_end":99.999,"scan_end":99.999}""",
+      "env" -> ("""{"mem_avail_mb":131072,"cached_mb":131072,"uptime_s":9999999,""" +
+        """"mem_avail_mb_end":131072,"cached_mb_end":131072,"uptime_s_end":9999999}"""))
     val line = Bench.renderLine(names.map(_ -> 99.999), Seq.empty,
-      "/root/testdata/sf0.1", short)
-    assert(line.length < 2300,
+      "/root/testdata/sf0.1", short, extras)
+    assert(line.length < 2650,
       s"bench line ${line.length} B — too close to the ~2.9 KB tail capture")
+  }
+
+  test("renderLine extras append as verbatim JSON fields") {
+    val line = Bench.renderLine(Seq("a01_x" -> 0.5), Seq.empty, "/sf",
+      identity, Seq("value_median" -> "0.6", "env" -> """{"cached_mb":12}"""))
+    parse(line)
+    assert(line.contains(""""value_median":0.6"""))
+    assert(line.contains(""""env":{"cached_mb":12}"""))
   }
 
   test("measure: first-run failure is terminal, never retried to success") {
     var calls = 0
-    val (t, flaky) = Bench.measure(() => { calls += 1; -1.0 })
-    assert(t === -1.0 && !flaky)
+    val (t, med, flaky) = Bench.measure(() => { calls += 1; -1.0 })
+    assert(t === -1.0 && med === -1.0 && !flaky)
     assert(calls === 1, "a failed first run must not be retried")
   }
 
-  test("measure: clean best-of-three is not flaky") {
+  test("measure: clean best-of-three is not flaky; median is the middle run") {
     val runs = Iterator(0.9, 0.4, 0.6)
-    val (t, flaky) = Bench.measure(() => runs.next())
+    val (t, med, flaky) = Bench.measure(() => runs.next())
     assert(t === 0.4 && !flaky)
+    assert(med === 0.6, "median of {0.9, 0.4, 0.6} is 0.6")
   }
 
   test("measure: retry failure after a successful first run marks flaky") {
     val runs = Iterator(0.9, -1.0, 0.5)
-    val (t, flaky) = Bench.measure(() => runs.next())
+    val (t, med, flaky) = Bench.measure(() => runs.next())
     assert(t === 0.5, "best SUCCESSFUL time wins")
+    assert(med === 0.9, "upper median of the two successes {0.5, 0.9}")
     assert(flaky, "a post-success failure must surface as flaky")
   }
 
