@@ -288,25 +288,10 @@ object DedupOps {
     // hop per job wins (deeper chained plans cost more in optimization and
     // lost exchange reuse than the saved driver round-trips, at toy and at
     // shuffle-bound scale alike).
-    // One hop = one join + one aggregation (2 shuffles, not 3): the min
-    // over {self} ∪ neighbors is a single groupBy over the union of
-    // propagated neighbor labels and the node's own row; the previous
-    // label rides along on the self row (null on neighbor rows, min-folded
-    // back out) so the convergence flag needs no extra join.
-    def hop(cur: DataFrame): DataFrame = {
-      val nbr = both.join(cur, both("src") === cur("id"))
-        .select(both("dst").as("id"), col("label"),
-          when(lit(false), col("label")).as("old"))
-      val self = cur.select(col("id"), col("label"), col("label").as("old"))
-      nbr.unionByName(self)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
-        .select(col("id"), col("old"), col("label"))
-    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val step = hop(labels).localCheckpoint()
+      val step = ccHop(both, labels).localCheckpoint()
       // Labels only ever decrease, so one unchanged hop IS the fixed point.
       converged = step.filter(col("label") =!= col("old")).isEmpty
       labels = step.select(col("id"), col("label"))
@@ -317,5 +302,25 @@ object DedupOps {
       .join(labels, Seq("id"), "left_anti")
       .withColumn("label", col("id"))
     labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
+  }
+
+  /** One label-propagation hop of [[connectedComponents]] — one join + one
+    * aggregation: the min over {self} ∪ neighbors is a single groupBy over
+    * the union of propagated neighbor labels and the node's own row; the
+    * previous label rides along on the self row (null on neighbor rows,
+    * min-folded back out) so the convergence flag needs no extra join.
+    * Package-private so PlanShapeSpec can pin the per-hop exchange count —
+    * at 100× scale an extra exchange per hop is the difference between
+    * hours and days.
+    */
+  private[operators] def ccHop(both: DataFrame, cur: DataFrame): DataFrame = {
+    val nbr = both.join(cur, both("src") === cur("id"))
+      .select(both("dst").as("id"), col("label"),
+        when(lit(false), col("label")).as("old"))
+    val self = cur.select(col("id"), col("label"), col("label").as("old"))
+    nbr.unionByName(self)
+      .groupBy(col("id"))
+      .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+      .select(col("id"), col("old"), col("label"))
   }
 }

@@ -339,13 +339,21 @@ object SimilarityOps {
     for (i <- 1 to iters) {
       means = centroidRefine(corpus, cent, idCol, vecCol)
       if (i < iters) // the final round's rebuild would be dead work
-        cent = means.groupBy(col("centroid_id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("mean_val")))),
-            s => s.getField("mean_val")).as(vecCol))
-          .withColumnRenamed("centroid_id", idCol)
-          .localCheckpoint()
+        cent = centroidRebuild(means, idCol, vecCol).localCheckpoint()
     }
     means
   }
+
+  /** Centroid-vector rebuild from a round's (centroid_id, dim, mean_val)
+    * table — one k×dim-row aggregate (model-sized, never row data).
+    * Package-private so PlanShapeSpec can pin the per-round exchange count
+    * of the [[kmeansTrain]] loop body (refine + rebuild).
+    */
+  private[operators] def centroidRebuild(means: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    means.groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_val")))),
+        s => s.getField("mean_val")).as(vecCol))
+      .withColumnRenamed("centroid_id", idCol)
 }

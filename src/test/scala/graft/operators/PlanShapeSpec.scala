@@ -21,9 +21,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  /** Shuffle exchanges only — BroadcastExchange is counted separately. */
+  /** Shuffle exchanges only — BroadcastExchange is counted separately, and
+    * ReusedExchange is excluded (it re-reads an existing exchange's output;
+    * counting it would let a reused broadcast trip a shuffle bound, or a
+    * tightened bound mask a real added shuffle).
+    */
   private def shuffles(df: DataFrame): Int =
-    "(?<!Broadcast)Exchange".r.findAllIn(planOf(df)).size
+    "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(planOf(df)).size
+
+  /** Plans under a disabled auto-broadcast threshold: toy-scale inputs
+    * otherwise broadcast everywhere, hiding the exchange shape the same
+    * plan takes at corpus scale. Explicit broadcast() hints survive.
+    */
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 
   private lazy val docs = Seq(
     (0L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -109,5 +123,57 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val df = DedupOps.minhashCandidates(docs, "doc_id", "text")
     // two join-side exchanges on (band, band_key) + the pair distinct
     assert(shuffles(df) <= 3, planOf(df))
+  }
+
+  // ---- iterative-family loop bodies: at 100× scale an extra exchange PER
+  // HOP is the difference between hours and days, so the per-iteration
+  // plan is pinned exactly, with auto-broadcast off (checkpointed loop
+  // state at corpus scale never broadcasts).
+
+  test("cc hop (d06/d10 loop body): 3 exchanges exactly, equi-join only") {
+    withoutAutoBroadcast {
+      val edges = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+      val both = edges.unionByName(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val labels = both.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("label"))
+        .localCheckpoint()
+      val hop = DedupOps.ccHop(both, labels)
+      val p = planOf(hop)
+      // 2 equi-join side exchanges + 1 min-label aggregation exchange; the
+      // convergence flag rides in-band (a 4th exchange would mean a
+      // convergence re-join crept back in)
+      assert(shuffles(hop) === 3, p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("kmeans round (s12 loop body): refine 3 exchanges + broadcast, rebuild 1") {
+    withoutAutoBroadcast {
+      val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+        (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val cent = e.filter(col("vec_id") < 2).localCheckpoint()
+      val refine = SimilarityOps.centroidRefine(e, cent)
+      val p = planOf(refine)
+      // the centroid table rides an EXPLICIT broadcast (hint survives the
+      // disabled threshold); assignment never shuffles the corpus vectors
+      assert(p.contains("BroadcastExchange"), p)
+      // corpus join side + per-vector argmax agg + (centroid, dim) means
+      assert(shuffles(refine) === 3, p)
+      val rebuild = SimilarityOps.centroidRebuild(refine.localCheckpoint())
+      // one model-sized (k rows × dims) aggregation exchange
+      assert(shuffles(rebuild) === 1, planOf(rebuild))
+    }
+  }
+
+  test("recursive cte (q34): recursion plans equi-joins, never a cartesian") {
+    val df = graft.SparkEntry.queries("q34_recursive_cte")(
+      spark, "/root/testdata/sf0.001")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }
