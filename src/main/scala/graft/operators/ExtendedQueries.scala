@@ -13,6 +13,15 @@ import graft.functions.CrawlCols
   */
 object ExtendedQueries {
 
+  /** q34's recursion depth bound (`spark.sql.cteRecursionLevelLimit`,
+    * Spark fails the query past it): the recursion walks adjacent-doc
+    * near-dup chains, whose length is bounded by the longest run of
+    * consecutive near-identical documents — observed single-digit, so 200
+    * is generous headroom while still failing fast on a pathological
+    * regenerated fixture (the SQL twin of d06's maxIter `require`).
+    */
+  val Q34LevelLimit = 200
+
   /** Shared q17/q17b inputs: events keyed to a synthetic custkey, orders
     * deduped to unique (custkey, o_orderdate) — the as-of right side.
     */
@@ -89,7 +98,14 @@ object ExtendedQueries {
     // is acyclic and every doc has ≤1 inbound edge: UNION ALL terminates
     // and never duplicates a (id, label) path. Each recursion step is one
     // join — the same per-hop shuffle shape as d06, planned by Catalyst.
+    // Depth guard: the session's cteRecursionLevelLimit is pinned to
+    // Q34LevelLimit so a pathological fixture (one chain longer than any
+    // plausible near-dup run) fails FAST with the level-limit error — the
+    // SQL-surface twin of d06's `require(converged, maxIter)` — instead
+    // of inheriting whatever ambient limit the session carries.
+    // RecursionGuardSpec pins both sides on a 500-long chain.
     "q34_recursive_cte" -> ((s, d) => {
+      s.conf.set("spark.sql.cteRecursionLevelLimit", Q34LevelLimit)
       Tables.documents(s, d).createOrReplaceTempView("docs_v34")
       s.sql("""
         WITH RECURSIVE
