@@ -612,10 +612,12 @@ object PipelineQueries {
         |        / count(*), 6) AS boiler_frac
         |FROM sh s JOIN df USING (sh)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
-    // BM25: the SQL spells the identical formula in the identical
-    // association order as RelevanceOps.bm25TopK (term0 + term1 + term2,
-    // (0.75*dl)/avgdl, (n - df + 0.5)), so the doubles match bit-for-bit
-    // up to ln (libm, <=1 ulp, absorbed by round 6).
+    // BM25: the SQL spells the identical per-term formula in the identical
+    // association order as RelevanceOps.bm25TopK ((0.75*dl)/avgdl,
+    // (n - df + 0.5)), each term contribution rounds to INTEGER micro-units
+    // before the sum (the t11 recipe), so the per-doc score and the rank
+    // are exact 64-bit integer arithmetic on both engines — ln's <=1-ulp
+    // libm spread can't flip an integer except on a ~1e-9 boundary.
     "t09_bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -634,22 +636,25 @@ object PipelineQueries {
         |  FROM d),
         |sc AS (
         |  SELECT d.doc_id,
-        |      ln(1.0 + (st.n_docs - st.df_0 + 0.5) / (st.df_0 + 0.5))
+        |    CAST(round(ln(1.0 + (st.n_docs - st.df_0 + 0.5) / (st.df_0 + 0.5))
         |        * (CAST(len(list_filter(d.t, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
         |        / (CAST(len(list_filter(d.t, x -> x = 'spark')) AS DOUBLE)
-        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs)))
-        |    + ln(1.0 + (st.n_docs - st.df_1 + 0.5) / (st.df_1 + 0.5))
+        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs))) * 1e6)
+        |      AS BIGINT)
+        |    + CAST(round(ln(1.0 + (st.n_docs - st.df_1 + 0.5) / (st.df_1 + 0.5))
         |        * (CAST(len(list_filter(d.t, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
         |        / (CAST(len(list_filter(d.t, x -> x = 'join')) AS DOUBLE)
-        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs)))
-        |    + ln(1.0 + (st.n_docs - st.df_2 + 0.5) / (st.df_2 + 0.5))
+        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs))) * 1e6)
+        |      AS BIGINT)
+        |    + CAST(round(ln(1.0 + (st.n_docs - st.df_2 + 0.5) / (st.df_2 + 0.5))
         |        * (CAST(len(list_filter(d.t, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
         |        / (CAST(len(list_filter(d.t, x -> x = 'window')) AS DOUBLE)
-        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs)))
-        |      AS score_raw
+        |           + 1.2 * (0.25 + (0.75 * d.dl) / (st.sum_dl / st.n_docs))) * 1e6)
+        |      AS BIGINT)
+        |      AS score_micro
         |  FROM d, st)
-        |SELECT doc_id, round(score_raw, 6) AS score
-        |FROM sc ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
+        |SELECT doc_id, score_micro / 1e6 AS score
+        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

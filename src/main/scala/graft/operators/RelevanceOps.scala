@@ -25,11 +25,13 @@ import graft.functions.TextFns
   *    sort shuffle. At 100 TB the only data movement is one scalar row
   *    and k result rows.
   *
-  * Determinism: the score arithmetic is written in a fixed association
-  * order (term 0 + term 1 + ...; `(b*dl)/avgdl`), so a SQL oracle spelling
-  * the same order reproduces the doubles bit-for-bit up to `ln` (libm,
-  * ≤1 ulp); output rounds to 6 decimals and ranks on the raw double with
-  * a doc-id tiebreak.
+  * Determinism: each term's contribution is rounded to an INTEGER count
+  * of micro-units (×1e6, cast long) and the per-document score is the
+  * exact 64-bit integer sum — the t11 recipe. `ln`'s ≤1-ulp libm spread
+  * would need to straddle a .5 micro-unit boundary to flip a contribution
+  * (~1e-9 per term), the sum and the ranking are then bit-stable
+  * cross-engine (ranks on the integer with a doc-id tiebreak), and the
+  * emitted score derives from the identical integers on both engines.
   */
 object RelevanceOps {
 
@@ -61,18 +63,21 @@ object RelevanceOps {
 
     val scored = toks.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
-    val score = terms.zipWithIndex.map { case (t, i) =>
+    // per-term contribution → integer micro-units BEFORE the sum: the sum
+    // and the rank are then exact integer arithmetic (see object doc)
+    val scoreMicro = terms.zipWithIndex.map { case (t, i) =>
       val tf = size(filter(col("toks"), x => x === t)).cast("double")
       val idf = log(lit(1.0) +
         (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
-      idf * (tf * lit(k1 + 1.0)) /
+      val contrib = idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl")))
+      round(contrib * 1e6, 0).cast("long")
     }.reduce(_ + _)
 
-    scored.withColumn("score_raw", score)
-      .orderBy(col("score_raw").desc, col(idCol))
+    scored.withColumn("score_micro", scoreMicro)
+      .orderBy(col("score_micro").desc, col(idCol))
       .limit(topK)
-      .select(col(idCol), round(col("score_raw"), 6).as("score"))
+      .select(col(idCol), (col("score_micro") / 1e6).as("score"))
   }
 
   /** CCNet-style unigram language-model quality score: per document, the
