@@ -330,6 +330,15 @@ object SimilarityOps {
     * and the next assignment compares bit-identical doubles. Clusters
     * that lose every vector drop out (standard Lloyd behavior — `init`
     * chooses how k is kept populated).
+    *
+    * ASSUMPTION (cross-engine oracle): exact similarity ties break
+    * consistently by centroid_id, but a NEAR-tie within ~1 ulp could
+    * assign a vector differently under another engine's dot-product
+    * summation order — the same latent class as the t11 round-half
+    * lottery. KmeansTieGapSpec pins that no fixture vector's top-2
+    * similarities are within 1e-12 in either round, so a fixture
+    * regeneration that introduces a coin-flip assignment fails a test
+    * instead of flaking the oracle gate.
     */
   def kmeansTrain(corpus: DataFrame, init: DataFrame, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

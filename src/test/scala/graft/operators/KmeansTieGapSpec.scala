@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s12's cross-engine determinism rests on every assignment being decided
+  * by a similarity GAP no ulp-level difference can flip: exact ties break
+  * consistently by centroid_id, but a near-tie within ~1 ulp could assign
+  * a vector differently under another engine's dot-product summation
+  * order (ADVICE r5; the t11 round-half-lottery class). Pin the margin on
+  * the oracle fixture for BOTH Lloyd rounds: if a regenerated fixture
+  * ever introduces a coin-flip assignment, this fails loudly instead of
+  * flaking the driver gate.
+  */
+class KmeansTieGapSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  /** Min over vectors of (top1 − top2) cosine similarity against the
+    * centroid table, exact-tie rows (gap 0, broken by id) excluded.
+    */
+  private def minTop2Gap(corpus: DataFrame, centroids: DataFrame): Double = {
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val k = centroids.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val sims = c.crossJoin(broadcast(k))
+      .withColumn("sim", dot(col("v"), col("cv")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+    val top2 = sims.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(col("sim")), asc = false).as("s"))
+      .select(col("vec_id"),
+        (element_at(col("s"), 1) - element_at(col("s"), 2)).as("gap"))
+    top2.filter(col("gap") > 0) // exact ties break by id deterministically
+      .agg(min(col("gap"))).collect()(0).getDouble(0)
+  }
+
+  test("no near-tie assignments on the s12 fixture, either round") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val init = emb.filter(col("vec_id") < 8)
+    val gap1 = minTop2Gap(emb, init)
+    assert(gap1 > 1e-12, s"round-1 min top-2 similarity gap $gap1")
+    // round-2 centroids exactly as kmeansTrain builds them (4dp means)
+    val cent2 = SimilarityOps.centroidRebuild(
+      SimilarityOps.centroidRefine(emb, init))
+    val gap2 = minTop2Gap(emb, cent2)
+    assert(gap2 > 1e-12, s"round-2 min top-2 similarity gap $gap2")
+  }
+}
