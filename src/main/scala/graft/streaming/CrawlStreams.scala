@@ -84,13 +84,25 @@ object CrawlStreams {
     * inside the horizon (null crawl_ts/latency) once their state expires:
     * the crawl-failure detector.
     *
+    * `horizon` is the JOIN TIME RANGE (how long after a launch an outcome
+    * may still match); `lateness` is the ALLOWED EVENT LATENESS (the
+    * watermark delay on both streams), defaulting to `horizon`. They are
+    * distinct knobs: with lateness = horizon, a result arriving more than
+    * `horizon` behind the result-stream watermark is dropped BEFORE it can
+    * match, and in leftOuter mode its launch is then mis-reported as
+    * never-crawled — an ingestion-skew deployment raises `lateness`
+    * without widening the join window (StreamRestartSpec pins both
+    * behaviors).
+    *
     * Expects `launches(url, launch_ts)` and `results(crawl_url,
     * crawl_ts)`; emits (url, launch_ts, crawl_ts, latency_s).
     */
   def launchOutcomes(launches: DataFrame, results: DataFrame,
-      horizon: String, leftOuter: Boolean = false): DataFrame = {
-    val l = launches.withWatermark("launch_ts", horizon)
-    val r = results.withWatermark("crawl_ts", horizon)
+      horizon: String, leftOuter: Boolean = false,
+      lateness: Option[String] = None): DataFrame = {
+    val wm = lateness.getOrElse(horizon)
+    val l = launches.withWatermark("launch_ts", wm)
+    val r = results.withWatermark("crawl_ts", wm)
     l.join(r,
         col("crawl_url") === col("url") &&
           col("crawl_ts") >= col("launch_ts") &&
