@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-Kafka round trip (VERDICT r5 #6, the standing environment watch):
+  * S1/S2 (tail/earliest source) and S8 (producer sink) are exercised
+  * through MemoryStream topologies because `/opt/spark/jars` has carried
+  * no spark-sql-kafka jars in any round so far. This spec IS the wiring
+  * for the day they appear: it cancels itself (assume → canceled, not
+  * failed) while the jars or a reachable broker are absent, and runs a
+  * genuine `format("kafka")` produce → earliest-read round trip the
+  * moment both exist. Point SPARK_GRAFT_KAFKA_BOOTSTRAP at the broker
+  * (default localhost:9092).
+  */
+class KafkaRoundTripSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def kafkaJarsPresent: Boolean = {
+    val files = new java.io.File("/opt/spark/jars").listFiles
+    files != null && files.exists(_.getName.contains("spark-sql-kafka"))
+  }
+
+  private val bootstrap =
+    sys.env.getOrElse("SPARK_GRAFT_KAFKA_BOOTSTRAP", "localhost:9092")
+
+  private def brokerReachable: Boolean = {
+    val Array(host, port) = bootstrap.split(":")
+    val s = new java.net.Socket()
+    try { s.connect(new java.net.InetSocketAddress(host, port.toInt), 500); true }
+    catch { case _: Throwable => false }
+    finally s.close()
+  }
+
+  test("S8 -> S1: producer frame written to a real topic reads back from earliest") {
+    assume(kafkaJarsPresent,
+      "spark-sql-kafka jars absent from /opt/spark/jars — " +
+        "MemoryStream topology specs (CrawlStreamsSpec) remain the substitute")
+    assume(brokerReachable, s"no Kafka broker reachable at $bootstrap")
+
+    val topic = "graft_rt_" + System.nanoTime()
+    val frame = CrawlStreams.toKafkaSink(
+      Seq(("h123", """{"url":"http://a/1","status_code":200}"""))
+        .toDF("key", "value"),
+      "key", "value")
+    // S8 leg: the real kafka sink (batch write — same sink provider the
+    // streaming writer uses, minus the checkpoint)
+    frame.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("kafka.acks", "all")
+      .option("topic", topic)
+      .save()
+    // S2 leg: earliest-offset read back through the real kafka source
+    val back = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v")
+      .collect()
+    assert(back.length === 1)
+    assert(back.head.getAs[String]("k") === "h123")
+    assert(back.head.getAs[String]("v").contains("http://a/1"))
+  }
+}
