@@ -86,6 +86,53 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("bucket"))),
 
+    // Training-mix construction (stratified source sampling): every doc
+    // draws a deterministic 24-bit md5 value (the t06 recipe) and keeps iff
+    // it falls under its source's integer threshold — target rate
+    // (idx%4 + 1)/4 per source here; production passes the rate table.
+    // All-integer compares: exact cross-engine, reproducible across runs
+    // and partitionings (a doc's fate never changes as the corpus grows),
+    // and per-source kept-token accounting for budget tracking. One
+    // source-keyed aggregate with map-side partials — the only shuffle is
+    // nSources rows per partition; text never moves.
+    "t12_source_mix" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("v",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6),
+            16, 10).cast("long"))
+        .withColumn("thresh",
+          (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4 + 1)
+            .cast("long") * 4194304L) // rate quarters of 2^24
+        .withColumn("keep", col("v") < col("thresh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          coalesce(sum(when(col("keep"),
+            TextFns.tokenCount(col("text")).cast("long"))), lit(0L))
+            .as("kept_tokens"))
+        .orderBy(col("source"))),
+
+    // Sequence packing (context-window construction): assign each doc a
+    // (bin, offset) inside its source shard by exclusive prefix-sum of
+    // token counts — bin = cum_before DIV budget, offset = cum_before MOD
+    // budget. The window partitions BY SOURCE: packing is per-shard (as
+    // production packers are), so state per partition is one running sum
+    // and shards pack in parallel — no global single-partition window. A
+    // doc straddling a boundary starts in its computed bin (greedy
+    // fill-then-spill, deterministic given the (source, doc_id) order).
+    "t13_pack_bins" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr("cum_before DIV 256").as("bin_id"),
+          (col("cum_before") % 256).as("bin_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // The composed cleaning pass a training corpus actually runs: quality
     // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
     // min-id canonical) → per-(lang, source) accounting of every drop
@@ -546,6 +593,38 @@ object PipelineQueries {
         |            AS INTEGER) % 10 AS INT) AS bucket,
         |  count(*) AS n, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "t12_source_mix" ->
+      """WITH k AS (
+        |  SELECT source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |         AS INTEGER) AS BIGINT) AS v,
+        |    CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4 + 1)
+        |         AS BIGINT) * 4194304 AS thresh,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN v < thresh THEN 1 END) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN v < thresh THEN n_tokens END), 0)
+        |       AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "t13_pack_bins" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  cum_before // 256 AS bin_id, cum_before % 256 AS bin_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

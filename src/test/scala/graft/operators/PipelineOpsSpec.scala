@@ -619,4 +619,41 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(table(SimilarityOps.kmeansTrain(d, init, iters = 2)) ===
       table(SimilarityOps.kmeansTrain(d, init, iters = 1)))
   }
+
+  test("source mix: rate-1.0 sources keep everything; kept counts are stable") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("t12_source_mix")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // sources with idx % 4 == 3 have threshold 4·2^22 = 2^24: every 24-bit
+    // draw clears it — the rate-1.0 stratum keeps its whole source
+    for ((src, r) <- rows if src.drop(3).toInt % 4 == 3)
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs"), src)
+    // sampling is deterministic: a second run reproduces counts exactly
+    val again = graft.SparkEntry.queries("t12_source_mix")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept"))
+      .toMap
+    for ((src, r) <- rows) assert(again(src) === r.getAs[Long]("n_kept"))
+  }
+
+  test("pack bins: offsets bounded by the budget, prefix-exact per shard") {
+    val rows = graft.SparkEntry.queries("t13_pack_bins")(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    for ((_, docs) <- bySource) {
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      for (r <- sorted) {
+        val bin = r.getAs[Long]("bin_id")
+        val off = r.getAs[Long]("bin_offset")
+        assert(off >= 0 && off < 256)
+        // (bin, offset) is exactly the exclusive prefix sum decomposition
+        assert(bin * 256 + off === cum, s"doc ${r.getAs[Long]("doc_id")}")
+        cum += r.getAs[Long]("n_tokens")
+      }
+      // shard packing starts at (0, 0)
+      assert(sorted.head.getAs[Long]("bin_id") === 0L)
+      assert(sorted.head.getAs[Long]("bin_offset") === 0L)
+    }
+  }
 }

@@ -170,6 +170,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("source mix / pack bins: one keyed exchange + the presentation sort") {
+    val mix = graft.SparkEntry.queries("t12_source_mix")(
+      spark, "/root/testdata/sf0.001")
+    // source-keyed aggregate (map-side partials) + the output orderBy
+    assert(shuffles(mix) <= 2, planOf(mix))
+    val pack = graft.SparkEntry.queries("t13_pack_bins")(
+      spark, "/root/testdata/sf0.001")
+    val p = planOf(pack)
+    // the packing window must stay PARTITIONED by source (a global window
+    // would serialize the whole corpus through one partition): the Window
+    // node's partition-spec bracket group carries the source column
+    assert("Window \\[[^\\]]*\\], \\[source#\\d+".r.findFirstIn(p).nonEmpty, p)
+    assert(shuffles(pack) <= 2, p)
+  }
+
   test("recursive cte (q34): recursion plans equi-joins, never a cartesian") {
     val df = graft.SparkEntry.queries("q34_recursive_cte")(
       spark, "/root/testdata/sf0.001")
