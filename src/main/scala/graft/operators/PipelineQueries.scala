@@ -356,6 +356,30 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN evaluation harness: per-query recall@5 of single-probe IVF
+    // against the exact brute-force baseline — the operational metric that
+    // tunes nlist/nprobe before committing an index layout. Both rankings
+    // are the already-oracled s01/s07 pipelines (rank-identical
+    // cross-engine, so the overlap is too); the eval join moves only
+    // k rows per query. recall = n_hits/5.0 is exact decimal math.
+    "s13_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = SimilarityOps.probeTopK(emb, emb.filter(col("vec_id") < 8),
+          queries, 5)
+        .select(col("query_id"), col("corpus_id"))
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // Per-vector int8 scalar quantization — shuffle-free embedding
     // compression; the integer codes are an exact cross-engine oracle
     // (deterministic double math in array order, floor(u+0.5) rounding).
@@ -920,6 +944,51 @@ object PipelineQueries {
         |               AND c.corpus_id <> q.query_id)
         |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // The brute CTE is s01's ranking, the probe CTEs are s07's — both
+    // pass exact (query, corpus, rank) hash-matches on this fixture, so
+    // the recall overlap derived from them is rank-safe cross-engine.
+    "s13_ivf_recall" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 8),
+        |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 10),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, c.vec_id AS corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, CAST(c.embedding AS DOUBLE[])) DESC,
+        |                              c.vec_id) AS rank
+        |    FROM q0, embeddings c WHERE c.vec_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS rn
+        |    FROM embeddings e, cent) WHERE rn = 1),
+        |q AS (SELECT q0.query_id, q0.qv, a.centroid_id
+        |      FROM q0 JOIN asg a ON a.vec_id = q0.query_id),
+        |c AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+        |p AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q.query_id, c.corpus_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |                              ORDER BY list_cosine_similarity(q.qv, c.sv) DESC,
+        |                              c.corpus_id) AS rank
+        |    FROM q JOIN c ON c.centroid_id = q.centroid_id
+        |                 AND c.corpus_id <> q.query_id)
+        |  WHERE rank <= 5),
+        |h AS (SELECT b.query_id, count(*) AS n_hits
+        |      FROM b JOIN p USING (query_id, corpus_id) GROUP BY b.query_id)
+        |SELECT q0.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+        |FROM q0 LEFT JOIN h ON h.query_id = q0.query_id
+        |ORDER BY q0.query_id""".stripMargin,
     "s08_ivf_multiprobe" ->
       """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
         |              FROM embeddings WHERE vec_id < 8),

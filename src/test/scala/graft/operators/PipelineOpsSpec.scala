@@ -620,6 +620,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       table(SimilarityOps.kmeansTrain(d, init, iters = 1)))
   }
 
+  test("ivf recall harness: a single-cell index is exact, recall@5 == 1") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .select(col("query_id"), col("corpus_id"))
+    // one centroid → every vector lands in the same cell → probe == brute
+    val approx = SimilarityOps.probeTopK(emb, emb.filter(col("vec_id") < 1),
+        queries, 5)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.size === 5)
+    assert(hits.values.forall(_ === 5L), s"single-cell probe not exact: $hits")
+  }
+
   test("source mix: rate-1.0 sources keep everything; kept counts are stable") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("t12_source_mix")(spark, sfDir)
