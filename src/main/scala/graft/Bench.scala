@@ -86,17 +86,20 @@ object Bench {
     * re-measured out-of-band. Best-effort: -1 when unreadable.
     */
   private[graft] def envSnapshot(): Seq[(String, Long)] = {
-    def meminfo(k: String): Long =
-      try scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .find(_.startsWith(k + ":"))
-        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
-      catch { case _: Throwable => -1L }
+    def readAll(path: String): Seq[String] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().toList finally src.close()
+      } catch { case _: Throwable => Nil }
+    val meminfo = readAll("/proc/meminfo")
+    def mb(k: String): Long = meminfo.find(_.startsWith(k + ":"))
+      .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
     val uptime =
-      try scala.io.Source.fromFile("/proc/uptime").mkString
-        .split("\\s+")(0).toDouble.toLong
+      try readAll("/proc/uptime").headOption
+        .map(_.split("\\s+")(0).toDouble.toLong).getOrElse(-1L)
       catch { case _: Throwable => -1L }
-    Seq("mem_avail_mb" -> meminfo("MemAvailable"),
-      "cached_mb" -> meminfo("Cached"),
+    Seq("mem_avail_mb" -> mb("MemAvailable"),
+      "cached_mb" -> mb("Cached"),
       "uptime_s" -> uptime)
   }
 

@@ -493,6 +493,23 @@ object PipelineQueries {
        |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
        |       FROM tok)""".stripMargin
 
+  /** Shared s07/s08/s13 oracle prologue: IVF centroid table + nearest-
+    * centroid corpus assignment — one constant (the lshOraclePrologue
+    * pattern) so a tie-break or rounding change to the probe family's
+    * assignment can never drift between the three oracles.
+    */
+  private val ivfOraclePrologue: String =
+    """cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      |         FROM embeddings WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY list_cosine_similarity(
+      |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+      |                              cent.centroid_id) AS rn
+      |    FROM embeddings e, cent) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Cross-IMPLEMENTATION oracles (the p19 murmur3 recipe): the VALUES
     // rows in SignatureVectors were computed by an independent pure-Python
@@ -917,17 +934,8 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(a.vv, b.vv) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
     "s07_ivf_probe_topk" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        |              FROM embeddings WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT e.vec_id, cent.centroid_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(
-        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
-        |                              cent.centroid_id) AS rn
-        |    FROM embeddings e, cent) WHERE rn = 1),
-        |q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+      (s"WITH $ivfOraclePrologue,\n" +
+      """q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
         |             a.centroid_id
         |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
         |      WHERE e.vec_id < 10),
@@ -943,14 +951,14 @@ object PipelineQueries {
         |  FROM q JOIN c ON c.centroid_id = q.centroid_id
         |               AND c.corpus_id <> q.query_id)
         |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
-        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // The brute CTE is s01's ranking, the probe CTEs are s07's — both
-    // pass exact (query, corpus, rank) hash-matches on this fixture, so
-    // the recall overlap derived from them is rank-safe cross-engine.
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // The brute CTE is s01's ranking, the probe CTEs are s07's (shared
+    // prologue) — both pass exact (query, corpus, rank) hash-matches on
+    // this fixture, so the recall overlap derived from them is rank-safe
+    // cross-engine.
     "s13_ivf_recall" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        |              FROM embeddings WHERE vec_id < 8),
-        |q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      (s"WITH $ivfOraclePrologue,\n" +
+      """q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |       FROM embeddings WHERE vec_id < 10),
         |b AS (
         |  SELECT query_id, corpus_id FROM (
@@ -961,14 +969,6 @@ object PipelineQueries {
         |                              c.vec_id) AS rank
         |    FROM q0, embeddings c WHERE c.vec_id <> q0.query_id)
         |  WHERE rank <= 5),
-        |asg AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT e.vec_id, cent.centroid_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(
-        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
-        |                              cent.centroid_id) AS rn
-        |    FROM embeddings e, cent) WHERE rn = 1),
         |q AS (SELECT q0.query_id, q0.qv, a.centroid_id
         |      FROM q0 JOIN asg a ON a.vec_id = q0.query_id),
         |c AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
@@ -988,19 +988,10 @@ object PipelineQueries {
         |SELECT q0.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
         |FROM q0 LEFT JOIN h ON h.query_id = q0.query_id
-        |ORDER BY q0.query_id""".stripMargin,
+        |ORDER BY q0.query_id""".stripMargin),
     "s08_ivf_multiprobe" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        |              FROM embeddings WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT e.vec_id, cent.centroid_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(
-        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
-        |                              cent.centroid_id) AS rn
-        |    FROM embeddings e, cent) WHERE rn = 1),
-        |qp AS (
+      (s"WITH $ivfOraclePrologue,\n" +
+      """qp AS (
         |  SELECT query_id, centroid_id, qv FROM (
         |    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
         |           cent.centroid_id,
@@ -1021,7 +1012,7 @@ object PipelineQueries {
         |  FROM qp q JOIN c ON c.centroid_id = q.centroid_id
         |               AND c.corpus_id <> q.query_id)
         |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
-        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // s09: the integer codes are deterministic double math in array order
     // (floor(u+0.5)), so q_csv/q_sum are EXACT cross-engine checks; the
     // error metric is a max fold (order-independent), not a sum.

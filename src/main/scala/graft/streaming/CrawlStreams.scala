@@ -100,6 +100,14 @@ object CrawlStreams {
   def launchOutcomes(launches: DataFrame, results: DataFrame,
       horizon: String, leftOuter: Boolean = false,
       lateness: Option[String] = None): DataFrame = {
+    // lateness < horizon silently reintroduces the conflation this knob
+    // exists to fix (an in-horizon straggler dropped pre-join, leftOuter
+    // mis-reporting the launch) — reject it up front
+    lateness.foreach { lt =>
+      require(intervalMicros(lt) >= intervalMicros(horizon),
+        s"lateness '$lt' must be >= horizon '$horizon': a smaller " +
+          "watermark delay drops in-horizon stragglers before they can match")
+    }
     val wm = lateness.getOrElse(horizon)
     val l = launches.withWatermark("launch_ts", wm)
     val r = results.withWatermark("crawl_ts", wm)
@@ -111,5 +119,17 @@ object CrawlStreams {
       .select(col("url"), col("launch_ts"), col("crawl_ts"),
         (col("crawl_ts").cast("long") - col("launch_ts").cast("long"))
           .as("latency_s"))
+  }
+
+  /** Fixed-duration interval string ("10 minutes", "2 hours") → total
+    * microseconds, for the lateness >= horizon validation. Month-bearing
+    * intervals are rejected: they have no fixed duration to compare.
+    */
+  private def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0,
+      s"interval '$s' has a month component — no fixed duration to compare")
+    iv.days * 86400000000L + iv.microseconds
   }
 }

@@ -31,11 +31,12 @@ class KmeansTieGapSpec extends AnyFunSuite with SparkSpec {
     val sims = c.crossJoin(broadcast(k))
       .withColumn("sim", dot(col("v"), col("cv")) /
         (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
-    val top2 = sims.groupBy(col("vec_id"))
+    // NO gap-0 exclusion: an exact tie in THIS engine is precisely the
+    // case another engine's summation order could resolve a ulp apart the
+    // other way — zeros must fail the pin, not slip past it (review r6)
+    sims.groupBy(col("vec_id"))
       .agg(sort_array(collect_list(col("sim")), asc = false).as("s"))
-      .select(col("vec_id"),
-        (element_at(col("s"), 1) - element_at(col("s"), 2)).as("gap"))
-    top2.filter(col("gap") > 0) // exact ties break by id deterministically
+      .select((element_at(col("s"), 1) - element_at(col("s"), 2)).as("gap"))
       .agg(min(col("gap"))).collect()(0).getDouble(0)
   }
 

@@ -24,13 +24,21 @@ class KafkaRoundTripSpec extends AnyFunSuite with SparkSpec {
   private val bootstrap =
     sys.env.getOrElse("SPARK_GRAFT_KAFKA_BOOTSTRAP", "localhost:9092")
 
-  private def brokerReachable: Boolean = {
-    val Array(host, port) = bootstrap.split(":")
-    val s = new java.net.Socket()
-    try { s.connect(new java.net.InetSocketAddress(host, port.toInt), 500); true }
-    catch { case _: Throwable => false }
-    finally s.close()
-  }
+  /** Probe the FIRST broker of a standard bootstrap list ("h1:9092,h2:9092");
+    * any parse or connect failure means "not reachable" (→ canceled), never
+    * an error — the spec's whole contract is canceled-not-failed.
+    */
+  private def brokerReachable: Boolean =
+    try {
+      val first = bootstrap.split(",")(0).trim
+      val cut = first.lastIndexOf(':')
+      require(cut > 0 && cut < first.length - 1, s"no host:port in '$first'")
+      val host = first.substring(0, cut)
+      val port = first.substring(cut + 1).toInt
+      val s = new java.net.Socket()
+      try { s.connect(new java.net.InetSocketAddress(host, port), 500); true }
+      finally s.close()
+    } catch { case _: Throwable => false }
 
   test("S8 -> S1: producer frame written to a real topic reads back from earliest") {
     assume(kafkaJarsPresent,

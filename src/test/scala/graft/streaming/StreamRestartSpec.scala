@@ -109,6 +109,21 @@ class StreamRestartSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lateness below the horizon is rejected up front") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(String, java.sql.Timestamp)]
+    val rIn = MemoryStream[(String, java.sql.Timestamp)]
+    // a tighter watermark than the join window would drop in-horizon
+    // stragglers pre-join — the conflation the knob exists to fix
+    val e = intercept[IllegalArgumentException] {
+      CrawlStreams.launchOutcomes(
+        lIn.toDF().toDF("url", "launch_ts"),
+        rIn.toDF().toDF("crawl_url", "crawl_ts"), "10 minutes",
+        lateness = Some("1 minute"))
+    }
+    assert(e.getMessage.contains("must be >= horizon"))
+  }
+
   test("lateness == horizon: a result straggling past the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(String, java.sql.Timestamp)]
