@@ -98,16 +98,24 @@ object ExtendedQueries {
     // is acyclic and every doc has ≤1 inbound edge: UNION ALL terminates
     // and never duplicates a (id, label) path. Each recursion step is one
     // join — the same per-hop shuffle shape as d06, planned by Catalyst.
-    // Depth guard: the session's cteRecursionLevelLimit is pinned to
-    // Q34LevelLimit so a pathological fixture (one chain longer than any
-    // plausible near-dup run) fails FAST with the level-limit error — the
-    // SQL-surface twin of d06's `require(converged, maxIter)` — instead
-    // of inheriting whatever ambient limit the session carries.
-    // RecursionGuardSpec pins both sides on a 500-long chain.
+    // Depth guard: cteRecursionLevelLimit is pinned to Q34LevelLimit so a
+    // pathological fixture (one chain longer than any plausible near-dup
+    // run) fails FAST with the level-limit error — the SQL-surface twin of
+    // d06's `require(converged, maxIter)` — instead of inheriting whatever
+    // ambient limit the session carries. The pin lives in an ISOLATED
+    // child session (ADVICE r6): the limit is read at execution time, not
+    // plan-build time, so a set-then-restore around construction would
+    // void the guard, while setting it on the caller's session leaks q34's
+    // bound into every later recursive query. newSession() shares the
+    // SparkContext (and builder-level confs like shuffle.partitions) but
+    // scopes runtime conf + the temp view to this query's plan.
+    // RecursionGuardSpec pins both sides on a 500-long chain AND that the
+    // caller's session conf is untouched.
     "q34_recursive_cte" -> ((s, d) => {
-      s.conf.set("spark.sql.cteRecursionLevelLimit", Q34LevelLimit)
-      Tables.documents(s, d).createOrReplaceTempView("docs_v34")
-      s.sql("""
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cteRecursionLevelLimit", Q34LevelLimit)
+      Tables.documents(s2, d).createOrReplaceTempView("docs_v34")
+      s2.sql("""
         WITH RECURSIVE
         t AS (SELECT doc_id,
                 array_distinct(CASE WHEN length(trim(text)) = 0

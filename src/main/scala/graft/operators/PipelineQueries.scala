@@ -95,13 +95,18 @@ object PipelineQueries {
     // and per-source kept-token accounting for budget tracking. One
     // source-keyed aggregate with map-side partials — the only shuffle is
     // nSources rows per partition; text never moves.
+    // Digitless-source guard (ADVICE r6): regexp_extract yields '' when
+    // the source name carries no digits, and CAST('' AS INT) throws under
+    // ANSI (Spark) / CAST errors (DuckDB) — nullif+coalesce pins that
+    // case to rate index 0 (rate 1/4) on BOTH engines instead.
     "t12_source_mix" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("v",
           conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6),
             16, 10).cast("long"))
         .withColumn("thresh",
-          (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4 + 1)
+          (coalesce(nullif(regexp_extract(col("source"), "([0-9]+)", 1), lit(""))
+            .cast("int"), lit(0)) % 4 + 1)
             .cast("long") * 4194304L) // rate quarters of 2^24
         .withColumn("keep", col("v") < col("thresh"))
         .groupBy(col("source"))
@@ -639,7 +644,8 @@ object PipelineQueries {
         |  SELECT source,
         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
         |         AS INTEGER) AS BIGINT) AS v,
-        |    CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4 + 1)
+        |    CAST((coalesce(TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+        |           AS INTEGER), 0) % 4 + 1)
         |         AS BIGINT) * 4194304 AS thresh,
         |    CASE WHEN len(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens

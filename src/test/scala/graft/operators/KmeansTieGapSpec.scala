@@ -19,7 +19,9 @@ class KmeansTieGapSpec extends AnyFunSuite with SparkSpec {
   private val sfDir = "/root/testdata/sf0.01"
 
   /** Min over vectors of (top1 − top2) cosine similarity against the
-    * centroid table, exact-tie rows (gap 0, broken by id) excluded.
+    * centroid table. Exact-tie rows (gap 0) are INCLUDED and must fail
+    * the pin: a tie this engine breaks by centroid_id is precisely the
+    * assignment another engine's summation order could flip (review r6).
     */
   private def minTop2Gap(corpus: DataFrame, centroids: DataFrame): Double = {
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>

@@ -58,7 +58,9 @@ class RecursionGuardSpec extends AnyFunSuite with SparkSpec {
       }
       assert(e.getMessage.toLowerCase.contains("recursion"),
         s"expected the recursion-limit error, got: ${e.getMessage}")
-      assert(spark.conf.get(LimitKey) === ExtendedQueries.Q34LevelLimit.toString)
+      // no ambient leak (ADVICE r6): the pin lives in q34's isolated child
+      // session; the caller's conf must still read the ambient value
+      assert(spark.conf.get(LimitKey) === "10000")
     }
   }
 
