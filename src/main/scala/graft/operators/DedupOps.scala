@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -29,6 +30,64 @@ object DedupOps {
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(contentDigest(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Line-level dedup accounting — the CCNet/RefinedWeb line pass, one
+    * granularity below d01: explode documents into trimmed non-blank
+    * lines, digest each line with THE content digest (same
+    * canonicalization as doc-level [[contentDigest]], so line- and
+    * doc-level dedup can never silently diverge), and keep only the
+    * corpus-wide FIRST occurrence (min (doc_id, line_no)) of every
+    * distinct line. Returns per-doc accounting (n_lines / n_kept /
+    * n_removed); docs with no non-blank line report zeros via the left
+    * join back.
+    *
+    * Scale shape: after digesting, only (digest32B, doc_id, line_no)
+    * tuples move — never line text — through one digest-keyed window
+    * exchange and one doc-keyed rollup. Reconstructing the deduped text
+    * (concat_ws over kept lines) would add one doc-keyed shuffle of the
+    * kept text; the keep DECISION and the accounting never move text.
+    */
+  def lineDedupStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(idCol), col("line_no"),
+        contentDigest(trim(col("line"))).as("ldigest"))
+    val marked = lines
+      .withColumn("first_occ",
+        min(struct(col(idCol), col("line_no")))
+          .over(Window.partitionBy(col("ldigest"))))
+      .withColumn("kept", col("first_occ").getField(idCol) === col(idCol) &&
+        col("first_occ").getField("line_no") === col("line_no"))
+    val perDoc = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_removed"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Corpus-wide boilerplate LINES — the line-frequency twin of the d08
+    * n-gram pass: trimmed non-blank lines appearing in >= minDocs distinct
+    * documents, with document and occurrence counts. One line of text per
+    * digest DOES move here (the report needs the human-readable line), but
+    * map-side partial `min` collapses it to one copy per digest per
+    * partition before the single digest-keyed exchange.
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(idCol), trim(col("line")).as("line"))
+      .groupBy(contentDigest(col("line")).as("ldigest"))
+      .agg(min(col("line")).as("line"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .filter(col("n_docs") >= minDocs)
 
   /** IDs to drop under exact dedup (all but the canonical row per digest). */
   def exactDedupDrops(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -17,6 +17,20 @@ import graft.functions.TextFns
   */
 object PipelineQueries {
 
+  /** PII regex classes, shared verbatim by the t14/t15 engine queries and
+    * their DuckDB oracles (interpolated into the SQL below — ONE
+    * definition, so the two engines cannot drift). Restricted to syntax
+    * Java regex and RE2 interpret identically: character classes, bounded
+    * quantifiers, `\b`, optional literals — no lookaround, no
+    * backreferences. Replacement order (t15) is email → ipv4 → phone →
+    * id-run, most-specific first, identical on both engines.
+    */
+  private[operators] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PiiIpv4 =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[operators] val PiiPhone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[operators] val PiiIdRun = "[0-9]{8,}"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
     // Per-doc scoring queries sort the NARROW (doc_id, text) projection
@@ -137,6 +151,42 @@ object PipelineQueries {
           (col("cum_before") % 256).as("bin_offset"))
         .orderBy(col("source"), col("doc_id"))
     }),
+
+    // PII counts per class (emails / IPv4 / phones / 8+-digit id runs)
+    // over the raw text — the audit signal a redaction rollout is sized
+    // from. Built-in regexp_count (codegen'd, literal pattern compiled
+    // once) — a custom one-pass expression buys nothing over the builtin
+    // here, unlike t01 where it replaced two split machines + an array
+    // alloc. Driver-synthetic text has no digits (counts are legitimately
+    // zero there); non-degenerate counts are pinned by the
+    // structured-text fixture gate + StructuredTextParitySpec.
+    "t14_pii_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below, regex above (see t01)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(PiiEmail)).as("n_emails"),
+          regexp_count(col("text"), lit(PiiIpv4)).as("n_ipv4"),
+          regexp_count(col("text"), lit(PiiPhone)).as("n_phones"),
+          regexp_count(col("text"), lit(PiiIdRun)).as("n_id_runs"))),
+
+    // PII redaction — the transform t14 audits for: sequential
+    // class-tagged replacement (email → ipv4 → phone → id-run,
+    // most-specific first so an IP is never half-eaten as a phone). The
+    // redacted TEXT itself is oracled, not just counts: regexp_replace
+    // parity is the load-bearing claim. Per-row, shuffle-free above the
+    // narrow sort.
+    "t15_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below, regex above (see t01)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("text"),
+            PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"),
+            PiiPhone, "<PHONE>"), PiiIdRun, "<ID>").as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")))),
 
     // The composed cleaning pass a training corpus actually runs: quality
     // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
@@ -322,6 +372,24 @@ object PipelineQueries {
           (col("id") === col("cluster_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
     }),
+
+    // Line-level dedup (the CCNet/RefinedWeb line pass): keep the
+    // corpus-wide first occurrence of every distinct trimmed line, report
+    // per-doc accounting. Driver-synthetic docs carry no newlines (each
+    // doc is one line, so this degenerates to d01-shaped accounting —
+    // still a valid oracle); real multi-line docs with shared boilerplate
+    // and blank lines are exercised by the structured-text fixture gate
+    // (tools/structured_text_fixture.py + StructuredTextParitySpec).
+    "d11_line_dedup" -> ((s, d) =>
+      DedupOps.lineDedupStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Boilerplate-line report: lines in >= 2 distinct docs, with counts —
+    // the inspection query a line-dedup rollout starts from (what WOULD
+    // d11 remove, and is it navigation chrome or real content?).
+    "d12_boilerplate_lines" -> ((s, d) =>
+      DedupOps.boilerplateLines(Tables.documents(s, d), "doc_id", "text", 2)
+        .orderBy(col("ldigest"))),
 
     // ---- similarity -------------------------------------------------------
     "s01_knn_brute" -> ((s, d) => {
@@ -591,7 +659,7 @@ object PipelineQueries {
         |  CASE WHEN len(trim(text)) = 0 THEN 0
         |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
-        |    + len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_subwords
+        |    + len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t02_quality_features" ->
       """SELECT doc_id,
@@ -672,6 +740,55 @@ object PipelineQueries {
         |SELECT source, doc_id, n_tokens,
         |  cum_before // 256 AS bin_id, cum_before % 256 AS bin_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    // Line-level dedup: lines are 1-based here vs posexplode's 0-based —
+    // only the (doc_id, line_no) ORDER matters (first-occurrence pick),
+    // and it is identical. trim-then-digest matches the engine's
+    // contentDigest(trim(line)) canonicalization.
+    "d11_line_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |raw AS (SELECT doc_id, UNNEST(ls) AS line,
+        |               UNNEST(generate_series(1, len(ls))) AS line_no FROM s),
+        |l AS (SELECT doc_id, line_no, md5(trim(line)) AS ldigest
+        |      FROM raw WHERE len(trim(line)) > 0),
+        |m AS (SELECT doc_id, row_number() OVER (
+        |        PARTITION BY ldigest ORDER BY doc_id, line_no) AS rn
+        |      FROM l),
+        |a AS (SELECT doc_id, count(*) AS n_lines,
+        |        count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        |        count(CASE WHEN rn > 1 THEN 1 END) AS n_removed
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_kept, 0) AS n_kept, coalesce(n_removed, 0) AS n_removed
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "d12_boilerplate_lines" ->
+      """WITH raw AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+        |             FROM documents),
+        |l AS (SELECT doc_id, trim(line) AS line FROM raw
+        |      WHERE len(trim(line)) > 0)
+        |SELECT md5(line) AS ldigest, min(line) AS line,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+        |FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY ldigest""".stripMargin,
+    // t14/t15: the regex literals are interpolated from the SAME Scala
+    // constants the engine queries use — one definition, zero drift.
+    "t14_pii_counts" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PiiIpv4')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '$PiiPhone')) AS n_phones,
+         |  len(regexp_extract_all(text, '$PiiIdRun')) AS n_id_runs
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t15_pii_redact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, len(text) AS n_chars_raw,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      text,
+         |      '$PiiEmail', '<EMAIL>', 'g'), '$PiiIpv4', '<IP>', 'g'),
+         |      '$PiiPhone', '<PHONE>', 'g'), '$PiiIdRun', '<ID>', 'g')
+         |      AS clean_text
+         |  FROM documents)
+         |SELECT doc_id, n_chars_raw, clean_text, len(clean_text) AS n_chars_clean
+         |FROM r ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Structured-text fixture (driver-side tool, like empty_fixture.py).
+
+The driver's synthetic documents have no newlines and no digits, so the
+line-level dedup (d11/d12) and PII (t14/t15) surfaces are degenerate
+there: well-defined and oracle-green, but every doc is one line and every
+count is zero. This writes a documents.parquet with REALISTIC structure —
+multi-line docs, shared boilerplate lines, blank/whitespace lines, leading
+indentation (trim canonicalization), emails / phones / IPv4s / long digit
+runs, empty and whitespace-only docs, and digitless source names (the t12
+guard) — so those operators are exercised non-degenerately end-to-end
+against the real DuckDB compare:
+
+    python3 tools/structured_text_fixture.py /tmp/sfix
+    sbt "runMain graft.Verify /tmp/sfix /tmp/sfix_out \
+         d11_line_dedup d12_boilerplate_lines t14_pii_counts t15_pii_redact \
+         d01_exact_dedup t01_token_stats t08_repetition t12_source_mix"
+    python3 tools/check.py /tmp/sfix /tmp/sfix_out
+
+StructuredTextParitySpec mirrors a hand-computed subset of these shapes in
+Scala and pins the engine-side values; this script + check.py is the
+cross-engine half of the gate. Deterministic: seeded PRNG, no time or env
+input.
+"""
+import os
+import random
+import sys
+
+import pandas as pd
+
+BOILERPLATE = [
+    "All rights reserved by the publisher.",
+    "Subscribe to our newsletter for weekly updates.",
+    "Click here to read the full article.",
+    "Terms of service apply to every visitor.",
+    "Share this story on your favorite network.",
+    "Copyright 2024 Example Media Group.",
+]
+
+PII_LINES = [
+    "Contact us at support@example.com for help.",
+    "Email archive.team+crawl@web-archive.org with questions.",
+    "Call 555-123-4567 during office hours.",
+    "Fax (202) 555-0176 or phone 555.867.5309 anytime.",
+    "Server logs list 192.168.1.10 and 10.0.0.254 today.",
+    "Invoice 1234567890 was settled, order 98765432 pending.",
+]
+
+WORDS = (
+    "crawl stream archive harvest frontier queue robots sitemap fetch parse "
+    "render index dedup shard replica latency throughput budget policy "
+    "capture snapshot warc surt revisit mime checksum outlink hop seed scope"
+).split()
+
+LANGS = ["en", "en", "en", "es", "de"]
+# digitless names on purpose: every query on this fixture re-runs the t12
+# digitless-source guard (ADVICE r6) through the real oracle compare
+SOURCES = ["web", "news", "forum", "blog"]
+
+
+def main():
+    out_dir = sys.argv[1]
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(42)
+    docs = []
+    for i in range(150):
+        n = rng.randint(2, 8)
+        lines = []
+        if rng.random() < 0.7:  # most docs open with chrome
+            lines.append(rng.choice(BOILERPLATE))
+        while len(lines) < n:
+            r = rng.random()
+            if r < 0.15:
+                lines.append(rng.choice(BOILERPLATE))
+            elif r < 0.30:
+                lines.append(rng.choice(PII_LINES))
+            elif r < 0.38:
+                lines.append("")  # blank line inside the doc
+            elif r < 0.44:  # leading indentation: trim canonicalization
+                lines.append("   " + rng.choice(BOILERPLATE))
+            else:
+                k = rng.randint(4, 12)
+                lines.append(
+                    " ".join(rng.choice(WORDS) for _ in range(k)) + ".")
+        text = "\n".join(lines) + ("\n" if rng.random() < 0.3 else "")
+        docs.append((i, text, rng.choice(LANGS), rng.choice(SOURCES)))
+    # edge docs: empty, whitespace-lines-only, all-boilerplate, exact dup
+    docs.append((150, "", "en", "web"))
+    docs.append((151, "   \n  \n", "en", "news"))
+    docs.append((152, "\n".join(BOILERPLATE), "en", "web"))
+    docs.append((153, docs[0][1], docs[0][2], docs[0][3]))
+
+    df = pd.DataFrame(
+        [(i, t, l, s, len(t)) for (i, t, l, s) in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    df = df.astype({"doc_id": "int64", "n_chars": "int64"})
+    path = os.path.join(out_dir, "documents.parquet")
+    df.to_parquet(path, index=False)
+    print(f"wrote {len(df)} docs -> {path}")
+
+
+if __name__ == "__main__":
+    main()
