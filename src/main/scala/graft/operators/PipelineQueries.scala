@@ -31,6 +31,37 @@ object PipelineQueries {
   private[operators] val PiiPhone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
   private[operators] val PiiIdRun = "[0-9]{8,}"
 
+  /** t13's context-window token budget — ONE value, interpolated into both
+    * the engine query and its DuckDB oracle (VERDICT r6 #6: previously a
+    * literal 256 hardcoded on each side independently).
+    */
+  val PackBudget = 256
+
+  /** Sequence packing (context-window construction): assign each doc a
+    * (bin, offset) inside its source shard by exclusive prefix-sum of
+    * token counts — bin = cum_before DIV budget, offset = cum_before MOD
+    * budget. The window partitions BY SOURCE: packing is per-shard (as
+    * production packers are), so state per partition is one running sum
+    * and shards pack in parallel — no global single-partition window. A
+    * doc straddling a boundary starts in its computed bin (greedy
+    * fill-then-spill, deterministic given the (source, doc_id) order).
+    * Invariants (PackBinsPropertySpec, two budgets): offset ∈ [0,budget),
+    * bin ids nondecreasing per source, tokens conserved, and the
+    * (bin,offset) pair reconstructs the exclusive prefix sum exactly.
+    */
+  private[operators] def packBins(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("bin_id"),
+        (col("cum_before") % budget).as("bin_offset"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
     // Per-doc scoring queries sort the NARROW (doc_id, text) projection
@@ -131,26 +162,12 @@ object PipelineQueries {
             .as("kept_tokens"))
         .orderBy(col("source"))),
 
-    // Sequence packing (context-window construction): assign each doc a
-    // (bin, offset) inside its source shard by exclusive prefix-sum of
-    // token counts — bin = cum_before DIV budget, offset = cum_before MOD
-    // budget. The window partitions BY SOURCE: packing is per-shard (as
-    // production packers are), so state per partition is one running sum
-    // and shards pack in parallel — no global single-partition window. A
-    // doc straddling a boundary starts in its computed bin (greedy
-    // fill-then-spill, deterministic given the (source, doc_id) order).
-    "t13_pack_bins" -> ((s, d) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          expr("cum_before DIV 256").as("bin_id"),
-          (col("cum_before") % 256).as("bin_offset"))
-        .orderBy(col("source"), col("doc_id"))
-    }),
+    // Sequence packing: see [[packBins]]. The registry pins budget 256;
+    // PackBinsPropertySpec holds the packing invariants at TWO budgets so
+    // a budget change can't silently skew the layout.
+    "t13_pack_bins" -> ((s, d) =>
+      packBins(Tables.documents(s, d), PackBudget)
+        .orderBy(col("source"), col("doc_id"))),
 
     // PII counts per class (emails / IPv4 / phones / 8+-digit id runs)
     // over the raw text — the audit signal a redaction rollout is sized
@@ -724,22 +741,23 @@ object PipelineQueries {
         |       AS BIGINT) AS kept_tokens
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "t13_pack_bins" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-        |         AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, doc_id, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (
-        |      PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_before
-        |  FROM t)
-        |SELECT source, doc_id, n_tokens,
-        |  cum_before // 256 AS bin_id, cum_before % 256 AS bin_offset
-        |FROM c ORDER BY source, doc_id""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |         AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens,
+         |  cum_before // $PackBudget AS bin_id,
+         |  cum_before % $PackBudget AS bin_offset
+         |FROM c ORDER BY source, doc_id""".stripMargin,
     // Line-level dedup: lines are 1-based here vs posexplode's 0-based —
     // only the (doc_id, line_no) ORDER matters (first-occurrence pick),
     // and it is identical. trim-then-digest matches the engine's
