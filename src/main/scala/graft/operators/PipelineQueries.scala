@@ -446,6 +446,17 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The recall/cost FRONTIER s13 samples one point of: sweep probe
+    // budgets 1..4 in a single pass (see SimilarityOps.recallCurve) and
+    // emit integer hit + scanned-candidate totals per budget — the table
+    // that picks nprobe before committing an index layout.
+    "s14_recall_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.recallCurve(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 10), 5, 4)
+        .orderBy(col("nprobe"))
+    }),
+
     // ANN evaluation harness: per-query recall@5 of single-probe IVF
     // against the exact brute-force baseline — the operational metric that
     // tunes nlist/nprobe before committing an index layout. Both rankings
@@ -1130,6 +1141,55 @@ object PipelineQueries {
         |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
         |FROM q0 LEFT JOIN h ON h.query_id = q0.query_id
         |ORDER BY q0.query_id""".stripMargin),
+    // s14: the same prologue + probe ranking as s08/s13; the sweep
+    // replicates each scored candidate to every budget >= its cell's
+    // probe rank (range join on generate_series), re-ranks per (query,
+    // budget), and totals integer hits vs the brute-force ranking.
+    "s14_recall_curve" ->
+      (s"WITH $ivfOraclePrologue,\n" +
+      """qs AS (
+        |  SELECT query_id, centroid_id, qv, pr FROM (
+        |    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |           cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS pr
+        |    FROM embeddings e, cent WHERE e.vec_id < 10) WHERE pr <= 4),
+        |cs AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+        |swept AS (
+        |  SELECT p.nprobe, q.query_id, q.qv, c.corpus_id, c.sv
+        |  FROM qs q
+        |  JOIN cs c ON c.centroid_id = q.centroid_id AND c.corpus_id <> q.query_id
+        |  JOIN (SELECT UNNEST(generate_series(1, 4)) AS nprobe) p
+        |    ON p.nprobe >= q.pr),
+        |ranked AS (
+        |  SELECT nprobe, query_id, corpus_id,
+        |         row_number() OVER (PARTITION BY query_id, nprobe
+        |                            ORDER BY list_cosine_similarity(qv, sv) DESC,
+        |                            corpus_id) AS rank
+        |  FROM swept),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, cc.vec_id AS corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, CAST(cc.embedding AS DOUBLE[])) DESC,
+        |                              cc.vec_id) AS rank
+        |    FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |          FROM embeddings WHERE vec_id < 10) q0,
+        |         embeddings cc WHERE cc.vec_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |h AS (SELECT nprobe, count(*) AS total_hits
+        |      FROM (SELECT nprobe, query_id, corpus_id
+        |            FROM ranked WHERE rank <= 5) r
+        |      JOIN b USING (query_id, corpus_id) GROUP BY nprobe),
+        |sc AS (SELECT nprobe, count(*) AS total_scanned FROM swept GROUP BY nprobe)
+        |SELECT sc.nprobe, CAST(coalesce(h.total_hits, 0) AS BIGINT) AS total_hits,
+        |       CAST(sc.total_scanned AS BIGINT) AS total_scanned
+        |FROM sc LEFT JOIN h USING (nprobe) ORDER BY sc.nprobe""".stripMargin),
     "s08_ivf_multiprobe" ->
       (s"WITH $ivfOraclePrologue,\n" +
       """qp AS (

@@ -158,6 +158,62 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF recall/cost FRONTIER in one pass — the tuning sweep whose single
+    * operating point s13 evaluates: for every probe budget p in
+    * 1..maxProbes, recall@k hits of multi-probe IVF against the exact
+    * ranking, plus the scan cost actually paid at that budget. Candidates
+    * are scored ONCE: each (query, cell) pair keeps its probe rank, every
+    * scored candidate replicates to the budgets p >= its cell's rank
+    * (explode over a bounded int range — a maxProbes× fan-out of the
+    * CANDIDATE set, never of the corpus, which still never shuffles), and
+    * one window per (query, budget) re-ranks. Integer outputs only (hit
+    * and scanned counts; the recall division is the consumer's), so the
+    * cross-engine compare is bit-stable. Monotonicity in p of both
+    * columns is pinned in RecallCurveSpec.
+    */
+  def recallCurve(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, maxProbes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    val c = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+      .join(assigned.withColumnRenamed("vec_id", "corpus_id"), Seq("corpus_id"))
+    val cent = withNorm(centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("pv")), "pv", "pn")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("psim"), col("centroid_id"))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", dot(col("qv"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= maxProbes)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        col("probe"))
+    val swept = c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("nprobe", explode(sequence(col("probe"), lit(maxProbes))))
+      .select(col("nprobe"), col("query_id"), col("corpus_id"), col("sim"))
+    val w = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    val approx = swept
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("corpus_id"))
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = approx.join(exact, Seq("query_id", "corpus_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("total_hits"))
+    swept.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("total_scanned"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+        col("total_scanned"))
+  }
+
   /** Random-hyperplane LSH sketch: `nBits` sign bits of dot products with
     * deterministic pseudo-random planes (seeded Gaussian, generated at
     * plan-build time and inlined as literals). Vectors with small cosine

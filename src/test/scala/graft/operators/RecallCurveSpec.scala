@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s14 frontier invariants — what must hold for ANY corpus, beyond the
+  * fixture values the DuckDB oracle pins: widening the probe budget can
+  * only grow the candidate set, so hits and scanned totals are
+  * nondecreasing in nprobe; budget 1 must agree exactly with s13's
+  * single-probe evaluation (same prologue, same ranking); and hits are
+  * bounded by k × nQueries.
+  */
+class RecallCurveSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private lazy val curve = SparkEntry.queries("s14_recall_curve")(spark, sfDir)
+    .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+  test("one row per budget 1..4; hits bounded by k * nQueries") {
+    assert(curve.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    curve.foreach { case (p, hits, scanned) =>
+      assert(hits >= 0L && hits <= 50L, s"nprobe $p hits $hits")
+      assert(scanned > 0L, s"nprobe $p scanned $scanned")
+    }
+  }
+
+  test("hits and scanned are nondecreasing in the probe budget") {
+    curve.sliding(2).foreach {
+      case Array((pA, hA, sA), (pB, hB, sB)) =>
+        assert(hA <= hB, s"hits fell $hA -> $hB from nprobe $pA to $pB")
+        assert(sA <= sB, s"scanned fell $sA -> $sB from nprobe $pA to $pB")
+      case _ => ()
+    }
+  }
+
+  test("budget 1 agrees exactly with s13's single-probe evaluation") {
+    val s13Hits = SparkEntry.queries("s13_ivf_recall")(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    assert(curve.head._2 === s13Hits,
+      s"curve@1 ${curve.head._2} != s13 total $s13Hits")
+  }
+}
