@@ -25,11 +25,22 @@ object PipelineQueries {
     * backreferences. Replacement order (t15) is email → ipv4 → phone →
     * id-run, most-specific first, identical on both engines.
     */
-  private[operators] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[operators] val PiiIpv4 =
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpv4 =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  private[operators] val PiiPhone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
-  private[operators] val PiiIdRun = "[0-9]{8,}"
+  private[graft] val PiiPhone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[graft] val PiiIdRun = "[0-9]{8,}"
+
+  /** The t15 redaction chain as a column expression — ONE definition used
+    * by the batch query and the streaming at-ingest leg
+    * ([[graft.streaming.PipelineStreams.redactPii]]), so the two paths
+    * can never redact differently.
+    */
+  private[graft] def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text,
+      PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"),
+      PiiPhone, "<PHONE>"), PiiIdRun, "<ID>")
 
   /** t13's context-window token budget — ONE value, interpolated into both
     * the engine query and its DuckDB oracle (VERDICT r6 #6: previously a
@@ -199,10 +210,7 @@ object PipelineQueries {
         .orderBy(col("doc_id")) // narrow sort below, regex above (see t01)
         .select(col("doc_id"),
           length(col("text")).as("n_chars_raw"),
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            col("text"),
-            PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"),
-            PiiPhone, "<PHONE>"), PiiIdRun, "<ID>").as("clean_text"))
+          piiRedact(col("text")).as("clean_text"))
         .withColumn("n_chars_clean", length(col("clean_text")))),
 
     // The composed cleaning pass a training corpus actually runs: quality

@@ -44,6 +44,45 @@ object PipelineStreams {
     docs.filter(
       graft.functions.TextFns.qualityFeatures(col(textCol)).getField("keep"))
 
+  /** At-ingest PII redaction: the t15 chain applied as a stateless
+    * streaming projection (the SAME column expression —
+    * [[graft.operators.PipelineQueries.piiRedact]] — so the streaming
+    * and batch paths can never redact differently). Replaces `textCol`
+    * in place: downstream stages (quality gate, dedup, packing) see the
+    * schema they expect, already clean.
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      graft.operators.PipelineQueries.piiRedact(col(textCol)))
+
+  /** At-ingest line-level dedup — the streaming half of the batch d11
+    * pass: explode docs into trimmed non-blank lines, digest with THE
+    * content digest (same canonicalization as batch
+    * [[graft.operators.DedupOps.lineDedupStats]]), and keep the FIRST
+    * arrival of each distinct line inside the watermark horizon. Which
+    * copy survives within one micro-batch is partition-order-arbitrary
+    * (dropDuplicatesWithinWatermark semantics) — the batch d11 pass is
+    * the deterministic (min doc_id, line_no) backstop, same contract as
+    * [[dedupByDigest]]. State: one digest per distinct line inside
+    * `delay` — bounded, the price of exactness at 100 TB.
+    *
+    * Emits surviving line INSTANCES (ts, id, line_no, line, ldigest);
+    * reassembly into documents is a downstream grouped aggregation the
+    * caller owns (most training pipelines consume line streams
+    * directly).
+    */
+  def dedupLinesByDigest(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, delay: String): DataFrame =
+    docs
+      .select(col(tsCol), col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("line", trim(col("line")))
+      .withColumn("ldigest",
+        graft.operators.DedupOps.contentDigest(col("line")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("ldigest")
+
   /** Ingest-duplication observability: per event-time window, how many
     * documents arrived vs how many distinct contents — the dup_frac series
     * a crawl operator watches to catch a feed gone circular (the at-ingest

@@ -92,4 +92,67 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
         "a perfectly reasonable document with enough letters"))
     } finally q.stop()
   }
+
+  test("streaming redaction: stateless, and IDENTICAL to the batch t15 chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val clean = PipelineStreams.redactPii(in.toDF().toDF("ts", "text"), "text")
+    val q = clean.writeStream.format("memory").queryName("rp")
+      .outputMode("append").start()
+    val raw = Seq(
+      "Contact support@example.com or call 555-123-4567.",
+      "Server 10.0.0.254 served invoice 1234567890.",
+      "no pii here at all")
+    try {
+      in.addData(raw.zipWithIndex.map { case (t, i) =>
+        doc(s"2021-01-16 17:0$i:00", t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("rp").orderBy("ts").select("text")
+        .as[String].collect()
+      assert(got === Array(
+        "Contact <EMAIL> or call <PHONE>.",
+        "Server <IP> served invoice <ID>.",
+        "no pii here at all"))
+      // batch-stream consistency: the same rows through the t15 column
+      val batch = raw.toDF("text")
+        .select(graft.operators.PipelineQueries.piiRedact(col("text")))
+        .as[String].collect()
+      assert(got.sorted === batch.sorted)
+    } finally q.stop()
+  }
+
+  test("streaming line dedup: first arrival per distinct trimmed line wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val lines = PipelineStreams.dedupLinesByDigest(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      "10 minutes")
+    val q = lines.writeStream.format("memory").queryName("ld")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L,
+          "unique opening line\nAll rights reserved.\n\n   "),
+        (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L,
+          "  All rights reserved.  \nfresh second body"))
+      q.processAllAvailable()
+      in.addData( // next batch, inside the horizon: boilerplate still dropped
+        (java.sql.Timestamp.valueOf("2021-01-16 17:02:00"), 2L,
+          "All rights reserved.\nthird body text"))
+      q.processAllAvailable()
+      val got = spark.table("ld").select("line").as[String].collect().sorted
+      // one "All rights reserved." total (doc 1's indented copy trims to
+      // the same digest); blank/whitespace lines never emitted
+      assert(got === Array("All rights reserved.", "fresh second body",
+        "third body text", "unique opening line"))
+      // digest canonicalization matches the batch d11 pass (md5 of the
+      // trimmed line) — the backstop recognizes streaming survivors
+      val expected = spark.sql(
+        "SELECT md5(CAST('All rights reserved.' AS BINARY))")
+        .as[String].collect().head
+      assert(spark.table("ld")
+        .filter(col("line") === "All rights reserved.")
+        .select("ldigest").as[String].collect() === Array(expected))
+    } finally q.stop()
+  }
 }
