@@ -47,9 +47,13 @@ object DedupOps {
     * (concat_ws over kept lines) would add one doc-keyed shuffle of the
     * kept text; the keep DECISION and the accounting never move text.
     */
-  def lineDedupStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lineDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    // sep "\n" = the line pass; "\n\n" = the paragraph pass (d13). trim is
+    // ASCII-space-only on both engines, so a paragraph retaining interior
+    // newlines digests them — deterministic and cross-engine identical.
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("line_no", "line")))
       .filter(length(trim(col("line"))) > 0)
       .select(col(idCol), col("line_no"),
         contentDigest(trim(col("line"))).as("ldigest"))

@@ -42,6 +42,21 @@ object PipelineQueries {
       PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"),
       PiiPhone, "<PHONE>"), PiiIdRun, "<ID>")
 
+  /** [[piiRedact]]'s DuckDB twin, shared by the t15 and t16 oracles. */
+  private def piiRedactSql(expr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($expr, " +
+      s"'$PiiEmail', '<EMAIL>', 'g'), '$PiiIpv4', '<IP>', 'g'), " +
+      s"'$PiiPhone', '<PHONE>', 'g'), '$PiiIdRun', '<ID>', 'g')"
+
+  /** The t02 keep predicate as oracle SQL over an arbitrary expression —
+    * shared by the t02/t07 oracles' hand-written copies' semantics and
+    * t16's raw/clean re-score so the gate formula exists once here.
+    */
+  private def qualityKeepSql(expr: String): String =
+    s"(len($expr) >= 20 AND len($expr) <= 100000 AND " +
+      s"(len($expr) - len(regexp_replace($expr, '[a-zA-Z]', '', 'g'))) " +
+      s"/ greatest(CAST(len($expr) AS DOUBLE), 1.0) > 0.5)"
+
   /** t13's context-window token budget — ONE value, interpolated into both
     * the engine query and its DuckDB oracle (VERDICT r6 #6: previously a
     * literal 256 hardcoded on each side independently).
@@ -197,6 +212,22 @@ object PipelineQueries {
           regexp_count(col("text"), lit(PiiIpv4)).as("n_ipv4"),
           regexp_count(col("text"), lit(PiiPhone)).as("n_phones"),
           regexp_count(col("text"), lit(PiiIdRun)).as("n_id_runs"))),
+
+    // Composed redact → re-score pass: does redaction flip a doc's t02
+    // quality gate? (Replacing a long digit id with "<ID>" adds alpha
+    // chars and shortens the doc — both gate inputs.) The production
+    // ordering question this answers: gate before or after redaction.
+    // Per-row, shuffle-free above the narrow sort.
+    "t16_redact_rescore" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below, regex above (see t01)
+        .select(col("doc_id"),
+          TextFns.qualityFeatures(col("text")).getField("keep")
+            .as("keep_raw"),
+          TextFns.qualityFeatures(piiRedact(col("text"))).getField("keep")
+            .as("keep_clean"))
+        .withColumn("flipped", col("keep_raw") =!= col("keep_clean"))),
 
     // PII redaction — the transform t14 audits for: sequential
     // class-tagged replacement (email → ipv4 → phone → id-run,
@@ -415,6 +446,15 @@ object PipelineQueries {
     "d12_boilerplate_lines" -> ((s, d) =>
       DedupOps.boilerplateLines(Tables.documents(s, d), "doc_id", "text", 2)
         .orderBy(col("ldigest"))),
+
+    // Paragraph-level variant of d11 (blank-line separator) — the CCNet
+    // granularity between whole-document (d01) and single-line (d11)
+    // dedup. Same operator, same digest, same scale shape; only the
+    // separator differs.
+    "d13_paragraph_dedup" -> ((s, d) =>
+      DedupOps.lineDedupStats(Tables.documents(s, d), "doc_id", "text",
+        sep = "\n\n")
+        .orderBy(col("doc_id"))),
 
     // ---- similarity -------------------------------------------------------
     "s01_knn_brute" -> ((s, d) => {
@@ -818,14 +858,41 @@ object PipelineQueries {
     "t15_pii_redact" ->
       s"""WITH r AS (
          |  SELECT doc_id, len(text) AS n_chars_raw,
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |      text,
-         |      '$PiiEmail', '<EMAIL>', 'g'), '$PiiIpv4', '<IP>', 'g'),
-         |      '$PiiPhone', '<PHONE>', 'g'), '$PiiIdRun', '<ID>', 'g')
-         |      AS clean_text
+         |    ${piiRedactSql("text")} AS clean_text
          |  FROM documents)
          |SELECT doc_id, n_chars_raw, clean_text, len(clean_text) AS n_chars_clean
          |FROM r ORDER BY doc_id""".stripMargin,
+    "t16_redact_rescore" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text, ${piiRedactSql("text")} AS ct
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id,
+         |    ${qualityKeepSql("text")} AS keep_raw,
+         |    ${qualityKeepSql("ct")} AS keep_clean
+         |  FROM r)
+         |SELECT doc_id, keep_raw, keep_clean,
+         |  keep_raw <> keep_clean AS flipped
+         |FROM k ORDER BY doc_id""".stripMargin,
+    // d13: d11's oracle with the blank-line separator; trim is
+    // space-only on both engines, so paragraphs keep interior newlines.
+    "d13_paragraph_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls
+        |           FROM documents),
+        |raw AS (SELECT doc_id, UNNEST(ls) AS line,
+        |               UNNEST(generate_series(1, len(ls))) AS line_no FROM s),
+        |l AS (SELECT doc_id, line_no, md5(trim(line)) AS ldigest
+        |      FROM raw WHERE len(trim(line)) > 0),
+        |m AS (SELECT doc_id, row_number() OVER (
+        |        PARTITION BY ldigest ORDER BY doc_id, line_no) AS rn
+        |      FROM l),
+        |a AS (SELECT doc_id, count(*) AS n_lines,
+        |        count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        |        count(CASE WHEN rn > 1 THEN 1 END) AS n_removed
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_kept, 0) AS n_kept, coalesce(n_removed, 0) AS n_removed
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

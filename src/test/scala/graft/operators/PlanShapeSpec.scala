@@ -185,6 +185,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(pack) <= 2, p)
   }
 
+  test("line dedup (d11/d13): no exchange ever carries line or document text") {
+    // exchanges appear at preparation (EnsureRequirements), and AQE wraps
+    // the prepared tree out of collect's reach — probe with AQE off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (sep <- Seq("\n", "\n\n")) {
+        val df = DedupOps.lineDedupStats(docs, "doc_id", "text", sep)
+        // every shuffle's input schema must be the narrow (doc_id,
+        // line_no, digest) projection — the 100TB guarantee that only
+        // ~48-byte tuples cross the wire, never text
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.child.output.map(_.name)
+        }
+        assert(exchanges.nonEmpty)
+        for (cols <- exchanges)
+          assert(!cols.exists(n => n == "line" || n == "text"),
+            s"sep=${sep.length}: exchange carries text columns: $cols")
+        // digest window + doc rollup; the join back broadcasts at this scale
+        assert(shuffles(df) <= 3, planOf(df))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("recursive cte (q34): recursion plans equi-joins, never a cartesian") {
     val df = graft.SparkEntry.queries("q34_recursive_cte")(
       spark, "/root/testdata/sf0.001")
