@@ -47,22 +47,37 @@ object DedupOps {
     * (concat_ws over kept lines) would add one doc-keyed shuffle of the
     * kept text; the keep DECISION and the accounting never move text.
     */
-  def lineDedupStats(docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
-    // sep "\n" = the line pass; "\n\n" = the paragraph pass (d13). trim is
-    // ASCII-space-only on both engines, so a paragraph retaining interior
-    // newlines digests them — deterministic and cross-engine identical.
-    val lines = docs
+  /** Shared core of the line/paragraph dedup family: explode on `sep`,
+    * trim, drop blanks, digest, and mark the corpus-wide first occurrence
+    * per digest (min (doc_id, line_no)). `keepText` threads the trimmed
+    * line through for [[lineCollapse]] — the accounting path
+    * ([[lineDedupStats]]) drops it BEFORE the digest exchange so text
+    * never shuffles there; reconstruction inherently moves kept text.
+    * sep "\n" = the line pass; "\n\n" = the paragraph pass (d13). trim is
+    * ASCII-space-only on both engines, so a paragraph retaining interior
+    * newlines digests them — deterministic and cross-engine identical.
+    */
+  private def firstOccurrenceLines(docs: DataFrame, idCol: String,
+      textCol: String, sep: String, keepText: Boolean): DataFrame = {
+    val base = docs
       .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("line_no", "line")))
       .filter(length(trim(col("line"))) > 0)
-      .select(col(idCol), col("line_no"),
-        contentDigest(trim(col("line"))).as("ldigest"))
-    val marked = lines
+      .withColumn("line", trim(col("line")))
+      .withColumn("ldigest", contentDigest(col("line")))
+    val narrow = if (keepText) base
+      else base.select(col(idCol), col("line_no"), col("ldigest"))
+    narrow
       .withColumn("first_occ",
         min(struct(col(idCol), col("line_no")))
           .over(Window.partitionBy(col("ldigest"))))
       .withColumn("kept", col("first_occ").getField(idCol) === col(idCol) &&
         col("first_occ").getField("line_no") === col("line_no"))
+  }
+
+  def lineDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val marked = firstOccurrenceLines(docs, idCol, textCol, sep,
+      keepText = false)
     val perDoc = marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("kept"), 1)).as("n_kept"),
@@ -73,6 +88,37 @@ object DedupOps {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Line-dedup RECONSTRUCTION — the output corpus the d11 decision
+    * produces: each doc rebuilt from its kept lines in original order
+    * (blank lines and later duplicates gone, lines in canonical trimmed
+    * form), plus the kept count. Docs with nothing kept emit "". This is
+    * the one member of the family where text legitimately shuffles — the
+    * kept lines cross the digest window and the doc-keyed rebuild — which
+    * is the irreducible cost of materializing a deduped corpus (the
+    * accounting/decision paths stay text-free; see [[lineDedupStats]]).
+    * Idempotent by construction: re-running on its output removes
+    * nothing (pinned in LineDedupPropertySpec).
+    */
+  def lineCollapse(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val kept = firstOccurrenceLines(docs, idCol, textCol, sep,
+      keepText = true)
+      .filter(col("kept"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Corpus-wide boilerplate LINES — the line-frequency twin of the d08

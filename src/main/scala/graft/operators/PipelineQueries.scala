@@ -456,6 +456,13 @@ object PipelineQueries {
         sep = "\n\n")
         .orderBy(col("doc_id"))),
 
+    // The deduped CORPUS d11 decides: each doc rebuilt from its kept
+    // lines (original order, canonical trimmed form). The only family
+    // member where text shuffles — materialization's irreducible cost.
+    "d14_dedup_collapse" -> ((s, d) =>
+      DedupOps.lineCollapse(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- similarity -------------------------------------------------------
     "s01_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -846,6 +853,26 @@ object PipelineQueries {
         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
         |FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY ldigest""".stripMargin,
+    // d14: the d11 pipeline keeping line text; string_agg ORDER BY
+    // line_no rebuilds each doc deterministically (line_no unique per
+    // doc), docs with nothing kept emit ''.
+    "d14_dedup_collapse" ->
+      """WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |raw AS (SELECT doc_id, UNNEST(ls) AS line,
+        |               UNNEST(generate_series(1, len(ls))) AS line_no FROM s),
+        |l AS (SELECT doc_id, line_no, trim(line) AS line,
+        |             md5(trim(line)) AS ldigest
+        |      FROM raw WHERE len(trim(line)) > 0),
+        |m AS (SELECT doc_id, line_no, line, row_number() OVER (
+        |        PARTITION BY ldigest ORDER BY doc_id, line_no) AS rn
+        |      FROM l),
+        |k AS (SELECT doc_id,
+        |        string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+        |        count(*) AS n_kept
+        |      FROM m WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+        |  coalesce(n_kept, 0) AS n_kept
+        |FROM documents d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // t14/t15: the regex literals are interpolated from the SAME Scala
     // constants the engine queries use — one definition, zero drift.
     "t14_pii_counts" ->
