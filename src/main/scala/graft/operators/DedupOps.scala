@@ -57,13 +57,28 @@ object DedupOps {
     * ASCII-space-only on both engines, so a paragraph retaining interior
     * newlines digests them — deterministic and cross-engine identical.
     */
-  private def firstOccurrenceLines(docs: DataFrame, idCol: String,
-      textCol: String, sep: String, keepText: Boolean): DataFrame = {
-    val base = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("line_no", "line")))
+  /** Explode `textCol` on the LITERAL `sep` (regex-quoted — Spark's split
+    * is regex-based, the DuckDB oracles' string_split is literal; quoting
+    * keeps a metacharacter separator like "|" from silently diverging),
+    * trim, drop blanks, digest. THE one line-canonicalization definition:
+    * the batch family ([[lineDedupStats]]/[[lineCollapse]]/
+    * [[boilerplateLines]]) and the streaming at-ingest leg
+    * ([[graft.streaming.PipelineStreams.dedupLinesByDigest]]) all read
+    * lines through here, so they can never canonicalize differently.
+    */
+  private[graft] def digestedLines(docs: DataFrame, passthrough: Seq[String],
+      textCol: String, sep: String): DataFrame =
+    docs
+      .select(passthrough.map(col) :+
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_no", "line")): _*)
       .filter(length(trim(col("line"))) > 0)
       .withColumn("line", trim(col("line")))
       .withColumn("ldigest", contentDigest(col("line")))
+
+  private def firstOccurrenceLines(docs: DataFrame, idCol: String,
+      textCol: String, sep: String, keepText: Boolean): DataFrame = {
+    val base = digestedLines(docs, Seq(idCol), textCol, sep)
     val narrow = if (keepText) base
       else base.select(col(idCol), col("line_no"), col("ldigest"))
     narrow
@@ -130,10 +145,8 @@ object DedupOps {
     */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
-      .filter(length(trim(col("line"))) > 0)
-      .select(col(idCol), trim(col("line")).as("line"))
-      .groupBy(contentDigest(col("line")).as("ldigest"))
+    digestedLines(docs, Seq(idCol), textCol, "\n")
+      .groupBy(col("ldigest"))
       .agg(min(col("line")).as("line"),
         countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_total"))

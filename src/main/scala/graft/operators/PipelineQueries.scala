@@ -168,16 +168,19 @@ object PipelineQueries {
     // nSources rows per partition; text never moves.
     // Digitless-source guard (ADVICE r6): regexp_extract yields '' when
     // the source name carries no digits, and CAST('' AS INT) throws under
-    // ANSI (Spark) / CAST errors (DuckDB) — nullif+coalesce pins that
-    // case to rate index 0 (rate 1/4) on BOTH engines instead.
+    // ANSI (Spark) / CAST errors (DuckDB); an int-OVERFLOWING digit run
+    // (e.g. a timestamp embedded in the source name) throws the same way.
+    // try_cast on BOTH engines pins both cases to NULL → rate index 0
+    // (rate 1/4) instead of a crash-vs-answer divergence (review r7).
     "t12_source_mix" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("v",
           conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6),
             16, 10).cast("long"))
         .withColumn("thresh",
-          (coalesce(nullif(regexp_extract(col("source"), "([0-9]+)", 1), lit(""))
-            .cast("int"), lit(0)) % 4 + 1)
+          (coalesce(
+            expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT)"),
+            lit(0)) % 4 + 1)
             .cast("long") * 4194304L) // rate quarters of 2^24
         .withColumn("keep", col("v") < col("thresh"))
         .groupBy(col("source"))
@@ -744,23 +747,23 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
         |    + len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // keep gate interpolated from qualityKeepSql — the ONE formula t07
+    // and t16 also read (review r7: hand-written copies could drift)
     "t02_quality_features" ->
-      """SELECT doc_id,
-        |  len(text) AS n_chars,
-        |  CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
-        |        / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
-        |  round((len(text) - len(replace(text, ' ', '')))
-        |        / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
-        |  round((len(text) - (len(text) - len(replace(text, ' ', ''))))
-        |        / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 6)
-        |    AS mean_token_len,
-        |  (len(text) >= 20 AND len(text) <= 100000 AND
-        |   (len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
-        |     / greatest(CAST(len(text) AS DOUBLE), 1.0) > 0.5) AS keep
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  len(text) AS n_chars,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+         |        / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+         |  round((len(text) - len(replace(text, ' ', '')))
+         |        / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
+         |  round((len(text) - (len(text) - len(replace(text, ' ', ''))))
+         |        / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0), 6)
+         |    AS mean_token_len,
+         |  ${qualityKeepSql("text")} AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t03_source_lang_rollup" ->
       """SELECT source, lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -768,13 +771,11 @@ object PipelineQueries {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "t07_clean_corpus" ->
-      """WITH f AS (
-        |  SELECT doc_id, lang, source,
-        |    (len(text) >= 20 AND len(text) <= 100000 AND
-        |     (len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
-        |       / greatest(CAST(len(text) AS DOUBLE), 1.0) > 0.5) AS keep_q,
-        |    md5(text) AS digest
-        |  FROM documents),
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, source,
+         |    ${qualityKeepSql("text")} AS keep_q,
+         |    md5(text) AS digest
+         |  FROM documents),
         |g AS (
         |  SELECT *, min(CASE WHEN keep_q THEN doc_id END)
         |              OVER (PARTITION BY digest) AS min_id
@@ -795,7 +796,7 @@ object PipelineQueries {
         |  SELECT source,
         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
         |         AS INTEGER) AS BIGINT) AS v,
-        |    CAST((coalesce(TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+        |    CAST((coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1)
         |           AS INTEGER), 0) % 4 + 1)
         |         AS BIGINT) * 4194304 AS thresh,
         |    CASE WHEN len(trim(text)) = 0 THEN 0

@@ -73,13 +73,12 @@ object PipelineStreams {
     */
   def dedupLinesByDigest(docs: DataFrame, tsCol: String, idCol: String,
       textCol: String, delay: String): DataFrame =
-    docs
-      .select(col(tsCol), col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
-      .filter(length(trim(col("line"))) > 0)
-      .withColumn("line", trim(col("line")))
-      .withColumn("ldigest",
-        graft.operators.DedupOps.contentDigest(col("line")))
+    // line canonicalization is DedupOps.digestedLines — the SAME
+    // explode/trim/blank-filter/digest step the batch family runs, so
+    // the streaming pass can never keep a line the batch backstop would
+    // canonicalize differently (review r7)
+    graft.operators.DedupOps.digestedLines(
+        docs, Seq(tsCol, idCol), textCol, "\n")
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("ldigest")
 

@@ -15,9 +15,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *   python3 tools/structured_text_fixture.py /tmp/sfix
   *   sbt "runMain graft.Verify /tmp/sfix /tmp/sfix_out \
-  *        d11_line_dedup d12_boilerplate_lines t14_pii_counts t15_pii_redact \
+  *        d11_line_dedup d12_boilerplate_lines d13_paragraph_dedup \
+  *        d14_dedup_collapse t14_pii_counts t15_pii_redact t16_redact_rescore \
   *        d01_exact_dedup t01_token_stats t08_repetition t12_source_mix"
-  *   python3 tools/check.py /tmp/sfix /tmp/sfix_out   # 8/8 OK
+  *   python3 tools/check.py /tmp/sfix /tmp/sfix_out   # 11/11 OK
   *
   * (That fixture run is also what exposed — and now guards — the latent
   * t01 n_subwords oracle divergence on newline-bearing text: the engine
@@ -91,6 +92,22 @@ class StructuredTextParitySpec extends AnyFunSuite with SparkSpec {
       4L -> ((0, 0, 0, 0)),
       5L -> ((0, 0, 0, 0)),
       6L -> ((0, 0, 0, 2)))) // two id runs; no separators → no phone
+  }
+
+  test("d14: collapse rebuilds docs from kept lines in canonical form") {
+    val got = run("d14_dedup_collapse").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(0L)._1 === rows(0)._2) // all lines first occurrences → intact
+    assert(got(1L)._1 === "Fresh unique content line one.") // dup dropped
+    assert(got(2L)._1 === "Server 10.0.0.254 answered.") // dup+blanks gone
+    assert(got(3L) === (("", 0L))) // empty doc
+    assert(got(4L) === (("", 0L))) // whitespace-only doc
+    assert(got(5L) === (("", 0L))) // its one line is a dup → nothing kept
+    assert(got(6L)._1 === rows(6)._2)
+    // kept counts agree with d11's accounting
+    val stats = run("d11_line_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, (_, nk)) <- got) assert(nk === stats(id), s"doc $id")
   }
 
   test("t15: sequential class-tagged redaction, text pinned exactly") {

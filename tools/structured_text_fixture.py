@@ -13,9 +13,15 @@ against the real DuckDB compare:
 
     python3 tools/structured_text_fixture.py /tmp/sfix
     sbt "runMain graft.Verify /tmp/sfix /tmp/sfix_out \
-         d11_line_dedup d12_boilerplate_lines t14_pii_counts t15_pii_redact \
+         d11_line_dedup d12_boilerplate_lines d13_paragraph_dedup \
+         d14_dedup_collapse t14_pii_counts t15_pii_redact t16_redact_rescore \
          d01_exact_dedup t01_token_stats t08_repetition t12_source_mix"
     python3 tools/check.py /tmp/sfix /tmp/sfix_out
+
+    Keep that query list in sync with every operator that reads document
+    STRUCTURE (lines, paragraphs, digits) — an oracle verified only on the
+    driver's newline-free, digit-free text is under-verified (the t01
+    n_subwords divergence hid exactly that way).
 
 StructuredTextParitySpec mirrors a hand-computed subset of these shapes in
 Scala and pins the engine-side values; this script + check.py is the
@@ -84,11 +90,15 @@ def main():
                     " ".join(rng.choice(WORDS) for _ in range(k)) + ".")
         text = "\n".join(lines) + ("\n" if rng.random() < 0.3 else "")
         docs.append((i, text, rng.choice(LANGS), rng.choice(SOURCES)))
-    # edge docs: empty, whitespace-lines-only, all-boilerplate, exact dup
+    # edge docs: empty, whitespace-lines-only, all-boilerplate, exact dup,
+    # and an int-OVERFLOWING digit run in the source name (t12's try_cast
+    # guard: both engines must answer rate index 0, not crash vs answer)
     docs.append((150, "", "en", "web"))
     docs.append((151, "   \n  \n", "en", "news"))
     docs.append((152, "\n".join(BOILERPLATE), "en", "web"))
     docs.append((153, docs[0][1], docs[0][2], docs[0][3]))
+    docs.append((154, "archived snapshot body with enough letters here",
+                 "en", "crawl20240101120000"))
 
     df = pd.DataFrame(
         [(i, t, l, s, len(t)) for (i, t, l, s) in docs],
