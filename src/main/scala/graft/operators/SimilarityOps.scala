@@ -198,20 +198,24 @@ object SimilarityOps {
       .select(col("nprobe"), col("query_id"), col("corpus_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"), col("nprobe"))
       .orderBy(desc("sim"), col("corpus_id"))
-    val approx = swept
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("nprobe"), col("query_id"), col("corpus_id"))
+    // hits and scanned totals come out of ONE consumption of the scored
+    // candidate set: mark each ranked candidate against the (broadcast,
+    // k × nQueries rows) exact baseline and aggregate both counters
+    // together — a second consumer of `swept` would recompute the whole
+    // scoring subtree, since its two aggregations need different
+    // partitionings and ReusedExchange can't bridge them (review r7,
+    // measured: the two-branch shape ran the candidate scoring twice).
     val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("query_id"), col("corpus_id"))
-    val hits = approx.join(exact, Seq("query_id", "corpus_id"))
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("total_hits"))
-    swept.groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("total_scanned"))
-      .join(hits, Seq("nprobe"), "left")
-      .select(col("nprobe"),
-        coalesce(col("total_hits"), lit(0L)).as("total_hits"),
-        col("total_scanned"))
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    swept
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(
+        count(when(col("rank") <= k && col("hit").isNotNull, 1))
+          .as("total_hits"),
+        count(lit(1)).as("total_scanned"))
+      .select(col("nprobe"), col("total_hits"), col("total_scanned"))
   }
 
   /** Random-hyperplane LSH sketch: `nBits` sign bits of dot products with
