@@ -72,13 +72,14 @@ object PipelineStreams {
     * directly).
     */
   def dedupLinesByDigest(docs: DataFrame, tsCol: String, idCol: String,
-      textCol: String, delay: String): DataFrame =
+      textCol: String, delay: String, sep: String = "\n"): DataFrame =
     // line canonicalization is DedupOps.digestedLines — the SAME
     // explode/trim/blank-filter/digest step the batch family runs, so
     // the streaming pass can never keep a line the batch backstop would
-    // canonicalize differently (review r7)
+    // canonicalize differently (review r7). sep "\n\n" gives the
+    // at-ingest paragraph pass (the streaming twin of batch d13).
     graft.operators.DedupOps.digestedLines(
-        docs, Seq(tsCol, idCol), textCol, "\n")
+        docs, Seq(tsCol, idCol), textCol, sep)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("ldigest")
 

@@ -155,4 +155,26 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
         .select("ldigest").as[String].collect() === Array(expected))
     } finally q.stop()
   }
+
+  test("streaming paragraph dedup: blank-line separator, same machinery") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val paras = PipelineStreams.dedupLinesByDigest(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+      "10 minutes", sep = "\n\n")
+    val q = paras.writeStream.format("memory").queryName("pd")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L,
+          "first paragraph\nsecond line of it\n\nshared closing paragraph"),
+        (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L,
+          "a different opener\n\nshared closing paragraph"))
+      q.processAllAvailable()
+      val got = spark.table("pd").select("line").as[String].collect().sorted
+      // paragraphs keep interior newlines; the shared closer dedups
+      assert(got === Array("a different opener",
+        "first paragraph\nsecond line of it", "shared closing paragraph"))
+    } finally q.stop()
+  }
 }
