@@ -738,6 +738,13 @@ object PipelineQueries {
          |FROM p JOIN v va ON va.id = p.id_a JOIN v vb ON vb.id = p.id_b
          |WHERE list_cosine_similarity(va.vv, vb.vv) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+    // n_subwords counts CODE UNITS, not codepoints, for non-alnum chars:
+    // the engine pins Spark's own composed-regex semantics, whose
+    // lookaround split falls between surrogate halves — an astral char is
+    // TWO pieces (TokenStatsImpl scaladoc). The last term adds one extra
+    // per astral char on top of DuckDB's codepoint counting; the strip
+    // term excludes only ASCII space, NOT \s (newlines/tabs count — both
+    // found by fixture gates, rounds 7a/7b).
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
@@ -745,7 +752,8 @@ object PipelineQueries {
         |  CASE WHEN len(trim(text)) = 0 THEN 0
         |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
-        |    + len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_subwords
+        |    + len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+        |    + len(regexp_extract_all(text, '[\x{10000}-\x{10FFFF}]')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     // keep gate interpolated from qualityKeepSql — the ONE formula t07
     // and t16 also read (review r7: hand-written copies could drift)
