@@ -104,9 +104,17 @@ object SimilarityOps {
     val c = withNorm(corpus.select(col(idCol).as("corpus_id"),
       asDouble(col(vecCol)).as("cv")), "cv", "cn")
       .join(assigned.withColumnRenamed("vec_id", "corpus_id"), Seq("corpus_id"))
+    // the query side assigns ITSELF (same per-row ivfAssign, run over the
+    // nQueries rows): joining queries against the corpus-wide `assigned`
+    // would recompute the full corpus assignment a second time just to
+    // read out nQueries cells — a duplicated corpus scan at 100 TB, since
+    // the two consumers join on different keys and ReusedExchange cannot
+    // bridge them (review r7, the s14 lesson applied here).
     val q = withNorm(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")), "qv", "qn")
-      .join(assigned.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .join(ivfAssign(queries, centroids, idCol, vecCol)
+        .select(col("vec_id").as("query_id"), col("centroid_id")),
+        Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("corpus_id"))
     c.join(broadcast(q), Seq("centroid_id"))
