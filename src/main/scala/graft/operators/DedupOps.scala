@@ -47,16 +47,6 @@ object DedupOps {
     * (concat_ws over kept lines) would add one doc-keyed shuffle of the
     * kept text; the keep DECISION and the accounting never move text.
     */
-  /** Shared core of the line/paragraph dedup family: explode on `sep`,
-    * trim, drop blanks, digest, and mark the corpus-wide first occurrence
-    * per digest (min (doc_id, line_no)). `keepText` threads the trimmed
-    * line through for [[lineCollapse]] — the accounting path
-    * ([[lineDedupStats]]) drops it BEFORE the digest exchange so text
-    * never shuffles there; reconstruction inherently moves kept text.
-    * sep "\n" = the line pass; "\n\n" = the paragraph pass (d13). trim is
-    * ASCII-space-only on both engines, so a paragraph retaining interior
-    * newlines digests them — deterministic and cross-engine identical.
-    */
   /** Explode `textCol` on the LITERAL `sep` (regex-quoted — Spark's split
     * is regex-based, the DuckDB oracles' string_split is literal; quoting
     * keeps a metacharacter separator like "|" from silently diverging),
@@ -65,6 +55,12 @@ object DedupOps {
     * [[boilerplateLines]]) and the streaming at-ingest leg
     * ([[graft.streaming.PipelineStreams.dedupLinesByDigest]]) all read
     * lines through here, so they can never canonicalize differently.
+    * sep "\n" = the line pass; "\n\n" = the paragraph pass (d13). trim is
+    * ASCII-space-only on both engines, so a paragraph retaining interior
+    * newlines digests them — deterministic and cross-engine identical.
+    * Trim projects BEFORE the blank filter so each line is trimmed once
+    * (subexpression elimination does not span the filter/project
+    * boundary, and this is the hot path under every corpus line).
     */
   private[graft] def digestedLines(docs: DataFrame, passthrough: Seq[String],
       textCol: String, sep: String): DataFrame =
@@ -72,10 +68,17 @@ object DedupOps {
       .select(passthrough.map(col) :+
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("line_no", "line")): _*)
-      .filter(length(trim(col("line"))) > 0)
       .withColumn("line", trim(col("line")))
+      .filter(length(col("line")) > 0)
       .withColumn("ldigest", contentDigest(col("line")))
 
+  /** Shared middle of the dedup family: [[digestedLines]], then mark the
+    * corpus-wide first occurrence per digest (min (doc_id, line_no)).
+    * `keepText` threads the trimmed line through for [[lineCollapse]] —
+    * the accounting path ([[lineDedupStats]]) drops it BEFORE the digest
+    * exchange so text never shuffles there; reconstruction inherently
+    * moves kept text.
+    */
   private def firstOccurrenceLines(docs: DataFrame, idCol: String,
       textCol: String, sep: String, keepText: Boolean): DataFrame = {
     val base = digestedLines(docs, Seq(idCol), textCol, sep)

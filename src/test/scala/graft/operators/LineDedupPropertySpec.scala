@@ -42,7 +42,7 @@ class LineDedupPropertySpec extends AnyFunSuite with SparkSpec {
     rows.toDF("doc_id", "text")
 
   test("property: accounting + collapse/stats agreement + idempotence") {
-    for (seed <- Seq(7L, 8L)) {
+    for (seed <- 1L to 8L) {
       val docs = docsDF(corpus(seed))
       val stats = DedupOps.lineDedupStats(docs, "doc_id", "text").collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
