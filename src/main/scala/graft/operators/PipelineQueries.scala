@@ -515,6 +515,31 @@ object PipelineQueries {
         .orderBy(col("nprobe"))
     }),
 
+    // The k-axis companion to s14's nprobe sweep: recall@k hits of
+    // 2-probe IVF vs exact, for k in {1,3,5,10}, from ONE ranking of
+    // each side to depth 10 — a hit at k is a pair ranked <= k by BOTH.
+    // Hits are monotone in k (the top-k sets grow); the k=5 row must
+    // equal s14's nprobe=2 hits exactly (same probe ranking — pinned in
+    // RecallCurveSpec). Integer totals only.
+    "s15_recall_at_k" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = SimilarityOps.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("corpus_id"), col("rank").as("re"))
+      val approx = SimilarityOps.multiProbeTopK(emb,
+          emb.filter(col("vec_id") < 8), queries, 10, 2)
+        .select(col("query_id"), col("corpus_id"), col("rank").as("ra"))
+      val hits = approx.join(exact, Seq("query_id", "corpus_id"))
+        .withColumn("k", explode(array(lit(1), lit(3), lit(5), lit(10))))
+        .filter(col("ra") <= col("k") && col("re") <= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("total_hits"))
+      s.range(1)
+        .select(explode(array(lit(1), lit(3), lit(5), lit(10))).as("k"))
+        .join(hits, Seq("k"), "left")
+        .select(col("k"), coalesce(col("total_hits"), lit(0L)).as("total_hits"))
+        .orderBy(col("k"))
+    }),
+
     // ANN evaluation harness: per-query recall@5 of single-probe IVF
     // against the exact brute-force baseline — the operational metric that
     // tunes nlist/nprobe before committing an index layout. Both rankings
@@ -1252,6 +1277,49 @@ object PipelineQueries {
         |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
         |FROM q0 LEFT JOIN h ON h.query_id = q0.query_id
         |ORDER BY q0.query_id""".stripMargin),
+    // s15: s08's 2-probe ranking and the brute ranking, both to depth
+    // 10; a hit at k is a pair both sides rank <= k.
+    "s15_recall_at_k" ->
+      (s"WITH $ivfOraclePrologue,\n" +
+      """qp AS (
+        |  SELECT query_id, centroid_id, qv FROM (
+        |    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+        |           cent.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+        |                              cent.centroid_id) AS pr
+        |    FROM embeddings e, cent WHERE e.vec_id < 10) WHERE pr <= 2),
+        |c AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+        |ap AS (
+        |  SELECT query_id, corpus_id, ra FROM (
+        |    SELECT q.query_id, c.corpus_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |                              ORDER BY list_cosine_similarity(q.qv, c.sv) DESC,
+        |                              c.corpus_id) AS ra
+        |    FROM qp q JOIN c ON c.centroid_id = q.centroid_id
+        |                 AND c.corpus_id <> q.query_id)
+        |  WHERE ra <= 10),
+        |b AS (
+        |  SELECT query_id, corpus_id, re FROM (
+        |    SELECT q0.query_id, cc.vec_id AS corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, CAST(cc.embedding AS DOUBLE[])) DESC,
+        |                              cc.vec_id) AS re
+        |    FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |          FROM embeddings WHERE vec_id < 10) q0,
+        |         embeddings cc WHERE cc.vec_id <> q0.query_id)
+        |  WHERE re <= 10),
+        |ks AS (SELECT UNNEST([1, 3, 5, 10]) AS k),
+        |h AS (SELECT ks.k, count(*) AS total_hits
+        |      FROM ap JOIN b USING (query_id, corpus_id)
+        |      JOIN ks ON ap.ra <= ks.k AND b.re <= ks.k
+        |      GROUP BY ks.k)
+        |SELECT ks.k, CAST(coalesce(h.total_hits, 0) AS BIGINT) AS total_hits
+        |FROM ks LEFT JOIN h USING (k) ORDER BY ks.k""".stripMargin),
     // s14: the same prologue + probe ranking as s08/s13; the sweep
     // replicates each scored candidate to every budget >= its cell's
     // probe rank (range join on generate_series), re-ranks per (query,

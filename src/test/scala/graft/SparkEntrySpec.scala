@@ -16,9 +16,9 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 116 queries, 115 with oracles") {
-    assert(SparkEntry.queries.size === 116)
-    assert(SparkEntry.oracleSql.size === 115)
+  test("registry sizes: 117 queries, 116 with oracles") {
+    assert(SparkEntry.queries.size === 117)
+    assert(SparkEntry.oracleSql.size === 116)
     // a09's HLL++ sketch is the single rows-only entry by design (engine-
     // specific sketch; error bound pinned in PipelineOpsSpec instead)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===

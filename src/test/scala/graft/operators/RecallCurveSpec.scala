@@ -40,4 +40,19 @@ class RecallCurveSpec extends AnyFunSuite with SparkSpec {
     assert(curve.head._2 === s13Hits,
       s"curve@1 ${curve.head._2} != s13 total $s13Hits")
   }
+
+  test("s15 k-sweep: hits monotone in k; k=5 equals s14's nprobe=2 row") {
+    val ks = SparkEntry.queries("s15_recall_at_k")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    assert(ks.map(_._1).toSeq === Seq(1, 3, 5, 10))
+    ks.sliding(2).foreach {
+      case Array((kA, hA), (kB, hB)) =>
+        assert(hA <= hB, s"hits fell $hA -> $hB from k=$kA to k=$kB")
+      case _ => ()
+    }
+    // same 2-probe ranking, same k=5 cut → the two eval tables must agree
+    val atProbe2 = curve.find(_._1 == 2).get._2
+    assert(ks.toMap.apply(5) === atProbe2,
+      s"s15@k=5 ${ks.toMap.apply(5)} != s14@nprobe=2 $atProbe2")
+  }
 }
