@@ -3,15 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.MediaCodecs
+
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns travelling next to typed metadata, with decode /
   * feature-extraction as partition-local transforms.
   *
-  * The decode step itself is STUBBED (this environment has no image/audio
-  * codecs — builder brief): [[fakeDecode]] derives deterministic metadata
-  * from the leading payload bytes, standing in for a real libjpeg/ffmpeg
-  * call. Everything around it — schema, batch shape, partition-local
-  * execution, column pruning of the heavy binary — is real and tested.
+  * As of round 8 the decode step is REAL: [[decode]] sniffs the container
+  * magic and parses genuine BMP / RIFF-WAVE / YUV4MPEG2 bytes with the
+  * pure-JVM parsers in [[graft.functions.MediaCodecs]] (no native codec
+  * needed for uncompressed containers — the former `fakeDecode` stub is
+  * gone). Compressed codecs (JPEG/FLAC/H.264) would slot into the same
+  * partition-local shape but need libraries this sandbox doesn't ship.
   *
   * Scale design: the binary column never shuffles. Metadata extraction is a
   * map (`mapPartitions`, one codec init per partition, mirroring a Pandas
@@ -23,21 +26,45 @@ object Multimodal {
   /** One media row: payload + envelope. */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted metadata (what a real decoder would yield). */
-  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, n_frames: Int, ok: Boolean)
-
-  /** Deterministic stand-in for the codec call: header-derived pseudo
-    * dimensions. Replace with the real decoder where codecs exist.
+  /** Decoded metadata. `rate` is the per-second unit of the container:
+    * audio sample rate, video fps numerator, 0 for stills. For audio,
+    * `n_frames` counts PCM frames (samples per channel).
     */
-  def fakeDecode(row: MediaRow): MediaMeta = {
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, sample_rate: Int, ok: Boolean)
+
+  /** Container-sniffing decode: the format comes from the BYTES (magic
+    * number), not the envelope's `kind` string — a real ingest pipeline
+    * cannot trust upstream labels. Malformed/truncated/unknown payloads
+    * yield ok=false with zeroed metadata, never an exception (a poison row
+    * must not kill a 100 TB decode stage).
+    */
+  def decode(row: MediaRow): MediaMeta = {
     val b = row.payload
-    val ok = b != null && b.length > 0
-    val h0 = if (ok) (b(0) & 0xff) else 0
-    val h1 = if (ok && b.length > 1) (b(1) & 0xff) else 0
-    MediaMeta(row.media_id, row.kind, if (b == null) 0L else b.length.toLong,
-      width = 64 + (h0 % 64) * 16, height = 64 + (h1 % 64) * 16,
-      n_frames = if (row.kind == "video") 1 + h0 % 30 else 1, ok = ok)
+    val nb = if (b == null) 0L else b.length.toLong
+    def bad = MediaMeta(row.media_id, row.kind, nb, 0, 0, 0, 0, ok = false)
+    if (b == null || b.length < 12) bad
+    else if (b(0) == 'B' && b(1) == 'M')
+      MediaCodecs.parseBmp(b) match {
+        case Some(m) =>
+          MediaMeta(row.media_id, row.kind, nb, m.width, m.height, 1, 0, ok = true)
+        case None => bad
+      }
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      MediaCodecs.parseWav(b) match {
+        case Some(m) =>
+          MediaMeta(row.media_id, row.kind, nb, 0, 0, m.nFrames, m.sampleRate,
+            ok = true)
+        case None => bad
+      }
+    else if (b(0) == 'Y' && b(1) == 'U' && b(2) == 'V')
+      MediaCodecs.parseY4m(b) match {
+        case Some(m) =>
+          MediaMeta(row.media_id, row.kind, nb, m.width, m.height, m.nFrames,
+            m.fpsNum, ok = true)
+        case None => bad
+      }
+    else bad
   }
 
   /** Partition-local decode: one initialization per partition (the shape a
@@ -47,23 +74,38 @@ object Multimodal {
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: initialize codec context here, once per partition
-      rows.map(fakeDecode)
+      // real compressed codecs would initialize their context here,
+      // once per partition; the uncompressed parsers are stateless
+      rows.map(decode)
     }
   }
 
-  /** Synthesize a media table from the documents table (deterministic:
-    * payload = utf-8 bytes of text) — the test/bench substrate given no
-    * real binaries ship with the testdata.
+  /** Synthesize a media table from the documents table: REAL container
+    * bytes (BMP / WAV / Y4M via MediaCodecs builders) with dimensions,
+    * sample counts and frame counts that are deterministic functions of
+    * (doc_id, text) — each recomputable in ANSI SQL, so the m01–m03
+    * oracles verify the build→decode round trip end-to-end. Codepoint
+    * arithmetic (not chars) so astral text derives identically in DuckDB.
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "utf-8").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, rawText) =>
+        val text = if (rawText == null) "" else rawText
+        val nCp = text.codePointCount(0, text.length)
+        val h0 = if (nCp >= 1) text.codePointAt(0) else 0
+        val h1 = if (nCp >= 2) text.codePointAt(text.offsetByCodePoints(0, 1)) else 0
+        (id % 3) match {
+          case 0 => MediaRow(id, "image",
+            MediaCodecs.buildBmp(4 + h0 % 60, 4 + h1 % 60, id))
+          case 1 => MediaRow(id, "audio",
+            MediaCodecs.buildWav(8000 + (id % 5).toInt * 2000, 50 + nCp % 200, id))
+          case _ => MediaRow(id, "video",
+            MediaCodecs.buildY4m(2 * (4 + h0 % 12), 2 * (4 + h1 % 12),
+              1 + (id % 30).toInt, id))
+        }
+      }
   }
 
   /** Frame sampling for video rows: one output row per sampled frame index
@@ -78,8 +120,8 @@ object Multimodal {
 
   /** Resize plan: fit (width, height) into a `target`×`target` box
     * preserving aspect ratio, plus letterbox padding — the metadata half of
-    * an image-resize stage (the pixel op itself belongs in the stubbed
-    * decoder). All-integer arithmetic (scale via `w*target DIV max(w,h)`)
+    * an image-resize stage (the pixel op itself belongs in the decoder
+    * layer). All-integer arithmetic (scale via `w*target DIV max(w,h)`)
     * so the plan is engine-portable with no float-rounding hazards, and a
     * pure projection — no shuffle, runs inside the scan's codegen stage.
     */

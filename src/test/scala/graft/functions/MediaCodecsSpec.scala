@@ -1,0 +1,108 @@
+package graft.functions
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Pins the pure-JVM container parsers against bytes written by an
+  * INDEPENDENT implementation: tools/media_fixture.py builds every file
+  * under src/test/resources/media/ with Python struct.pack (including
+  * variants the Scala builders never emit — top-down/32bpp/palette BMPs,
+  * stereo/LIST-chunk/odd-chunk WAVs, C444/Cmono/frame-param Y4M), and
+  * manifest.json records what a correct parser must extract. The same
+  * cross-implementation recipe as P19's murmur3 vectors: a compensating
+  * builder/parser bug cannot pass a second implementation's bytes.
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    assert(in != null, s"missing test resource $name (run tools/media_fixture.py)")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("python-written fixtures parse to exactly the manifest metadata") {
+    val cases = new ObjectMapper().readTree(resource("/media/manifest.json"))
+    assert(cases.size() >= 20)
+    cases.elements().asScala.foreach { c =>
+      val file = c.get("file").asText()
+      val bytes = resource(s"/media/$file")
+      val expect = c.get("expect")
+      if (expect.isNull) {
+        assert(MediaCodecs.parseBmp(bytes).isEmpty, s"$file must not parse as bmp")
+        assert(MediaCodecs.parseWav(bytes).isEmpty, s"$file must not parse as wav")
+        assert(MediaCodecs.parseY4m(bytes).isEmpty, s"$file must not parse as y4m")
+      } else expect.get("format").asText() match {
+        case "bmp" =>
+          val m = MediaCodecs.parseBmp(bytes)
+          assert(m.contains(MediaCodecs.BmpMeta(expect.get("width").asInt(),
+            expect.get("height").asInt(), expect.get("bpp").asInt())), file)
+        case "wav" =>
+          val m = MediaCodecs.parseWav(bytes)
+          assert(m.contains(MediaCodecs.WavMeta(expect.get("rate").asInt(),
+            expect.get("channels").asInt(), expect.get("bits").asInt(),
+            expect.get("frames").asInt())), file)
+        case "y4m" =>
+          val m = MediaCodecs.parseY4m(bytes)
+          assert(m.contains(MediaCodecs.Y4mMeta(expect.get("width").asInt(),
+            expect.get("height").asInt(), expect.get("fn").asInt(),
+            expect.get("fd").asInt(), expect.get("frames").asInt())), file)
+      }
+    }
+  }
+
+  test("build→parse round trip across the generator parameter grid") {
+    for (w <- Seq(1, 4, 5, 7, 63); h <- Seq(1, 3, 63); seed <- Seq(0L, 7L)) {
+      assert(MediaCodecs.parseBmp(MediaCodecs.buildBmp(w, h, seed))
+        .contains(MediaCodecs.BmpMeta(w, h, 24)), s"bmp ${w}x$h")
+    }
+    for (rate <- Seq(8000, 16000, 44100); n <- Seq(0, 1, 50, 249)) {
+      assert(MediaCodecs.parseWav(MediaCodecs.buildWav(rate, n, 3L))
+        .contains(MediaCodecs.WavMeta(rate, 1, 16, n)), s"wav $rate/$n")
+    }
+    for (w <- Seq(2, 8, 30); h <- Seq(2, 24); nf <- Seq(0, 1, 30)) {
+      assert(MediaCodecs.parseY4m(MediaCodecs.buildY4m(w, h, nf, 9L))
+        .contains(MediaCodecs.Y4mMeta(w, h, 25, 1, nf)), s"y4m ${w}x$h/$nf")
+    }
+  }
+
+  test("built payload sizes match the m01 oracle's closed-form byte math") {
+    // the oracle predicts n_bytes from (w, h, n, nf) alone — these
+    // equalities are exactly what keeps that SQL honest
+    for (w <- Seq(4, 5, 63); h <- Seq(3, 60))
+      assert(MediaCodecs.buildBmp(w, h, 1L).length ==
+        54 + ((3 * w + 3) / 4) * 4 * h, s"bmp ${w}x$h")
+    for (n <- Seq(50, 249))
+      assert(MediaCodecs.buildWav(8000, n, 1L).length == 44 + 2 * n)
+    for (w <- Seq(8, 30); h <- Seq(8, 30); nf <- Seq(1, 30))
+      assert(MediaCodecs.buildY4m(w, h, nf, 1L).length ==
+        MediaCodecs.y4mHeader(w, h).length + 1 + nf * (6 + w * h * 3 / 2))
+  }
+
+  test("truncated payloads never parse (poison rows degrade, not crash)") {
+    val bmp = MediaCodecs.buildBmp(8, 8, 2L)
+    val wavB = MediaCodecs.buildWav(8000, 20, 2L)
+    val y4m = MediaCodecs.buildY4m(8, 8, 2, 2L)
+    for (k <- Seq(1, 10, 53)) {
+      assert(MediaCodecs.parseBmp(bmp.dropRight(k)).isEmpty, s"bmp -$k")
+      assert(MediaCodecs.parseWav(wavB.dropRight(k)).isEmpty, s"wav -$k")
+      assert(MediaCodecs.parseY4m(y4m.dropRight(k)).isEmpty, s"y4m -$k")
+    }
+    assert(MediaCodecs.parseBmp(Array.emptyByteArray).isEmpty)
+    assert(MediaCodecs.parseWav(null).isEmpty)
+    assert(MediaCodecs.parseY4m(Array.fill(300)('Y'.toByte)).isEmpty)
+  }
+
+  test("decode sniffs the container from bytes, not the kind label") {
+    val mislabeled = Multimodal.MediaRow(7L, "audio", MediaCodecs.buildBmp(6, 4, 7L))
+    val m = Multimodal.decode(mislabeled)
+    assert(m.ok && m.width == 6 && m.height == 4 && m.n_frames == 1 &&
+      m.sample_rate == 0 && m.kind == "audio") // envelope label passes through
+    val garbage = Multimodal.decode(Multimodal.MediaRow(8L, "image",
+      Array.fill(64)(0x5a.toByte)))
+    assert(!garbage.ok && garbage.n_bytes == 64L)
+  }
+}

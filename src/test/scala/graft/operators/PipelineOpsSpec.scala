@@ -363,24 +363,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.size <= 3)
   }
 
-  test("multimodal: stubbed decode preserves ids, byte length, frame sampling") {
+  test("multimodal: real container decode, ids, byte length, frame sampling") {
+    import graft.functions.MediaCodecs
     val media = Seq(
-      Multimodal.MediaRow(1L, "image", "abcdef".getBytes),
-      Multimodal.MediaRow(2L, "video", "xyz".getBytes),
-      Multimodal.MediaRow(3L, "audio", Array.emptyByteArray)
+      Multimodal.MediaRow(1L, "image", MediaCodecs.buildBmp(20, 10, 1L)),
+      Multimodal.MediaRow(2L, "video", MediaCodecs.buildY4m(16, 12, 23, 2L)),
+      Multimodal.MediaRow(3L, "audio", Array.emptyByteArray), // poison row
+      Multimodal.MediaRow(4L, "audio", MediaCodecs.buildWav(8000, 120, 4L))
     ).toDS()
     val meta = Multimodal.extractMeta(media).collect().map(m => m.media_id -> m).toMap
-    assert(meta(1L).n_bytes === 6L && meta(1L).ok)
-    assert(meta(2L).n_frames === 1 + ('x'.toInt % 30))
+    assert(meta(1L).ok && meta(1L).width === 20 && meta(1L).height === 10 &&
+      meta(1L).n_bytes === (54 + 60 * 10).toLong)
+    assert(meta(2L).ok && meta(2L).n_frames === 23 && meta(2L).sample_rate === 25)
     assert(!meta(3L).ok)
+    assert(meta(4L).ok && meta(4L).n_frames === 120 && meta(4L).sample_rate === 8000)
     val frames = Multimodal.sampleFrames(
       Multimodal.extractMeta(media).toDF(), stride = 5)
     assert(frames.filter(col("media_id") === 2L).count() ===
       (meta(2L).n_frames + 4) / 5)
     // resize plan: longest edge lands exactly on target, aspect preserved,
-    // padding centers the short edge
-    val rp = Multimodal.resizePlan(Multimodal.extractMeta(media).toDF(), 224)
+    // padding centers the short edge (image/video rows only — audio and
+    // poison rows decode with zero dims, exactly as m03 filters them)
+    val rp = Multimodal.resizePlan(Multimodal.extractMeta(media).toDF()
+        .filter(col("width") > 0), 224)
       .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rp.keySet === Set(1L, 2L))
     rp.values.foreach { r =>
       val (w, h, ow, oh, px, py) = (r.getInt(1), r.getInt(2), r.getInt(3),
         r.getInt(4), r.getInt(5), r.getInt(6))
