@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -41,11 +40,15 @@ object DedupOps {
     * n_removed); docs with no non-blank line report zeros via the left
     * join back.
     *
-    * Scale shape: after digesting, only (digest32B, doc_id, line_no)
-    * tuples move — never line text — through one digest-keyed window
-    * exchange and one doc-keyed rollup. Reconstructing the deduped text
-    * (concat_ws over kept lines) would add one doc-keyed shuffle of the
-    * kept text; the keep DECISION and the accounting never move text.
+    * Scale shape: the instance stream NEVER shuffles. Per-doc line counts
+    * are a per-row scalar; the keep decision lives entirely in the
+    * per-digest min table, which the partial aggregate collapses to one
+    * ~48-byte row per DISTINCT line before its single exchange (see
+    * [[firstOccurrence]] for why not a window, and [[lineDedupStats]]
+    * for why not an instance-side join back either). Reconstructing the
+    * deduped text rides the same aggregate with the line inside the min
+    * struct ([[lineCollapse]]); the keep DECISION and the accounting
+    * never move text.
     */
   /** Explode `textCol` on the LITERAL `sep` (regex-quoted — Spark's split
     * is regex-based, the DuckDB oracles' string_split is literal; quoting
@@ -72,58 +75,84 @@ object DedupOps {
       .filter(length(col("line")) > 0)
       .withColumn("ldigest", contentDigest(col("line")))
 
-  /** Shared middle of the dedup family: [[digestedLines]], then mark the
-    * corpus-wide first occurrence per digest (min (doc_id, line_no)).
-    * `keepText` threads the trimmed line through for [[lineCollapse]] —
-    * the accounting path ([[lineDedupStats]]) drops it BEFORE the digest
-    * exchange so text never shuffles there; reconstruction inherently
-    * moves kept text.
+  /** Per-digest first-occurrence table: ONE row per distinct line with the
+    * corpus-wide minimal (doc_id, line_no) instance — as a partial-aggregated
+    * `groupBy(ldigest).agg(min(struct(...)))`, deliberately NOT
+    * `min(...).over(Window.partitionBy(ldigest))`. The window form sends
+    * every instance of a digest to ONE task, and the hottest trimmed line
+    * of a web corpus ("Home" in a shared footer) can appear in a
+    * double-digit percent of documents — an un-splittable hot task that
+    * AQE cannot break up (AQE splits skewed JOINS, not windows). The
+    * aggregate collapses each digest to one row per map partition before
+    * its single exchange, so the hot key costs O(partitions), not O(rows).
+    * Measured on a hot-boilerplate fixture in NOTES.md (round 8).
+    *
+    * `keepText` rides the trimmed line INSIDE the min struct for
+    * [[lineCollapse]]: (doc_id, line_no) is unique per instance, so the
+    * text field never affects the ordering, and only one line of text per
+    * digest per map partition ever moves — strictly less than the window
+    * form, where every instance's text crossed the exchange.
     */
-  private def firstOccurrenceLines(docs: DataFrame, idCol: String,
+  private def firstOccurrence(docs: DataFrame, idCol: String,
       textCol: String, sep: String, keepText: Boolean): DataFrame = {
-    val base = digestedLines(docs, Seq(idCol), textCol, sep)
-    val narrow = if (keepText) base
-      else base.select(col(idCol), col("line_no"), col("ldigest"))
-    narrow
-      .withColumn("first_occ",
-        min(struct(col(idCol), col("line_no")))
-          .over(Window.partitionBy(col("ldigest"))))
-      .withColumn("kept", col("first_occ").getField(idCol) === col(idCol) &&
-        col("first_occ").getField("line_no") === col("line_no"))
+    val fields =
+      if (keepText) struct(col(idCol), col("line_no"), col("line"))
+      else struct(col(idCol), col("line_no"))
+    digestedLines(docs, Seq(idCol), textCol, sep)
+      .groupBy(col("ldigest"))
+      .agg(min(fields).as("first_occ"))
   }
 
   def lineDedupStats(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val marked = firstOccurrenceLines(docs, idCol, textCol, sep,
-      keepText = false)
-    val perDoc = marked.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"),
-        count(when(col("kept"), 1)).as("n_kept"),
-        count(when(!col("kept"), 1)).as("n_removed"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+    // NOTHING instance-sized ever shuffles here. n_lines is a per-row
+    // scalar (count of non-blank trimmed segments — the same split/trim/
+    // filter pipeline as [[digestedLines]], expressed over the array), and
+    // n_kept per doc is a rollup of the per-DIGEST min table, which the
+    // partial aggregate already collapsed to one row per distinct line.
+    // The round-8 SkewBench measurement (NOTES.md) is why this is not the
+    // instance⋈min-table join VERDICT r7 sketched: on a 2M-doc corpus
+    // with a 50%-hot nav line the join-back ran ~1.6× SLOWER than even
+    // the window form and still funneled the hot digest into one join
+    // task (AQE skew-split only fires above the 256 MB partition
+    // threshold; a hot KEY below it never splits). With the rollup shape
+    // the only moving rows are one per distinct digest and one per doc —
+    // there is no skewable exchange left at any corpus size.
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val nLines = size(filter(
+      transform(split(col(textCol), qsep), x => trim(x)),
+      x => length(x) > 0))
+    val keptPerDoc = firstOccurrence(docs, idCol, textCol, sep,
+        keepText = false)
+      .groupBy(col("first_occ").getField(idCol).as(idCol))
+      .agg(count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        coalesce(nLines.cast("long"), lit(0L)).as("n_lines"))
+      .join(keptPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Line-dedup RECONSTRUCTION — the output corpus the d11 decision
     * produces: each doc rebuilt from its kept lines in original order
     * (blank lines and later duplicates gone, lines in canonical trimmed
-    * form), plus the kept count. Docs with nothing kept emit "". This is
-    * the one member of the family where text legitimately shuffles — the
-    * kept lines cross the digest window and the doc-keyed rebuild — which
-    * is the irreducible cost of materializing a deduped corpus (the
-    * accounting/decision paths stay text-free; see [[lineDedupStats]]).
-    * Idempotent by construction: re-running on its output removes
-    * nothing (pinned in LineDedupPropertySpec).
+    * form), plus the kept count. Docs with nothing kept emit "". The kept
+    * lines ARE the [[firstOccurrence]] rows (one per distinct digest,
+    * text riding inside the min struct), so no instance-stream join-back
+    * exists here at all: text moves once per distinct line — map-side
+    * collapsed — through the digest aggregate, then once through the
+    * doc-keyed rebuild. That is the irreducible cost of materializing a
+    * deduped corpus (the accounting path stays text-free; see
+    * [[lineDedupStats]]). Idempotent by construction: re-running on its
+    * output removes nothing (pinned in LineDedupPropertySpec).
     */
   def lineCollapse(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val kept = firstOccurrenceLines(docs, idCol, textCol, sep,
-      keepText = true)
-      .filter(col("kept"))
+    val kept = firstOccurrence(docs, idCol, textCol, sep, keepText = true)
+      .select(col("first_occ").getField(idCol).as(idCol),
+        col("first_occ").getField("line_no").as("line_no"),
+        col("first_occ").getField("line").as("line"))
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -144,15 +173,25 @@ object DedupOps {
     * documents, with document and occurrence counts. One line of text per
     * digest DOES move here (the report needs the human-readable line), but
     * map-side partial `min` collapses it to one copy per digest per
-    * partition before the single digest-keyed exchange.
+    * partition before the digest-keyed exchange.
+    *
+    * Two-level aggregation instead of a direct `countDistinct(idCol)`:
+    * distinct-count expansion keys the partial rows by (ldigest, idCol),
+    * so a hot boilerplate line would deliver one row PER CONTAINING DOC
+    * to a single final-agg task — the same un-splittable hot key as the
+    * window form this family removed (r8). Level 1 keys by the UNIFORM
+    * (ldigest, doc) pair; level 2 then counts one row per containing doc
+    * with map-side partials, so the hot digest costs O(partitions).
     */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Int): DataFrame =
-    digestedLines(docs, Seq(idCol), textCol, "\n")
+      minDocs: Int, sep: String = "\n"): DataFrame =
+    digestedLines(docs, Seq(idCol), textCol, sep)
+      .groupBy(col("ldigest"), col(idCol))
+      .agg(min(col("line")).as("line"), count(lit(1)).as("n_in_doc"))
       .groupBy(col("ldigest"))
       .agg(min(col("line")).as("line"),
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_total"))
+        count(lit(1)).as("n_docs"),
+        sum(col("n_in_doc")).as("n_total"))
       .filter(col("n_docs") >= minDocs)
 
   /** IDs to drop under exact dedup (all but the canonical row per digest). */

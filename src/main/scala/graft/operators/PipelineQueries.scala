@@ -250,24 +250,44 @@ object PipelineQueries {
     // The composed cleaning pass a training corpus actually runs: quality
     // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
     // min-id canonical) → per-(lang, source) accounting of every drop
-    // reason. Two shuffles total: the digest window and the final rollup —
-    // document text never moves, only (digest, id) pairs and counters.
+    // reason. NO doc-volume shuffle anywhere (r8): the canonical survivor
+    // per digest is a partial-aggregated min STRUCT carrying its (lang,
+    // source) with it — not a window (one un-splittable task per hot
+    // digest) and not a min-table join back onto the doc stream (every
+    // doc row re-shuffled by the skewed digest; below AQE's 256 MB skew
+    // threshold the hot key still lands one join task — measured in
+    // NOTES.md, round 8). Kept counts roll up from the collapsed
+    // canonical table; dup-rejects are the per-group remainder, since
+    // every quality-surviving doc is either canonical or a dup. Text
+    // never moves: exchanges carry (digest, id, lang, source) and
+    // low-cardinality group rows only.
     "t07_clean_corpus" -> ((s, d) => {
-      val flagged = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .withColumn("keep_q",
           TextFns.qualityFeatures(col("text")).getField("keep"))
         .withColumn("digest", DedupOps.contentDigest(col("text")))
-        .withColumn("min_id", min(when(col("keep_q"), col("doc_id")))
-          .over(Window.partitionBy(col("digest"))))
-      flagged
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("keep_q"), col("digest"))
+      // min over (doc_id, lang, source): doc_id leads, so this IS the
+      // min-id canonical survivor, with its group columns along for free
+      val keptPerGroup = base.groupBy(col("digest"))
+        .agg(min(when(col("keep_q"),
+          struct(col("doc_id"), col("lang"), col("source")))).as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy(col("c").getField("lang").as("lang"),
+          col("c").getField("source").as("source"))
+        .agg(count(lit(1)).as("n_kept"))
+      base
         .groupBy(col("lang"), col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
-          count(when(!col("keep_q"), 1)).as("n_quality_rejected"),
-          count(when(col("keep_q") && col("doc_id") =!= col("min_id"), 1))
-            .as("n_dup_rejected"),
-          count(when(col("keep_q") && col("doc_id") === col("min_id"), 1))
-            .as("n_kept"))
+          count(when(!col("keep_q"), 1)).as("n_quality_rejected"))
+        .join(keptPerGroup, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("n_quality_rejected"),
+          (col("n_docs") - col("n_quality_rejected") -
+            coalesce(col("n_kept"), lit(0L))).as("n_dup_rejected"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy(col("lang"), col("source"))
     }),
 
@@ -618,20 +638,26 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- multimodal -------------------------------------------------------
+    // Real container decode (r8): mediaFromDocuments builds genuine
+    // BMP/WAV/Y4M bytes with doc-derived parameters, extractMeta sniffs
+    // and PARSES them (MediaCodecs), and the oracle recomputes the same
+    // parameters in SQL — so a mismatch anywhere in build→parse (wrong
+    // row padding, endianness, chunk walk, frame count) breaks the gate.
     "m01_media_meta" -> ((s, d) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("n_frames"))
+          col("width"), col("height"), col("n_frames"), col("sample_rate"))
         .orderBy(col("media_id"))
     }),
 
     // Frame-sampling fan-out over video rows (decode → every 5th frame →
     // per-frame signature): generator-shaped multimodal processing as a
-    // declarative explode, no UDTF. The oracle recomputes the stubbed
-    // decoder's frame count and the sampled index sequence in SQL, pinning
-    // the fan-out shape and per-frame derivation end-to-end.
+    // declarative explode, no UDTF. n_frames comes from PARSING the Y4M
+    // FRAME-marker chain; the oracle recomputes the generator's frame
+    // count and the sampled index sequence in SQL, pinning the fan-out
+    // shape and per-frame derivation end-to-end.
     "m02_frame_sample" -> ((s, d) => {
       import s.implicits._
       val meta = Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d)).toDF()
@@ -642,8 +668,9 @@ object PipelineQueries {
     }),
 
     // Resize planning (fit into 224×224 + letterbox padding) over decoded
-    // image metadata — pure projection, no shuffle; the oracle recomputes
-    // the stub decoder's dimensions and the integer resize math.
+    // image metadata — pure projection, no shuffle; width/height come from
+    // the real BMP header parse, the oracle recomputes the generator's
+    // dimensions and the integer resize math.
     "m03_resize_plan" -> ((s, d) => {
       import s.implicits._
       val meta = Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d)).toDF()
@@ -1501,17 +1528,42 @@ object PipelineQueries {
         |SELECT centroid_id, CAST(g - 1 AS INT) AS dim, count(*) AS n,
         |       round(avg(x), 4) + 0.0 AS mean_val
         |FROM x2 GROUP BY centroid_id, g ORDER BY centroid_id, dim""".stripMargin,
+    // m01–m03 recompute the mediaFromDocuments generator parameters (the
+    // engine side PARSES real container bytes built from these): h0/h1 =
+    // first/second codepoint (0 when absent — ord('') errors in DuckDB),
+    // image = 24bpp BMP (54-byte headers + 4-byte-padded rows), audio =
+    // 44-byte-header mono 16-bit PCM WAV, video = C420 YUV4MPEG2 whose
+    // byte size includes the ASCII stream header and per-frame FRAME\n.
     "m01_media_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  64 + (ord(substr(text, 1, 1)) % 64) * 16 AS width,
-        |  64 + (ord(substr(text, 2, 1)) % 64) * 16 AS height,
-        |  CASE WHEN doc_id % 3 = 2 THEN 1 + ord(substr(text, 1, 1)) % 30 ELSE 1 END AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 AS k,
+        |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS h0,
+        |    CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS h1,
+        |    length(text) AS nc
+        |  FROM documents),
+        |m AS (
+        |  SELECT media_id,
+        |    CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE k WHEN 0 THEN 4 + h0 % 60 WHEN 2 THEN 2 * (4 + h0 % 12) ELSE 0 END AS width,
+        |    CASE k WHEN 0 THEN 4 + h1 % 60 WHEN 2 THEN 2 * (4 + h1 % 12) ELSE 0 END AS height,
+        |    CASE k WHEN 0 THEN 1 WHEN 1 THEN 50 + nc % 200
+        |           ELSE CAST(1 + media_id % 30 AS INT) END AS n_frames,
+        |    CASE k WHEN 1 THEN CAST(8000 + (media_id % 5) * 2000 AS INT)
+        |           WHEN 2 THEN 25 ELSE 0 END AS sample_rate
+        |  FROM p)
+        |SELECT media_id, kind,
+        |  CASE kind
+        |    WHEN 'image' THEN 54 + ((3 * width + 3) // 4) * 4 * height
+        |    WHEN 'audio' THEN 44 + 2 * n_frames
+        |    ELSE length('YUV4MPEG2 W' || width || ' H' || height ||
+        |                ' F25:1 Ip A1:1 C420') + 1
+        |         + n_frames * (6 + (width * height * 3) // 2)
+        |  END AS n_bytes,
+        |  width, height, n_frames, sample_rate
+        |FROM m ORDER BY media_id""".stripMargin,
     "m02_frame_sample" ->
       """WITH v AS (
-        |  SELECT doc_id AS media_id, 1 + ord(substr(text, 1, 1)) % 30 AS n_frames
+        |  SELECT doc_id AS media_id, CAST(1 + doc_id % 30 AS INT) AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2),
         |f AS (
         |  SELECT media_id,
@@ -1523,8 +1575,8 @@ object PipelineQueries {
     "m03_resize_plan" ->
       """WITH img AS (
         |  SELECT doc_id AS media_id,
-        |         64 + (ord(substr(text, 1, 1)) % 64) * 16 AS width,
-        |         64 + (ord(substr(text, 2, 1)) % 64) * 16 AS height
+        |    4 + CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END % 60 AS width,
+        |    4 + CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END % 60 AS height
         |  FROM documents WHERE doc_id % 3 = 0),
         |r AS (
         |  SELECT media_id, width, height,

@@ -185,29 +185,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(pack) <= 2, p)
   }
 
-  test("line dedup (d11/d13): no exchange ever carries line or document text") {
+  test("line dedup (d11/d13/d14): partial-agg first occurrence, no digest window, no text on accounting exchanges") {
     // exchanges appear at preparation (EnsureRequirements), and AQE wraps
-    // the prepared tree out of collect's reach — probe with AQE off
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      for (sep <- Seq("\n", "\n\n")) {
-        val df = DedupOps.lineDedupStats(docs, "doc_id", "text", sep)
-        // every shuffle's input schema must be the narrow (doc_id,
-        // line_no, digest) projection — the 100TB guarantee that only
-        // ~48-byte tuples cross the wire, never text
-        val exchanges = df.queryExecution.executedPlan.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-            e.child.output.map(_.name)
-        }
-        assert(exchanges.nonEmpty)
-        for (cols <- exchanges)
-          assert(!cols.exists(n => n == "line" || n == "text"),
-            s"sep=${sep.length}: exchange carries text columns: $cols")
-        // digest window + doc rollup; the join back broadcasts at this scale
-        assert(shuffles(df) <= 3, planOf(df))
+    // the prepared tree out of collect's reach — probe with AQE off, on a
+    // DEDICATED child session so the conf flip is invisible to any other
+    // suite sharing the JVM (ADVICE r7); the inputs must be re-bound to
+    // that session or plans still execute under the parent's conf.
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    val pdocs = probe.createDataFrame(docs.rdd, docs.schema)
+    for (sep <- Seq("\n", "\n\n")) {
+      val df = DedupOps.lineDedupStats(pdocs, "doc_id", "text", sep)
+      val p = planOf(df)
+      // the de-skew pin (r8): first occurrence is a partial-aggregated
+      // groupBy, NEVER min().over(Window.partitionBy(digest)) — a window
+      // funnels every instance of the hottest line into one un-splittable
+      // task (AQE splits skewed joins, not windows), and SkewBench
+      // measured the instance⋈min-table join-back alternative slower AND
+      // still hot (NOTES r8) — so no instance-sized stream may shuffle
+      // at all: n_lines is a per-row scalar, n_kept rolls up from the
+      // collapsed min table.
+      assert(!p.contains("Window"), p)
+      assert(p.contains("partial_min"), p)
+      // every shuffle's input schema must be narrow — the 100TB
+      // guarantee that only small tuples cross the wire, never text
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      assert(exchanges.nonEmpty)
+      for (cols <- exchanges)
+        assert(!cols.exists(n => n == "line" || n == "text"),
+          s"sep=${sep.length}: exchange carries text columns: $cols")
+      // full corpus-scale exchange budget (RDD-backed input → no stats →
+      // nothing broadcasts): digest agg (collapsed to one row per
+      // distinct line), kept-per-doc rollup, docs side of the final left
+      // join. Every exchange is uniform-hash; there is no skewable key.
+      assert(shuffles(df) <= 3, p)
+    }
+    // reconstruction (d14): kept text rides INSIDE the min struct through
+    // the same partial-aggregated digest exchange — no window, and no
+    // instance-stream join-back at all
+    val collapse = DedupOps.lineCollapse(pdocs, "doc_id", "text")
+    val cp = planOf(collapse)
+    assert(!cp.contains("Window"), cp)
+    assert(cp.contains("partial_min"), cp)
+    assert(shuffles(collapse) <= 3, cp)
+  }
+
+  test("clean corpus (t07): canonical-survivor rollup, no digest window, no doc-volume join") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = graft.SparkEntry.queries("t07_clean_corpus")(
+      probe, "/root/testdata/sf0.001")
+    val p = planOf(df)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    // digest agg (collapsed; survivor's (lang, source) rides the min
+    // struct) + kept (lang, source) rollup + totals rollup + the
+    // low-cardinality group join / presentation sort — the doc stream
+    // itself is never re-shuffled by the skewed digest
+    assert(shuffles(df) <= 5, p)
   }
 
   test("recursive cte (q34): recursion plans equi-joins, never a cartesian") {

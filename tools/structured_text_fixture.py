@@ -52,6 +52,13 @@ PII_LINES = [
     "Invoice 1234567890 was settled, order 98765432 pending.",
 ]
 
+# THE hot key: a nav line appearing in ~85% of docs. The d11 family's
+# first-occurrence pass must stay a partial-aggregated groupBy, not a
+# digest window — this line makes the skew real in the fixture gate (a
+# window would funnel ~85% of instance rows into one task), so the
+# de-skewed shape is exercised against the oracle, not assumed.
+HOT_LINE = "Home | About | Contact"
+
 WORDS = (
     "crawl stream archive harvest frontier queue robots sitemap fetch parse "
     "render index dedup shard replica latency throughput budget policy "
@@ -72,6 +79,8 @@ def main():
     for i in range(150):
         n = rng.randint(2, 8)
         lines = []
+        if rng.random() < 0.85:  # the skewed nav header (HOT_LINE doc)
+            lines.append(HOT_LINE)
         if rng.random() < 0.7:  # most docs open with chrome
             lines.append(rng.choice(BOILERPLATE))
         while len(lines) < n:
