@@ -11,9 +11,9 @@ import graft.functions.TextFns
   * documents/embeddings tables. SQL-expressible ops carry DuckDB oracles;
   * signature-based ops (minhash/simhash/fingerprint/lang-id) carry
   * cross-implementation VALUES oracles ([[SignatureVectors]], the p19
-  * murmur3 recipe) — only a09's HLL++ sketch stays rows-only (the sketch
-  * is legitimately engine-specific; its error bound vs exact is pinned in
-  * PipelineOpsSpec instead).
+  * murmur3 recipe) — and a09's engine-specific HLL++ sketch is gated by a
+  * tolerance oracle (its within-3-sigma claim hash-matches DuckDB's
+  * literal TRUE; error bound additionally pinned in PipelineOpsSpec).
   */
 object PipelineQueries {
 

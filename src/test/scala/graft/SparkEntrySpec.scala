@@ -16,12 +16,12 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("registry sizes: 117 queries, 116 with oracles") {
+  test("registry sizes: every query carries an oracle") {
     assert(SparkEntry.queries.size === 117)
-    assert(SparkEntry.oracleSql.size === 116)
-    // a09's HLL++ sketch is the single rows-only entry by design (engine-
-    // specific sketch; error bound pinned in PipelineOpsSpec instead)
+    // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
+    // literal TRUE + exact counts), closing the last rows-only entry
+    assert(SparkEntry.oracleSql.size === 117)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("a09_approx_distinct"))
+      Set.empty[String])
   }
 }
