@@ -629,6 +629,17 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDedup-shape semantic dedup: the s03 candidate machinery (same
+    // 16-cell blocking, same threshold, one shared oracle prologue) with
+    // the greedy earliest-id keep rule on top — every row emitted with
+    // its fate and its strongest earlier-neighbor similarity. Planted
+    // near-identical pair pinned in PipelineOpsSpec.
+    "d15_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.semanticDedup(emb, emb.filter(col("vec_id") < 16), 0.2)
+        .orderBy(col("vec_id"))
+    }),
+
     // Hyperplane-LSH near-dup candidates: the sketch ints are engine-
     // exported (arbitrary by construction — seeded planes), and the full
     // downstream band/bucket/pair/cosine pipeline is oracled in DuckDB;
@@ -709,6 +720,26 @@ object PipelineQueries {
     * pattern) so a tie-break or rounding change to the probe family's
     * assignment can never drift between the three oracles.
     */
+  /** Shared s03/d15 16-cell blocking prologue: centroid table, argmax
+    * assignment, and the assigned-vector view `v` — one constant so the
+    * near-dup pair generation and the semantic-dedup decision built on it
+    * can never diverge in blocking or assignment.
+    */
+  private val cell16Prologue: String =
+    """cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      |         FROM embeddings WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY list_cosine_similarity(
+      |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
+      |                              cent.centroid_id) AS rn
+      |    FROM embeddings e, cent) WHERE rn = 1),
+      |v AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vv,
+      |             a.centroid_id
+      |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id)""".stripMargin
+
   private val ivfOraclePrologue: String =
     """cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
       |         FROM embeddings WHERE vec_id < 8),
@@ -1230,24 +1261,26 @@ object PipelineQueries {
         |SELECT centroid_id, count(*) AS n, round(sum(round(sim, 6)), 4) AS sum_sim
         |FROM scored WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "s03_cosine_neardup" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        |              FROM embeddings WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT e.vec_id, cent.centroid_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(
-        |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
-        |                              cent.centroid_id) AS rn
-        |    FROM embeddings e, cent) WHERE rn = 1),
-        |v AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vv,
-        |             a.centroid_id
-        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id)
-        |SELECT a.id AS id_a, b.id AS id_b,
+      (s"WITH $cell16Prologue\n" +
+      """SELECT a.id AS id_a, b.id AS id_b,
         |       round(list_cosine_similarity(a.vv, b.vv), 6) AS sim
         |FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.id < b.id
         |WHERE list_cosine_similarity(a.vv, b.vv) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
+    // d15 recomputes the s03 candidate pipeline (same 16-cell blocking,
+    // same threshold — one shared prologue so they can never drift), then
+    // applies the greedy keep rule: dropped iff ANY earlier same-cell
+    // neighbor reaches the threshold, max_sim the strongest such match.
+    "d15_semantic_dedup" ->
+      (s"WITH $cell16Prologue,\n" +
+      """p AS (SELECT b.id AS id_b,
+        |         max(round(list_cosine_similarity(a.vv, b.vv), 6)) AS max_sim
+        |       FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.id < b.id
+        |       WHERE list_cosine_similarity(a.vv, b.vv) >= 0.2
+        |       GROUP BY b.id)
+        |SELECT e.vec_id, p.max_sim IS NULL AS kept, p.max_sim
+        |FROM embeddings e LEFT JOIN p ON p.id_b = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin),
     "s07_ivf_probe_topk" ->
       (s"WITH $ivfOraclePrologue,\n" +
       """q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,

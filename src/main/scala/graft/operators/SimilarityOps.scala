@@ -275,6 +275,43 @@ object SimilarityOps {
     * IVF cell to avoid the full cross join: only same-cell pairs are
     * compared (same recall trade as single-probe IVF search).
     */
+  /** SemDedup-shape semantic dedup DECISION (d15): cluster embeddings by
+    * nearest centroid (the s02 coarse quantizer), compare only within a
+    * cluster, and drop every vector that has an EARLIER (lower-id)
+    * same-cell neighbor at cosine >= threshold — the embedding-space twin
+    * of the d10 LSH collapse, and the one major modern-pipeline dedup
+    * family the registry lacked. Emits every corpus row with its fate:
+    * (vec_id, kept, max_sim = strongest similarity to any earlier
+    * neighbor, null when none reaches the threshold).
+    *
+    * Deliberately pairwise-greedy by id, NOT transitive closure: SemDedup
+    * keeps one representative per near-dup RELATION; callers wanting
+    * whole-cluster collapse compose the pairs with d06's connected
+    * components instead. Deterministic cross-engine because the blocking
+    * assignment is the s02 argmax (tie-gap guarded) and the keep rule is
+    * pure integer comparison.
+    *
+    * Scale shape: the corpus shuffles ONCE by centroid_id for the
+    * self-join (both sides are the same subtree with the same
+    * partitioning — ReusedExchange bridges them); within-cell pairing is
+    * O(cell²), the inherent SemDedup trade, bounded by centroid count —
+    * size k so cells stay ~sqrt-corpus. The final fate join probes the
+    * raw id column only: the assignment subtree is NOT consumed a second
+    * time (the r7 two-consumer lesson — a kept-side re-assignment would
+    * re-scan the corpus at 100 TB just to re-derive ids it already has).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dropInfo = cosineNearDupPairs(corpus, centroids, threshold, idCol,
+        vecCol)
+      .groupBy(col("id_b").as(idCol))
+      .agg(max(col("sim")).as("max_sim"))
+    corpus.select(col(idCol))
+      .join(dropInfo, Seq(idCol), "left")
+      .select(col(idCol), col("max_sim").isNull.as("kept"), col("max_sim"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -363,6 +363,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.size <= 3)
   }
 
+  test("semantic dedup: planted near-identical pair drops the later id only") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+    val vecs = ((0L until 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (100L, base) :+ (101L, near)).toDF("vec_id", "embedding")
+    val fates = SimilarityOps.semanticDedup(vecs,
+        vecs.filter(col("vec_id") < 4), 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(fates.size === 22, "every row reports a fate")
+    assert(fates(100L)._1, "earlier member of the planted pair survives")
+    assert(!fates(101L)._1, "later member is dropped")
+    assert(fates(101L)._2.exists(_ >= 0.95), s"max_sim ${fates(101L)._2}")
+    // unrelated random 16-dim vectors at cos >= 0.95 are essentially
+    // impossible — nothing else may be dropped, and every kept row
+    // reports no qualifying earlier neighbor
+    assert(fates.count(f => !f._2._1) === 1)
+    assert(fates.filter(_._2._1).forall(_._2._2.isEmpty))
+  }
+
   test("multimodal: real container decode, ids, byte length, frame sampling") {
     import graft.functions.MediaCodecs
     val media = Seq(
