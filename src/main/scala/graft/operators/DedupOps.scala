@@ -147,6 +147,19 @@ object DedupOps {
     * [[lineDedupStats]]). Idempotent by construction: re-running on its
     * output removes nothing (pinned in LineDedupPropertySpec).
     */
+  /** THE kept-lines → document rebuild aggregate: collect (line_no, line)
+    * structs, sort by original position, join on `sep`. One definition
+    * shared by batch [[lineCollapse]] (d14) and the streaming reassembly
+    * ([[graft.streaming.PipelineStreams.rebuildDocs]]) so the two paths
+    * can never order or join kept lines differently.
+    */
+  private[graft] def lineRebuild(sep: String): org.apache.spark.sql.Column =
+    array_join(
+      transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        x => x.getField("line")),
+      sep)
+
   def lineCollapse(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val kept = firstOccurrence(docs, idCol, textCol, sep, keepText = true)
@@ -154,12 +167,7 @@ object DedupOps {
         col("first_occ").getField("line_no").as("line_no"),
         col("first_occ").getField("line").as("line"))
       .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("line_no"), col("line")))),
-            x => x.getField("line")),
-          sep).as("clean_text"),
+      .agg(lineRebuild(sep).as("clean_text"),
         count(lit(1)).as("n_kept"))
     docs.select(col(idCol))
       .join(kept, Seq(idCol), "left")

@@ -83,6 +83,39 @@ object PipelineStreams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("ldigest")
 
+  /** Streaming document REASSEMBLY — the downstream half of
+    * [[dedupLinesByDigest]] and the at-ingest twin of batch d14
+    * (`DedupOps.lineCollapse`): group the surviving line instances back
+    * into whole cleaned documents once the watermark closes their
+    * event-time window. The rebuild aggregate is THE shared
+    * `DedupOps.lineRebuild` (sort by original line_no, join on sep), so
+    * streaming and batch reconstruction can never order or join kept
+    * lines differently; batch-d14 identity on a replayed fixture is
+    * pinned in PipelineStreamsSpec.
+    *
+    * Contract differences vs batch d14, both inherent to append-mode
+    * streaming: a document whose lines ALL lost their digest races emits
+    * no row (batch emits ""), and a document split across windows emits
+    * one partial per window — size the window to the ingest batching so
+    * a document's lines land together. State: the collected kept lines
+    * per (window, doc) inside the watermark horizon — text-bearing but
+    * bounded, and strictly smaller than the raw stream (only survivors).
+    *
+    * The input must already carry an event-time watermark on `tsCol`
+    * ([[dedupLinesByDigest]] sets one; a raw line stream needs
+    * `.withWatermark` first): Spark propagates it through chained
+    * stateful operators, and REDEFINING it downstream of a stateful op
+    * is disallowed — so this stage inherits rather than re-marks.
+    */
+  def rebuildDocs(lines: DataFrame, tsCol: String, idCol: String,
+      window_ : String, sep: String = "\n"): DataFrame =
+    lines
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(graft.operators.DedupOps.lineRebuild(sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("clean_text"), col("n_kept"))
+
   /** Ingest-duplication observability: per event-time window, how many
     * documents arrived vs how many distinct contents — the dup_frac series
     * a crawl operator watches to catch a feed gone circular (the at-ingest

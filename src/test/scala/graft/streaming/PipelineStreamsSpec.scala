@@ -156,6 +156,49 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming reassembly: rebuilt documents equal the batch d14 pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    // doc 2 is ENTIRELY earlier lines — the one contract difference:
+    // batch d14 reports its "" row, streaming emits no row for it
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L,
+        "alpha line\nshared boilerplate\n\n  beta line  "),
+      (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L,
+        "shared boilerplate\ngamma line"),
+      (java.sql.Timestamp.valueOf("2021-01-16 17:02:00"), 2L,
+        "shared boilerplate\nalpha line"))
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val rebuilt = PipelineStreams.rebuildDocs(
+      PipelineStreams.dedupLinesByDigest(
+        in.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", "10 minutes"),
+      "ts", "doc_id", "10 minutes")
+    val q = rebuilt.writeStream.format("memory").queryName("rb")
+      .outputMode("append").start()
+    try {
+      // one doc per micro-batch, in doc_id order: cross-batch arrival
+      // makes "first arrival" deterministic and equal to the batch
+      // min-(doc_id, line_no) rule, so d14 identity is well-defined
+      docs.foreach { d => in.addData(d); q.processAllAvailable() }
+      // advance the watermark past the docs' window so the rebuild emits
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:25:00"), 99L,
+        "watermark sentinel"))
+      q.processAllAvailable()
+      val got = spark.table("rb").filter(col("doc_id") < 99)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val batch = DedupOps.lineCollapse(
+          docs.toDF("ts", "doc_id", "text"), "doc_id", "text")
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got === batch)
+      assert(got.map(_._1).toSeq === Seq(0L, 1L)) // doc 2: no row (all dups)
+      assert(got(0)._2 === "alpha line\nshared boilerplate\nbeta line")
+    } finally q.stop()
+  }
+
   test("streaming paragraph dedup: blank-line separator, same machinery") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
