@@ -75,14 +75,52 @@ object PipelineQueries {
     * bin ids nondecreasing per source, tokens conserved, and the
     * (bin,offset) pair reconstructs the exclusive prefix sum exactly.
     */
-  private[operators] def packBins(docs: DataFrame, budget: Int): DataFrame = {
+  /** Greedy sequence packing as a TWO-LEVEL prefix sum (r8). The direct
+    * form — `sum(n_tokens).over(Window.partitionBy(source).orderBy
+    * (doc_id))` — serializes each source through ONE sorted window task,
+    * and a training mix routinely has one source holding a double-digit
+    * share of the corpus (measured in NOTES r8: the hot source's task
+    * carries its entire row count; AQE cannot split a window). Instead:
+    *
+    *   1. chunk = doc_id DIV chunkSize — contiguous in the doc_id order
+    *      the packing is defined over, so per-chunk sums compose;
+    *   2. per-(source, chunk) token sums — partial-aggregated, uniform
+    *      keys — then the per-source running offset over the SMALL chunk
+    *      table (a window over #chunks rows, trivially serial);
+    *   3. per-row prefix within the chunk (window over ≤ chunkSize-ish
+    *      rows, parallel across chunks) + the chunk's offset.
+    *
+    * Identical output to the direct form at every (budget, chunkSize) —
+    * pinned by PackBinsPropertySpec's conservation invariants and a
+    * direct-vs-chunked equality property. Costs one extra scan of the
+    * doc stream (the chunk-sum and row sides partial-aggregate BEFORE
+    * their exchanges, so ReusedExchange cannot bridge them) — at scale a
+    * parallel second scan beats an unsplittable serial window by the hot
+    * source's full row count. Chunks are doc_id VALUE ranges, not row
+    * ranks: sparse ids make chunks uneven, which only shifts work between
+    * parallel tasks, never changes the sum.
+    */
+  private[graft] def packBins(docs: DataFrame, budget: Int,
+      chunkSize: Int = 1 << 20): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    require(chunkSize > 0, s"chunk size must be positive, got $chunkSize")
+    val base = docs
       .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk", expr(s"doc_id DIV $chunkSize"))
+      .select(col("source"), col("doc_id"), col("chunk"), col("n_tokens"))
+    val wc = Window.partitionBy(col("source")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_sum"))
+      .withColumn("chunk_before",
+        coalesce(sum(col("chunk_sum")).over(wc), lit(0L)))
+      .select(col("source"), col("chunk"), col("chunk_before"))
+    val wr = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(offsets, Seq("source", "chunk"))
+      .withColumn("cum_before", col("chunk_before") +
+        coalesce(sum(col("n_tokens")).over(wr), lit(0L)))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"cum_before DIV $budget").as("bin_id"),
         (col("cum_before") % budget).as("bin_offset"))

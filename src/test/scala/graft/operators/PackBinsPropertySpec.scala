@@ -84,6 +84,35 @@ class PackBinsPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunked prefix sum equals the direct per-source window at any chunk size") {
+    // the r8 two-level restructure must be INVISIBLE in the output: pin
+    // the chunked form (tiny chunks -> many per-source chunks, the
+    // cascade actually exercised) against an inline replica of the
+    // direct single-window form on the same generated corpus
+    val rows = corpus(44L)
+    val docs = rows.toDF("source", "doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    val direct = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs
+        .withColumn("n_tokens",
+          graft.functions.TextFns.tokenCount(col("text")).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr("cum_before DIV 64").as("bin_id"),
+          (col("cum_before") % 64).as("bin_offset"))
+    }.orderBy(col("source"), col("doc_id")).collect().toSeq
+    for (chunkSize <- Seq(1, 7, 16, 1 << 20)) {
+      val chunked = PipelineQueries.packBins(docs, 64, chunkSize)
+        .orderBy(col("source"), col("doc_id")).collect().toSeq
+      assert(chunked === direct, s"chunkSize $chunkSize")
+    }
+  }
+
   test("straddle: a 300+-token doc spans bins but starts at its prefix") {
     val docs = Seq(
       ("web", 0L, Seq.fill(50)("tok").mkString(" ")),

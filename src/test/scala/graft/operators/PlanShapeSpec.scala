@@ -178,11 +178,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val pack = graft.SparkEntry.queries("t13_pack_bins")(
       spark, "/root/testdata/sf0.001")
     val p = planOf(pack)
-    // the packing window must stay PARTITIONED by source (a global window
-    // would serialize the whole corpus through one partition): the Window
-    // node's partition-spec bracket group carries the source column
-    assert("Window \\[[^\\]]*\\], \\[source#\\d+".r.findFirstIn(p).nonEmpty, p)
-    assert(shuffles(pack) <= 2, p)
+    // r8 two-level prefix sum: the ROW window must be partitioned by
+    // (source, chunk) — never by source alone, which would serialize a
+    // hot source through one task — while the small chunk-offset cascade
+    // keeps its per-source window. Both partition-spec brackets are
+    // pinned; no window may be global.
+    assert("Window \\[[^\\]]*\\], \\[source#\\d+, chunk#\\d+"
+      .r.findFirstIn(p).nonEmpty, p)
+    assert("Window \\[[^\\]]*\\], \\[source#\\d+\\]".r.findFirstIn(p).nonEmpty, p)
+    assert(shuffles(pack) <= 5, p)
   }
 
   test("line dedup (d11/d13/d14): partial-agg first occurrence, no digest window, no text on accounting exchanges") {
