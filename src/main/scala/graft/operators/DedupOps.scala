@@ -180,27 +180,40 @@ object DedupOps {
     * n-gram pass: trimmed non-blank lines appearing in >= minDocs distinct
     * documents, with document and occurrence counts. One line of text per
     * digest DOES move here (the report needs the human-readable line), but
-    * map-side partial `min` collapses it to one copy per digest per
-    * partition before the digest-keyed exchange.
+    * only through its own per-digest aggregate, where the map-side partial
+    * `min` collapses it to one copy per digest per partition — the COUNT
+    * path is entirely text-free.
     *
-    * Two-level aggregation instead of a direct `countDistinct(idCol)`:
+    * Two-level counting instead of a direct `countDistinct(idCol)`:
     * distinct-count expansion keys the partial rows by (ldigest, idCol),
     * so a hot boilerplate line would deliver one row PER CONTAINING DOC
     * to a single final-agg task — the same un-splittable hot key as the
     * window form this family removed (r8). Level 1 keys by the UNIFORM
-    * (ldigest, doc) pair; level 2 then counts one row per containing doc
-    * with map-side partials, so the hot digest costs O(partitions).
+    * (ldigest, doc) pair — and carries NO text, which would otherwise
+    * cross the exchange once per containing doc of the hot line; level 2
+    * counts one row per containing doc with map-side partials, so the
+    * hot digest costs O(partitions). The text joins back from the
+    * per-digest representative table (all lines under one digest are the
+    * same trimmed string — md5 keys it — so `min` is just the
+    * deterministic way to pick the one copy); the join keys are
+    * digest-collapsed and uniform.
     */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Int, sep: String = "\n"): DataFrame =
-    digestedLines(docs, Seq(idCol), textCol, sep)
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    val lines = digestedLines(docs, Seq(idCol), textCol, sep)
+    val lineOfDigest = lines.groupBy(col("ldigest"))
+      .agg(min(col("line")).as("line"))
+    lines
+      .select(col("ldigest"), col(idCol))
       .groupBy(col("ldigest"), col(idCol))
-      .agg(min(col("line")).as("line"), count(lit(1)).as("n_in_doc"))
+      .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("ldigest"))
-      .agg(min(col("line")).as("line"),
-        count(lit(1)).as("n_docs"),
+      .agg(count(lit(1)).as("n_docs"),
         sum(col("n_in_doc")).as("n_total"))
       .filter(col("n_docs") >= minDocs)
+      .join(lineOfDigest, Seq("ldigest"))
+      .select(col("ldigest"), col("line"), col("n_docs"), col("n_total"))
+  }
 
   /** IDs to drop under exact dedup (all but the canonical row per digest). */
   def exactDedupDrops(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

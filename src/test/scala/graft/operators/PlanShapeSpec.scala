@@ -237,6 +237,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(collapse) <= 3, cp)
   }
 
+  test("semantic dedup (d15): self-join sides share one assignment exchange") {
+    // AQE performs exchange reuse at stage materialization, invisible in
+    // the printed initial plan — probe with AQE off on a dedicated child
+    // session (the d11 recipe) and auto-broadcast disabled so the
+    // corpus-scale exchange shape is the one planned
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pemb = probe.createDataFrame(emb.rdd, emb.schema)
+    val fates = SimilarityOps.semanticDedup(pemb,
+      pemb.filter(col("vec_id") < 2), 0.9)
+    val p = planOf(fates)
+    // the a/b sides of the within-cell pair join are the SAME
+    // assigned-corpus subtree hashed by the same centroid key — at
+    // corpus scale (no broadcasts) Catalyst must bridge them with
+    // ReusedExchange, or the full corpus assignment would run twice
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("clean corpus (t07): canonical-survivor rollup, no digest window, no doc-volume join") {
     val probe = spark.newSession()
     probe.conf.set("spark.sql.adaptive.enabled", "false")
