@@ -376,6 +376,67 @@ object DedupOps {
         round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
 
+  /** LSH banding S-curve sweep: candidate volume and true-dup yield for
+    * every aligned (bands, rowsPerBand) cut of the k-wide signature, in
+    * ONE pass — the band-choice tuning table for [[minhashCandidates]]
+    * (the d10 twin of s14's probe-budget frontier: both answer "what does
+    * the next notch of recall cost?").
+    *
+    * One-pass shape (the s14 lesson — never one scan per config): the
+    * candidate universe is the FINEST banding (bands = k, one component
+    * per band — a superset of every coarser config's candidates, since
+    * agreeing on an r-wide aligned slice implies agreeing on each
+    * component in it); signatures join back id-keyed onto the candidate
+    * pairs only, the per-component agreement mask is computed once, and
+    * each config's verdict ("some aligned slice fully agrees") is derived
+    * from the mask — a bounded ×configs explode of tiny rows, then a
+    * low-cardinality rollup. The configs nest (candidates(2,8) ⊆ (4,4) ⊆
+    * (8,2) ⊆ (16,1)), so n_candidates is monotone in bands — spec-pinned.
+    *
+    * Scale: rows=1 banding is deliberately the audit's cost — its
+    * candidate set is far larger than production banding's, which is why
+    * this runs on a sampled slice at 100 TB (it is a tuning query, like
+    * s14 — the production pass stays [[minhashCandidates]] at the chosen
+    * config). Same 2⁻⁶⁴ slice-hash caveat as [[minhashCandidates]]:
+    * a hash collision can only ADD a candidate pair (whose mask then
+    * decides every config verdict by true equality, both engines alike).
+    */
+  def lshTuningCurve(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleWords: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bandConfigs = Seq(2, 4, 8, 16).filter(b => k % b == 0)
+    val cands = minhashCandidates(docs, idCol, textCol, k, bands = k,
+      shingleWords)
+    val side = docs.select(col(idCol).as("jid"),
+      TextFns.shingleMinhash(
+        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
+      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(col("sig").isNotNull)
+    def renamed(suffix: String) = side.select(col("jid").as(s"id_$suffix"),
+      col("sig").as(s"sig_$suffix"), col("sh").as(s"sh_$suffix"))
+    val scored = cands
+      .join(renamed("a"), Seq("id_a"))
+      .join(renamed("b"), Seq("id_b"))
+      .select(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y).as("mask"),
+        // exact integer-ratio double, identical cross-engine (d10 recipe)
+        (TextFns.jaccard(col("sh_a"), col("sh_b")) >= threshold).as("is_dup"))
+    scored
+      .select(col("is_dup"), explode(array(bandConfigs.map { b =>
+        val r = k / b
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          exists(sequence(lit(0), lit(b - 1)),
+            g => forall(slice(col("mask"), g * lit(r) + lit(1), lit(r)),
+              x => x)).as("caught"))
+      }: _*)).as("c"))
+      .filter(col("c.caught"))
+      .groupBy(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("is_dup"), 1)).as("n_true_dups"))
+      .orderBy(col("bands"))
+  }
+
   /** SimHash near-dup pairs via block-permutation bucketing: the signature
     * is cut into `maxHamming + 1` bit slices, so by pigeonhole any pair
     * within Hamming distance ≤ maxHamming agrees on at least one whole

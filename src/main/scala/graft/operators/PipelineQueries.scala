@@ -63,6 +63,13 @@ object PipelineQueries {
     */
   val PackBudget = 256
 
+  /** d16's exact-Jaccard verify threshold — ONE value interpolated into
+    * both the engine call and the DuckDB oracle (the PackBudget rule).
+    * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
+    * see the borderline pairs each banding config trades away.
+    */
+  val LshSweepThreshold = 0.5
+
   /** Sequence packing (context-window construction): assign each doc a
     * (bin, offset) inside its source shard by exclusive prefix-sum of
     * token counts — bin = cum_before DIV budget, offset = cum_before MOD
@@ -418,6 +425,15 @@ object PipelineQueries {
       DedupOps.minhashEstimates(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LSH band-choice S-curve: candidate volume + true-dup yield per
+    // aligned (bands, rows_per_band) config in one pass over the finest
+    // banding's candidates — the d10 twin of s14's recall/cost frontier.
+    // Oracle re-derives mask and configs from the independent d04
+    // signature VALUES, so the whole sweep is cross-engine pinned.
+    "d16_lsh_tuning" -> ((s, d) =>
+      DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
+        threshold = LshSweepThreshold)),
+
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") < 200)
@@ -734,17 +750,11 @@ object PipelineQueries {
     * 3-gram shingle sets for exact-Jaccard verification. One constant so
     * the two oracles' banding/pairing/shingle logic can never drift.
     */
-  private val lshOraclePrologue: String =
+  private val lshSigShinglePrologue: String =
     s"""kk(doc_id, sig_csv) AS (VALUES
        |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
        |s AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
        |      WHERE len(string_split(sig_csv, ',')) = 16),
-       |bk AS (SELECT doc_id, g,
-       |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
-       |       FROM s, range(0, 4) t(g)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bk a JOIN bk b
-       |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |        FROM documents),
        |sh AS (SELECT doc_id,
@@ -752,6 +762,18 @@ object PipelineQueries {
        |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
        |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
        |       FROM tok)""".stripMargin
+
+  /** The production bands=4 candidate pairing over [[lshSigShinglePrologue]]
+    * — d09/d10's blocker; d16 swaps in its own finest-granularity pairing.
+    */
+  private val lshOraclePrologue: String =
+    s"""$lshSigShinglePrologue,
+       |bk AS (SELECT doc_id, g,
+       |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+       |       FROM s, range(0, 4) t(g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bk a JOIN bk b
+       |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Shared s07/s08/s13 oracle prologue: IVF centroid table + nearest-
     * centroid corpus assignment — one constant (the lshOraclePrologue
@@ -1243,6 +1265,48 @@ object PipelineQueries {
         |SELECT id AS doc_id, min(label) AS cluster_id,
         |       (id = min(label)) AS is_canonical
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // d16: the banding sweep re-derived wholly from the independent d04
+    // signatures — finest (one component per band) candidate pairing,
+    // per-component agreement mask, each config's verdict from aligned
+    // mask slices, exact word-3-gram Jaccard verify at the shared
+    // threshold. String equality on sig components ≡ the engine's long
+    // equality (same pinned values), and the Jaccard filter compares the
+    // identical integer-ratio double on both engines (the d10 recipe).
+    "d16_lsh_tuning" ->
+      (s"WITH $lshSigShinglePrologue,\n" +
+      s"""comp AS (SELECT doc_id, g, sig[g+1] AS v
+         |         FROM s, range(0, 16) t(g)),
+         |cand16 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM comp a JOIN comp b
+         |             ON a.g = b.g AND a.v = b.v AND a.doc_id < b.doc_id),
+         |p AS (SELECT c.id_a, c.id_b,
+         |        [sa.sig[i] = sb.sig[i] FOR i IN generate_series(1, 16)]
+         |          AS mask,
+         |        (CASE WHEN len(ja.shs) + len(jb.shs) = 0 THEN 0.0
+         |              ELSE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+         |                   / (len(ja.shs) + len(jb.shs)
+         |                      - len(list_intersect(ja.shs, jb.shs)))
+         |         END >= $LshSweepThreshold) AS is_dup
+         |      FROM cand16 c
+         |      JOIN s sa ON sa.doc_id = c.id_a
+         |      JOIN s sb ON sb.doc_id = c.id_b
+         |      JOIN sh ja ON ja.doc_id = c.id_a
+         |      JOIN sh jb ON jb.doc_id = c.id_b),
+         |cfg(bands, rows_per_band) AS (VALUES (2, 8), (4, 4), (8, 2), (16, 1)),
+         |caught AS (
+         |  SELECT p.is_dup, cfg.bands, cfg.rows_per_band,
+         |    len([g FOR g IN generate_series(0, cfg.bands - 1)
+         |         IF NOT list_contains(
+         |              mask[g * cfg.rows_per_band + 1 :
+         |                   g * cfg.rows_per_band + cfg.rows_per_band],
+         |              false)]) > 0 AS hit
+         |  FROM p CROSS JOIN cfg)
+         |SELECT bands, rows_per_band,
+         |  count(*) AS n_candidates,
+         |  count(*) FILTER (WHERE is_dup) AS n_true_dups
+         |FROM caught WHERE hit
+         |GROUP BY bands, rows_per_band
+         |ORDER BY bands""".stripMargin),
     // Same empty-text guard as d03: empty docs tokenize to [] (not ['']),
     // and the edge predicate computes the Jaccard through a CASE so an
     // empty-vs-empty pair is 0.0 (< threshold, no edge — JaccardSim

@@ -46,6 +46,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       "unrelated docs must not pair")
   }
 
+  test("lsh tuning curve: configs nest, bands=4 row matches production pairing") {
+    val curve = DedupOps.lshTuningCurve(docs, "doc_id", "text")
+      .orderBy(col("bands")).collect()
+    assert(curve.map(_.getAs[Int]("bands")).toSeq === Seq(2, 4, 8, 16),
+      "every config present: the exact planted pair agrees on all slices")
+    val cands = curve.map(_.getAs[Long]("n_candidates")).toSeq
+    val trues = curve.map(_.getAs[Long]("n_true_dups")).toSeq
+    // aligned-slice nesting: coarser banding is a subset of finer
+    assert(cands === cands.sorted, s"candidates not monotone: $cands")
+    assert(trues === trues.sorted, s"true dups not monotone: $trues")
+    curve.foreach(r => assert(r.getAs[Long]("n_true_dups")
+      <= r.getAs[Long]("n_candidates")))
+    // the bands=4 row IS production banding: same count as the d09 blocker
+    val prod = DedupOps.minhashCandidates(docs, "doc_id", "text",
+      k = 16, bands = 4).count()
+    assert(curve.find(_.getAs[Int]("bands") == 4).get
+      .getAs[Long]("n_candidates") === prod)
+  }
+
   test("jaccard edges: planted near-dups edge within block, blocks separate") {
     val d = docs.withColumn("blk", lit(1))
     val edges = DedupOps.jaccardEdges(d, "doc_id", "text", Seq("blk"), 0.6)
