@@ -31,6 +31,31 @@ object PipelineQueries {
   private[graft] val PiiPhone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
   private[graft] val PiiIdRun = "[0-9]{8,}"
 
+  /** t17's Gopher-style stopword list (the eight-word presence check from
+    * the Gopher/MassiveText filtering rules), shared by the engine's
+    * token filter and the oracle's list literal.
+    */
+  private[graft] val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t17's keep predicate over the nine per-doc counts — ONE SQL string
+    * evaluated by BOTH engines (`expr` on the Spark side, interpolated
+    * into the DuckDB oracle), so the rule set cannot drift. Every ratio
+    * rule is cross-multiplied to an exact integer comparison (the t11
+    * micro-unit discipline applied to predicates): mean word length in
+    * [3, 10] ⇔ 3·n_words ≤ n_word_chars ≤ 10·n_words; symbol ratio
+    * ≤ 1/10; bullet-line fraction ≤ 9/10; ellipsis-line fraction ≤ 3/10;
+    * alpha-word fraction ≥ 4/5 — no float ever decides a gate.
+    */
+  private[graft] val GopherKeepSql: String =
+    "(n_words >= 50 AND n_words <= 100000" +
+      " AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words" +
+      " AND 10 * n_sym <= n_words" +
+      " AND (n_lines = 0 OR 10 * n_bullet <= 9 * n_lines)" +
+      " AND (n_lines = 0 OR 10 * n_ellipsis <= 3 * n_lines)" +
+      " AND 5 * n_alpha_words >= 4 * n_words" +
+      " AND n_stop >= 2)"
+
   /** The t15 redaction chain as a column expression — ONE definition used
     * by the batch query and the streaming at-ingest leg
     * ([[graft.streaming.PipelineStreams.redactPii]]), so the two paths
@@ -291,6 +316,40 @@ object PipelineQueries {
           length(col("text")).as("n_chars_raw"),
           piiRedact(col("text")).as("clean_text"))
         .withColumn("n_chars_clean", length(col("clean_text")))),
+
+    // Gopher/MassiveText-style rule filter: nine per-doc structural
+    // counts (words, word chars, lines, bullet/ellipsis lines, stop and
+    // alpha words, #/… symbols) plus the conjunction keep bit. All
+    // per-row array algebra, shuffle-free; the gate is GopherKeepSql —
+    // the SAME string `expr`'d here and interpolated into the oracle —
+    // and every rule compares integers, so no float rounds a verdict.
+    // Counts that scale with characters are long: 10·n_sym must not
+    // overflow int under ANSI on a 100 MB document.
+    "t17_gopher_rules" -> ((s, d) => {
+      val ts = TextFns.tokens(col("text"))
+      val ls = filter(transform(split(col("text"), "\n"), l => trim(l)),
+        l => length(l) > 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // narrow sort below the wide scans (t01)
+        .select(col("doc_id"),
+          size(ts).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long")
+            .as("n_word_chars"),
+          size(ls).cast("long").as("n_lines"),
+          size(filter(ls, l => l.startsWith("-") || l.startsWith("*") ||
+            l.startsWith("•"))).cast("long").as("n_bullet"),
+          size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
+            .cast("long").as("n_ellipsis"),
+          size(filter(ts, t => lower(t).isin(GopherStopwords: _*)))
+            .cast("long").as("n_stop"),
+          size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("long")
+            .as("n_alpha_words"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[#…]", ""))).cast("long")
+            .as("n_sym"))
+        .withColumn("keep", expr(GopherKeepSql))
+    }),
 
     // The composed cleaning pass a training corpus actually runs: quality
     // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
@@ -1041,6 +1100,43 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT doc_id, n_chars_raw, clean_text, len(clean_text) AS n_chars_clean
          |FROM r ORDER BY doc_id""".stripMargin,
+    // t17: same tokenization as every text oracle (trim + '\s+' with the
+    // empty-text guard), lines via literal chr(10) split + space-trim
+    // (Spark trim is space-only, like DuckDB's), counts as BIGINT, and
+    // the keep bit is the IDENTICAL GopherKeepSql string Spark expr's.
+    "t17_gopher_rules" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |                               l -> trim(l)),
+         |                l -> len(l) > 0) AS ls,
+         |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_word_chars,
+         |    CAST(len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
+         |      AS BIGINT) AS n_sym
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_words, n_word_chars,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> starts_with(l, '-')
+         |      OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT)
+         |      AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+         |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis,
+         |    CAST(len(list_filter(ts, t -> list_contains(
+         |      ${GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")},
+         |      lower(t)))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    n_sym
+         |  FROM base)
+         |SELECT doc_id, n_words, n_word_chars, n_lines, n_bullet,
+         |  n_ellipsis, n_stop, n_alpha_words, n_sym,
+         |  $GopherKeepSql AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t16_redact_rescore" ->
       s"""WITH r AS (
          |  SELECT doc_id, text, ${piiRedactSql("text")} AS ct
