@@ -38,23 +38,130 @@ object PipelineQueries {
   private[graft] val GopherStopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** t17's keep predicate over the nine per-doc counts — ONE SQL string
-    * evaluated by BOTH engines (`expr` on the Spark side, interpolated
-    * into the DuckDB oracle), so the rule set cannot drift. Every ratio
-    * rule is cross-multiplied to an exact integer comparison (the t11
-    * micro-unit discipline applied to predicates): mean word length in
-    * [3, 10] ⇔ 3·n_words ≤ n_word_chars ≤ 10·n_words; symbol ratio
-    * ≤ 1/10; bullet-line fraction ≤ 9/10; ellipsis-line fraction ≤ 3/10;
-    * alpha-word fraction ≥ 4/5 — no float ever decides a gate.
+  /** The Gopher rule set as an ORDERED (violation_name, pass_condition)
+    * list over the nine per-doc counts — the single source of truth for
+    * the t17 keep conjunction, the t18 first-failing-rule attribution,
+    * and the t19 funnel stage. Every ratio rule is cross-multiplied to
+    * an exact integer comparison (the t11 micro-unit discipline applied
+    * to predicates): mean word length in [3, 10] ⇔ 3·n_words ≤
+    * n_word_chars ≤ 10·n_words; symbol ratio ≤ 1/10; bullet-line
+    * fraction ≤ 9/10; ellipsis-line fraction ≤ 3/10; alpha-word
+    * fraction ≥ 4/5 — no float ever decides a gate. The order is the
+    * attribution order for t18: a doc violating several rules is
+    * counted under the FIRST (both engines evaluate the same CASE).
+    */
+  private[graft] val GopherRules: Seq[(String, String)] = Seq(
+    "too_few_words" -> "n_words >= 50",
+    "too_many_words" -> "n_words <= 100000",
+    "short_words" -> "n_word_chars >= 3 * n_words",
+    "long_words" -> "n_word_chars <= 10 * n_words",
+    "symbol_heavy" -> "10 * n_sym <= n_words",
+    "bullet_heavy" -> "(n_lines = 0 OR 10 * n_bullet <= 9 * n_lines)",
+    "ellipsis_heavy" -> "(n_lines = 0 OR 10 * n_ellipsis <= 3 * n_lines)",
+    "low_alpha" -> "5 * n_alpha_words >= 4 * n_words",
+    "few_stopwords" -> "n_stop >= 2")
+
+  /** t17's keep predicate — ONE SQL string evaluated by BOTH engines
+    * (`expr` on the Spark side, interpolated into the DuckDB oracle),
+    * derived from [[GopherRules]] so the rule set cannot drift.
     */
   private[graft] val GopherKeepSql: String =
-    "(n_words >= 50 AND n_words <= 100000" +
-      " AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words" +
-      " AND 10 * n_sym <= n_words" +
-      " AND (n_lines = 0 OR 10 * n_bullet <= 9 * n_lines)" +
-      " AND (n_lines = 0 OR 10 * n_ellipsis <= 3 * n_lines)" +
-      " AND 5 * n_alpha_words >= 4 * n_words" +
-      " AND n_stop >= 2)"
+    GopherRules.map(_._2).mkString("(", " AND ", ")")
+
+  /** t18's first-failing-rule label — the same shared-string discipline
+    * as [[GopherKeepSql]]: one CASE, both engines.
+    */
+  private[graft] val GopherReasonSql: String =
+    "CASE " +
+      GopherRules.map { case (n, r) => s"WHEN NOT $r THEN '$n'" }
+        .mkString(" ") + " ELSE 'keep' END"
+
+  /** The nine Gopher per-doc count columns over `text` — shared by
+    * t17 (counts + keep), t18 (first-failing-rule histogram), and t19
+    * (funnel stage), so the count definitions exist once. All per-row
+    * array algebra: shuffle-free, codegen'd, text never leaves the
+    * projection.
+    */
+  /** The DuckDB twin of [[gopherCountCols]]: a `base`/`c` CTE pair
+    * computing the nine counts per doc (plus `source`, which t19's
+    * funnel groups by; t17/t18 simply don't select it). Interpolated
+    * into every Gopher-family oracle so the count SQL exists once.
+    * NOTE: this literal is itself s-interpolated, so `\\s` collapses to
+    * `\s` HERE; downstream interpolation of this val splices the finished value
+    * with no further escape processing (the NOTES s-interpolator trap).
+    */
+  private val gopherCountsCte: String =
+    s"""base AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |                               l -> trim(l)),
+       |                l -> len(l) > 0) AS ls,
+       |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |      AS n_word_chars,
+       |    CAST(len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
+       |      AS BIGINT) AS n_sym
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(ts) AS BIGINT) AS n_words, n_word_chars,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> starts_with(l, '-')
+       |      OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT)
+       |      AS n_bullet,
+       |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+       |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis,
+       |    CAST(len(list_filter(ts, t -> list_contains(
+       |      ${GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")},
+       |      lower(t)))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    n_sym
+       |  FROM base)""".stripMargin
+
+  private[graft] def gopherCountCols(text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val ts = TextFns.tokens(text)
+    val ls = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    Seq(
+      size(ts).cast("long").as("n_words"),
+      length(regexp_replace(text, "\\s", "")).cast("long")
+        .as("n_word_chars"),
+      size(ls).cast("long").as("n_lines"),
+      size(filter(ls, l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))).cast("long").as("n_bullet"),
+      size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("long").as("n_ellipsis"),
+      size(filter(ts, t => lower(t).isin(GopherStopwords: _*)))
+        .cast("long").as("n_stop"),
+      size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("long")
+        .as("n_alpha_words"),
+      (length(text) -
+        length(regexp_replace(text, "[#…]", ""))).cast("long")
+        .as("n_sym"))
+  }
+
+  /** The nine Gopher count column NAMES, in [[gopherCountCols]] order —
+    * the reserved working-column set [[gopherKeep]] adds and drops.
+    */
+  private[graft] val GopherCountNames: Seq[String] = Seq(
+    "n_words", "n_word_chars", "n_lines", "n_bullet", "n_ellipsis",
+    "n_stop", "n_alpha_words", "n_sym")
+
+  /** Apply the t17 Gopher gate as a schema-preserving FILTER: compute
+    * the nine counts, evaluate [[GopherKeepSql]], keep survivors, drop
+    * the working columns. Stateless (select/filter/drop only), so it is
+    * equally a batch transform and a streaming at-ingest leg
+    * ([[graft.streaming.PipelineStreams.gopherGate]] delegates here —
+    * ONE definition, the piiRedact discipline). Input columns named like
+    * [[GopherCountNames]] are reserved and would be clobbered.
+    */
+  private[graft] def gopherKeep(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("*") +: gopherCountCols(col(textCol)): _*)
+      .filter(expr(GopherKeepSql))
+      .drop(GopherCountNames: _*)
 
   /** The t15 redaction chain as a column expression — ONE definition used
     * by the batch query and the streaming at-ingest leg
@@ -325,30 +432,74 @@ object PipelineQueries {
     // and every rule compares integers, so no float rounds a verdict.
     // Counts that scale with characters are long: 10·n_sym must not
     // overflow int under ANSI on a 100 MB document.
-    "t17_gopher_rules" -> ((s, d) => {
-      val ts = TextFns.tokens(col("text"))
-      val ls = filter(transform(split(col("text"), "\n"), l => trim(l)),
-        l => length(l) > 0)
+    "t17_gopher_rules" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")) // narrow sort below the wide scans (t01)
-        .select(col("doc_id"),
-          size(ts).cast("long").as("n_words"),
-          length(regexp_replace(col("text"), "\\s", "")).cast("long")
-            .as("n_word_chars"),
-          size(ls).cast("long").as("n_lines"),
-          size(filter(ls, l => l.startsWith("-") || l.startsWith("*") ||
-            l.startsWith("•"))).cast("long").as("n_bullet"),
-          size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
-            .cast("long").as("n_ellipsis"),
-          size(filter(ts, t => lower(t).isin(GopherStopwords: _*)))
-            .cast("long").as("n_stop"),
-          size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("long")
-            .as("n_alpha_words"),
-          (length(col("text")) -
-            length(regexp_replace(col("text"), "[#…]", ""))).cast("long")
-            .as("n_sym"))
-        .withColumn("keep", expr(GopherKeepSql))
+        .select(col("doc_id") +: gopherCountCols(col("text")): _*)
+        .withColumn("keep", expr(GopherKeepSql))),
+
+    // First-failing-rule drop histogram over the same nine counts — the
+    // observability twin of t17 (which rule is actually killing docs in
+    // THIS corpus decides which threshold to tune first). Attribution
+    // order is GopherRules order via GopherReasonSql — the identical
+    // CASE string on both engines. Per-row scalars into a ≤10-key
+    // groupBy with map-side partials: the only shuffle is the tiny
+    // (reason, partial_count) exchange.
+    "t18_gopher_reasons" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(gopherCountCols(col("text")): _*)
+        .select(expr(GopherReasonSql).as("reason"))
+        .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reason"))),
+
+    // The curation FUNNEL a corpus report leads with: per source, how
+    // many docs survive each successive stage — raw → t02 quality gate →
+    // t17 Gopher rules → corpus-wide exact-dup collapse (min-id
+    // canonical among full survivors, attributed to the canonical's
+    // source). Same scale shape as t07: every flag is a per-row scalar,
+    // the dedup stage is a partial-aggregated min-struct rollup keyed on
+    // digest (no window, no doc-stream join-back — the measured NOTES r8
+    // result), and the final join glues two source-cardinality
+    // aggregates. Text never shuffles.
+    "t19_filter_funnel" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("keep_q",
+          TextFns.qualityFeatures(col("text")).getField("keep"))
+        .withColumn("digest", DedupOps.contentDigest(col("text")))
+        .select(Seq(col("doc_id"), col("source"), col("keep_q"),
+          col("digest")) ++ gopherCountCols(col("text")): _*)
+        .withColumn("keep_g", expr(GopherKeepSql))
+      // ONE corpus pass, ONE tree (the r7 s14/probeTopK lesson: a
+      // funnel branch and a canonical branch over the same base get
+      // pruned into DIFFERENT subtrees, ReusedExchange can't bridge
+      // them, and the corpus scans twice — measured here before this
+      // shape). Partial min/count collapse each partition to one row
+      // per (digest, source), so a hot digest costs O(partitions) —
+      // the t07 rollup discipline. The canonical marker is a window
+      // over the ALREADY-COLLAPSED table: a digest holds at most
+      // #sources rows there, so the digest-keyed window that was this
+      // round's de-skew target is skew-free at this level.
+      val lvl1 = base.groupBy(col("digest"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("keep_q"), 1)).as("nq"),
+          count(when(col("keep_q") && col("keep_g"), 1)).as("ng"),
+          // min over (doc_id, source): doc_id leads, so this IS the
+          // min-id canonical survivor with its source along for free
+          min(when(col("keep_q") && col("keep_g"),
+            struct(col("doc_id"), col("source")))).as("surv"))
+      val perDigestMin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("digest"))
+      lvl1
+        .withColumn("c", min(col("surv")).over(perDigestMin))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_raw"),
+          sum(col("nq")).as("n_quality"),
+          sum(col("ng")).as("n_gopher"),
+          // doc_id is unique, so surv == c exactly on the one row whose
+          // source holds the digest's canonical survivor (null-excluded)
+          count(when(col("surv") === col("c"), 1)).as("n_canonical"))
+        .orderBy(col("source"))
     }),
 
     // The composed cleaning pass a training corpus actually runs: quality
@@ -1104,39 +1255,53 @@ object PipelineQueries {
     // empty-text guard), lines via literal chr(10) split + space-trim
     // (Spark trim is space-only, like DuckDB's), counts as BIGINT, and
     // the keep bit is the IDENTICAL GopherKeepSql string Spark expr's.
+    // The counts CTE is gopherCountsCte — shared with t18/t19 so the
+    // oracle-side count definitions exist once, mirroring gopherCountCols.
     "t17_gopher_rules" ->
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
-         |    list_filter(list_transform(string_split(text, chr(10)),
-         |                               l -> trim(l)),
-         |                l -> len(l) > 0) AS ls,
-         |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
-         |      AS n_word_chars,
-         |    CAST(len(text) - len(regexp_replace(text, '[#…]', '', 'g'))
-         |      AS BIGINT) AS n_sym
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id,
-         |    CAST(len(ts) AS BIGINT) AS n_words, n_word_chars,
-         |    CAST(len(ls) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(ls, l -> starts_with(l, '-')
-         |      OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT)
-         |      AS n_bullet,
-         |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
-         |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis,
-         |    CAST(len(list_filter(ts, t -> list_contains(
-         |      ${GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")},
-         |      lower(t)))) AS BIGINT) AS n_stop,
-         |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))
-         |      AS BIGINT) AS n_alpha_words,
-         |    n_sym
-         |  FROM base)
+      s"""WITH $gopherCountsCte
          |SELECT doc_id, n_words, n_word_chars, n_lines, n_bullet,
          |  n_ellipsis, n_stop, n_alpha_words, n_sym,
          |  $GopherKeepSql AS keep
          |FROM c ORDER BY doc_id""".stripMargin,
+    // t18: first-failing-rule attribution via the shared GopherReasonSql
+    // CASE; counts from the same shared CTE.
+    "t18_gopher_reasons" ->
+      s"""WITH $gopherCountsCte
+         |SELECT $GopherReasonSql AS reason,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM c GROUP BY 1 ORDER BY reason""".stripMargin,
+    // t19: staged funnel — quality keep from qualityKeepSql, gopher keep
+    // from GopherKeepSql over the shared counts CTE (text re-joined for
+    // the quality/digest stage), canonical = min surviving doc_id per
+    // md5 digest, attributed to that doc's source.
+    "t19_filter_funnel" ->
+      s"""WITH $gopherCountsCte,
+         |f AS (
+         |  SELECT c.doc_id, c.source,
+         |    ${qualityKeepSql("d.text")} AS keep_q,
+         |    $GopherKeepSql AS keep_g,
+         |    md5(d.text) AS digest
+         |  FROM c JOIN documents d USING (doc_id)),
+         |g AS (
+         |  SELECT digest,
+         |    min(CASE WHEN keep_q AND keep_g THEN doc_id END) AS min_id
+         |  FROM f GROUP BY digest),
+         |canon AS (
+         |  SELECT f.source, CAST(count(*) AS BIGINT) AS n_canonical
+         |  FROM f JOIN g ON f.doc_id = g.min_id
+         |  GROUP BY f.source),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(count(CASE WHEN keep_q THEN 1 END) AS BIGINT)
+         |      AS n_quality,
+         |    CAST(count(CASE WHEN keep_q AND keep_g THEN 1 END) AS BIGINT)
+         |      AS n_gopher
+         |  FROM f GROUP BY source)
+         |SELECT agg.source, n_raw, n_quality, n_gopher,
+         |  CAST(coalesce(n_canonical, 0) AS BIGINT) AS n_canonical
+         |FROM agg LEFT JOIN canon ON agg.source = canon.source
+         |ORDER BY agg.source""".stripMargin,
     "t16_redact_rescore" ->
       s"""WITH r AS (
          |  SELECT doc_id, text, ${piiRedactSql("text")} AS ct

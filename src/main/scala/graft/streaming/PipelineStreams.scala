@@ -44,6 +44,17 @@ object PipelineStreams {
     docs.filter(
       graft.functions.TextFns.qualityFeatures(col(textCol)).getField("keep"))
 
+  /** At-ingest Gopher/MassiveText rule gate: the t17 keep conjunction
+    * applied as a schema-preserving streaming filter. Stateless, and the
+    * counts + keep predicate are THE batch definitions
+    * ([[graft.operators.PipelineQueries.gopherKeep]] — one definition,
+    * the piiRedact/redactPii discipline), so the at-ingest and batch
+    * verdicts can never drift. Columns named like the nine Gopher counts
+    * are reserved (see gopherKeep's scaladoc).
+    */
+  def gopherGate(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.PipelineQueries.gopherKeep(docs, textCol)
+
   /** At-ingest PII redaction: the t15 chain applied as a stateless
     * streaming projection (the SAME column expression —
     * [[graft.operators.PipelineQueries.piiRedact]] — so the streaming

@@ -17,11 +17,11 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 120)
+    assert(SparkEntry.queries.size === 122)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry;
-    // d16 (LSH S-curve) and t17 (Gopher rule filter) arrive oracled
-    assert(SparkEntry.oracleSql.size === 120)
+    // d16 (LSH S-curve) and the t17/t18/t19 Gopher family arrive oracled
+    assert(SparkEntry.oracleSql.size === 122)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }

@@ -86,6 +86,30 @@ class GopherRulesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t18 attributes each doc to its one violated rule (or 'keep')") {
+    val got = SparkEntry.queries("t18_gopher_reasons")(spark, fixtureDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // docs 1 and 8 both fail ONLY too_few_words; every other violator
+    // fails exactly its targeted rule, so first-failing = only-failing
+    assert(got === Map(
+      "keep" -> 1L, "too_few_words" -> 2L, "long_words" -> 1L,
+      "bullet_heavy" -> 1L, "symbol_heavy" -> 1L, "low_alpha" -> 1L,
+      "ellipsis_heavy" -> 1L, "few_stopwords" -> 1L))
+  }
+
+  test("t19 funnel over the fixture: 9 raw → 6 quality → 1 gopher → " +
+    "1 canonical") {
+    // quality (t02): docs 1 (len 15 < 20), 5 (alpha 6/240 < 0.5), and 8
+    // (empty) fail; gopher: only doc A survives; all texts distinct, so
+    // the dedup stage keeps the sole survivor as its own canonical
+    val got = SparkEntry.queries("t19_filter_funnel")(spark, fixtureDir)
+      .collect()
+    assert(got.length === 1) // single-source fixture
+    val r = got(0)
+    assert(r.getString(0) === "web")
+    assert((1 to 4).map(r.getLong) === Seq(9L, 6L, 1L, 1L))
+  }
+
   test("empty doc yields zero counts and is dropped without error") {
     val r = byId(8L)
     assert((1 to 8).map(r.getLong).forall(_ == 0L))

@@ -93,6 +93,33 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher gate: rule-violating docs filtered, schema preserved, " +
+    "IDENTICAL to the batch t17 keep bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val gated = PipelineStreams.gopherGate(in.toDF().toDF("ts", "text"), "text")
+    assert(gated.columns === Array("ts", "text")) // working cols dropped
+    val q = gated.writeStream.format("memory").queryName("gg")
+      .outputMode("append").start()
+    // passer: 60 words, mean len 3.75, 30 stopwords (GopherRulesSpec docA)
+    val good = "the data and model " * 15
+    val raw = Seq(
+      "far too few words",                          // n_words < 50
+      good,                                         // keeps
+      "data model quick train " * 15)               // no stopwords
+    try {
+      in.addData(raw.zipWithIndex.map { case (t, i) =>
+        doc(s"2021-01-16 17:0$i:00", t) }: _*)
+      q.processAllAvailable()
+      val kept = spark.table("gg").select("text").as[String].collect()
+      assert(kept === Array(good))
+      // batch-stream consistency: the same rows through the t17 keep bit
+      val batch = graft.operators.PipelineQueries
+        .gopherKeep(raw.toDF("text"), "text").as[String].collect()
+      assert(kept.sorted === batch.sorted)
+    } finally q.stop()
+  }
+
   test("streaming redaction: stateless, and IDENTICAL to the batch t15 chain") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
