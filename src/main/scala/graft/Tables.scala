@@ -13,24 +13,41 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries a nanosecond-precision parquet timestamp,
-    * which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read it
-    * as long nanos and convert to a µs TimestampType column (floor division —
-    * matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation, so oracle compares
-    * at µs precision line up).
+  /** The events table's `ts` column has shipped in two parquet encodings
+    * across testdata generations: a nanosecond-precision timestamp (which
+    * Spark's vectorized reader rejects — PARQUET_TYPE_ILLEGAL — so it is
+    * read as long nanos under `legacy.parquet.nanosAsLong` and floor-divided
+    * to a µs TimestampType, matching DuckDB's CAST(ts_ns AS TIMESTAMP)
+    * truncation) and a native tz-naive microsecond timestamp (TIMESTAMP_NTZ,
+    * `isAdjustedToUTC=false`). The NTZ column is cast to TimestampType under
+    * the pinned UTC session — a value-identical bijection — so every
+    * downstream consumer (`unix_micros`, `cast("long")`, interval arithmetic,
+    * as-of joins) sees one stable type regardless of which testdata
+    * generation is on disk. [[graft.plans.TimestampFilterPushdown]] unwraps
+    * the cast in comparisons so time filters still reach the parquet scan.
+    * Branch on the footer schema so either generation loads correctly.
     */
   def eventsTs(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // native µs TimestampType
+    }
   }
 
-  /** Time-bounded events scan with the range predicate applied to the RAW
-    * nanosecond long BEFORE the timestamp conversion, so it reaches the
-    * parquet reader as a pushed filter (`PushedFilters: GreaterThanOrEqual/
-    * LessThan(ts, …)`) and prunes row groups via min/max stats. Filtering
-    * after the conversion defeats pushdown — a full scan at 100 TB.
+  /** Time-bounded events scan with the range predicate applied at the scan
+    * column's NATIVE type, so it reaches the parquet reader as a pushed
+    * filter (`PushedFilters: GreaterThanOrEqual/LessThan(ts, …)`) and prunes
+    * row groups via min/max stats. For the legacy ns-long encoding that
+    * means filtering the raw long BEFORE the timestamp conversion — filtering
+    * after the conversion defeats pushdown, a full scan at 100 TB. For the
+    * native µs encoding a plain timestamp predicate pushes as-is.
     * Bounds are [fromIncl, toExcl) in UTC.
     */
   def eventsRange(spark: SparkSession, sfDir: String,
@@ -38,9 +55,25 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, lit}
     def ns(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= lit(ns(fromIncl)) && col("ts") < lit(ns(toExcl)))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.filter(col("ts") >= lit(ns(fromIncl)) && col("ts") < lit(ns(toExcl)))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // filter on the raw NTZ column with NTZ literals (UTC wall-clock of
+        // the instant — the session is pinned UTC) so the predicate pushes
+        // at the scan's native type; cast to the engine-wide TimestampType
+        // only above the filter
+        def ntz(i: java.time.Instant): java.time.LocalDateTime =
+          java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        df.filter(col("ts") >= lit(ntz(fromIncl)) && col("ts") < lit(ntz(toExcl)))
+          .withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>
+        df.filter(col("ts") >= lit(java.sql.Timestamp.from(fromIncl)) &&
+          col("ts") < lit(java.sql.Timestamp.from(toExcl)))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule restoring parquet predicate pushdown for time filters on
-  * nanosecond-encoded timestamp columns.
+  * reader-converted timestamp columns: the legacy nanosecond-long encoding
+  * (`timestamp_micros(ts DIV 1000)`) and the native TIMESTAMP_NTZ encoding
+  * (`CAST(ts AS TIMESTAMP)` under a UTC session) — see [[graft.Tables.eventsTs]]
+  * for the two testdata generations.
   *
   * The events table stores int64 nanos; the reader exposes
   * `timestamp_micros(ts DIV 1000)`. A filter on that derived column reaches
@@ -47,6 +50,27 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+
+  /** Matches `CAST(raw AS TIMESTAMP)` over a TIMESTAMP_NTZ column when the
+    * cast zone is UTC — there the NTZ→LTZ conversion is the identity on the
+    * underlying micros, so a comparison against a timestamp literal can be
+    * rewritten to the raw NTZ column (same micros, NTZ literal) and pushed
+    * into the parquet scan. Non-UTC zones are skipped: the wall-clock map is
+    * not monotonic across DST transitions, so the unwrap would be inexact.
+    */
+  private object UtcNtzCast {
+    private def isUtc(tz: String): Boolean =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: Throwable => false }
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(raw, TimestampType, _, _)
+          if raw.dataType == TimestampNTZType && c.timeZoneId.forall(isUtc) =>
+        Some(raw)
+      case _ => None
+    }
+  }
+
+  private def ntzLit(micros: Long): Literal = Literal(micros, TimestampNTZType)
 
   /** µs literals whose ns equivalent (±1000 slack) fits a long — beyond
     * this the multiply would wrap and silently corrupt the predicate, so
@@ -89,6 +113,27 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
         if inNsRange(a) => geNs(raw, a)
     case EqualTo(Literal(c: Long, TimestampType), NsToMicros(raw))
         if inNsRange(c) => And(geNs(raw, c), leNs(raw, c))
+    // NTZ-cast unwrap (exact, micros-identity under UTC — no slack needed)
+    case GreaterThanOrEqual(UtcNtzCast(raw), Literal(a: Long, TimestampType)) =>
+      GreaterThanOrEqual(raw, ntzLit(a))
+    case GreaterThan(UtcNtzCast(raw), Literal(a: Long, TimestampType)) =>
+      GreaterThan(raw, ntzLit(a))
+    case LessThan(UtcNtzCast(raw), Literal(b: Long, TimestampType)) =>
+      LessThan(raw, ntzLit(b))
+    case LessThanOrEqual(UtcNtzCast(raw), Literal(b: Long, TimestampType)) =>
+      LessThanOrEqual(raw, ntzLit(b))
+    case EqualTo(UtcNtzCast(raw), Literal(c: Long, TimestampType)) =>
+      EqualTo(raw, ntzLit(c))
+    case GreaterThanOrEqual(Literal(a: Long, TimestampType), UtcNtzCast(raw)) =>
+      LessThanOrEqual(raw, ntzLit(a))
+    case GreaterThan(Literal(a: Long, TimestampType), UtcNtzCast(raw)) =>
+      LessThan(raw, ntzLit(a))
+    case LessThan(Literal(b: Long, TimestampType), UtcNtzCast(raw)) =>
+      GreaterThan(raw, ntzLit(b))
+    case LessThanOrEqual(Literal(b: Long, TimestampType), UtcNtzCast(raw)) =>
+      GreaterThanOrEqual(raw, ntzLit(b))
+    case EqualTo(Literal(c: Long, TimestampType), UtcNtzCast(raw)) =>
+      EqualTo(raw, ntzLit(c))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -12,8 +12,20 @@ class TimestampFilterPushdownSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Legacy ns-long encoded copy of the sf0.001 events table (the pre-r9
+    * testdata generation): the rule's target shape, synthesized from the
+    * current table so rule coverage survives testdata regeneration.
+    */
+  private lazy val nsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("nsevents").toString
+    graft.Tables.events(spark, sf)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   private def rangeQuery = {
-    val ev = graft.Tables.events(spark, sf) // filter AFTER ns→µs conversion
+    val ev = graft.Tables.events(spark, nsDir) // filter AFTER ns→µs conversion
     ev.filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
       col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
   }
@@ -27,9 +39,37 @@ class TimestampFilterPushdownSpec extends AnyFunSuite with SparkSpec {
       s"expected pushed ns upper bound in:\n$plan")
   }
 
+  test("native µs events table pushes timestamp predicates without the rule") {
+    // the current testdata generation stores timestamp[us]; a plain
+    // timestamp range predicate must reach the scan natively
+    val plan = graft.Tables.eventsRange(spark, sf,
+        java.time.Instant.parse("2024-01-02T00:00:00Z"),
+        java.time.Instant.parse("2024-01-03T00:00:00Z"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+      s"expected pushed timestamp bounds in:\n$plan")
+  }
+
+  test("NTZ-cast unwrap: filters above Tables.events(µs table) reach the scan") {
+    // Tables.events casts the native NTZ column to TimestampType; a later
+    // timestamp filter sits above that cast — the rule unwraps it back to
+    // the raw NTZ column so it pushes, and results match eventsRange
+    TimestampFilterPushdown.enable(spark)
+    val filtered = graft.Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+      s"expected unwrapped NTZ bounds pushed to the scan in:\n$plan")
+    val viaRange = graft.Tables.eventsRange(spark, sf,
+      java.time.Instant.parse("2024-01-02T00:00:00Z"),
+      java.time.Instant.parse("2024-01-03T00:00:00Z")).count()
+    assert(filtered.count() === viaRange)
+  }
+
   test("rewritten filters return identical rows, boundaries included") {
     // baseline rows computed WITHOUT the rule on a fresh condition set
-    val ev = graft.Tables.events(spark, sf)
+    val ev = graft.Tables.events(spark, nsDir)
     val conds = Seq(
       col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"),
       col("ts") > lit("2024-01-02 00:00:00").cast("timestamp"),
@@ -38,7 +78,7 @@ class TimestampFilterPushdownSpec extends AnyFunSuite with SparkSpec {
       col("ts") === lit("2024-01-01 00:09:58").cast("timestamp"))
     // compute expected counts from the raw long column directly
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$nsDir/events.parquet")
     def nsOf(s: String): Long =
       java.time.LocalDateTime.parse(s.replace(" ", "T"))
         .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
