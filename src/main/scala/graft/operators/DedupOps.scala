@@ -228,6 +228,45 @@ object DedupOps {
   // Catalyst/AQE picks SMJ — the hint is advisory, not load-bearing.
   private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
+  /** d17: incremental-ingestion dedup — classify every BATCH document
+    * against an already-ingested CORPUS plus the batch itself, by content
+    * digest ([[contentDigest]], THE digest shared with d01/t07/streaming).
+    * status ∈ {dup_in_corpus, new_unique, dup_in_batch}: a batch doc whose
+    * digest already exists in the corpus is `dup_in_corpus` (the corpus
+    * instance wins regardless of ids — it is already ingested); otherwise
+    * the minimal-id batch instance of each digest is `new_unique` and any
+    * further batch copies are `dup_in_batch`.
+    *
+    * Scale shape — the steady-state 100 TB ingestion pattern (daily
+    * increment ≪ accumulated corpus): corpus TEXT never moves. The corpus
+    * side is projected to its digest at the scan and partial-aggregated
+    * (`groupBy(digest)`) before the join, so each map partition
+    * contributes at most one 16-byte digest per distinct document body,
+    * and the probe is a digest-keyed join AQE can skew-split. The batch
+    * side shuffles (id, digest) once; the within-batch min table and the
+    * corpus probe hash on the same key, so the batch exchange is planned
+    * once and reused across both joins. In production the corpus side
+    * would read a pre-materialized digest index (the d01 output) instead
+    * of re-digesting — same plan from the join up.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusDigests = corpus
+      .select(contentDigest(col(textCol)).as("digest"))
+      .groupBy(col("digest")).agg(lit(true).as("in_corpus"))
+    val batchDigested = batch
+      .select(col(idCol), contentDigest(col(textCol)).as("digest"))
+    val firstInBatch = batchDigested
+      .groupBy(col("digest")).agg(min(col(idCol)).as("first_id"))
+    batchDigested
+      .join(firstInBatch, Seq("digest"))
+      .join(corpusDigests, Seq("digest"), "left")
+      .select(col(idCol), col("digest"),
+        when(col("in_corpus").isNotNull, lit("dup_in_corpus"))
+          .when(col(idCol) === col("first_id"), lit("new_unique"))
+          .otherwise(lit("dup_in_batch")).as("status"))
+  }
+
   /** Train/eval decontamination: per corpus doc, how many of its distinct
     * word n-grams appear anywhere in the benchmark set (docs sharing any
     * n-gram are contamination suspects). The benchmark shingle set is tiny

@@ -38,6 +38,16 @@ object PipelineQueries {
   private[graft] val GopherStopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** t20's domain blocklist (the UT1/RefinedWeb URL-filtering shape) —
+    * ONE list interpolated into both the engine query and its DuckDB
+    * oracle (the PackBudget rule). An entry blocks a host when it equals
+    * the host or is a whole-label dot-suffix of it (subdomains inherit
+    * their parent's block, `notbad.example.net` does NOT match
+    * `bad.example.net`).
+    */
+  private[graft] val DomainBlocklist =
+    Seq("host3.example.org", "host17.example.org", "bad.example.net")
+
   /** The Gopher rule set as an ORDERED (violation_name, pass_condition)
     * list over the nine per-doc counts — the single source of truth for
     * the t17 keep conjunction, the t18 first-failing-rule attribution,
@@ -502,6 +512,36 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // UT1-style domain blocklist filtering (the CCNet/RefinedWeb URL
+    // gate): a host is blocked when any whole-label dot-suffix of it is
+    // a blocklist entry — subdomains inherit their parent domain's
+    // block. Per-row shape: the host's suffix chain is a bounded array
+    // (≤ label count), the blocklist a LITERAL array, and the match a
+    // per-row array scan — zero shuffle until the low-cardinality
+    // rollup, so the corpus never moves. For a UT1-scale list (millions
+    // of domains) the same semantics become: explode the suffix chain
+    // and LEFT SEMI join a broadcast blocklist table on the suffix —
+    // still one bounded explode, no LIKE scan over the list. Hosts are
+    // synthesized sub{0..2}.host{0..19}.example.org so the subdomain
+    // inheritance path is actually exercised (blocking
+    // host3.example.org must catch sub*.host3.example.org).
+    "t20_domain_blocklist" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        concat(lit("sub"), col("user_id") % 3, lit(".host"),
+          col("user_id") % 20, lit(".example.org")).as("host"))
+      val parts = split(col("host"), "\\.")
+      val suffixes = transform(sequence(lit(0), size(parts) - 1),
+        i => array_join(slice(parts, i + lit(1), size(parts) - i), "."))
+      val blArr = array(DomainBlocklist.map(lit): _*)
+      ev
+        .withColumn("sfx", suffixes)
+        .withColumn("blocked_by",
+          array_min(filter(blArr, dm => array_contains(col("sfx"), dm))))
+        .groupBy(col("host"), col("blocked_by"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("host"), col("blocked_by"))
+    }),
+
     // The composed cleaning pass a training corpus actually runs: quality
     // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
     // min-id canonical) → per-(lang, source) accounting of every drop
@@ -643,6 +683,20 @@ object PipelineQueries {
     "d16_lsh_tuning" -> ((s, d) =>
       DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
         threshold = LshSweepThreshold)),
+
+    // Incremental-ingestion dedup: today's batch (doc_id % 10 == 0, a
+    // deterministic 10% increment) classified against the accumulated
+    // corpus (the other 90%) — the steady-state shape of a continuously
+    // fed 100 TB corpus, where d01 is the cold-start backstop. See
+    // DedupOps.incrementalDedup for why corpus text never moves.
+    "d17_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
 
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -822,6 +876,18 @@ object PipelineQueries {
         .join(hits, Seq("k"), "left")
         .select(col("k"), coalesce(col("total_hits"), lit(0L)).as("total_hits"))
         .orderBy(col("k"))
+    }),
+
+    // SSL-prototypes pruning over the d15 cell structure (vec_id < 16
+    // embeddings as fixed centroids): prune the most prototypical 1/5 of
+    // every cell. The gate is pure integer arithmetic and the ranking key
+    // is the rounded similarity with a vec_id tiebreak — see
+    // SimilarityOps.prototypicalityPrune for the scale discussion.
+    "s16_prototype_prune" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.prototypicalityPrune(emb, emb.filter(col("vec_id") < 16),
+        pruneNum = 1, pruneDen = 5)
+        .orderBy(col("vec_id"))
     }),
 
     // ANN evaluation harness: per-query recall@5 of single-probe IVF
@@ -1274,6 +1340,24 @@ object PipelineQueries {
     // from GopherKeepSql over the shared counts CTE (text re-joined for
     // the quality/digest stage), canonical = min surviving doc_id per
     // md5 digest, attributed to that doc's source.
+    // The engine's suffix-chain membership and the oracle's
+    // equals-or-dot-suffix predicate are the same whole-label match;
+    // list_min of no matches is NULL = kept (both engines).
+    "t20_domain_blocklist" ->
+      s"""WITH e AS (
+         |  SELECT 'sub' || (user_id % 3) || '.host' || (user_id % 20)
+         |         || '.example.org' AS host
+         |  FROM events),
+         |m AS (
+         |  SELECT host,
+         |    list_min(list_filter(
+         |      [${DomainBlocklist.map(dm => s"'$dm'").mkString(", ")}],
+         |      dm -> host = dm OR ends_with(host, '.' || dm)))
+         |      AS blocked_by
+         |  FROM e)
+         |SELECT host, blocked_by, count(*) AS n
+         |FROM m GROUP BY host, blocked_by
+         |ORDER BY host, blocked_by""".stripMargin,
     "t19_filter_funnel" ->
       s"""WITH $gopherCountsCte,
          |f AS (
@@ -1568,6 +1652,18 @@ object PipelineQueries {
          |FROM caught WHERE hit
          |GROUP BY bands, rows_per_band
          |ORDER BY bands""".stripMargin),
+    "d17_incremental_dedup" ->
+      """WITH c AS (SELECT DISTINCT md5(text) AS digest
+        |           FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (SELECT doc_id, md5(text) AS digest
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.digest,
+        |  CASE WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
+        |       WHEN b.doc_id = f.first_id THEN 'new_unique'
+        |       ELSE 'dup_in_batch' END AS status
+        |FROM b JOIN f USING (digest) LEFT JOIN c ON b.digest = c.digest
+        |ORDER BY b.doc_id""".stripMargin,
     // Same empty-text guard as d03: empty docs tokenize to [] (not ['']),
     // and the edge predicate computes the Jaccard through a CASE so an
     // empty-vs-empty pair is 0.0 (< threshold, no edge — JaccardSim
@@ -1702,6 +1798,34 @@ object PipelineQueries {
         |ORDER BY q0.query_id""".stripMargin),
     // s15: s08's 2-probe ranking and the brute ranking, both to depth
     // 10; a hit at k is a pair both sides rank <= k.
+    // s16's rank key is the ROUNDED similarity (both engines round to the
+    // 6-dp comparison precision BEFORE ranking, vec_id tiebreak), and the
+    // prune gate is the integer form of rank <= ceil(cell_n / 5).
+    "s16_prototype_prune" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id,
+        |                     CAST(embedding AS DOUBLE[]) AS cv
+        |              FROM embeddings WHERE vec_id < 16),
+        |a AS (
+        |  SELECT vec_id, centroid_id, sim FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |           list_cosine_similarity(
+        |             CAST(e.embedding AS DOUBLE[]), cent.cv) AS sim,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                CAST(e.embedding AS DOUBLE[]),
+        |                                cent.cv) DESC,
+        |                              cent.centroid_id) AS rn
+        |    FROM embeddings e, cent) WHERE rn = 1),
+        |r AS (
+        |  SELECT vec_id, centroid_id, round(sim, 6) AS proto_sim,
+        |         row_number() OVER (PARTITION BY centroid_id
+        |                            ORDER BY round(sim, 6) DESC, vec_id)
+        |           AS cell_rank,
+        |         count(*) OVER (PARTITION BY centroid_id) AS cell_n
+        |  FROM a)
+        |SELECT vec_id, centroid_id, proto_sim, cell_rank,
+        |       5 * cell_rank <= cell_n + 4 AS pruned
+        |FROM r ORDER BY vec_id""".stripMargin,
     "s15_recall_at_k" ->
       (s"WITH $ivfOraclePrologue,\n" +
       """qp AS (

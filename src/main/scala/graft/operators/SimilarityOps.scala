@@ -312,6 +312,42 @@ object SimilarityOps {
       .select(col(idCol), col("max_sim").isNull.as("kept"), col("max_sim"))
   }
 
+  /** s16: SSL-prototypes-style prototypicality pruning (Sorscher et al.,
+    * "Beyond neural scaling laws"; the DataComp image-dedup recipe):
+    * assign every vector to its nearest centroid ([[ivfAssign]]), rank
+    * vectors within each cell by similarity to their OWN centroid
+    * (most prototypical first), and mark the top `pruneNum/pruneDen`
+    * fraction of each cell pruned — the "too close to the cluster mean
+    * carries no marginal information" rule. The gate is pure integer
+    * arithmetic (`den·rank ≤ num·n + (den−1)` ⇔ rank ≤ ⌈num·n/den⌉ — the
+    * t11 micro-unit discipline), and the ranking key is the ROUNDED
+    * similarity (6 dp, the engine↔oracle comparison precision) with an id
+    * tiebreak, so no raw-double ordering ever decides a row.
+    *
+    * Scale shape: the assignment is the broadcast-centroid aggregate of
+    * [[ivfAssign]] (corpus never shuffles there); the rank is a window
+    * keyed on centroid_id — with k-means-scale centroid counts (k ≈ √N)
+    * cells are ~√N rows, far below any window-task limit, unlike a
+    * digest-keyed window (see DedupOps.firstOccurrence). If cells still
+    * run hot (tiny k over a huge corpus), swap the exact rank for a
+    * per-cell `approx_percentile` similarity threshold — same decision to
+    * within quantile-sketch error, no window at all.
+    */
+  def prototypicalityPrune(corpus: DataFrame, centroids: DataFrame,
+      pruneNum: Int, pruneDen: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol)
+    val w = Window.partitionBy(col("centroid_id"))
+    asg
+      .withColumn("cell_rank", row_number().over(
+        w.orderBy(col("sim").desc, col("vec_id"))))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .select(col("vec_id"), col("centroid_id"), col("sim").as("proto_sim"),
+        col("cell_rank"),
+        (lit(pruneDen) * col("cell_rank") <=
+          lit(pruneNum) * col("cell_n") + lit(pruneDen - 1)).as("pruned"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -35,6 +35,66 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(drops.head.getAs[Long]("keep_id") === 0L)
   }
 
+  test("incremental dedup: corpus dup, batch-internal dup, fresh doc classified") {
+    val corpus = Seq((1L, "alpha"), (3L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"), // already ingested → dup_in_corpus
+      (20L, "gamma"), // first fresh instance → new_unique
+      (30L, "gamma"), // later batch copy of 20 → dup_in_batch
+      (40L, "delta")  // fresh singleton → new_unique
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(10L -> "dup_in_corpus", 20L -> "new_unique",
+      30L -> "dup_in_batch", 40L -> "new_unique"))
+    // idempotence: re-ingesting the batch against corpus+kept drops everything
+    val kept = batch.filter(col("doc_id").isin(20L, 40L))
+    val again = DedupOps.incrementalDedup(corpus.union(kept), batch,
+        "doc_id", "text")
+      .collect().map(r => r.getString(2)).toSet
+    assert(again === Set("dup_in_corpus"))
+  }
+
+  test("prototypicality prune: per-cell ranks dense, prune count == ceil(n/5)") {
+    val rnd = new scala.util.Random(7)
+    val c0 = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def jitter(b: Array[Float]) = b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val corpus = (0L until 12L).map(i =>
+      (i, jitter(if (i % 2 == 0) c0 else c1))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, c0), (1L, c1)).toDF("vec_id", "embedding")
+    val got = SimilarityOps.prototypicalityPrune(corpus, cents, 1, 5).collect()
+    assert(got.length === 12)
+    for ((cell, rs) <- got.groupBy(_.getLong(1))) {
+      val n = rs.length
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to n),
+        s"cell $cell ranks not dense")
+      assert(rs.count(_.getBoolean(4)) === (n + 4) / 5,
+        s"cell $cell pruned != ceil(n/5)")
+      val r1 = rs.find(_.getInt(3) == 1).get
+      assert(rs.forall(_.getDouble(2) <= r1.getDouble(2)),
+        s"cell $cell rank-1 not the most prototypical")
+      assert(r1.getBoolean(4), s"cell $cell most prototypical row not pruned")
+    }
+  }
+
+  test("domain blocklist: subdomains inherit the parent block, others keep") {
+    val got = graft.SparkEntry.queries("t20_domain_blocklist")(
+      spark, "/root/testdata/sf0.001").collect()
+    val blocked = got.filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(blocked.nonEmpty)
+    for ((h, by) <- blocked) {
+      assert(h.matches("sub[0-2]\\.host(3|17)\\.example\\.org"), h)
+      // attribution is the parent entry itself, not the full host
+      assert(by === h.substring(h.indexOf('.') + 1), s"$h -> $by")
+    }
+    val kept = got.filter(_.isNullAt(1)).map(_.getString(0))
+    assert(kept.nonEmpty)
+    assert(kept.forall(h =>
+      !h.matches("sub[0-2]\\.host(3|17)\\.example\\.org")), kept.mkString(","))
+  }
+
   test("minhash-LSH: finds planted near-dups, not the unrelated pair") {
     val verified = DedupOps.minhashVerified(docs, "doc_id", "text",
       threshold = 0.5, k = 32, bands = 8)

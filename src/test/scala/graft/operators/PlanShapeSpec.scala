@@ -237,6 +237,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(collapse) <= 3, cp)
   }
 
+  test("incremental dedup (d17): text never shuffles, corpus digests pre-collapsed") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pdocs = probe.createDataFrame(docs.rdd, docs.schema)
+    val df = DedupOps.incrementalDedup(
+      pdocs.filter(col("doc_id") % 2 === 0),
+      pdocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    for (cols <- exchanges)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+    // corpus side must partial-aggregate its digests BEFORE the probe
+    // join (one row per distinct body per map partition — the steady-state
+    // guarantee that a 100 TB corpus contributes digests, not volume)
+    assert(planOf(df).contains("partial_"), planOf(df))
+    // batch (id, digest) exchange + its min rollup reuse one partitioning;
+    // corpus digest agg is the third — nothing else may shuffle
+    assert(shuffles(df) <= 3, planOf(df))
+  }
+
   test("semantic dedup (d15): self-join sides share one assignment exchange") {
     // AQE performs exchange reuse at stage materialization, invisible in
     // the printed initial plan — probe with AQE off on a dedicated child

@@ -13,11 +13,12 @@ backslashes (exercises Verify's oracle-JSON escaping end-to-end), a
          d01_exact_dedup d03_adjacent_jaccard d06_dedup_clusters \
          d07_decontaminate d08_boilerplate_ngrams d11_line_dedup \
          d12_boilerplate_lines d13_paragraph_dedup d14_dedup_collapse \
+         d17_incremental_dedup \
          t01_token_stats t02_quality_features t03_source_lang_rollup \
          t06_hash_split t07_clean_corpus t08_repetition t12_source_mix \
          t13_pack_bins t14_pii_counts t15_pii_redact t16_redact_rescore \
          q34_recursive_cte"
-    python3 tools/check.py /tmp/xfix /tmp/xfix_out   # 21/21 OK
+    python3 tools/check.py /tmp/xfix /tmp/xfix_out   # 22/22 OK
 
 (Signature-vector queries — d04/d05/d09/d10/t04/t05, s04 — carry
 fixture-specific VALUES oracles and are excluded by design.)

@@ -15,6 +15,7 @@ against the real DuckDB compare:
     sbt "runMain graft.Verify /tmp/sfix /tmp/sfix_out \
          d11_line_dedup d12_boilerplate_lines d13_paragraph_dedup \
          d14_dedup_collapse t14_pii_counts t15_pii_redact t16_redact_rescore \
+         d17_incremental_dedup \
          d01_exact_dedup t01_token_stats t08_repetition t12_source_mix"
     python3 tools/check.py /tmp/sfix /tmp/sfix_out
 
