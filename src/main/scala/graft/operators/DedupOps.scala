@@ -267,6 +267,52 @@ object DedupOps {
           .otherwise(lit("dup_in_batch")).as("status"))
   }
 
+  /** d18: incremental NEAR-dup at ingest — the MinHash/LSH twin of
+    * [[incrementalDedup]]: flag every BATCH document whose banded
+    * signature collides with an already-ingested CORPUS document and
+    * whose exact shingle Jaccard then verifies ≥ threshold. Per batch
+    * doc: the minimal matching corpus id (deterministic attribution) and
+    * the verified-match count; unmatched docs report (null, 0).
+    *
+    * Scale shape: the ONLY place batch and corpus meet is the band-keyed
+    * join — each side shuffles (id, band, band_key) rows hashed on the
+    * band key (the d10 blocker), never text or shingles. At steady state
+    * the daily batch is tiny against the corpus, so AQE broadcasts the
+    * batch band table and the corpus side is probed in place; in
+    * production the corpus band table is a pre-materialized artifact of
+    * past ingests (like d01's digest index), not recomputed per batch.
+    * Shingle arrays join back id-keyed onto the candidate pairs only
+    * (few by LSH design), and the final rollup is keyed by batch id.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    def bandTable(df: DataFrame, idName: String) =
+      df.select(col(idCol).as(idName),
+        TextFns.shingleMinhash(
+          TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col(idName),
+          posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
+            .as(Seq("band", "band_key")))
+    val cands = bandTable(batch, "bid")
+      .join(bandTable(corpus, "cid"), Seq("band", "band_key"))
+      .select(col("bid"), col("cid")).distinct()
+    def sh(df: DataFrame, idName: String, shName: String) =
+      df.select(col(idCol).as(idName),
+        TextFns.wordShingles(col(textCol), shingleWords).as(shName))
+    val verified = cands
+      .join(sh(batch, "bid", "sh_b"), Seq("bid"))
+      .join(sh(corpus, "cid", "sh_c"), Seq("cid"))
+      .filter(TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
+      .groupBy(col("bid"))
+      .agg(min(col("cid")).as("dup_of"), count(lit(1)).as("n_matches"))
+    batch.select(col(idCol))
+      .join(verified.withColumnRenamed("bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** Train/eval decontamination: per corpus doc, how many of its distinct
     * word n-grams appear anywhere in the benchmark set (docs sharing any
     * n-gram are contamination suspects). The benchmark shingle set is tiny

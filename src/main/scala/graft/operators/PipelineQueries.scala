@@ -48,6 +48,22 @@ object PipelineQueries {
   private[graft] val DomainBlocklist =
     Seq("host3.example.org", "host17.example.org", "bad.example.net")
 
+  /** t20's match rule as a column expression — ONE definition shared by
+    * the batch query and the streaming at-ingest leg
+    * ([[graft.streaming.PipelineStreams.blocklistGate]]), the
+    * piiRedact/gopherKeep discipline. Returns the minimal blocklist
+    * entry that equals the host or is a whole-label dot-suffix of it;
+    * null = not blocked. The host's suffix chain is a bounded array and
+    * the blocklist a literal array — per-row, shuffle-free.
+    */
+  private[graft] def blockedBy(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parts = split(host, "\\.")
+    val suffixes = transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + lit(1), size(parts) - i), "."))
+    array_min(filter(array(DomainBlocklist.map(lit): _*),
+      dm => array_contains(suffixes, dm)))
+  }
+
   /** The Gopher rule set as an ORDERED (violation_name, pass_condition)
     * list over the nine per-doc counts — the single source of truth for
     * the t17 keep conjunction, the t18 first-failing-rule attribution,
@@ -525,22 +541,14 @@ object PipelineQueries {
     // synthesized sub{0..2}.host{0..19}.example.org so the subdomain
     // inheritance path is actually exercised (blocking
     // host3.example.org must catch sub*.host3.example.org).
-    "t20_domain_blocklist" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(
-        concat(lit("sub"), col("user_id") % 3, lit(".host"),
+    "t20_domain_blocklist" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(concat(lit("sub"), col("user_id") % 3, lit(".host"),
           col("user_id") % 20, lit(".example.org")).as("host"))
-      val parts = split(col("host"), "\\.")
-      val suffixes = transform(sequence(lit(0), size(parts) - 1),
-        i => array_join(slice(parts, i + lit(1), size(parts) - i), "."))
-      val blArr = array(DomainBlocklist.map(lit): _*)
-      ev
-        .withColumn("sfx", suffixes)
-        .withColumn("blocked_by",
-          array_min(filter(blArr, dm => array_contains(col("sfx"), dm))))
+        .withColumn("blocked_by", blockedBy(col("host")))
         .groupBy(col("host"), col("blocked_by"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("host"), col("blocked_by"))
-    }),
+        .orderBy(col("host"), col("blocked_by"))),
 
     // The composed cleaning pass a training corpus actually runs: quality
     // gate (t02's keep flag) → exact-dup collapse among survivors (md5,
@@ -683,6 +691,19 @@ object PipelineQueries {
     "d16_lsh_tuning" -> ((s, d) =>
       DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
         threshold = LshSweepThreshold)),
+
+    // The near-dup twin of d17 at the same corpus/batch split: batch docs
+    // whose banded MinHash signature collides with a corpus doc and whose
+    // exact shingle Jaccard verifies at d10's 0.9 gate. Band-keyed join is
+    // the only corpus/batch meeting point; see DedupOps.incrementalNearDup.
+    "d18_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.incrementalNearDup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 0.9)
+        .orderBy(col("doc_id"))
+    }),
 
     // Incremental-ingestion dedup: today's batch (doc_id % 10 == 0, a
     // deterministic 10% increment) classified against the accumulated
@@ -1652,6 +1673,35 @@ object PipelineQueries {
          |FROM caught WHERE hit
          |GROUP BY bands, rows_per_band
          |ORDER BY bands""".stripMargin),
+    // d18 re-derives banding and pairing from the independent d04
+    // signature VALUES (the d09/d16 recipe), restricted to batch→corpus
+    // pairs; slice equality stands in for the engine's slice-hash band
+    // key (identical pairs absent a 2⁻⁶⁴ collision). Same empty-shingle
+    // CASE as d16 so an empty-vs-empty pair is 0.0, not NULL.
+    "d18_incremental_neardup" ->
+      (s"WITH $lshSigShinglePrologue,\n" +
+      """bk AS (SELECT doc_id, g,
+        |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+        |       FROM s, range(0, 4) t(g)),
+        |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+        |         FROM bk b JOIN bk c ON b.g = c.g AND b.bkey = c.bkey
+        |         WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+        |v AS (SELECT cand.bid, cand.cid
+        |      FROM cand JOIN sh jb ON jb.doc_id = cand.bid
+        |                JOIN sh jc ON jc.doc_id = cand.cid
+        |      WHERE (CASE WHEN len(jb.shs) + len(jc.shs) = 0 THEN 0.0
+        |              ELSE CAST(len(list_intersect(jb.shs, jc.shs)) AS DOUBLE)
+        |                   / (len(jb.shs) + len(jc.shs)
+        |                      - len(list_intersect(jb.shs, jc.shs)))
+        |              END) >= 0.9),
+        |a AS (SELECT bid, min(cid) AS dup_of,
+        |             CAST(count(*) AS BIGINT) AS n_matches
+        |      FROM v GROUP BY bid)
+        |SELECT d.doc_id, a.dup_of,
+        |       CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches
+        |FROM documents d LEFT JOIN a ON a.bid = d.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin),
     "d17_incremental_dedup" ->
       """WITH c AS (SELECT DISTINCT md5(text) AS digest
         |           FROM documents WHERE doc_id % 10 <> 0),

@@ -55,6 +55,17 @@ object PipelineStreams {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     graft.operators.PipelineQueries.gopherKeep(docs, textCol)
 
+  /** At-ingest domain-blocklist gate — the streaming twin of batch t20:
+    * drops rows whose host matches the UT1-style whole-label dot-suffix
+    * blocklist. Stateless per-row filter delegating to the SHARED match
+    * expression ([[graft.operators.PipelineQueries.blockedBy]] — one
+    * definition, the gopherGate discipline), so at-ingest and batch
+    * verdicts can never drift.
+    */
+  def blocklistGate(rows: DataFrame, hostCol: String): DataFrame =
+    rows.filter(
+      graft.operators.PipelineQueries.blockedBy(col(hostCol)).isNull)
+
   /** At-ingest PII redaction: the t15 chain applied as a stateless
     * streaming projection (the SAME column expression —
     * [[graft.operators.PipelineQueries.piiRedact]] — so the streaming

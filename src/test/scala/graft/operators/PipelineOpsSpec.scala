@@ -55,6 +55,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(again === Set("dup_in_corpus"))
   }
 
+  test("incremental near-dup: exact and near copies flagged against corpus, fresh kept") {
+    val corpus = Seq(
+      (1L, base),
+      (3L, "completely different text about spark catalyst optimizer rules " +
+        "and tungsten codegen stages with partitions shuffles and joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                           // exact copy → always banded
+      (20L, base.replace("lazy", "sleepy")), // near copy
+      (30L, "yet another unrelated document mentioning kafka topics " +
+        "offsets consumers producers brokers partitions replication")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalNearDup(corpus, batch, "doc_id", "text",
+        threshold = 0.5, k = 32, bands = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got.keySet === Set(10L, 20L, 30L), "every batch doc reports")
+    assert(got(10L) === (Some(1L), 1L), "exact copy attributed to corpus 1")
+    assert(got(20L)._1 === Some(1L), "near copy attributed to corpus 1")
+    assert(got(30L) === (None, 0L), "fresh doc kept")
+  }
+
   test("prototypicality prune: per-cell ranks dense, prune count == ceil(n/5)") {
     val rnd = new scala.util.Random(7)
     val c0 = Array.fill(8)(rnd.nextGaussian().toFloat)

@@ -120,6 +120,34 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("blocklist gate: blocked hosts and their subdomains drop, " +
+    "IDENTICAL to the batch t20 match") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val gated = PipelineStreams.blocklistGate(in.toDF().toDF("ts", "host"), "host")
+    assert(gated.columns === Array("ts", "host"))
+    val q = gated.writeStream.format("memory").queryName("blg")
+      .outputMode("append").start()
+    val raw = Seq(
+      "host3.example.org",       // exact blocklist entry
+      "sub1.host3.example.org",  // subdomain inherits the block
+      "host4.example.org",       // kept
+      "notbad.example.net",      // suffix of an entry WITHOUT the dot — kept
+      "a.bad.example.net")       // subdomain of an entry
+    try {
+      in.addData(raw.zipWithIndex.map { case (h, i) =>
+        doc(s"2021-01-16 17:0$i:00", h) }: _*)
+      q.processAllAvailable()
+      val kept = spark.table("blg").select("host").as[String].collect()
+      assert(kept.sorted === Array("host4.example.org", "notbad.example.net"))
+      // batch-stream consistency through the shared match expression
+      val batch = raw.toDF("host")
+        .filter(graft.operators.PipelineQueries.blockedBy(col("host")).isNull)
+        .as[String].collect()
+      assert(kept.sorted === batch.sorted)
+    } finally q.stop()
+  }
+
   test("streaming redaction: stateless, and IDENTICAL to the batch t15 chain") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
