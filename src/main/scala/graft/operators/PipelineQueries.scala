@@ -52,17 +52,25 @@ object PipelineQueries {
     * the batch query and the streaming at-ingest leg
     * ([[graft.streaming.PipelineStreams.blocklistGate]]), the
     * piiRedact/gopherKeep discipline. Returns the minimal blocklist
-    * entry that equals the host or is a whole-label dot-suffix of it;
-    * null = not blocked. The host's suffix chain is a bounded array and
-    * the blocklist a literal array — per-row, shuffle-free.
+    * entry that equals the host or is a whole-label dot-suffix of it
+    * (`host == e || host.endsWith("." + e)` — the dot keeps
+    * notbad.example.net from matching bad.example.net); null = not
+    * blocked. Compiled as a STATIC when-chain over the sorted literal
+    * list — first match in sorted order IS the minimum — because plain
+    * string equals/endsWith stay inside whole-stage codegen, while the
+    * earlier suffix-chain array form (transform/filter/array_min
+    * higher-order functions, interpreted per row) measured 2.17 s vs
+    * 0.5 s at sf0.1. This per-row form is for literal-sized lists; a
+    * UT1-scale list (millions of entries) instead explodes the host's
+    * bounded dot-suffix chain and LEFT SEMI joins a broadcast blocklist
+    * table on the suffix — same whole-label semantics, no per-row scan
+    * of the list.
     */
-  private[graft] def blockedBy(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val parts = split(host, "\\.")
-    val suffixes = transform(sequence(lit(0), size(parts) - 1),
-      i => array_join(slice(parts, i + lit(1), size(parts) - i), "."))
-    array_min(filter(array(DomainBlocklist.map(lit): _*),
-      dm => array_contains(suffixes, dm)))
-  }
+  private[graft] def blockedBy(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    DomainBlocklist.sorted.foldRight(
+      lit(null).cast(org.apache.spark.sql.types.StringType)) { (dm, rest) =>
+      when(host === dm || host.endsWith("." + dm), lit(dm)).otherwise(rest)
+    }
 
   /** The Gopher rule set as an ORDERED (violation_name, pass_condition)
     * list over the nine per-doc counts — the single source of truth for
