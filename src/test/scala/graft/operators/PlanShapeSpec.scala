@@ -261,6 +261,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(df) <= 3, planOf(df))
   }
 
+  test("incremental near-dup (d18): band keys are the only corpus/batch meeting, no text on exchanges") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pdocs = probe.createDataFrame(docs.rdd, docs.schema)
+    val df = DedupOps.incrementalNearDup(
+      pdocs.filter(col("doc_id") % 2 === 0),
+      pdocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.5)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    // the band join moves (id, band, band_key); the verify joins move
+    // shingle ARRAYS for candidates only — raw text never crosses a wire
+    for (cols <- exchanges)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+    assert(exchanges.exists(_.contains("band_key")),
+      s"no band-keyed exchange found: $exchanges")
+  }
+
+  test("prototypicality prune (s16): broadcast assignment, cell window, no corpus self-join") {
+    val df = SimilarityOps.prototypicalityPrune(emb,
+      emb.filter(col("vec_id") < 2), 1, 5)
+    val p = planOf(df)
+    // the assignment is ivfAssign's broadcast-centroids aggregate — the
+    // corpus itself never shuffles before its one vec-keyed exchange.
+    // rank and cell count plan as two Window nodes (different frames
+    // cannot merge) but share the SAME centroid partitioning: the ≤2
+    // shuffle bound proves the second window rides the first's exchange
+    assert(p.contains("BroadcastExchange"), p)
+    assert(shuffles(df) <= 2, p)
+  }
+
   test("semantic dedup (d15): self-join sides share one assignment exchange") {
     // AQE performs exchange reuse at stage materialization, invisible in
     // the printed initial plan — probe with AQE off on a dedicated child
