@@ -402,6 +402,49 @@ object PipelineQueries {
             .as("kept_tokens"))
         .orderBy(col("source"))),
 
+    // Temperature-flattened source mixing (the UniMax/mT5 balancing
+    // recipe) — unlike t12 the per-source rates are DERIVED from corpus
+    // statistics, not given: rate_i = min(1, sqrt(N / n_i) / 8), τ = 0.5
+    // flattening up to a global constant — small sources ride toward
+    // keep-all, hot sources are downsampled ∝ n^-1/2. Every float step
+    // is cross-engine exact: integer counts, ONE double division (same
+    // operands → same IEEE double), sqrt (correctly rounded), one
+    // multiply by 2^24 and a floor into the integer threshold the
+    // shared md5 bucket compares against (the t12 discipline). There is
+    // deliberately NO normalized-weights form: normalizing requires a
+    // cross-source float SUM whose accumulation order is
+    // engine-dependent; the capped form needs no normalization, so no
+    // float reduction ever crosses engines.
+    // Scale shape: one corpus pass for the per-source counts (tiny
+    // rollup with map-side partials), the total via a 1-row aggregate
+    // broadcast-crossed onto the ≤#sources-row rate table (no global
+    // window anywhere), a broadcast join back, and a per-row keep.
+    "t21_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("v",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6),
+            16, 10).cast("long"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
+        .withColumn("thresh",
+          floor(least(lit(1.0),
+            sqrt(col("n_total").cast("double") / col("n_docs").cast("double"))
+              / 8) * 16777216.0).cast("long"))
+        .select(col("source"), col("n_docs"), col("thresh"))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("keep", col("v") < col("thresh"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          first(col("thresh")).as("thresh"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          coalesce(sum(when(col("keep"),
+            TextFns.tokenCount(col("text")).cast("long"))), lit(0L))
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Sequence packing: see [[packBins]]. The registry pins budget 256;
     // PackBinsPropertySpec holds the packing invariants at TWO budgets so
     // a budget change can't silently skew the layout.
@@ -1263,6 +1306,32 @@ object PipelineQueries {
         |  CAST(coalesce(sum(CASE WHEN v < thresh THEN n_tokens END), 0)
         |       AS BIGINT) AS kept_tokens
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // t21's float chain (divide → sqrt → least → ×2^24 → floor) is
+    // IEEE-identical on both engines because no float ever reduces
+    // across rows — see the engine comment.
+    "t21_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |r AS (SELECT source, n_docs,
+        |        CAST(floor(least(1.0,
+        |          sqrt(CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 8)
+        |          * 16777216.0) AS BIGINT) AS thresh
+        |      FROM c, tot),
+        |k AS (SELECT d.source,
+        |        CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+        |             AS INTEGER) AS BIGINT) AS v,
+        |        CASE WHEN len(trim(d.text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+        |        END AS n_tokens
+        |      FROM documents d)
+        |SELECT k.source, r.n_docs, r.thresh,
+        |  count(CASE WHEN v < thresh THEN 1 END) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN v < thresh THEN n_tokens END), 0)
+        |       AS BIGINT) AS kept_tokens
+        |FROM k JOIN r USING (source)
+        |GROUP BY k.source, r.n_docs, r.thresh
+        |ORDER BY k.source""".stripMargin,
     "t13_pack_bins" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,

@@ -784,6 +784,48 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     for ((src, r) <- rows) assert(again(src) === r.getAs[Long]("n_kept"))
   }
 
+  test("temperature mix: hot source downsampled by sqrt law, tiny source kept whole") {
+    // planted skew: one 640-doc hot source, one 10-doc tiny source.
+    // N = 650: hot rate = min(1, sqrt(650/640)/8) ≈ 0.126 → thresh
+    // floor(·2^24); tiny rate = min(1, sqrt(65)/8) = 1.0 → thresh 2^24
+    val docs = ((0L until 640L).map(i => (i, "alpha beta gamma", "hot")) ++
+      (1000L until 1010L).map(i => (i, "delta epsilon", "tiny")))
+      .toDF("doc_id", "text", "source")
+    // registry entries read from a dir; recompute the same expression
+    // chain over the planted frame (sqrt-law + threshold discipline)
+    val byName = {
+      import org.apache.spark.sql.functions.{col => c}
+      val v = docs.withColumn("v",
+        conv(substring(md5(c("doc_id").cast("string").cast("binary")), 1, 6),
+          16, 10).cast("long"))
+      val counts = v.groupBy(c("source")).agg(count(lit(1)).as("n_docs"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(sum(c("n_docs")).as("n_total"))))
+        .withColumn("thresh",
+          floor(least(lit(1.0),
+            sqrt(c("n_total").cast("double") / c("n_docs").cast("double")) / 8)
+            * 16777216.0).cast("long"))
+      v.join(broadcast(rates.select(c("source"), c("thresh"))), Seq("source"))
+        .withColumn("keep", c("v") < c("thresh"))
+        .groupBy(c("source"))
+        .agg(first(c("thresh")).as("thresh"),
+          count(when(c("keep"), 1)).as("n_kept"),
+          count(lit(1)).as("n_docs"))
+        .collect().map(r => r.getString(0) -> r).toMap
+    }
+    assert(byName("tiny").getAs[Long]("thresh") === 16777216L,
+      "rate-1 source thresh = 2^24")
+    assert(byName("tiny").getAs[Long]("n_kept") === 10L, "tiny kept whole")
+    val hotThresh = byName("hot").getAs[Long]("thresh")
+    assert(hotThresh ===
+      math.floor(math.min(1.0, math.sqrt(650.0 / 640.0) / 8) * 16777216.0).toLong,
+      "hot thresh follows the sqrt law exactly")
+    val hotKept = byName("hot").getAs[Long]("n_kept")
+    // binomial(640, ~0.126): expectation ~81; the md5 buckets are fixed,
+    // so the count is deterministic — bound it loosely against gross skew
+    assert(hotKept > 40 && hotKept < 140, s"hot kept $hotKept")
+  }
+
   test("pack bins: offsets bounded by the budget, prefix-exact per shard") {
     val rows = graft.SparkEntry.queries("t13_pack_bins")(
         spark, "/root/testdata/sf0.001").collect()
