@@ -16,7 +16,8 @@ against the real DuckDB compare:
          d11_line_dedup d12_boilerplate_lines d13_paragraph_dedup \
          d14_dedup_collapse t14_pii_counts t15_pii_redact t16_redact_rescore \
          d17_incremental_dedup \
-         d01_exact_dedup t01_token_stats t08_repetition t12_source_mix"
+         d01_exact_dedup t01_token_stats t08_repetition t12_source_mix \
+         t21_temperature_mix"
     python3 tools/check.py /tmp/sfix /tmp/sfix_out
 
     Keep that query list in sync with every operator that reads document
