@@ -36,6 +36,30 @@ object PipelineStreams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** At-ingest dedup against the ALREADY-INGESTED corpus — the streaming
+    * twin of batch d17's `dup_in_corpus` leg, complementing
+    * [[dedupByDigest]] (which only dedups WITHIN the stream's watermark
+    * horizon and holds no historical memory): a stream-static LEFT ANTI
+    * join from the arriving docs to the corpus digest index, so a
+    * re-crawl of an already-stored document is dropped at ingest no
+    * matter how long ago the original arrived. Stateless on the
+    * streaming side — the static corpus frame is the state, and in
+    * production it is d01's pre-materialized digest table (refreshed per
+    * ingest cycle; the whole 100 TB corpus never rescans, the join reads
+    * digests only). Compose the full incremental path as
+    * corpus-anti-join → [[dedupByDigest]]: history first, then
+    * within-horizon copies.
+    *
+    * Output contract: the input schema plus a `digest` column (the
+    * shared [[graft.operators.DedupOps.contentDigest]]).
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpusDigests: DataFrame,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("digest", graft.operators.DedupOps.contentDigest(col(textCol)))
+      .join(corpusDigests.select(col("digest")).distinct(),
+        Seq("digest"), "left_anti")
+
   /** At-ingest quality gate: the t02 keep-flag applied as a streaming
     * filter (stateless — composes with [[dedupByDigest]] upstream of any
     * stateful stage).

@@ -48,6 +48,41 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus anti-dedup: already-ingested digests drop regardless of age, " +
+    "then the watermark pass catches within-horizon copies") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    // the historical corpus: d01's digest index shape (digest only)
+    val corpus = Seq("old stored body", "another stored body").toDF("text")
+      .select(graft.operators.DedupOps.contentDigest(col("text")).as("digest"))
+    val cleaned = PipelineStreams.dedupByDigest(
+      PipelineStreams.dedupAgainstCorpus(
+        in.toDF().toDF("ts", "text"), corpus, "text"),
+      "ts", "text", "10 minutes")
+    val q = cleaned.writeStream.format("memory").queryName("cad")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc("2021-01-16 17:00:00", "old stored body"),  // historical dup → drop
+        doc("2021-01-16 17:01:00", "fresh body"),
+        doc("2021-01-16 17:02:00", "fresh body"))       // in-stream dup → drop
+      q.processAllAvailable()
+      val texts = spark.table("cad").select("text").as[String].collect()
+      assert(texts.sorted === Array("fresh body"))
+      // identical to batch d17 on the same split: the kept set is exactly
+      // the docs d17 labels new_unique
+      val batch = Seq((0L, "old stored body"), (1L, "fresh body"),
+        (2L, "fresh body")).toDF("doc_id", "text")
+      val corpusDocs = Seq((100L, "old stored body"),
+        (101L, "another stored body")).toDF("doc_id", "text")
+      val d17new = graft.operators.DedupOps
+        .incrementalDedup(corpusDocs, batch, "doc_id", "text")
+        .filter(col("status") === "new_unique")
+        .join(batch, Seq("doc_id")).select("text").as[String].collect()
+      assert(texts.sorted === d17new.sorted)
+    } finally q.stop()
+  }
+
   test("dup rate by window: stacked aggregation emits exact per-window stats") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
