@@ -690,6 +690,15 @@ object PipelineQueries {
         "doc_id", "text", headBelow = 3.40, tailFrom = 3.41)
         .orderBy(col("doc_id"))),
 
+    // The bigram order of t11: corpus-trained add-one-smoothed P(w2|w1),
+    // scored as mean negative log prob over each doc's transitions — the
+    // CCNet perplexity-filter proxy. See RelevanceOps.bigramCrossEntropy
+    // for the micro-nat determinism and the not-broadcast bigram table.
+    "t22_bigram_xent" -> ((s, d) =>
+      RelevanceOps.bigramCrossEntropy(Tables.documents(s, d),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -1666,6 +1675,36 @@ object PipelineQueries {
         |       WHEN round(nll_micro / 1e6 / n_tokens, 4) < 3.41 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM d ORDER BY doc_id""".stripMargin,
+    // t22: the t11 micro-nat recipe at bigram order. The smoothed ratio
+    // (c1+V)/(c12+1) >= 1 always (every bigram occurrence feeds its own
+    // context count), so ln >= 0 and the half-up/half-away rounding modes
+    // agree. generate_series(1, len-1) is empty for len < 2 — sub-bigram
+    // docs drop on both engines.
+    "t22_bigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[g], 'b': t[g] || ' ' || t[g+1]}
+        |            FOR g IN generate_series(1, len(t) - 1)]) AS p
+        |  FROM tok),
+        |b2 AS (SELECT doc_id, p.w1 AS w1, p.b AS b FROM bg),
+        |tf AS (SELECT doc_id, w1, b, count(*) AS tf FROM b2 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT b, count(*) AS c12 FROM b2 GROUP BY b),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT tt) AS DOUBLE) AS v
+        |      FROM (SELECT unnest(t) AS tt FROM tok)),
+        |per AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * ln((c1.c1 + v.v) / (c12.c12 + 1.0)) * 1e6)
+        |         AS BIGINT) AS cm
+        |  FROM tf JOIN c12 USING (b) JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d02_shingle_cardinality" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) < 5 THEN 0

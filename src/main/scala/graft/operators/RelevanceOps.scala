@@ -132,6 +132,60 @@ object RelevanceOps {
           .otherwise("tail"))
   }
 
+  /** Corpus-trained BIGRAM cross-entropy per document — the CCNet-style
+    * LM-perplexity filter proxy one order above [[unigramCrossEntropy]]:
+    * an add-one-smoothed bigram model P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V)
+    * trained on the corpus itself, scored as the mean negative log
+    * probability over each document's bigram positions. Low xent = text
+    * whose word TRANSITIONS look like the corpus (prose); high = rare
+    * or shuffled transitions — the signal unigram stats cannot see.
+    *
+    * Scale shape: bigram instances explode to (doc, w₁, bigram) rows but
+    * partial-aggregate map-side before the tf shuffle. The bigram count
+    * table is bigram-vocab-sized — unlike t11's unigram vocab it is NOT
+    * assumed broadcastable (the d08 rule): the tf⋈c₁₂ join stays keyed
+    * on the bigram, and only the unigram context table and the scalar V
+    * broadcast. Text never shuffles.
+    *
+    * Determinism: the t11 micro-nat discipline — each (doc, bigram)
+    * contribution rounds to integer micro-nats BEFORE the per-doc sum
+    * (exact 64-bit arithmetic, no order dependence); the smoothed ratio
+    * (c₁+V)/(c₁₂+1) ≥ 1 always, so ln ≥ 0 and Spark HALF_UP equals
+    * DuckDB round-half-away-from-zero. Docs with fewer than two tokens
+    * have no bigram positions and drop out (inner-join semantics),
+    * mirroring the SQL recomputation.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val bigr = toks
+      .filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i-1] AS w1, concat(ts[i-1], ' ', ts[i]) AS bg))"))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val tf = bigr.groupBy(col(idCol), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = bigr.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("v"))
+    tf.join(c12, Seq("bg"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("contrib_micro", round(col("tf").cast("double") *
+        log((col("c1").cast("double") + col("v")) /
+          (col("c12").cast("double") + 1.0)) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("contrib_micro")).as("nll_micro"))
+      .withColumn("xent",
+        round(col("nll_micro") / 1e6 / col("n_bigrams"), 4))
+      .drop(col("nll_micro"))
+  }
+
   /** Tokenizer-training vocabulary statistics: the top-N terms by corpus
     * frequency with cumulative token-coverage fraction ("the 30 most
     * frequent terms cover X% of all tokens") — the first artifact of any

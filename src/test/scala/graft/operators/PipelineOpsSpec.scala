@@ -784,6 +784,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     for ((src, r) <- rows) assert(again(src) === r.getAs[Long]("n_kept"))
   }
 
+  test("bigram xent: hand-computed smoothed transitions; sub-bigram docs drop") {
+    // vocab {a,b,c} → V=3; bigram counts: "a b"×3, "b a"×1;
+    // context counts: a→3, b→1
+    val tiny = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val got = RelevanceOps.bigramCrossEntropy(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(0L, 1L), "the bigram-less doc drops")
+    def micro(x: Double): Long = math.round(x * 1e6)
+    // doc0: 2·ln((3+3)/(3+1)) for "a b", 1·ln((1+3)/(1+1)) for "b a"
+    val d0 = (micro(2 * math.log(6.0 / 4)) + micro(math.log(4.0 / 2))) / 1e6 / 3
+    assert(got(0L) === ((3L,
+      BigDecimal(d0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val d1 = micro(math.log(6.0 / 4)) / 1e6 / 1
+    assert(got(1L) === ((1L,
+      BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // shuffled transitions score strictly worse than corpus-typical ones
+    val shuffled = Seq((0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val sc = RelevanceOps.bigramCrossEntropy(shuffled, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(3L) > sc(0L), s"shuffled ${sc(3L)} !> typical ${sc(0L)}")
+  }
+
   test("temperature mix: hot source downsampled by sqrt law, tiny source kept whole") {
     // planted skew: one 640-doc hot source, one 10-doc tiny source.
     // N = 650: hot rate = min(1, sqrt(650/640)/8) ≈ 0.126 → thresh
