@@ -267,6 +267,55 @@ object DedupOps {
           .otherwise(lit("dup_in_batch")).as("status"))
   }
 
+  /** d19: exact-substring duplication accounting — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * repeated-span signal, Spark-shaped: per document, how many token
+    * positions are covered by some ≥L-token span that occurs at least
+    * twice in the corpus. The suffix-array construction is not a Spark
+    * shape; the EXACT equivalent is L-token window anchoring: a span of
+    * ≥ L tokens repeats iff every one of its L-token windows repeats, so
+    * the positions covered by repeated ≥L spans are precisely the union
+    * of [p, p+L) over repeated-window start positions p — computed as an
+    * exact interval union (first window contributes L, each next
+    * min(L, gap)), all in integer arithmetic.
+    *
+    * Scale shape: window instances are (id, pos, hash64) rows — text
+    * never shuffles. The occurrence count partial-aggregates on the hash
+    * map-side (the d08 rule: corpus-wide gram counts are aggregate +
+    * join-back, never a gram-keyed window — a boilerplate window is BY
+    * DEFINITION the hottest key); the join back is instance-sized keyed
+    * by the hash, AQE-skew territory; the interval merge windows per
+    * DOCUMENT (bounded by doc length, no corpus-scale key). The 64-bit
+    * window hash stands in for window equality (the d09/d16 slice-hash
+    * caveat: a 2⁻⁶⁴ collision can only over-mark a position; the oracle
+    * compares raw window strings).
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val L = windowTokens
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val inst = toks.filter(size(col("ts")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${L - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(ts, i, $L))))"))
+        .as(Seq("pos", "h")))
+    val rep = inst.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val covered = inst.join(rep, Seq("h"))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("contrib", when(col("prev").isNull, lit(L))
+        .otherwise(least(lit(L), col("pos") - col("prev"))))
+      .groupBy(col(idCol)).agg(sum(col("contrib")).as("n_covered"))
+    toks.select(col(idCol), size(col("ts")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("covered_frac"))
+  }
+
   /** d18: incremental NEAR-dup at ingest — the MinHash/LSH twin of
     * [[incrementalDedup]]: flag every BATCH document whose banded
     * signature collides with an already-ingested CORPUS document and

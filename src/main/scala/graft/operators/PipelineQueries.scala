@@ -752,6 +752,15 @@ object PipelineQueries {
       DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
         threshold = LshSweepThreshold)),
 
+    // Lee-et-al exact-substring duplication accounting at an 8-token
+    // window: per doc, positions covered by some >=8-token span occurring
+    // at least twice corpus-wide — the repeated-span removal signal one
+    // granularity below d11's whole-line pass. See
+    // DedupOps.substringDupStats for the window-anchor equivalence.
+    "d19_substring_stats" -> ((s, d) =>
+      DedupOps.substringDupStats(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
+
     // The near-dup twin of d17 at the same corpus/batch split: batch docs
     // whose banded MinHash signature collides with a corpus doc and whose
     // exact shingle Jaccard verifies at d10's 0.9 gate. Band-keyed join is
@@ -1789,6 +1798,38 @@ object PipelineQueries {
          |FROM caught WHERE hit
          |GROUP BY bands, rows_per_band
          |ORDER BY bands""".stripMargin),
+    // d19's oracle anchors on the RAW window strings (the engine's
+    // xxhash64 key can only over-mark on a 2^-64 collision — the
+    // d09/d16 caveat class); the interval union is the same integer
+    // first-L-then-min(L, gap) merge, and generate_series(1, len-7) is
+    // empty below 8 tokens on both engines.
+    "d19_substring_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |iw AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'sh': array_to_string(t[g:g+7], ' ')}
+        |            FOR g IN generate_series(1, len(t) - 7)]) AS p
+        |  FROM tok),
+        |inst AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM iw),
+        |rep AS (SELECT sh FROM inst GROUP BY sh HAVING count(*) >= 2),
+        |m AS (SELECT i.doc_id, i.pos FROM inst i JOIN rep USING (sh)),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL THEN 8
+        |             ELSE least(8, pos - lag(pos)
+        |               OVER (PARTITION BY doc_id ORDER BY pos)) END AS contrib
+        |      FROM m),
+        |cov AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS n_covered
+        |        FROM c GROUP BY doc_id)
+        |SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+        |  round(coalesce(cov.n_covered, 0) / greatest(len(t), 1), 6)
+        |    AS covered_frac
+        |FROM tok LEFT JOIN cov USING (doc_id) ORDER BY tok.doc_id""".stripMargin,
     // d18 re-derives banding and pairing from the independent d04
     // signature VALUES (the d09/d16 recipe), restricted to batch→corpus
     // pairs; slice equality stands in for the engine's slice-hash band

@@ -79,6 +79,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(30L) === (None, 0L), "fresh doc kept")
   }
 
+  test("substring dup stats: interval union exact on planted repeated spans") {
+    val tiny = Seq(
+      (0L, "a b c d e f g h i j"),             // 10 toks, exact copy of 1
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q p o"),         // unrelated, nothing repeats
+      (3L, "q r a b c d e f g h x")            // carries the shared 8-run a..h
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringDupStats(tiny, "doc_id", "text", 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 0/1: all three 8-windows repeat → union of [1,9),[2,10),[3,11)
+    // = 10 positions (8 + min(8,1) + min(8,1)) — full coverage
+    assert(got(0L) === ((10L, 10L, 1.0)))
+    assert(got(1L) === ((10L, 10L, 1.0)))
+    assert(got(2L) === ((12L, 0L, 0.0)))
+    // doc 3: exactly one window (a..h, start 3 of 4) matches doc 0/1's
+    // first window → 8 covered of 11
+    assert(got(3L) === ((11L, 8L,
+      BigDecimal(8.0 / 11).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    // sub-window docs report zero coverage, not absence
+    val short = Seq((0L, "only five tokens right here"),
+      (1L, "only five tokens right here")).toDF("doc_id", "text")
+    val sg = DedupOps.substringDupStats(short, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sg === Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("prototypicality prune: per-cell ranks dense, prune count == ceil(n/5)") {
     val rnd = new scala.util.Random(7)
     val c0 = Array.fill(8)(rnd.nextGaussian().toFloat)
