@@ -27,9 +27,42 @@ object Tables {
     * the cast in comparisons so time filters still reach the parquet scan.
     * Branch on the footer schema so either generation loads correctly.
     */
+  /** True iff the on-disk `ts` column is a nanosecond-precision parquet
+    * timestamp — read straight off the parquet FOOTER (parquet-hadoop, no
+    * Spark schema inference, which would itself reject the ns type). Only
+    * this generation needs `spark.sql.legacy.parquet.nanosAsLong`; gating
+    * the session flag on the footer keeps other parquet reads that hit a
+    * ns timestamp failing loudly instead of being silently masked by a
+    * table reader's leaked conf.
+    */
+  private def tsStoredAsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField("ts") &&
+        (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+    } finally reader.close()
+  }
+
   def eventsTs(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    if (tsStoredAsNanos(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
@@ -54,8 +87,10 @@ object Tables {
       fromIncl: java.time.Instant, toExcl: java.time.Instant): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     def ns(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    if (tsStoredAsNanos(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.filter(col("ts") >= lit(ns(fromIncl)) && col("ts") < lit(ns(toExcl)))

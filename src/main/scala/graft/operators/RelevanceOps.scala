@@ -144,8 +144,12 @@ object RelevanceOps {
     * partial-aggregate map-side before the tf shuffle. The bigram count
     * table is bigram-vocab-sized — unlike t11's unigram vocab it is NOT
     * assumed broadcastable (the d08 rule): the tf⋈c₁₂ join stays keyed
-    * on the bigram, and only the unigram context table and the scalar V
-    * broadcast. Text never shuffles.
+    * on the bigram. The unigram context table c₁ is vocab-sized, and a
+    * web-scale corpus's vocabulary is Heaps-law unbounded, so it carries
+    * NO broadcast hint either: AQE broadcasts it at small scale (where it
+    * fits) and degrades to a shuffle join on w₁ at web-scale vocab
+    * instead of dying at the broadcast build. Only the single-row scalar
+    * V is force-broadcast. Text never shuffles.
     *
     * Determinism: the t11 micro-nat discipline — each (doc, bigram)
     * contribution rounds to integer micro-nats BEFORE the per-doc sum
@@ -173,7 +177,7 @@ object RelevanceOps {
       .select(explode(TextFns.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("v"))
     tf.join(c12, Seq("bg"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("contrib_micro", round(col("tf").cast("double") *
         log((col("c1").cast("double") + col("v")) /

@@ -57,6 +57,10 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
     * rewritten to the raw NTZ column (same micros, NTZ literal) and pushed
     * into the parquet scan. Non-UTC zones are skipped: the wall-clock map is
     * not monotonic across DST transitions, so the unwrap would be inexact.
+    * An UNRESOLVED zone (timeZoneId = None) also bails: the rule runs
+    * post-analysis where zones are resolved, but if it ever saw an
+    * unresolved cast under a non-UTC session, assuming UTC would rewrite
+    * with the wrong zone — only a provably-UTC cast unwraps.
     */
   private object UtcNtzCast {
     private def isUtc(tz: String): Boolean =
@@ -64,7 +68,7 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
       catch { case _: Throwable => false }
     def unapply(e: Expression): Option[Expression] = e match {
       case c @ Cast(raw, TimestampType, _, _)
-          if raw.dataType == TimestampNTZType && c.timeZoneId.forall(isUtc) =>
+          if raw.dataType == TimestampNTZType && c.timeZoneId.exists(isUtc) =>
         Some(raw)
       case _ => None
     }
