@@ -531,17 +531,33 @@ object DedupOps {
     * candidate set is far larger than production banding's, which is why
     * this runs on a sampled slice at 100 TB (it is a tuning query, like
     * s14 — the production pass stays [[minhashCandidates]] at the chosen
-    * config). Same 2⁻⁶⁴ slice-hash caveat as [[minhashCandidates]]:
+    * config). The slice is the `sampleFrac` knob: a DETERMINISTIC 24-bit
+    * md5 draw on the doc id (the t06 split recipe — not `rand()`), so
+    * repeated runs, retried tasks, and any oracle recomputation all see
+    * the exact same slice; frac ≥ 1 bypasses the filter entirely (the
+    * registry default, full-corpus audit at test scale). Same 2⁻⁶⁴
+    * slice-hash caveat as [[minhashCandidates]]:
     * a hash collision can only ADD a candidate pair (whose mask then
     * decides every config verdict by true equality, both engines alike).
     */
   def lshTuningCurve(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleWords: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, sampleFrac: Double = 1.0): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac=$sampleFrac out of (0, 1]")
     val bandConfigs = Seq(2, 4, 8, 16).filter(b => k % b == 0)
-    val cands = minhashCandidates(docs, idCol, textCol, k, bands = k,
+    // threshold precomputed as ONE engine-side integer (t21 lesson: never
+    // re-derive a float cut row-side where the other engine might round
+    // differently); 2^24 is the full md5-draw scale, per the t21 trap.
+    val sampled =
+      if (sampleFrac >= 1.0) docs
+      else docs.filter(
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 6),
+          16, 10).cast("long") <
+          lit(math.floor(sampleFrac * (1L << 24)).toLong))
+    val cands = minhashCandidates(sampled, idCol, textCol, k, bands = k,
       shingleWords)
-    val side = docs.select(col(idCol).as("jid"),
+    val side = sampled.select(col(idCol).as("jid"),
       TextFns.shingleMinhash(
         TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
       TextFns.wordShingles(col(textCol), shingleWords).as("sh"))

@@ -748,6 +748,9 @@ object PipelineQueries {
     // banding's candidates — the d10 twin of s14's recall/cost frontier.
     // Oracle re-derives mask and configs from the independent d04
     // signature VALUES, so the whole sweep is cross-engine pinned.
+    // Registry runs the FULL corpus (sampleFrac default 1.0); at 100 TB
+    // this tuning audit runs on lshTuningCurve's deterministic
+    // sampleFrac slice (md5-draw on doc_id, layout-independent).
     "d16_lsh_tuning" -> ((s, d) =>
       DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
         threshold = LshSweepThreshold)),

@@ -178,6 +178,45 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       .getAs[Long]("n_candidates") === prod)
   }
 
+  test("lsh tuning curve: sampleFrac slice is deterministic and layout-independent") {
+    // corpus big enough that a half sample is a real subset: 24 docs,
+    // near-dup pairs planted inside and across the sample boundary
+    val corpus = (0L until 24L).map { i =>
+      val t = if (i % 3 == 0) base
+        else if (i % 3 == 1) base.replace("lazy", s"sleepy$i")
+        else s"unrelated filler document number $i about catalyst and " +
+          s"tungsten with tokens ${i * 7} ${i * 11} ${i * 13} and more"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val frac = 0.5
+    // the knob IS the documented t06-recipe draw: sampling inside the
+    // operator equals pre-filtering by the same draw and running full
+    val draw = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 6), 16, 10).cast("long")
+    val thresh = math.floor(frac * (1L << 24)).toLong
+    val manual = DedupOps.lshTuningCurve(
+      corpus.filter(draw < lit(thresh)), "doc_id", "text")
+      .orderBy(col("bands")).collect().toSeq
+    val knob = DedupOps.lshTuningCurve(corpus, "doc_id", "text",
+      sampleFrac = frac).orderBy(col("bands")).collect().toSeq
+    assert(knob === manual, "sampleFrac must equal the explicit md5-draw slice")
+    // partition layout must not change the slice (rand()-style sampling
+    // would fail this): same result from a reshuffled input
+    val reshuffled = DedupOps.lshTuningCurve(corpus.repartition(7),
+      "doc_id", "text", sampleFrac = frac)
+      .orderBy(col("bands")).collect().toSeq
+    assert(reshuffled === knob, "sample must be layout-independent")
+    // the sample is a genuine subset (neither empty nor everything)
+    val full = DedupOps.lshTuningCurve(corpus, "doc_id", "text")
+      .orderBy(col("bands")).collect().toSeq
+    val kept = corpus.filter(draw < lit(thresh)).count()
+    assert(kept > 0 && kept < 24, s"draw degenerate: kept=$kept")
+    assert(knob !== full, "half sample must differ from the full audit")
+    // frac >= 1 bypasses: identical plan-and-result to the default
+    assert(DedupOps.lshTuningCurve(corpus, "doc_id", "text",
+      sampleFrac = 1.0).orderBy(col("bands")).collect().toSeq === full)
+  }
+
   test("jaccard edges: planted near-dups edge within block, blocks separate") {
     val d = docs.withColumn("blk", lit(1))
     val edges = DedupOps.jaccardEdges(d, "doc_id", "text", Seq("blk"), 0.6)
