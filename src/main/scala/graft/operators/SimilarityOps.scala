@@ -329,9 +329,10 @@ object SimilarityOps {
     * keyed on centroid_id — with k-means-scale centroid counts (k ≈ √N)
     * cells are ~√N rows, far below any window-task limit, unlike a
     * digest-keyed window (see DedupOps.firstOccurrence). If cells still
-    * run hot (tiny k over a huge corpus), swap the exact rank for a
-    * per-cell `approx_percentile` similarity threshold — same decision to
-    * within quantile-sketch error, no window at all.
+    * run hot (tiny k over a huge corpus), use
+    * [[prototypicalityPruneApprox]] — the per-cell quantile-threshold
+    * form: same decision to within quantile-sketch error and one rank at
+    * quantile boundaries, no window at all.
     */
   def prototypicalityPrune(corpus: DataFrame, centroids: DataFrame,
       pruneNum: Int, pruneDen: Int, idCol: String = "vec_id",
@@ -346,6 +347,45 @@ object SimilarityOps {
         col("cell_rank"),
         (lit(pruneDen) * col("cell_rank") <=
           lit(pruneNum) * col("cell_n") + lit(pruneDen - 1)).as("pruned"))
+  }
+
+  /** The tiny-k scale fallback for [[prototypicalityPrune]]: when the
+    * centroid count is small relative to the corpus (k ≪ √N), per-cell
+    * windows hold ~N/k rows each — a handful of giant window tasks. This
+    * variant makes the same prune decision with NO window: aggregate each
+    * cell's rounded similarities into a `percentile_approx` sketch (map-side
+    * partials — the shuffle carries k sketch rows, not N), broadcast the
+    * k-row cut table back, and prune rows strictly above their cell's
+    * (1 − num/den) quantile.
+    *
+    * Agreement contract with the exact form (spec-pinned): identical
+    * pruned sets when num·n/den is integral and rounded sims are distinct
+    * (the sketch is exact below `accuracy` rows — tune it to the expected
+    * N/k); otherwise within one rank per cell at the quantile boundary
+    * (the approx gate prunes ⌊num·n/den⌋, the exact rank gate ⌈num·n/den⌉)
+    * plus ties on the 6-dp rounded value, which the rank form breaks by id
+    * and a value threshold cannot. The comparison value is the ROUNDED sim
+    * (both forms), so no raw-double ordering decides a row here either.
+    *
+    * Scale shape: the assignment subtree feeds BOTH the sketch aggregate
+    * and the probe — two corpus passes; at 100 TB the assignment is the
+    * already-materialized IVF index artifact (the d01-digest-index
+    * pattern), so the second pass reads parquet, not a recompute.
+    */
+  def prototypicalityPruneApprox(corpus: DataFrame, centroids: DataFrame,
+      pruneNum: Int, pruneDen: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", accuracy: Int = 10000): DataFrame = {
+    require(pruneNum >= 0 && pruneNum < pruneDen,
+      s"prune fraction $pruneNum/$pruneDen out of [0, 1)")
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol)
+      .withColumn("rsim", round(col("sim"), 6))
+    val p = 1.0 - pruneNum.toDouble / pruneDen
+    val cut = asg.groupBy(col("centroid_id"))
+      .agg(percentile_approx(col("rsim"), lit(p), lit(accuracy))
+        .as("cell_cut"))
+    asg.join(broadcast(cut), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("sim").as("proto_sim"),
+        col("cell_cut"), (col("rsim") > col("cell_cut")).as("pruned"))
   }
 
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,

@@ -131,6 +131,46 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("prototypicality prune approx: agrees with exact form on integral cells") {
+    val rnd = new scala.util.Random(11)
+    val c0 = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def jitter(b: Array[Float]) = b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    // 10 vectors per cell: num·n/den = 10/5 = 2 integral, jittered sims
+    // distinct at 6 dp ⇒ the agreement contract's exact-equality regime
+    val corpus = (0L until 20L).map(i =>
+      (i, jitter(if (i % 2 == 0) c0 else c1))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, c0), (1L, c1)).toDF("vec_id", "embedding")
+    val exact = SimilarityOps.prototypicalityPrune(corpus, cents, 1, 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val approx = SimilarityOps.prototypicalityPruneApprox(corpus, cents, 1, 5)
+      .collect()
+    assert(approx.length === 20)
+    // distinct-sims precondition of the contract actually holds
+    for ((_, rs) <- approx.groupBy(_.getLong(1)))
+      assert(rs.map(r => math.rint(r.getDouble(2) * 1e6)).distinct.length
+        === rs.length, "fixture sims collide at 6 dp; pick another seed")
+    assert(approx.map(r => r.getLong(0) -> r.getBoolean(4)).toMap === exact)
+    // the gate is a pure threshold: every pruned sim above every kept sim
+    for ((cell, rs) <- approx.groupBy(_.getLong(1))) {
+      val (pruned, kept) = rs.partition(_.getBoolean(4))
+      assert(pruned.nonEmpty && kept.nonEmpty)
+      assert(pruned.map(_.getDouble(2)).min > kept.map(_.getDouble(2)).max,
+        s"cell $cell threshold gate violated")
+    }
+    // non-integral cell: approx prunes floor(n·num/den), exact ceil —
+    // within one rank, the documented quantile-boundary slack
+    val corpus11 = (0L until 11L).map(i => (i, jitter(c0)))
+      .toDF("vec_id", "embedding")
+    val cents1 = Seq((0L, c0)).toDF("vec_id", "embedding")
+    val ex11 = SimilarityOps.prototypicalityPrune(corpus11, cents1, 1, 5)
+      .collect().count(_.getBoolean(4))
+    val ap11 = SimilarityOps.prototypicalityPruneApprox(corpus11, cents1, 1, 5)
+      .collect().count(_.getBoolean(4))
+    assert(ex11 === 3, "exact prunes ceil(11/5)")
+    assert(ap11 === 2 || ap11 === 3, s"approx pruned $ap11, expected within one rank")
+  }
+
   test("domain blocklist: subdomains inherit the parent block, others keep") {
     val got = graft.SparkEntry.queries("t20_domain_blocklist")(
       spark, "/root/testdata/sf0.001").collect()
