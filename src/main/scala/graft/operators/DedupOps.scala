@@ -332,10 +332,24 @@ object DedupOps {
     * past ingests (like d01's digest index), not recomputed per batch.
     * Shingle arrays join back id-keyed onto the candidate pairs only
     * (few by LSH design), and the final rollup is keyed by batch id.
+    *
+    * `batchIds` (optional) restricts the probe to a subset of batch docs
+    * — the [[ingestTriage]] composition uses it to near-dup only the
+    * exact-stage survivors. The restriction semi-joins the TEXT-FREE band
+    * rows (so pruned docs never generate candidates) and the accounting
+    * side (so the output row set is exactly the restriction); the shingle
+    * projection stays full-batch per-row work — it is scan-side,
+    * shuffle-free, and the candidate join already prunes what it carries.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3,
+      batchIds: Option[DataFrame] = None): DataFrame = {
+    def restrict(df: DataFrame, idName: String) = batchIds match {
+      case Some(ids) =>
+        df.join(ids.select(col(idCol).as(idName)), Seq(idName), "left_semi")
+      case None => df
+    }
     def bandTable(df: DataFrame, idName: String) =
       df.select(col(idCol).as(idName),
         TextFns.shingleMinhash(
@@ -344,7 +358,7 @@ object DedupOps {
         .select(col(idName),
           posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
             .as(Seq("band", "band_key")))
-    val cands = bandTable(batch, "bid")
+    val cands = restrict(bandTable(batch, "bid"), "bid")
       .join(bandTable(corpus, "cid"), Seq("band", "band_key"))
       .select(col("bid"), col("cid")).distinct()
     def sh(df: DataFrame, idName: String, shName: String) =
@@ -356,10 +370,48 @@ object DedupOps {
       .filter(TextFns.jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .groupBy(col("bid"))
       .agg(min(col("cid")).as("dup_of"), count(lit(1)).as("n_matches"))
-    batch.select(col(idCol))
+    restrict(batch.select(col(idCol)), idCol)
       .join(verified.withColumnRenamed("bid", idCol), Seq(idCol), "left")
       .select(col(idCol), col("dup_of"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
+  /** d20: the actual ingest decision pipeline — [[incrementalDedup]]'s
+    * exact classification, then [[incrementalNearDup]] over ONLY the
+    * `new_unique` survivors, composed as one plan. Per batch doc:
+    * the exact status, the near-dup attribution (minimal verified corpus
+    * match among survivors; null otherwise), and the final `decision` —
+    * `ingest` (genuinely new), `near_dup_corpus` (exact-new but
+    * near-duplicates an ingested doc), or the exact status verbatim for
+    * `dup_in_corpus` / `dup_in_batch` (those never reach the LSH stage,
+    * exactly as a production ingest gate orders its cheap-to-expensive
+    * checks).
+    *
+    * Scale shape: the survivor restriction flows into the near-dup stage
+    * as a semi-join on TEXT-FREE band rows, so exact dups generate no
+    * candidates; the exact stage's digest subtree feeds both the output
+    * and the survivor filter — identical shuffle subtrees that AQE
+    * materializes once and replays (stage-level reuse; verified
+    * ReusedExchange in the final plan). In production the exact stage's
+    * output is the ingest ledger — written once, read by the near-dup
+    * leg — so the replay disappears entirely.
+    */
+  def ingestTriage(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    val exact = incrementalDedup(corpus, batch, idCol, textCol)
+    val survivorIds = exact.filter(col("status") === "new_unique")
+      .select(col(idCol))
+    val near = incrementalNearDup(corpus, batch, idCol, textCol, threshold,
+      k, bands, shingleWords, batchIds = Some(survivorIds))
+    exact
+      .join(near.select(col(idCol), col("dup_of").as("near_dup_of"),
+        col("n_matches").as("n_near_matches")), Seq(idCol), "left")
+      .select(col(idCol), col("digest"), col("status"), col("near_dup_of"),
+        coalesce(col("n_near_matches"), lit(0L)).as("n_near_matches"),
+        when(col("status") =!= "new_unique", col("status"))
+          .when(col("near_dup_of").isNotNull, lit("near_dup_corpus"))
+          .otherwise(lit("ingest")).as("decision"))
   }
 
   /** Train/eval decontamination: per corpus doc, how many of its distinct

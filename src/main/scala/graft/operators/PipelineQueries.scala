@@ -777,6 +777,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The composed ingest gate: d17's exact classification, then d18's
+    // near-dup over ONLY the new_unique survivors, one plan — the order a
+    // production ingest runs its cheap-to-expensive checks. Same
+    // corpus/batch split as d17/d18 so the three queries cross-check.
+    "d20_ingest_triage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.ingestTriage(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 0.9)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental-ingestion dedup: today's batch (doc_id % 10 == 0, a
     // deterministic 10% increment) classified against the accumulated
     // corpus (the other 90%) — the steady-state shape of a continuously
@@ -1862,6 +1875,48 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN a ON a.bid = d.doc_id
         |WHERE d.doc_id % 10 = 0
         |ORDER BY d.doc_id""".stripMargin),
+    // d17's status CTEs + d18's band/verify CTEs restricted to the
+    // new_unique survivors — the oracle recomputes the composition from
+    // the same independent signature VALUES d18 uses.
+    "d20_ingest_triage" ->
+      (s"WITH $lshSigShinglePrologue,\n" +
+      """c AS (SELECT DISTINCT md5(text) AS digest
+        |      FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (SELECT doc_id, md5(text) AS digest
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1),
+        |st AS (SELECT b.doc_id, b.digest,
+        |         CASE WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
+        |              WHEN b.doc_id = f.first_id THEN 'new_unique'
+        |              ELSE 'dup_in_batch' END AS status
+        |       FROM b JOIN f USING (digest) LEFT JOIN c ON b.digest = c.digest),
+        |bk AS (SELECT doc_id, g,
+        |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+        |       FROM s, range(0, 4) t(g)),
+        |cand AS (SELECT DISTINCT bb.doc_id AS bid, cc.doc_id AS cid
+        |         FROM bk bb JOIN bk cc ON bb.g = cc.g AND bb.bkey = cc.bkey
+        |         WHERE bb.doc_id IN (SELECT doc_id FROM st
+        |                             WHERE status = 'new_unique')
+        |           AND cc.doc_id % 10 <> 0),
+        |v AS (SELECT cand.bid, cand.cid
+        |      FROM cand JOIN sh jb ON jb.doc_id = cand.bid
+        |                JOIN sh jc ON jc.doc_id = cand.cid
+        |      WHERE (CASE WHEN len(jb.shs) + len(jc.shs) = 0 THEN 0.0
+        |              ELSE CAST(len(list_intersect(jb.shs, jc.shs)) AS DOUBLE)
+        |                   / (len(jb.shs) + len(jc.shs)
+        |                      - len(list_intersect(jb.shs, jc.shs)))
+        |              END) >= 0.9),
+        |a AS (SELECT bid, min(cid) AS dup_of,
+        |             CAST(count(*) AS BIGINT) AS n_matches
+        |      FROM v GROUP BY bid)
+        |SELECT st.doc_id, st.digest, st.status,
+        |       a.dup_of AS near_dup_of,
+        |       CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_near_matches,
+        |       CASE WHEN st.status <> 'new_unique' THEN st.status
+        |            WHEN a.dup_of IS NOT NULL THEN 'near_dup_corpus'
+        |            ELSE 'ingest' END AS decision
+        |FROM st LEFT JOIN a ON a.bid = st.doc_id
+        |ORDER BY st.doc_id""".stripMargin),
     "d17_incremental_dedup" ->
       """WITH c AS (SELECT DISTINCT md5(text) AS digest
         |           FROM documents WHERE doc_id % 10 <> 0),

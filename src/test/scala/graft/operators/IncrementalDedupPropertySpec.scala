@@ -93,6 +93,32 @@ class IncrementalDedupPropertySpec extends AnyFunSuite with SparkSpec {
           s"seed=$seed id=$id match count")
       }
 
+      // --- d20 composition: triage == d17 ∘ d18-on-survivors -----------
+      val d20 = DedupOps.ingestTriage(corp, batch, "doc_id", "text",
+          threshold = thr, k = 32, bands = 8)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getLong(4), r.getString(5))))
+        .toMap
+      assert(d20.keySet === batchIds)
+      for (id <- batchIds) {
+        val (status, nearOf, nNear, decision) = d20(id)
+        assert(status === d17(id), s"seed=$seed id=$id d20 status drifted")
+        if (status == "new_unique") {
+          // the survivor restriction must not change a survivor's result:
+          // per-bid candidate generation is independent across bids
+          assert((nearOf, nNear) === d18(id), s"seed=$seed id=$id near leg")
+          assert(decision ===
+            (if (nearOf.isDefined) "near_dup_corpus" else "ingest"),
+            s"seed=$seed id=$id decision")
+        } else {
+          // exact dups never reach the LSH stage
+          assert(nearOf.isEmpty && nNear === 0L, s"seed=$seed id=$id pruned")
+          assert(decision === status, s"seed=$seed id=$id decision")
+        }
+      }
+
       // --- d17 idempotence ---------------------------------------------
       val kept = batch.join(
         DedupOps.incrementalDedup(corp, batch, "doc_id", "text")

@@ -282,6 +282,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"no band-keyed exchange found: $exchanges")
   }
 
+  test("ingest triage (d20): no text on any exchange, survivor semi-join is band-side") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pdocs = probe.createDataFrame(docs.rdd, docs.schema)
+    val df = DedupOps.ingestTriage(
+      pdocs.filter(col("doc_id") % 2 === 0),
+      pdocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.5)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    // the whole composition inherits d17+d18's wire discipline: digests,
+    // ids, band keys, and candidate shingle arrays move — raw text never
+    for (cols <- exchanges)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+    assert(exchanges.exists(_.contains("band_key")),
+      s"no band-keyed exchange found: $exchanges")
+  }
+
   test("prototypicality prune (s16): broadcast assignment, cell window, no corpus self-join") {
     val df = SimilarityOps.prototypicalityPrune(emb,
       emb.filter(col("vec_id") < 2), 1, 5)

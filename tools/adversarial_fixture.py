@@ -21,8 +21,9 @@ backslashes (exercises Verify's oracle-JSON escaping end-to-end), a
          q34_recursive_cte"
     python3 tools/check.py /tmp/xfix /tmp/xfix_out   # 25/25 OK
 
-(Signature-vector queries — d04/d05/d09/d10/t04/t05, s04 — carry
-fixture-specific VALUES oracles and are excluded by design.)
+(Signature-vector queries — d04/d05/d09/d10/t04/t05, s04, and the
+d16/d18/d20 family whose oracles embed the d04 signature VALUES — carry
+driver-data-specific VALUES and are excluded by design.)
 
 First run of this gate caught the t01 astral divergence: the engine pins
 Spark's composed-regex semantics where the subword split falls between
