@@ -229,6 +229,16 @@ object PipelineQueries {
     */
   val PackBudget = 256
 
+  /** t23's Jelinek–Mercer interpolation weight λ = num/den — ONE rational,
+    * interpolated into both engines (the PackBudget rule). Den MUST stay a
+    * power of two: λ and 1−λ are then exact binary doubles, so the
+    * per-row float chain is IEEE-identical engine↔oracle (t21's lesson —
+    * an inexact weight would fork in the last bit before the micro-nat
+    * round).
+    */
+  val LmInterpNum = 3
+  val LmInterpDen = 4
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -697,6 +707,16 @@ object PipelineQueries {
     "t22_bigram_xent" -> ((s, d) =>
       RelevanceOps.bigramCrossEntropy(Tables.documents(s, d),
         "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // The interpolated-backoff order above t22: P(w2|w1) = λ·c12/c1 +
+    // (1−λ)·(c2+1)/(T+V) — unseen transitions back off to the smoothed
+    // unigram successor frequency, the KenLM-family shape the CCNet
+    // filter actually uses. λ = LmInterpNum/LmInterpDen, one exact binary
+    // rational on both engines. See RelevanceOps.interpolatedBigramXent.
+    "t23_interp_xent" -> ((s, d) =>
+      RelevanceOps.interpolatedBigramXent(Tables.documents(s, d),
+        "doc_id", "text", LmInterpNum, LmInterpDen)
         .orderBy(col("doc_id"))),
 
     // ---- dedup ------------------------------------------------------------
@@ -1730,6 +1750,40 @@ object PipelineQueries {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // λ interpolated from LmInterpNum/LmInterpDen as an exact-binary
+    // division both engines evaluate identically; the float chain
+    // (λ·ratio + (1−λ)·ratio, then ln) mirrors the engine term-for-term.
+    "t23_interp_xent" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[g], 'w2': t[g+1]}
+        |            FOR g IN generate_series(1, len(t) - 1)]) AS p
+        |  FROM tok),
+        |b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b2 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM b2 GROUP BY w2),
+        |tv AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+        |              CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM b2),
+        |per AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * -ln(
+        |        ($LmInterpNum.0 / $LmInterpDen)
+        |          * (c12.c12 / CAST(c1.c1 AS DOUBLE))
+        |        + (1 - $LmInterpNum.0 / $LmInterpDen)
+        |          * ((c2.c2 + 1.0) / (tv.t + tv.v))) * 1e6)
+        |         AS BIGINT) AS cm
+        |  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |          JOIN c2 USING (w2), tv)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "d02_shingle_cardinality" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) < 5 THEN 0

@@ -190,6 +190,68 @@ object RelevanceOps {
       .drop(col("nll_micro"))
   }
 
+  /** t23: interpolated (Jelinek–Mercer) bigram/unigram LM cross-entropy —
+    * one step closer to the production CCNet filter than
+    * [[bigramCrossEntropy]]'s add-one proxy: the KenLM-family models it
+    * stands in for interpolate orders, P(w₂|w₁) = λ·c₁₂/c₁ +
+    * (1−λ)·(c₂+1)/(T+V), so an unseen transition backs off to the
+    * (add-one-smoothed) unigram frequency of w₂ instead of a flat
+    * vocabulary floor. All counts are over the corpus's bigram-instance
+    * table: c₁₂ per (w₁,w₂), c₁ per context, c₂ per successor, T total
+    * instances, V distinct successors — one explode feeds every table.
+    *
+    * Determinism (the t21/t22 discipline): λ MUST be an exact binary
+    * rational (den a power of two) so both engines evaluate the identical
+    * float chain — enforced, not documented; per-(doc,bigram)
+    * contributions round to integer micro-nats BEFORE the per-doc sum.
+    * P ≤ λ·1 + (1−λ)·1 = 1 (c₁₂ ≤ c₁ termwise; c₂+1 ≤ T+V since V ≥ 1),
+    * so −ln P ≥ 0 and Spark HALF_UP equals DuckDB half-away-from-zero.
+    *
+    * Scale shape: the t22 rule throughout — the bigram count table joins
+    * shuffled on (w₁,w₂); the unigram context/successor tables join
+    * un-hinted (vocab is Heaps-law unbounded; AQE broadcasts them while
+    * they fit and degrades to shuffle joins at web scale); only the
+    * single-row (T, V) scalar is force-broadcast. Text never shuffles.
+    */
+  def interpolatedBigramXent(docs: DataFrame, idCol: String,
+      textCol: String, lambdaNum: Int = 3, lambdaDen: Int = 4): DataFrame = {
+    require(lambdaDen > 0 && (lambdaDen & (lambdaDen - 1)) == 0,
+      s"lambdaDen=$lambdaDen must be a power of two (exact binary rational)")
+    require(lambdaNum > 0 && lambdaNum < lambdaDen,
+      s"lambda=$lambdaNum/$lambdaDen out of (0, 1)")
+    val lam = lambdaNum.toDouble / lambdaDen // exact: power-of-two divisor
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val bigr = toks
+      .filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tf = bigr.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = bigr.agg(count(lit(1)).cast("double").as("t"),
+      countDistinct(col("w2")).cast("double").as("v"))
+    tf.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        lit(lam) * (col("c12").cast("double") / col("c1").cast("double")) +
+          lit(1.0 - lam) *
+            ((col("c2").cast("double") + 1.0) / (col("t") + col("v"))))
+      .withColumn("contrib_micro",
+        round(col("tf").cast("double") * -log(col("p")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("contrib_micro")).as("nll_micro"))
+      .withColumn("xent",
+        round(col("nll_micro") / 1e6 / col("n_bigrams"), 4))
+      .drop(col("nll_micro"))
+  }
+
   /** Tokenizer-training vocabulary statistics: the top-N terms by corpus
     * frequency with cumulative token-coverage fraction ("the 30 most
     * frequent terms cover X% of all tokens") — the first artifact of any

@@ -917,6 +917,50 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(sc(3L) > sc(0L), s"shuffled ${sc(3L)} !> typical ${sc(0L)}")
   }
 
+  test("interp xent: hand-computed backoff mix; unseen-transition backoff beats flat") {
+    // instances: doc0 (a,b)(b,a)(a,b), doc1 (a,b) → c12 (a,b)=3 (b,a)=1;
+    // c1 a=3 b=1; c2 b=3 a=1; T=4, V=|{a,b}|=2; λ=3/4
+    val tiny = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val got = RelevanceOps.interpolatedBigramXent(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(0L, 1L), "the bigram-less doc drops")
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val pAB = 0.75 * (3.0 / 3.0) + 0.25 * ((3.0 + 1.0) / (4.0 + 2.0))
+    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * ((1.0 + 1.0) / (4.0 + 2.0))
+    val d0 = (micro(2 * -math.log(pAB)) + micro(-math.log(pBA))) / 1e6 / 3
+    assert(got(0L) === ((3L,
+      BigDecimal(d0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val d1 = micro(-math.log(pAB)) / 1e6 / 1
+    assert(got(1L) === ((1L,
+      BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // shuffled transitions still score strictly worse than typical prose
+    val shuffled = Seq((0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val sc = RelevanceOps.interpolatedBigramXent(shuffled, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(3L) > sc(0L), s"shuffled ${sc(3L)} !> typical ${sc(0L)}")
+    // the backoff does its job: docs 1 and 2 have IDENTICAL transition
+    // statistics (one once-seen bigram from a once-seen context), so
+    // t22's add-one model ties them exactly — but doc1's successor is
+    // corpus-frequent and doc2's is rare, which only the interpolated
+    // unigram backoff can see
+    val corpus = Seq((0L, "w w w w w"), (1L, "p w"), (2L, "q z"))
+      .toDF("doc_id", "text")
+    val flat = RelevanceOps.bigramCrossEntropy(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(flat(1L) === flat(2L), "t22 must tie these by construction")
+    val bc = RelevanceOps.interpolatedBigramXent(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bc(1L) < bc(2L),
+      s"frequent-successor backoff ${bc(1L)} !< rare ${bc(2L)}")
+    // λ must be an exact binary rational — enforced, not documented
+    intercept[IllegalArgumentException] {
+      RelevanceOps.interpolatedBigramXent(tiny, "doc_id", "text", 1, 3)
+    }
+  }
+
   test("temperature mix: hot source downsampled by sqrt law, tiny source kept whole") {
     // planted skew: one 640-doc hot source, one 10-doc tiny source.
     // N = 650: hot rate = min(1, sqrt(650/640)/8) ≈ 0.126 → thresh
