@@ -160,6 +160,26 @@ object DedupOps {
         x => x.getField("line")),
       sep)
 
+  /** [[lineRebuild]] for CHUNKED arrival: line_no restarts at 0 in every
+    * stream row, so a document ingested as several chunks (the session-
+    * window reassembly case) must order chunks by event time BEFORE the
+    * intra-chunk line_no — struct(ts, line_no, line) sort. When a document
+    * is one row (the batch case and the tumbling-window contract), ts is
+    * constant inside the group and the sort reduces EXACTLY to
+    * [[lineRebuild]]'s (line_no, line) order — pinned in
+    * PipelineStreamsSpec, so the two rebuilds cannot drift where both are
+    * defined. Chunks sharing one timestamp fall back to (line_no, line) —
+    * give concurrent chunks distinct event times if their order matters.
+    */
+  private[graft] def chunkRebuild(sep: String,
+      tsCol: String): org.apache.spark.sql.Column =
+    array_join(
+      transform(
+        array_sort(collect_list(
+          struct(col(tsCol), col("line_no"), col("line")))),
+        x => x.getField("line")),
+      sep)
+
   def lineCollapse(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val kept = firstOccurrence(docs, idCol, textCol, sep, keepText = true)

@@ -162,6 +162,35 @@ object PipelineStreams {
       .select(col("window.start").as("window_start"), col(idCol),
         col("clean_text"), col("n_kept"))
 
+  /** [[rebuildDocs]] with a SESSION window per document — closes the
+    * tumbling variant's documented caveat that a document split across
+    * window boundaries emits partials: a per-(doc) `session_window`
+    * extends while chunks keep arriving within `gap` of each other, so a
+    * bursty multi-chunk document reassembles WHOLE no matter where the
+    * tumbling grid would have cut it, and the session closes (and emits)
+    * once the watermark passes the last chunk + gap. Size `gap` to the
+    * ingest burstiness — it bounds both reassembly latency and how long
+    * a document's kept lines stay in state.
+    *
+    * The rebuild is [[graft.operators.DedupOps.chunkRebuild]]: chunks
+    * order by event time, lines by line_no inside their chunk —
+    * identical to the shared batch `lineRebuild` order whenever a
+    * document arrives as one row (spec-pinned), because line_no restarts
+    * per stream row and cross-chunk line_no alone cannot order a
+    * document. Same watermark-inheritance contract as [[rebuildDocs]]:
+    * session windows merge in state, so the input must already carry the
+    * event-time watermark.
+    */
+  def rebuildDocsSessions(lines: DataFrame, tsCol: String, idCol: String,
+      gap: String, sep: String = "\n"): DataFrame =
+    lines
+      .groupBy(session_window(col(tsCol), gap), col(idCol))
+      .agg(graft.operators.DedupOps.chunkRebuild(sep, tsCol)
+        .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .select(col("session_window.start").as("session_start"), col(idCol),
+        col("clean_text"), col("n_kept"))
+
   /** Ingest-duplication observability: per event-time window, how many
     * documents arrived vs how many distinct contents — the dup_frac series
     * a crawl operator watches to catch a feed gone circular (the at-ingest

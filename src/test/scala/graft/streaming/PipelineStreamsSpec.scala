@@ -289,6 +289,67 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("session reassembly: a doc split across a tumbling boundary rebuilds whole") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    // doc 7 arrives as TWO chunks 60s apart straddling the 17:05 tumbling
+    // boundary; doc 8 is a control single-row doc in one window
+    val chunks = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-16 17:04:30"), 7L,
+        "first line\nsecond line"),
+      (java.sql.Timestamp.valueOf("2021-01-16 17:05:30"), 7L,
+        "third line\nfourth line"),
+      (java.sql.Timestamp.valueOf("2021-01-16 17:06:00"), 8L,
+        "control alpha\ncontrol beta"))
+    def lines(in: MemoryStream[(java.sql.Timestamp, Long, String)]) =
+      PipelineStreams.dedupLinesByDigest(
+        in.toDF().toDF("ts", "doc_id", "text"),
+        "ts", "doc_id", "text", "10 minutes")
+    val sentinel = (java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 99L,
+      "watermark sentinel")
+
+    // tumbling 5-minute windows: the straddling doc emits TWO partials —
+    // the documented caveat this variant exists to close
+    val inT = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val qT = PipelineStreams.rebuildDocs(lines(inT), "ts", "doc_id",
+        "5 minutes")
+      .writeStream.format("memory").queryName("rb_tumble")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { d => inT.addData(d); qT.processAllAvailable() }
+      inT.addData(sentinel); qT.processAllAvailable()
+      val partials = spark.table("rb_tumble").filter(col("doc_id") === 7)
+        .select(col("clean_text")).as[String].collect().sorted
+      assert(partials.length === 2, partials.mkString("|"))
+      assert(partials === Array("first line\nsecond line",
+        "third line\nfourth line"))
+    } finally qT.stop()
+
+    // session windows at the same 5-minute scale: the 60s chunk gap keeps
+    // the session open across the boundary — ONE whole doc, chunk order
+    val inS = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val qS = PipelineStreams.rebuildDocsSessions(lines(inS), "ts", "doc_id",
+        "5 minutes")
+      .writeStream.format("memory").queryName("rb_session")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { d => inS.addData(d); qS.processAllAvailable() }
+      inS.addData(sentinel); qS.processAllAvailable()
+      val got = spark.table("rb_session").filter(col("doc_id") < 99)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(7L, 8L))
+      assert(got(0) === ((7L,
+        "first line\nsecond line\nthird line\nfourth line", 4L)))
+      // single-row docs reduce to the SHARED batch rebuild order exactly
+      val batch8 = DedupOps.lineCollapse(
+          Seq(chunks(2)).toDF("ts", "doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+        .as[(Long, String, Long)].collect().head
+      assert(got(1) === batch8)
+    } finally qS.stop()
+  }
+
   test("streaming paragraph dedup: blank-line separator, same machinery") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
