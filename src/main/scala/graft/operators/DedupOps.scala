@@ -361,6 +361,34 @@ object DedupOps {
     * projection stays full-batch per-row work — it is scan-side,
     * shuffle-free, and the candidate join already prunes what it carries.
     */
+  /** The banded-signature index of a document set: (id, band, band_key)
+    * rows — THE band table both [[incrementalNearDup]]'s sides and the
+    * streaming at-ingest leg ([[graft.streaming.PipelineStreams]]) build
+    * from, so batch and stream banding can never drift. In production
+    * the corpus-side instance is a pre-materialized ingest artifact
+    * (written once per ingest cycle, like d01's digest index), not
+    * recomputed per batch.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleWords: Int,
+      outId: String = "cid"): DataFrame =
+    docs.select(col(idCol).as(outId),
+      TextFns.shingleMinhash(
+        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(outId),
+        posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
+          .as(Seq("band", "band_key")))
+
+  /** The shingle-set sibling of [[bandIndex]] — (id, shingles) rows for
+    * the exact-Jaccard verification step; same shared-definition rule.
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, outId: String = "cid",
+      outSh: String = "shs"): DataFrame =
+    docs.select(col(idCol).as(outId),
+      TextFns.wordShingles(col(textCol), shingleWords).as(outSh))
+
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3,
@@ -370,20 +398,14 @@ object DedupOps {
         df.join(ids.select(col(idCol).as(idName)), Seq(idName), "left_semi")
       case None => df
     }
-    def bandTable(df: DataFrame, idName: String) =
-      df.select(col(idCol).as(idName),
-        TextFns.shingleMinhash(
-          TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col(idName),
-          posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
-            .as(Seq("band", "band_key")))
-    val cands = restrict(bandTable(batch, "bid"), "bid")
-      .join(bandTable(corpus, "cid"), Seq("band", "band_key"))
+    val cands = restrict(
+        bandIndex(batch, idCol, textCol, k, bands, shingleWords, "bid"),
+        "bid")
+      .join(bandIndex(corpus, idCol, textCol, k, bands, shingleWords, "cid"),
+        Seq("band", "band_key"))
       .select(col("bid"), col("cid")).distinct()
     def sh(df: DataFrame, idName: String, shName: String) =
-      df.select(col(idCol).as(idName),
-        TextFns.wordShingles(col(textCol), shingleWords).as(shName))
+      shingleIndex(df, idCol, textCol, shingleWords, idName, shName)
     val verified = cands
       .join(sh(batch, "bid", "sh_b"), Seq("bid"))
       .join(sh(corpus, "cid", "sh_c"), Seq("cid"))

@@ -60,6 +60,57 @@ object PipelineStreams {
       .join(corpusDigests.select(col("digest")).distinct(),
         Seq("digest"), "left_anti")
 
+  /** At-ingest NEAR-dup detection against the already-ingested corpus —
+    * the streaming twin of batch d18 ([[graft.operators.DedupOps
+    * .incrementalNearDup]]), completing the at-ingest dedup family:
+    * [[dedupByDigest]] catches exact copies in the horizon,
+    * [[dedupAgainstCorpus]] exact copies in history, and this leg
+    * catches REWORDED re-crawls of stored documents. Emits one row per
+    * (event-time window, arriving doc) that verifies ≥ `threshold`
+    * exact-shingle Jaccard against some corpus doc: (window_start, id,
+    * dup_of = minimal matching corpus id, n_matches = distinct verified
+    * corpus matches) — a detector stream a gate or an operator dashboard
+    * consumes; the batch d18/d20 pass remains the deterministic ledger.
+    *
+    * The static sides are THE shared index builders
+    * ([[graft.operators.DedupOps.bandIndex]] / `shingleIndex` — same
+    * definitions batch d18 builds from, so stream and batch banding can
+    * never drift); in production both are pre-materialized ingest
+    * artifacts like d01's digest index. Scale shape: the stream side
+    * explodes to (ts, id, shingles, band, band_key) rows — `bands` rows
+    * per doc — and meets the corpus ONLY in the stream-static band join
+    * (stateless, per micro-batch); verification is per-row; the single
+    * stateful stage is the final windowed rollup, whose state is the
+    * verified matches inside the watermark horizon (LSH-few by design).
+    * `collect_set(cid)` dedups multi-band collisions of the same pair
+    * (batch d18's `.distinct()` step) — a distinct AGGREGATE is
+    * unsupported in streaming, a set column is fine.
+    */
+  def nearDupAgainstCorpus(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, tsCol: String, idCol: String,
+      textCol: String, threshold: Double, window_ : String, delay: String,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    import graft.functions.TextFns
+    val banded = docs
+      .withWatermark(tsCol, delay)
+      .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
+      .withColumn("sig", TextFns.shingleMinhash(
+        TextFns.tokens(col(textCol)), shingleWords, k))
+      .filter(col("sig").isNotNull)
+      .select(col(tsCol), col(idCol), col("sh_b"),
+        posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
+          .as(Seq("band", "band_key")))
+    banded
+      .join(corpusBands, Seq("band", "band_key"))
+      .join(corpusShingles, Seq("cid"))
+      .filter(TextFns.jaccard(col("sh_b"), col("shs")) >= threshold)
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(min(col("cid")).as("dup_of"),
+        size(collect_set(col("cid"))).as("n_matches"))
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("dup_of"), col("n_matches").cast("long").as("n_matches"))
+  }
+
   /** At-ingest quality gate: the t02 keep-flag applied as a streaming
     * filter (stateless — composes with [[dedupByDigest]] upstream of any
     * stateful stage).

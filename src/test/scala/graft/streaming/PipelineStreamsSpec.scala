@@ -109,6 +109,58 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus near-dup detector: flags reworded re-crawls, equals batch d18 matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest to hide from every hunter nearby"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely different text about spark catalyst optimizer " +
+        "rules and tungsten codegen stages with partitions and joins"))
+      .toDF("doc_id", "text")
+    val thr = 0.5
+    val corpusBands = DedupOps.bandIndex(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleWords = 3)
+    val corpusShingles = DedupOps.shingleIndex(corpus, "doc_id", "text",
+      shingleWords = 3)
+    val arrivals = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L,
+        base.replace("lazy", "sleepy")),          // reworded re-crawl
+      (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L, base), // exact
+      (java.sql.Timestamp.valueOf("2021-01-16 17:02:00"), 2L,
+        "yet another unrelated document mentioning kafka topics offsets " +
+          "consumers producers brokers partitions replication and logs"),
+      (java.sql.Timestamp.valueOf("2021-01-16 17:03:00"), 3L, "too short"))
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val flags = PipelineStreams.nearDupAgainstCorpus(
+      in.toDF().toDF("ts", "doc_id", "text"), corpusBands, corpusShingles,
+      "ts", "doc_id", "text", thr, "10 minutes", "10 minutes",
+      k = 32, bands = 8, shingleWords = 3)
+    val q = flags.writeStream.format("memory").queryName("ndc")
+      .outputMode("append").start()
+    try {
+      arrivals.foreach { d => in.addData(d); q.processAllAvailable() }
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 99L,
+        "watermark sentinel advancing past the arrival window"))
+      q.processAllAvailable()
+      val got = spark.table("ndc").filter(col("doc_id") < 99)
+        .select(col("doc_id"), col("dup_of"), col("n_matches"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // the batch d18 pass over the same split is the ledger this
+      // detector must agree with: same matched set, same attribution
+      val batch = DedupOps.incrementalNearDup(corpus,
+          arrivals.toDF("ts", "doc_id", "text"), "doc_id", "text", thr,
+          k = 32, bands = 8)
+        .filter(col("dup_of").isNotNull)
+        .select(col("doc_id"), col("dup_of"), col("n_matches"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got === batch)
+      assert(got.map(_._1).toSeq === Seq(0L, 1L), "only the re-crawls flag")
+      assert(got.forall(_._2 === 100L), "attribution is the base doc")
+    } finally q.stop()
+  }
+
   test("quality gate: short/junk docs filtered, real docs kept") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
