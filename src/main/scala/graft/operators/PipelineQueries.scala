@@ -246,6 +246,14 @@ object PipelineQueries {
     */
   val LshSweepThreshold = 0.5
 
+  /** d16s' deterministic audit-slice fraction and its integer 24-bit
+    * threshold — the SAME floor computation `lshTuningCurve` performs
+    * internally, precomputed once here so the DuckDB oracle compares the
+    * identical integer (the t12/t21 threshold discipline).
+    */
+  val LshSampleFrac = 0.5
+  val LshSampleThresh: Long = math.floor(LshSampleFrac * (1L << 24)).toLong
+
   /** Sequence packing (context-window construction): assign each doc a
     * (bin, offset) inside its source shard by exclusive prefix-sum of
     * token counts — bin = cum_before DIV budget, offset = cum_before MOD
@@ -775,6 +783,14 @@ object PipelineQueries {
       DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
         threshold = LshSweepThreshold)),
 
+    // The sampled form of the d16 audit — the shape it actually runs at
+    // 100 TB: same sweep over the deterministic md5-draw half-slice, so
+    // the sampling path itself is cross-engine oracled (the oracle
+    // recomputes the identical 24-bit draw), not just spec-pinned.
+    "d16s_lsh_tuning_sampled" -> ((s, d) =>
+      DedupOps.lshTuningCurve(Tables.documents(s, d), "doc_id", "text",
+        threshold = LshSweepThreshold, sampleFrac = LshSampleFrac)),
+
     // Lee-et-al exact-substring duplication accounting at an 8-token
     // window: per doc, positions covered by some >=8-token span occurring
     // at least twice corpus-wide — the repeated-span removal signal one
@@ -1164,6 +1180,58 @@ object PipelineQueries {
        |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
        |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
        |       FROM tok)""".stripMargin
+
+  /** d16's sweep oracle, once for the full corpus and once for the
+    * deterministic `sampleFrac` slice (`sampled = true` adds the same
+    * 24-bit md5-draw restriction the engine applies, with the SAME
+    * precomputed integer threshold [[LshSampleThresh]]) — one SQL body so
+    * the two registry entries cannot drift.
+    */
+  private def d16OracleSql(sampled: Boolean): String = {
+    val sampleCte = if (sampled)
+      s"""samp AS (SELECT doc_id FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+         |        AS BIGINT) < $LshSampleThresh),
+         |""".stripMargin
+    else ""
+    val compFilter = if (sampled)
+      " WHERE doc_id IN (SELECT doc_id FROM samp)" else ""
+    s"WITH $lshSigShinglePrologue,\n" +
+      sampleCte +
+      s"""comp AS (SELECT doc_id, g, sig[g+1] AS v
+         |         FROM s, range(0, 16) t(g)$compFilter),
+         |cand16 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM comp a JOIN comp b
+         |             ON a.g = b.g AND a.v = b.v AND a.doc_id < b.doc_id),
+         |p AS (SELECT c.id_a, c.id_b,
+         |        [sa.sig[i] = sb.sig[i] FOR i IN generate_series(1, 16)]
+         |          AS mask,
+         |        (CASE WHEN len(ja.shs) + len(jb.shs) = 0 THEN 0.0
+         |              ELSE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+         |                   / (len(ja.shs) + len(jb.shs)
+         |                      - len(list_intersect(ja.shs, jb.shs)))
+         |         END >= $LshSweepThreshold) AS is_dup
+         |      FROM cand16 c
+         |      JOIN s sa ON sa.doc_id = c.id_a
+         |      JOIN s sb ON sb.doc_id = c.id_b
+         |      JOIN sh ja ON ja.doc_id = c.id_a
+         |      JOIN sh jb ON jb.doc_id = c.id_b),
+         |cfg(bands, rows_per_band) AS (VALUES (2, 8), (4, 4), (8, 2), (16, 1)),
+         |caught AS (
+         |  SELECT p.is_dup, cfg.bands, cfg.rows_per_band,
+         |    len([g FOR g IN generate_series(0, cfg.bands - 1)
+         |         IF NOT list_contains(
+         |              mask[g * cfg.rows_per_band + 1 :
+         |                   g * cfg.rows_per_band + cfg.rows_per_band],
+         |              false)]) > 0 AS hit
+         |  FROM p CROSS JOIN cfg)
+         |SELECT bands, rows_per_band,
+         |  count(*) AS n_candidates,
+         |  count(*) FILTER (WHERE is_dup) AS n_true_dups
+         |FROM caught WHERE hit
+         |GROUP BY bands, rows_per_band
+         |ORDER BY bands""".stripMargin
+  }
 
   /** The production bands=4 candidate pairing over [[lshSigShinglePrologue]]
     * — d09/d10's blocker; d16 swaps in its own finest-granularity pairing.
@@ -1833,41 +1901,11 @@ object PipelineQueries {
     // threshold. String equality on sig components ≡ the engine's long
     // equality (same pinned values), and the Jaccard filter compares the
     // identical integer-ratio double on both engines (the d10 recipe).
-    "d16_lsh_tuning" ->
-      (s"WITH $lshSigShinglePrologue,\n" +
-      s"""comp AS (SELECT doc_id, g, sig[g+1] AS v
-         |         FROM s, range(0, 16) t(g)),
-         |cand16 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |           FROM comp a JOIN comp b
-         |             ON a.g = b.g AND a.v = b.v AND a.doc_id < b.doc_id),
-         |p AS (SELECT c.id_a, c.id_b,
-         |        [sa.sig[i] = sb.sig[i] FOR i IN generate_series(1, 16)]
-         |          AS mask,
-         |        (CASE WHEN len(ja.shs) + len(jb.shs) = 0 THEN 0.0
-         |              ELSE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
-         |                   / (len(ja.shs) + len(jb.shs)
-         |                      - len(list_intersect(ja.shs, jb.shs)))
-         |         END >= $LshSweepThreshold) AS is_dup
-         |      FROM cand16 c
-         |      JOIN s sa ON sa.doc_id = c.id_a
-         |      JOIN s sb ON sb.doc_id = c.id_b
-         |      JOIN sh ja ON ja.doc_id = c.id_a
-         |      JOIN sh jb ON jb.doc_id = c.id_b),
-         |cfg(bands, rows_per_band) AS (VALUES (2, 8), (4, 4), (8, 2), (16, 1)),
-         |caught AS (
-         |  SELECT p.is_dup, cfg.bands, cfg.rows_per_band,
-         |    len([g FOR g IN generate_series(0, cfg.bands - 1)
-         |         IF NOT list_contains(
-         |              mask[g * cfg.rows_per_band + 1 :
-         |                   g * cfg.rows_per_band + cfg.rows_per_band],
-         |              false)]) > 0 AS hit
-         |  FROM p CROSS JOIN cfg)
-         |SELECT bands, rows_per_band,
-         |  count(*) AS n_candidates,
-         |  count(*) FILTER (WHERE is_dup) AS n_true_dups
-         |FROM caught WHERE hit
-         |GROUP BY bands, rows_per_band
-         |ORDER BY bands""".stripMargin),
+    "d16_lsh_tuning" -> d16OracleSql(sampled = false),
+    // identical sweep restricted to the deterministic md5-draw slice —
+    // the oracle recomputes the same 24-bit threshold integer the engine
+    // floors from LshSampleFrac
+    "d16s_lsh_tuning_sampled" -> d16OracleSql(sampled = true),
     // d19's oracle anchors on the RAW window strings (the engine's
     // xxhash64 key can only over-mark on a 2^-64 collision — the
     // d09/d16 caveat class); the interval union is the same integer

@@ -22,7 +22,7 @@ backslashes (exercises Verify's oracle-JSON escaping end-to-end), a
     python3 tools/check.py /tmp/xfix /tmp/xfix_out   # 26/26 OK
 
 (Signature-vector queries — d04/d05/d09/d10/t04/t05, s04, and the
-d16/d18/d20 family whose oracles embed the d04 signature VALUES — carry
+d16/d16s/d18/d20 family whose oracles embed the d04 signature VALUES — carry
 driver-data-specific VALUES and are excluded by design.)
 
 First run of this gate caught the t01 astral divergence: the engine pins
