@@ -239,6 +239,14 @@ object PipelineQueries {
   val LmInterpNum = 3
   val LmInterpDen = 4
 
+  /** t24's trigram interpolation weights λ₁ = 1/2, λ₂ = 1/4 (λ₃ = 1−λ₁−λ₂
+    * derived, exact) — same exact-binary-rational rule as [[LmInterpNum]].
+    */
+  val TriL1Num = 1
+  val TriL1Den = 2
+  val TriL2Num = 1
+  val TriL2Den = 4
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -725,6 +733,14 @@ object PipelineQueries {
     "t23_interp_xent" -> ((s, d) =>
       RelevanceOps.interpolatedBigramXent(Tables.documents(s, d),
         "doc_id", "text", LmInterpNum, LmInterpDen)
+        .orderBy(col("doc_id"))),
+
+    // The trigram order of the ladder — closest to the KenLM shape the
+    // CCNet filter runs; λ₁=1/2, λ₂=1/4, λ₃ derived (all exact binary).
+    // See RelevanceOps.interpolatedTrigramXent.
+    "t24_trigram_xent" -> ((s, d) =>
+      RelevanceOps.interpolatedTrigramXent(Tables.documents(s, d),
+        "doc_id", "text", TriL1Num, TriL1Den, TriL2Num, TriL2Den)
         .orderBy(col("doc_id"))),
 
     // ---- dedup ------------------------------------------------------------
@@ -1850,6 +1866,50 @@ object PipelineQueries {
         |  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |          JOIN c2 USING (w2), tv)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // λ₃ spelled (1 − λ₁ − λ₂) with the same left-associated exact-binary
+    // subtractions the engine performs; every join and ratio mirrors the
+    // engine term-for-term (the t23 recipe one order up). b3 MUST be
+    // MATERIALIZED: DuckDB inlines plain CTEs, and seven re-expansions of
+    // the unnest comprehension under the count-table join tree send its
+    // optimizer into a >240s plan (measured; 0.12s materialized).
+    "t24_trigram_xent" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[g], 'w2': t[g+1], 'w3': t[g+2]}
+        |            FOR g IN generate_series(1, len(t) - 2)]) AS p
+        |  FROM tok),
+        |b3 AS MATERIALIZED (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg),
+        |tf AS (SELECT doc_id, w1, w2, w3, count(*) AS tf
+        |       FROM b3 GROUP BY 1, 2, 3, 4),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM b3 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b3 GROUP BY 1, 2),
+        |c23 AS (SELECT w2, w3, count(*) AS c23 FROM b3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM b3 GROUP BY w2),
+        |c3 AS (SELECT w3, count(*) AS c3 FROM b3 GROUP BY w3),
+        |tv AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+        |              CAST(count(DISTINCT w3) AS DOUBLE) AS v FROM b3),
+        |per AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * -ln(
+        |        ($TriL1Num.0 / $TriL1Den)
+        |          * (c123.c123 / CAST(c12.c12 AS DOUBLE))
+        |        + ($TriL2Num.0 / $TriL2Den)
+        |          * (c23.c23 / CAST(c2.c2 AS DOUBLE))
+        |        + (1 - $TriL1Num.0 / $TriL1Den - $TriL2Num.0 / $TriL2Den)
+        |          * ((c3.c3 + 1.0) / (tv.t + tv.v))) * 1e6)
+        |         AS BIGINT) AS cm
+        |  FROM tf JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+        |          JOIN c23 USING (w2, w3) JOIN c2 USING (w2)
+        |          JOIN c3 USING (w3), tv)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
         |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "d02_shingle_cardinality" ->

@@ -252,6 +252,81 @@ object RelevanceOps {
       .drop(col("nll_micro"))
   }
 
+  /** t24: interpolated TRIGRAM LM cross-entropy — the next order of
+    * [[interpolatedBigramXent]]'s ladder and the closest proxy of the
+    * CCNet/KenLM filter family expressible in pure count algebra:
+    * P(w₃|w₁w₂) = λ₁·c₁₂₃/c₁₂ + λ₂·c₂₃/c₂ + λ₃·(c₃+1)/(T+V), each order
+    * backing off to the next when its context is unseen. All counts are
+    * over the corpus's TRIGRAM-instance table (c₁₂ = context pairs,
+    * c₂₃/c₂ = successor-conditional within instances, c₃/T/V = successor
+    * unigram) — one explode feeds every table, and the ≤-termwise bounds
+    * (c₁₂₃ ≤ c₁₂, c₂₃ ≤ c₂, c₃+1 ≤ T+V) give P ≤ λ₁+λ₂+λ₃ = 1, so
+    * −ln P ≥ 0 and the engines' rounding modes agree (the t22/t23 proof).
+    *
+    * Determinism: λ₁, λ₂ must be exact binary rationals (power-of-two
+    * denominators, enforced) and λ₃ = 1−λ₁−λ₂ is then exact too — the
+    * whole per-row float chain is IEEE-identical engine↔oracle; micro-nat
+    * integer contributions before the per-doc sum, as the whole family.
+    * Docs with fewer than three tokens have no trigram positions and
+    * drop out, mirroring t22/t23's sub-bigram rule one order up.
+    *
+    * Scale shape: the t22 rule — every count table joins UN-hinted (the
+    * trigram table is even more Heaps-unbounded than the bigram one);
+    * only the single-row (T,V) scalar broadcasts. Text never shuffles.
+    */
+  def interpolatedTrigramXent(docs: DataFrame, idCol: String,
+      textCol: String, l1Num: Int = 1, l1Den: Int = 2,
+      l2Num: Int = 1, l2Den: Int = 4): DataFrame = {
+    def exactBinary(num: Int, den: Int, name: String): Double = {
+      require(den > 0 && (den & (den - 1)) == 0,
+        s"$name denominator $den must be a power of two")
+      require(num > 0 && num < den, s"$name=$num/$den out of (0, 1)")
+      num.toDouble / den
+    }
+    val l1 = exactBinary(l1Num, l1Den, "lambda1")
+    val l2 = exactBinary(l2Num, l2Den, "lambda2")
+    require(l1 + l2 < 1.0, s"lambda1 + lambda2 = ${l1 + l2} must be < 1")
+    val l3 = 1.0 - l1 - l2 // exact: difference of exact binary rationals
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val tri = toks
+      .filter(size(col("ts")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(ts) - 1), " +
+          "i -> struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))"))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+    val tf = tri.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
+    val c2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = tri.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
+    val tot = tri.agg(count(lit(1)).cast("double").as("t"),
+      countDistinct(col("w3")).cast("double").as("v"))
+    tf.join(c123, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2"))
+      .join(c23, Seq("w2", "w3"))
+      .join(c2, Seq("w2"))
+      .join(c3, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        lit(l1) * (col("c123").cast("double") / col("c12").cast("double")) +
+          lit(l2) * (col("c23").cast("double") / col("c2").cast("double")) +
+          lit(l3) *
+            ((col("c3").cast("double") + 1.0) / (col("t") + col("v"))))
+      .withColumn("contrib_micro",
+        round(col("tf").cast("double") * -log(col("p")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("contrib_micro")).as("nll_micro"))
+      .withColumn("xent",
+        round(col("nll_micro") / 1e6 / col("n_trigrams"), 4))
+      .drop(col("nll_micro"))
+  }
+
   /** Tokenizer-training vocabulary statistics: the top-N terms by corpus
     * frequency with cumulative token-coverage fraction ("the 30 most
     * frequent terms cover X% of all tokens") — the first artifact of any

@@ -961,6 +961,46 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("trigram xent: hand-computed three-order mix; sub-trigram docs drop") {
+    // instances: doc0 (a,b,c)(b,c,a)(c,a,b)(a,b,c), doc1 (a,b,c) → T=5,
+    // V=3; c123 abc=3 bca=1 cab=1; c12 ab=3 bc=1 ca=1; c23 bc=3 ca=1
+    // ab=1; c2 b=3 c=1 a=1; c3 c=3 a=1 b=1; λ = (1/2, 1/4, 1/4)
+    val tiny = Seq((0L, "a b c a b c"), (1L, "a b c"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = RelevanceOps.interpolatedTrigramXent(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(0L, 1L), "the trigram-less doc drops")
+    def micro(x: Double): Long = math.round(x * 1e6)
+    def p(r1: Double, r2: Double, c3: Double): Double =
+      0.5 * r1 + 0.25 * r2 + (1.0 - 0.5 - 0.25) * ((c3 + 1.0) / (5.0 + 3.0))
+    val pABC = p(3.0 / 3.0, 3.0 / 3.0, 3.0)
+    val pBCA = p(1.0 / 1.0, 1.0 / 1.0, 1.0)
+    val pCAB = p(1.0 / 1.0, 1.0 / 1.0, 1.0)
+    val d0 = (micro(2 * -math.log(pABC)) + micro(-math.log(pBCA)) +
+      micro(-math.log(pCAB))) / 1e6 / 4
+    assert(got(0L) === ((4L,
+      BigDecimal(d0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val d1 = micro(-math.log(pABC)) / 1e6 / 1
+    assert(got(1L) === ((1L,
+      BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // shuffled word order still scores strictly worse than typical prose
+    val shuffled = Seq((0L, "the cat sat on the soft mat"),
+      (1L, "the cat sat on the soft mat"), (2L, "the cat sat on the soft mat"),
+      (3L, "mat the soft on sat cat the")).toDF("doc_id", "text")
+    val sc = RelevanceOps.interpolatedTrigramXent(shuffled, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(3L) > sc(0L), s"shuffled ${sc(3L)} !> typical ${sc(0L)}")
+    // exact-binary-rational guards
+    intercept[IllegalArgumentException] {
+      RelevanceOps.interpolatedTrigramXent(tiny, "doc_id", "text",
+        l1Num = 1, l1Den = 3)
+    }
+    intercept[IllegalArgumentException] {
+      RelevanceOps.interpolatedTrigramXent(tiny, "doc_id", "text",
+        l1Num = 1, l1Den = 2, l2Num = 1, l2Den = 2) // λ1+λ2 = 1
+    }
+  }
+
   test("temperature mix: hot source downsampled by sqrt law, tiny source kept whole") {
     // planted skew: one 640-doc hot source, one 10-doc tiny source.
     // N = 650: hot rate = min(1, sqrt(650/640)/8) ≈ 0.126 → thresh
