@@ -1048,6 +1048,23 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The tiny-k quantile-threshold form of s16 as its own oracled entry.
+    // Oracle-ability rests on two pinned facts: (1) at full accuracy
+    // Spark's percentile_approx returns the element at rank ceil(p·n) from
+    // the bottom (probed empirically across n=4..100 — 16/16 match; cells
+    // here are far below the 10000-row sketch accuracy, so the sketch is
+    // exact); (2) p = 3/4 is an exact binary double, so ceil(p·n) has no
+    // float hazard (0.8·5 would round to exactly 4.0, but only by luck of
+    // the rounding — 3/4 is exact by construction). The DuckDB twin
+    // recomputes the cut as the rank-ceil(3n/4) element of the rounded
+    // sims — a VALUE at a sorted position, so result is tiebreak-free.
+    "s17_prototype_prune_approx" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.prototypicalityPruneApprox(emb,
+        emb.filter(col("vec_id") < 16), pruneNum = 1, pruneDen = 4)
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN evaluation harness: per-query recall@5 of single-probe IVF
     // against the exact brute-force baseline — the operational metric that
     // tunes nlist/nprobe before committing an index layout. Both rankings
@@ -1285,6 +1302,27 @@ object PipelineQueries {
       |v AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vv,
       |             a.centroid_id
       |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id)""".stripMargin
+
+  /** Shared s16/s17 oracle prologue: 16-centroid table + nearest-centroid
+    * assignment KEEPING the similarity (unlike cell16Prologue, whose `asg`
+    * drops it) — one constant so the exact-rank and quantile-threshold
+    * prune decisions can never drift in assignment or tie-break.
+    */
+  private val proto16Prologue: String =
+    """cent AS (SELECT vec_id AS centroid_id,
+      |                CAST(embedding AS DOUBLE[]) AS cv
+      |         FROM embeddings WHERE vec_id < 16),
+      |a AS (
+      |  SELECT vec_id, centroid_id, sim FROM (
+      |    SELECT e.vec_id, cent.centroid_id,
+      |           list_cosine_similarity(
+      |             CAST(e.embedding AS DOUBLE[]), cent.cv) AS sim,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY list_cosine_similarity(
+      |                                CAST(e.embedding AS DOUBLE[]),
+      |                                cent.cv) DESC,
+      |                              cent.centroid_id) AS rn
+      |    FROM embeddings e, cent) WHERE rn = 1)""".stripMargin
 
   private val ivfOraclePrologue: String =
     """cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
@@ -2219,21 +2257,8 @@ object PipelineQueries {
     // 6-dp comparison precision BEFORE ranking, vec_id tiebreak), and the
     // prune gate is the integer form of rank <= ceil(cell_n / 5).
     "s16_prototype_prune" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id,
-        |                     CAST(embedding AS DOUBLE[]) AS cv
-        |              FROM embeddings WHERE vec_id < 16),
-        |a AS (
-        |  SELECT vec_id, centroid_id, sim FROM (
-        |    SELECT e.vec_id, cent.centroid_id,
-        |           list_cosine_similarity(
-        |             CAST(e.embedding AS DOUBLE[]), cent.cv) AS sim,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(
-        |                                CAST(e.embedding AS DOUBLE[]),
-        |                                cent.cv) DESC,
-        |                              cent.centroid_id) AS rn
-        |    FROM embeddings e, cent) WHERE rn = 1),
-        |r AS (
+      (s"WITH $proto16Prologue,\n" +
+      """r AS (
         |  SELECT vec_id, centroid_id, round(sim, 6) AS proto_sim,
         |         row_number() OVER (PARTITION BY centroid_id
         |                            ORDER BY round(sim, 6) DESC, vec_id)
@@ -2242,7 +2267,29 @@ object PipelineQueries {
         |  FROM a)
         |SELECT vec_id, centroid_id, proto_sim, cell_rank,
         |       5 * cell_rank <= cell_n + 4 AS pruned
-        |FROM r ORDER BY vec_id""".stripMargin,
+        |FROM r ORDER BY vec_id""".stripMargin),
+    // s17: the quantile-threshold prune. cell_cut = the rank-ceil(3n/4)
+    // (from the bottom) element of the cell's 6-dp-rounded sims — exactly
+    // what Spark's full-accuracy percentile_approx(rsim, 0.75) returns
+    // (probed convention, see the registry comment). ceil(3n/4) is the
+    // integer (3n+3)//4: no float touches the rank. The cut is a VALUE at
+    // a sorted position, so ties in rsim cannot change it.
+    "s17_prototype_prune_approx" ->
+      (s"WITH $proto16Prologue,\n" +
+      """r AS (SELECT vec_id, centroid_id, sim, round(sim, 6) AS rsim
+        |       FROM a),
+        |cut AS (
+        |  SELECT centroid_id, rsim AS cell_cut FROM (
+        |    SELECT centroid_id, rsim,
+        |           row_number() OVER (PARTITION BY centroid_id
+        |                              ORDER BY rsim) AS rn,
+        |           count(*) OVER (PARTITION BY centroid_id) AS n
+        |    FROM r)
+        |  WHERE rn = (3 * n + 3) // 4)
+        |SELECT r.vec_id, r.centroid_id, round(r.sim, 6) AS proto_sim,
+        |       cut.cell_cut, r.rsim > cut.cell_cut AS pruned
+        |FROM r JOIN cut USING (centroid_id)
+        |ORDER BY r.vec_id""".stripMargin),
     "s15_recall_at_k" ->
       (s"WITH $ivfOraclePrologue,\n" +
       """qp AS (

@@ -171,6 +171,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ap11 === 2 || ap11 === 3, s"approx pruned $ap11, expected within one rank")
   }
 
+  test("percentile_approx rank convention: element at ceil(p·n), p=3/4") {
+    // The load-bearing fact under the s17 oracle: at full accuracy Spark's
+    // percentile_approx returns the element at rank ceil(p·n) FROM THE
+    // BOTTOM. p = 3/4 is an exact binary double, so ceil(0.75·n) carries
+    // no float hazard; the oracle recomputes the same rank as the integer
+    // (3n+3)//4. If a Spark upgrade ever changes the convention, this
+    // fails before the driver's gate does.
+    for (n <- Seq(4, 5, 7, 11, 20, 31, 100, 313)) {
+      val got = spark.range(1, n + 1).selectExpr(
+        "percentile_approx(CAST(id AS DOUBLE), 0.75, 10000) AS q")
+        .head.getDouble(0)
+      val want = math.ceil(0.75 * n)
+      assert(got === want, s"n=$n: percentile_approx=$got, ceil-rank elem=$want")
+      assert((3 * n + 3) / 4 === want.toInt, s"n=$n integer-rank form drifted")
+    }
+  }
+
   test("domain blocklist: subdomains inherit the parent block, others keep") {
     val got = graft.SparkEntry.queries("t20_domain_blocklist")(
       spark, "/root/testdata/sf0.001").collect()
