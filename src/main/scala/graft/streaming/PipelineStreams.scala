@@ -111,6 +111,59 @@ object PipelineStreams {
         col("dup_of"), col("n_matches").cast("long").as("n_matches"))
   }
 
+  /** [[nearDupAgainstCorpus]] composed into a DROP DECISION: emits the
+    * arriving documents that are NOT reworded re-crawls of stored corpus
+    * docs, once the watermark closes their event-time window — the
+    * at-ingest keep path of batch d20's triage (whose near-dup leg this
+    * gate must agree with; spec-pinned). The detector form stays the
+    * observability/ledger stream; this form is what an ingest pipeline
+    * actually wires before the sink.
+    *
+    * Shape: LEFT join to the corpus band index (outer band explode keeps
+    * shingle-less docs — nothing to collide with means KEEP, matching
+    * batch d18 which generates no candidate for them), per-row Jaccard
+    * verification as a COLUMN (not a filter — non-matching docs must
+    * survive to the rollup), then one stateful windowed aggregate per
+    * (window, doc) that carries the text through `first` and keeps docs
+    * whose verified-match flag never fired. Latency = window + watermark
+    * delay — the inherent price of a negative decision ("no corpus doc
+    * matched") over an event-time window; a latency-critical ingest runs
+    * the stateless detector and reconciles drops in the batch ledger.
+    *
+    * Scale note: the band explode amplifies text ×bands into the one
+    * exchange (the stream side is the small ingest batch; the corpus
+    * side joins as band keys only). The alternative — project text away
+    * and join it back post-rollup — needs a stream-stream join with its
+    * own watermark state; ×bands on the small side is the cheaper leg.
+    */
+  def nearDupGate(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, tsCol: String, idCol: String,
+      textCol: String, threshold: Double, window_ : String, delay: String,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    import graft.functions.TextFns
+    val banded = docs
+      .withWatermark(tsCol, delay)
+      .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
+      .withColumn("sig", TextFns.shingleMinhash(
+        TextFns.tokens(col(textCol)), shingleWords, k))
+      .select(col(tsCol), col(idCol), col(textCol), col("sh_b"),
+        posexplode_outer(when(col("sig").isNotNull,
+          TextFns.lshBandKeys(col("sig"), k, bands)))
+          .as(Seq("band", "band_key")))
+    banded
+      .join(corpusBands, Seq("band", "band_key"), "left")
+      .join(corpusShingles, Seq("cid"), "left")
+      .withColumn("verified",
+        coalesce(TextFns.jaccard(col("sh_b"), col("shs")) >= threshold,
+          lit(false)))
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(max(when(col("verified"), 1).otherwise(0)).as("hit"),
+        first(col(textCol)).as(textCol))
+      .filter(col("hit") === 0)
+      .select(col("window.start").as("window_start"), col(idCol),
+        col(textCol))
+  }
+
   /** At-ingest quality gate: the t02 keep-flag applied as a streaming
     * filter (stateless — composes with [[dedupByDigest]] upstream of any
     * stateful stage).

@@ -161,6 +161,62 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus near-dup gate: drops the re-crawls the batch ledger flags, " +
+    "keeps novel and shingle-less docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest to hide from every hunter nearby"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely different text about spark catalyst optimizer " +
+        "rules and tungsten codegen stages with partitions and joins"))
+      .toDF("doc_id", "text")
+    val thr = 0.5
+    val corpusBands = DedupOps.bandIndex(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleWords = 3)
+    val corpusShingles = DedupOps.shingleIndex(corpus, "doc_id", "text",
+      shingleWords = 3)
+    val arrivals = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L,
+        base.replace("lazy", "sleepy")),          // reworded re-crawl: DROP
+      (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L, base), // DROP
+      (java.sql.Timestamp.valueOf("2021-01-16 17:02:00"), 2L,
+        "yet another unrelated document mentioning kafka topics offsets " +
+          "consumers producers brokers partitions replication and logs"),
+      (java.sql.Timestamp.valueOf("2021-01-16 17:03:00"), 3L, "too short"))
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val kept = PipelineStreams.nearDupGate(
+      in.toDF().toDF("ts", "doc_id", "text"), corpusBands, corpusShingles,
+      "ts", "doc_id", "text", thr, "10 minutes", "10 minutes",
+      k = 32, bands = 8, shingleWords = 3)
+    assert(kept.columns === Array("window_start", "doc_id", "text"))
+    val q = kept.writeStream.format("memory").queryName("ndg")
+      .outputMode("append").start()
+    try {
+      arrivals.foreach { d => in.addData(d); q.processAllAvailable() }
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 99L,
+        "watermark sentinel advancing past the arrival window"))
+      q.processAllAvailable()
+      val got = spark.table("ndg").filter(col("doc_id") < 99)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      // the gate's kept set is exactly the complement of the batch d18
+      // ledger's matched set over the same arrivals
+      val flaggedByBatch = DedupOps.incrementalNearDup(corpus,
+          arrivals.toDF("ts", "doc_id", "text"), "doc_id", "text", thr,
+          k = 32, bands = 8)
+        .filter(col("dup_of").isNotNull)
+        .select("doc_id").as[Long].collect().toSet
+      val expected = arrivals.collect {
+        case (_, id, text) if !flaggedByBatch(id) => (id, text)
+      }.sortBy(_._1)
+      assert(got === expected)
+      assert(got.map(_._1).toSeq === Seq(2L, 3L),
+        "novel doc kept, shingle-less doc kept, both re-crawls dropped")
+    } finally q.stop()
+  }
+
   test("quality gate: short/junk docs filtered, real docs kept") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
