@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -803,6 +803,52 @@ object DedupOps {
     * at 100× scale an extra exchange per hop is the difference between
     * hours and days.
     */
+  /** d21: per-group document cap — keep at most `cap` docs per group
+    * (domain/source), the C4/RefinedWeb "limit any one domain's share"
+    * curation pass. Which docs survive is decided by the deterministic
+    * `priority` (ascending; ties broken by `idCol` — a hash draw makes the
+    * cap a uniform sample, a quality score makes it best-of), so the kept
+    * set is stable across runs, partitionings, and corpus growth within
+    * the group.
+    *
+    * Scale shape: the obvious window
+    * (`row_number over (partition by group order by priority)`) puts a
+    * giant domain's ENTIRE row set in one sort task — the skewed-window
+    * class SkewBench measured. This form aggregates with
+    * [[graft.functions.TopKAgg]] — map-side partials bounded at `cap`
+    * entries each, so the hottest domain costs O(partitions·cap) at the
+    * merge — then joins the (group, id, rank) survivors back to the
+    * (id, group) projection. Text never moves; the survivor table is
+    * Σ min(cap, |group|) rows, AQE-broadcastable when groups are few and
+    * a plain id-keyed shuffle join (no skew: ids unique) when not — no
+    * hint, the t22 rule.
+    *
+    * Output: one row per doc — (idCol, groupCol, cap_rank NULL for
+    * dropped, kept).
+    */
+  def groupCap(docs: DataFrame, groupCol: String, idCol: String,
+      cap: Int, priority: Column): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    import graft.functions.TopKAgg
+    val kept = docs
+      .select(col(groupCol).as("_1"),
+        struct(priority.cast("long").as("p"), col(idCol).cast("long").as("id"))
+          .as("_2"))
+      .as[(String, TopKAgg.Entry)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAgg.topK(cap).toColumn.name("kept_ids"))
+      .select(col("key").as(groupCol),
+        posexplode(col("kept_ids")).as(Seq("pos", idCol)))
+      .select(col(groupCol), col(idCol),
+        (col("pos") + 1).cast("int").as("cap_rank"))
+    docs.select(col(idCol), col(groupCol))
+      .join(kept, Seq(groupCol, idCol), "left")
+      .select(col(idCol), col(groupCol), col("cap_rank"),
+        col("cap_rank").isNotNull.as("kept"))
+  }
+
   private[operators] def ccHop(both: DataFrame, cur: DataFrame): DataFrame = {
     val nbr = both.join(cur, both("src") === cur("id"))
       .select(both("dst").as("id"), col("label"),

@@ -842,6 +842,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source document cap (C4/RefinedWeb "no domain dominates"): keep
+    // at most 10 docs per source, survivors chosen by the shared 24-bit
+    // md5 draw (the t06/t12 recipe — deterministic, partition-independent,
+    // oracle-recomputable) with doc_id tiebreak. The engine runs the
+    // bounded top-K typed Aggregator (map-side partials capped at 10 —
+    // see DedupOps.groupCap for why the row_number window is the wrong
+    // shape for a monster domain); the oracle IS that window, which is
+    // exactly the point: same answer, skew-free plan.
+    "d21_source_cap" -> ((s, d) =>
+      DedupOps.groupCap(Tables.documents(s, d), "source", "doc_id",
+        cap = 10,
+        priority = conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 6),
+          16, 10).cast("long"))
+        .orderBy(col("doc_id"))),
+
     // Incremental-ingestion dedup: today's batch (doc_id % 10 == 0, a
     // deterministic 10% increment) classified against the accumulated
     // corpus (the other 90%) — the steady-state shape of a continuously
@@ -2066,6 +2082,23 @@ object PipelineQueries {
         |WHERE d.doc_id % 10 = 0
         |ORDER BY d.doc_id""".stripMargin),
     // d17's status CTEs + d18's band/verify CTEs restricted to the
+    // d21: the oracle is the per-source row_number window the engine
+    // deliberately avoids (bounded top-K aggregator instead) — same kept
+    // set by construction, since (draw, doc_id) is a total order.
+    "d21_source_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |         AS INTEGER) AS BIGINT) AS draw
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY draw, doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, source,
+        |       CAST(CASE WHEN rn <= 10 THEN rn END AS INT) AS cap_rank,
+        |       rn <= 10 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     // new_unique survivors — the oracle recomputes the composition from
     // the same independent signature VALUES d18 uses.
     "d20_ingest_triage" ->
