@@ -743,6 +743,48 @@ object PipelineQueries {
         "doc_id", "text", TriL1Num, TriL1Den, TriL2Num, TriL2Den)
         .orderBy(col("doc_id"))),
 
+    // CCNet's actual selection step over the xent ladder: per SOURCE
+    // (CCNet buckets per language; the synthetic corpus's stratification
+    // key is source), split scored docs into head/middle/tail terciles of
+    // the t23 interpolated xent — head trains, tail drops. Scale shape:
+    // NO per-source window over the corpus — tercile CUTS come from a
+    // percentile_approx aggregate (sketch partials, n_sources rows out)
+    // and docs bucket by VALUE against their source's two cuts, the s17
+    // recipe (rank convention spec-pinned for p=1/3, 2/3; cuts are
+    // elements at sorted positions, so ties cannot fork the bucket).
+    // Docs with no transitions (t23 scores only docs with >= 2 tokens)
+    // are unscored and excluded on both engines. The cuts table joins
+    // without a hint: n_sources rows, AQE broadcasts (t22 rule).
+    // Two-consumer note (FinalPlan-audited): the scored subtree feeds
+    // BOTH the cuts aggregate and the probe — a barrier inherent to any
+    // full-set threshold — so the xent pipeline runs twice here (AQE's
+    // ReusedExchange bridges the count-table broadcasts but not the
+    // differently-partitioned aggregates, the r7 lesson). In production
+    // `scored` is t23's ALREADY-MATERIALIZED per-doc score table (the
+    // s17/d01 ingest-artifact pattern): both passes read parquet, the
+    // corpus is never re-scored to bucket it.
+    "t25_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // Measured: a localCheckpoint materialize-once of `scored` is
+      // SLOWER locally (4.85 s vs 3.44 s warm at sf0.1 — checkpoint
+      // overhead exceeds the AQE-bridged recompute), so the query stays
+      // declarative and the artifact pattern stays a production note.
+      val scored = RelevanceOps.interpolatedBigramXent(docs,
+          "doc_id", "text", LmInterpNum, LmInterpDen)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("xent"))
+      val third = lit(1.0) / 3
+      val cuts = scored.groupBy(col("source"))
+        .agg(percentile_approx(col("xent"), third, lit(10000)).as("cut1"),
+          percentile_approx(col("xent"), third * 2, lit(10000)).as("cut2"))
+      scored.join(cuts, Seq("source"))
+        .select(col("doc_id"), col("source"), col("xent"),
+          when(col("xent") <= col("cut1"), "head")
+            .when(col("xent") <= col("cut2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d01_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -1319,6 +1361,41 @@ object PipelineQueries {
       |             a.centroid_id
       |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id)""".stripMargin
 
+  /** Shared t23/t25 oracle CTEs: tokenization → bigram counts → per-
+    * transition interpolated micro-nat cost (`per`) — one constant so the
+    * xent a doc is bucketed by (t25) can never drift from the xent it
+    * reports (t23). λ interpolates from LmInterpNum/LmInterpDen, the same
+    * exact-binary rational the engine uses.
+    */
+  private val interpXentCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest([{'w1': t[g], 'w2': t[g+1]}
+       |            FOR g IN generate_series(1, len(t) - 1)]) AS p
+       |  FROM tok),
+       |b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+       |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b2 GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+       |c2 AS (SELECT w2, count(*) AS c2 FROM b2 GROUP BY w2),
+       |tv AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+       |              CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM b2),
+       |per AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |    CAST(round(tf.tf * -ln(
+       |        ($LmInterpNum.0 / $LmInterpDen)
+       |          * (c12.c12 / CAST(c1.c1 AS DOUBLE))
+       |        + (1 - $LmInterpNum.0 / $LmInterpDen)
+       |          * ((c2.c2 + 1.0) / (tv.t + tv.v))) * 1e6)
+       |         AS BIGINT) AS cm
+       |  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |          JOIN c2 USING (w2), tv)""".stripMargin
+
   /** Shared s16/s17 oracle prologue: 16-centroid table + nearest-centroid
     * assignment KEEPING the similarity (unlike cell16Prologue, whose `asg`
     * drops it) — one constant so the exact-rank and quantile-threshold
@@ -1891,37 +1968,37 @@ object PipelineQueries {
     // λ interpolated from LmInterpNum/LmInterpDen as an exact-binary
     // division both engines evaluate identically; the float chain
     // (λ·ratio + (1−λ)·ratio, then ln) mirrors the engine term-for-term.
+    // CTEs shared with t25's bucketing (interpXentCtes — one definition).
     "t23_interp_xent" ->
-      (s"""WITH tok AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest([{'w1': t[g], 'w2': t[g+1]}
-        |            FOR g IN generate_series(1, len(t) - 1)]) AS p
-        |  FROM tok),
-        |b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
-        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b2 GROUP BY 1, 2, 3),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
-        |c2 AS (SELECT w2, count(*) AS c2 FROM b2 GROUP BY w2),
-        |tv AS (SELECT CAST(count(*) AS DOUBLE) AS t,
-        |              CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM b2),
-        |per AS (
-        |  SELECT tf.doc_id, tf.tf,
-        |    CAST(round(tf.tf * -ln(
-        |        ($LmInterpNum.0 / $LmInterpDen)
-        |          * (c12.c12 / CAST(c1.c1 AS DOUBLE))
-        |        + (1 - $LmInterpNum.0 / $LmInterpDen)
-        |          * ((c2.c2 + 1.0) / (tv.t + tv.v))) * 1e6)
-        |         AS BIGINT) AS cm
-        |  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-        |          JOIN c2 USING (w2), tv)
-        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      (s"WITH $interpXentCtes\n" +
+      """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // t25: per-source terciles of the t23 xent. The cuts are the
+    // rank-ceil(n/3) / ceil(2n/3) elements of each source's sorted xents
+    // — exactly what Spark's full-accuracy percentile_approx(1/3, 2/3)
+    // returns (double(1/3) and double(2/3) both round BELOW the rational,
+    // so ceil(p·n) never jumps a rank at multiples of 3; spec-pinned).
+    // Values at sorted positions: tiebreak-free, like s17's cut.
+    "t25_ccnet_buckets" ->
+      (s"WITH $interpXentCtes,\n" +
+      """sc AS (SELECT per.doc_id, d.source,
+        |         round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
+        |       FROM per JOIN documents d USING (doc_id)
+        |       GROUP BY per.doc_id, d.source),
+        |o AS (SELECT source, xent,
+        |        row_number() OVER (PARTITION BY source ORDER BY xent) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM sc),
+        |cu AS (SELECT source,
+        |         max(CASE WHEN rn = (n + 2) // 3 THEN xent END) AS cut1,
+        |         max(CASE WHEN rn = (2 * n + 2) // 3 THEN xent END) AS cut2
+        |       FROM o GROUP BY source)
+        |SELECT sc.doc_id, sc.source, sc.xent,
+        |       CASE WHEN sc.xent <= cu.cut1 THEN 'head'
+        |            WHEN sc.xent <= cu.cut2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sc JOIN cu USING (source) ORDER BY sc.doc_id""".stripMargin),
     // λ₃ spelled (1 − λ₁ − λ₂) with the same left-associated exact-binary
     // subtractions the engine performs; every join and ratio mirrors the
     // engine term-for-term (the t23 recipe one order up). b3 MUST be

@@ -186,6 +186,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       assert(got === want, s"n=$n: percentile_approx=$got, ceil-rank elem=$want")
       assert((3 * n + 3) / 4 === want.toInt, s"n=$n integer-rank form drifted")
     }
+    // t25's terciles: 1/3 and 2/3 are NOT exact binary, but both round
+    // DOWN in double (0.333…3 < 1/3, 0.666…3 < 2/3), so p·n approaches
+    // integer boundaries from BELOW and ceil(p·n) == ceil(n/3) /
+    // ceil(2n/3) for every n — including multiples of 3, the only place
+    // a float-above p would jump a rank. Pin it, with the integer ranks
+    // the t25 oracle uses.
+    for (n <- Seq(3, 5, 6, 9, 25, 27, 100, 250, 313)) {
+      val r = spark.range(1, n + 1).selectExpr(
+        "percentile_approx(CAST(id AS DOUBLE), CAST(1 AS DOUBLE)/3, 10000) AS q1",
+        "percentile_approx(CAST(id AS DOUBLE), CAST(2 AS DOUBLE)/3, 10000) AS q2")
+        .head
+      assert(r.getDouble(0) === ((n + 2) / 3).toDouble, s"n=$n tercile 1")
+      assert(r.getDouble(1) === ((2 * n + 2) / 3).toDouble, s"n=$n tercile 2")
+    }
   }
 
   test("domain blocklist: subdomains inherit the parent block, others keep") {
