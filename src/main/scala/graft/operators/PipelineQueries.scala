@@ -743,6 +743,34 @@ object PipelineQueries {
         "doc_id", "text", TriL1Num, TriL1Den, TriL2Num, TriL2Den)
         .orderBy(col("doc_id"))),
 
+    // DSIR importance resampling: raw docs (the 98%) scored against the
+    // deterministic 2% holdout as the target distribution (d07's split
+    // recipe — production would pass a curated target set), then the top
+    // QUARTILE by weight selected — the resampling step (the paper adds
+    // Gumbel noise for diversity; rand() is oracle-hostile by design, so
+    // the deterministic top-fraction is the pinned form). The cut is
+    // percentile_approx(logw, 3/4) — the s17 pinned convention, value at
+    // sorted rank ceil(3n/4), tie-free — and docs select by VALUE above
+    // it: no corpus-wide window. Hashed-unigram multinomials over a
+    // FIXED 8192-bucket space; see RelevanceOps.dsirLogWeights for why
+    // those count tables are the legitimate force-broadcast case.
+    // Two-consumer note: the weights subtree feeds the cut aggregate and
+    // the probe (the t25 barrier); in production the per-doc weight
+    // table is a materialized artifact both read.
+    "t26_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = RelevanceOps.dsirLogWeights(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+      val cut = w.agg(
+        percentile_approx(col("logw"), lit(0.75), lit(10000)).as("cut"))
+      w.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_tokens"), col("logw"),
+          (col("logw") > col("cut")).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet's actual selection step over the xent ladder: per SOURCE
     // (CCNet buckets per language; the synthetic corpus's stratification
     // key is source), split scored docs into head/middle/tail terciles of
@@ -1974,6 +2002,46 @@ object PipelineQueries {
       """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // t26: hashed-feature multinomial log-ratio, mirrored term-for-term
+    // (same md5 bucket, same smoothing, same left-associated float chain,
+    // micro-nat rounding before the per-doc sum — sign-symmetric
+    // away-from-zero rounding on both engines).
+    "t26_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |fr AS (SELECT doc_id,
+        |         CAST(CAST('0x' || substr(md5(tt), 1, 6) AS INTEGER)
+        |              AS BIGINT) % 8192 AS f
+        |       FROM (SELECT doc_id, unnest(t) AS tt FROM tok
+        |             WHERE doc_id % 50 <> 0)),
+        |ft AS (SELECT CAST(CAST('0x' || substr(md5(tt), 1, 6) AS INTEGER)
+        |              AS BIGINT) % 8192 AS f
+        |       FROM (SELECT unnest(t) AS tt FROM tok WHERE doc_id % 50 = 0)),
+        |tf AS (SELECT doc_id, f, count(*) AS tf FROM fr GROUP BY 1, 2),
+        |cr AS (SELECT f, count(*) AS cr FROM fr GROUP BY f),
+        |ct AS (SELECT f, count(*) AS ct FROM ft GROUP BY f),
+        |tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM fr) AS tr,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM ft) AS tt),
+        |per AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * ln(
+        |        ((coalesce(ct.ct, 0) + 1.0) * (tot.tr + 8192))
+        |        / ((cr.cr + 1.0) * (tot.tt + 8192))) * 1e6)
+        |         AS BIGINT) AS cm
+        |  FROM tf JOIN cr USING (f) LEFT JOIN ct USING (f), tot),
+        |w AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |        round(CAST(sum(cm) AS BIGINT) / 1e6, 4) AS logw
+        |      FROM per GROUP BY doc_id),
+        |cu AS (SELECT logw AS cut FROM (
+        |         SELECT logw, row_number() OVER (ORDER BY logw) AS rn,
+        |                count(*) OVER () AS n FROM w)
+        |       WHERE rn = (3 * n + 3) // 4)
+        |SELECT w.doc_id, w.n_tokens, w.logw, w.logw > cu.cut AS selected
+        |FROM w, cu ORDER BY w.doc_id""".stripMargin,
+
     // t25: per-source terciles of the t23 xent. The cuts are the
     // rank-ceil(n/3) / ceil(2n/3) elements of each source's sorted xents
     // — exactly what Spark's full-accuracy percentile_approx(1/3, 2/3)

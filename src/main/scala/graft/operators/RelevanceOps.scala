@@ -327,6 +327,69 @@ object RelevanceOps {
       .drop(col("nll_micro"))
   }
 
+  /** t26: DSIR-style importance log-weight (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW doc by how much more likely its hashed-feature bag is
+    * under the TARGET distribution than under the raw distribution —
+    * logw = Σ_f tf·ln(p̂_t(f)/p̂_r(f)) with add-one-smoothed multinomials
+    * over a FIXED feature space of `buckets` md5-hashed unigram buckets
+    * (DSIR hashes n-grams precisely so the model is fixed-size; the t06
+    * md5 recipe keeps the hash oracle-recomputable, unlike xxhash).
+    * logw > 0 ⇒ the doc looks more target-like than raw-like — the
+    * resampling key.
+    *
+    * Scale shape: the count tables are provably ≤ `buckets` rows — THE
+    * legitimate force-broadcast case (a bounded-by-construction table,
+    * like a centroid table; contrast the t22 rule for unbounded vocab
+    * tables), so the per-doc feature table never shuffles for the joins;
+    * the only corpus-sized exchange is the (id, feat, tf) partial
+    * aggregate. Text never shuffles.
+    *
+    * Determinism: the t11 micro-nat discipline; contributions can be
+    * NEGATIVE here (ratio < 1), which stays exact because Spark's
+    * HALF_UP and DuckDB's round both round half AWAY FROM ZERO — sign-
+    * symmetric. All integer products ((c+1)·(T+V)) stay far below 2^53,
+    * so the doubles entering ln are identical on both engines.
+    *
+    * Note the SIGN of logw is not the selection signal: a small target's
+    * add-one mass makes every smoothed target probability tiny, so raw
+    * docs all score negative (measured: 490/490 at sf0.01) while the
+    * RANKING still discriminates — which is why DSIR selects the top
+    * fraction by weight (resampling), not by sign. Selection composes
+    * downstream (see the t26 registry query's quantile gate).
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8192): DataFrame = {
+    def feat(term: org.apache.spark.sql.Column) =
+      conv(substring(md5(term.cast("binary")), 1, 6), 16, 10)
+        .cast("long") % buckets
+    val featR = raw
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .select(col(idCol), feat(col("term")).as("f"))
+    val featT = target
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .select(feat(col("term")).as("f"))
+    val tf = featR.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("tf"))
+    val cr = featR.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val ct = featT.groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val totals = featR.agg(count(lit(1)).cast("double").as("tr"))
+      .crossJoin(featT.agg(count(lit(1)).cast("double").as("tt")))
+    val v = buckets.toDouble
+    tf.join(broadcast(cr), Seq("f"))
+      .join(broadcast(ct), Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib_micro", round(col("tf").cast("double") *
+        log(((coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+            * (col("tr") + v)) /
+          ((col("cr").cast("double") + 1.0) * (col("tt") + v))) * 1e6, 0)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("contrib_micro")).as("lw_micro"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("lw_micro") / 1e6, 4).as("logw"))
+  }
+
   /** Tokenizer-training vocabulary statistics: the top-N terms by corpus
     * frequency with cumulative token-coverage fraction ("the 30 most
     * frequent terms cover X% of all tokens") — the first artifact of any
