@@ -1157,6 +1157,17 @@ object PipelineQueries {
     // are the already-oracled s01/s07 pipelines (rank-identical
     // cross-engine, so the overlap is too); the eval join moves only
     // k rows per query. recall = n_hits/5.0 is exact decimal math.
+    // Matryoshka truncation sweep: recall@5 of prefix-dim cosine search
+    // (m = 8/16/32 of the 64-dim embeddings) against the full-dim exact
+    // baseline, for the usual 10-query eval set. One pair pass computes
+    // every prefix sim — see SimilarityOps.matryoshkaRecall.
+    "s18_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.matryoshkaRecall(emb, emb.filter(col("vec_id") < 10),
+        k = 5, prefixes = Seq(8, 16, 32), fullDim = 64)
+        .orderBy(col("m"), col("query_id"))
+    }),
+
     "s13_ivf_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
@@ -2392,6 +2403,35 @@ object PipelineQueries {
         |               AND c.corpus_id <> q.query_id)
         |SELECT query_id, corpus_id, rank, round(sim, 6) AS sim
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // s18: list slices v[1:m] + list_cosine_similarity mirror the engine's
+    // slice/dot/norm chain (the s01 raw-double rank precedent); baseline
+    // is the m=64 full-dim ranking from the same pair table.
+    "s18_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |ms AS (SELECT unnest([8, 16, 32, 64]) AS m),
+        |p AS (SELECT q.query_id, c.corpus_id, ms.m,
+        |        list_cosine_similarity(q.qv[1:ms.m], c.cv[1:ms.m]) AS sim
+        |      FROM q, c, ms WHERE c.corpus_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id, m,
+        |        row_number() OVER (PARTITION BY query_id, m
+        |                           ORDER BY sim DESC, corpus_id) AS rank
+        |      FROM p),
+        |topk AS (SELECT * FROM r WHERE rank <= 5),
+        |base AS (SELECT query_id, corpus_id FROM topk WHERE m = 64),
+        |h AS (SELECT t.m, t.query_id, count(*) AS n_hits
+        |      FROM topk t JOIN base b USING (query_id, corpus_id)
+        |      WHERE t.m <> 64 GROUP BY t.m, t.query_id),
+        |grid AS (SELECT g.m, q.query_id
+        |         FROM (SELECT unnest([8, 16, 32]) AS m) g, q)
+        |SELECT grid.m, grid.query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+        |FROM grid LEFT JOIN h USING (m, query_id)
+        |ORDER BY grid.m, grid.query_id""".stripMargin,
     // The brute CTE is s01's ranking, the probe CTEs are s07's (shared
     // prologue) — both pass exact (query, corpus, rank) hash-matches on
     // this fixture, so the recall overlap derived from them is rank-safe

@@ -388,6 +388,62 @@ object SimilarityOps {
         col("cell_cut"), (col("rsim") > col("cell_cut")).as("pruned"))
   }
 
+  /** s18: Matryoshka (MRL, Kusupati et al.) truncation-recall sweep — for
+    * each prefix dimension m, recall@k of cosine search over the FIRST m
+    * dims against the full-dimension exact baseline: the eval that
+    * decides how far an MRL-trained embedding can be truncated (and the
+    * index shrunk 2–8×) before retrieval degrades.
+    *
+    * One pass: every (query, corpus) pair computes ALL prefix sims from
+    * the same two vectors (slice + dot per prefix — per-row arithmetic,
+    * no extra scan), explodes to (m, sim) rows, and ranks per (query, m).
+    * Cosine over a prefix needs no renormalize step: the prefix norms ARE
+    * the normalizer. Queries broadcast; like the s01/s13 baseline this is
+    * the exact-eval path — production reads a sampled query set, the
+    * corpus never shuffles, and the pair volume is |Q|·N·|dims| id+double
+    * rows (ids and sims only, never vectors past the scan).
+    *
+    * Rank determinism is the s01 precedent: both engines compute the
+    * identical dot/(|q||c|) doubles, ranked desc with corpus-id tiebreak.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixes: Seq[Int], fullDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(m => m > 0 && m < fullDim),
+      s"prefixes $prefixes must be positive and below fullDim=$fullDim")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    def prefixSim(m: Int) = {
+      val (qm, cm) = (slice(col("qv"), 1, m), slice(col("cv"), 1, m))
+      dot(qm, cm) / (sqrt(dot(qm, qm)) * sqrt(dot(cm, cm)))
+    }
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        explode(array((prefixes :+ fullDim).map(m =>
+          struct(lit(m).as("m"), prefixSim(m).as("sim"))): _*)).as("e"))
+      .select(col("query_id"), col("corpus_id"),
+        col("e.m").as("m"), col("e.sim").as("sim"))
+    val w = Window.partitionBy(col("query_id"), col("m"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    val topk = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val base = topk.filter(col("m") === fullDim)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = topk.filter(col("m") =!= fullDim)
+      .join(base, Seq("query_id", "corpus_id"))
+      .groupBy(col("m"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("query_id"))
+      .crossJoin(q.sparkSession.range(1)
+        .select(explode(array(prefixes.map(lit): _*)).as("m")))
+      .join(hits, Seq("m", "query_id"), "left")
+      .select(col("m"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
