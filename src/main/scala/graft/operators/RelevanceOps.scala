@@ -213,6 +213,66 @@ object RelevanceOps {
     * they fit and degrades to shuffle joins at web scale); only the
     * single-row (T, V) scalar is force-broadcast. Text never shuffles.
     */
+  /** The adjacent-pair explode every bigram consumer shares — ONE
+    * definition (parametric in the token-array column name) so the t23
+    * scorer, the [[bigramLm]] artifact builder, and the streaming
+    * at-ingest gate can never pair tokens differently. */
+  private[graft] def bigramPairsExpr(arr: String): String =
+    s"transform(sequence(1, size($arr) - 1), " +
+      s"i -> struct($arr[i-1] AS w1, $arr[i] AS w2))"
+
+  /** The pre-materialized corpus LM artifact the at-ingest perplexity
+    * gate scores against: the t23 count tables (bigram c₁₂, context c₁,
+    * successor c₂, and the single-row (T, V) totals), built from the
+    * SHARED [[bigramPairsExpr]] explode. In production these are parquet
+    * tables written once per training cycle — a stream joins them as
+    * static sides, and this builder is also how a batch job materializes
+    * them. */
+  case class BigramLm(c12: DataFrame, c1: DataFrame, c2: DataFrame,
+      tot: DataFrame)
+
+  def bigramLm(corpus: DataFrame, textCol: String): BigramLm = {
+    val bigr = corpus
+      .select(TextFns.tokens(col(textCol)).as("toks__"))
+      .filter(size(col("toks__")) >= 2)
+      .select(explode(expr(bigramPairsExpr("toks__"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    BigramLm(
+      bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2")),
+      bigr.agg(count(lit(1)).cast("double").as("t"),
+        countDistinct(col("w2")).cast("double").as("v")))
+  }
+
+  /** Per-INSTANCE interpolated micro-nat cost, null-count-tolerant — the
+    * OOV-complete form of t23's per-(doc,bigram) contribution: scoring
+    * text the LM was NOT trained on (the at-ingest case) meets unseen
+    * contexts (c₁ null → the λ term vanishes, pure backoff) and unseen
+    * successors (c₂ null → add-one floor), paths the batch query never
+    * exercises because it trains on the corpus it scores. On in-corpus
+    * instances (c₁ > 0) this reduces exactly to t23's p. Granularity
+    * note: this rounds each INSTANCE to micro-nats (tf·round(x) rather
+    * than t23's round(tf·x) — within tf/2 micro-nats per distinct
+    * bigram, ≤ 5e-7 nat on any mean) because a streaming gate scores
+    * instances as they arrive; grouping to tf first would cost a second
+    * stateful stage for no decision-relevant gain. */
+  def interpInstanceCostMicro(c12: Column, c1: Column, c2: Column,
+      t: Column, v: Column, lambdaNum: Int = 3,
+      lambdaDen: Int = 4): Column = {
+    require(lambdaDen > 0 && (lambdaDen & (lambdaDen - 1)) == 0,
+      s"lambdaDen=$lambdaDen must be a power of two (exact binary rational)")
+    require(lambdaNum > 0 && lambdaNum < lambdaDen,
+      s"lambda=$lambdaNum/$lambdaDen out of (0, 1)")
+    val lam = lambdaNum.toDouble / lambdaDen
+    val pHi = when(coalesce(c1, lit(0L)) > 0,
+      lit(lam) * (coalesce(c12, lit(0L)).cast("double") / c1.cast("double")))
+      .otherwise(lit(0.0))
+    val pLo = lit(1.0 - lam) *
+      ((coalesce(c2, lit(0L)).cast("double") + 1.0) / (t + v))
+    round(-log(pHi + pLo) * 1e6, 0).cast("long")
+  }
+
   def interpolatedBigramXent(docs: DataFrame, idCol: String,
       textCol: String, lambdaNum: Int = 3, lambdaDen: Int = 4): DataFrame = {
     require(lambdaDen > 0 && (lambdaDen & (lambdaDen - 1)) == 0,
@@ -223,9 +283,7 @@ object RelevanceOps {
     val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
     val bigr = toks
       .filter(size(col("ts")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(ts) - 1), " +
-          "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("p"))
+      .select(col(idCol), explode(expr(bigramPairsExpr("ts"))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val tf = bigr.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))

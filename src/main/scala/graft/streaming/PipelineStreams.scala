@@ -194,6 +194,64 @@ object PipelineStreams {
     rows.filter(
       graft.operators.PipelineQueries.blockedBy(col(hostCol)).isNull)
 
+  /** At-ingest CCNet-style perplexity gate: score each arriving doc's
+    * interpolated bigram cross-entropy against a PRE-MATERIALIZED corpus
+    * LM ([[graft.operators.RelevanceOps.BigramLm]] — the t23 count
+    * tables, in production parquet artifacts written once per training
+    * cycle) and keep docs at or below `maxXent` once the watermark
+    * closes their window. This is the gate CCNet actually runs at
+    * ingest: t25 derives the bucket thresholds offline, this applies
+    * one.
+    *
+    * The arriving text is NOT the LM's training corpus, so unseen
+    * contexts and successors are first-class here: the per-instance
+    * cost is the SHARED OOV-complete
+    * [[graft.operators.RelevanceOps.interpInstanceCostMicro]] (c₁
+    * absent → pure backoff; c₂ absent → add-one floor), the pairing is
+    * the SHARED `bigramPairsExpr`, and on in-corpus text the chain
+    * reduces exactly to t23's (spec-pinned). Unscorable docs (< 2
+    * tokens, no transitions) KEEP — a gate cannot judge them, the
+    * nearDupGate convention for shingle-less docs.
+    *
+    * Shape: stateless stream-static LEFT joins to the three count
+    * tables (count rows only; the stream side carries text ONCE per
+    * instance into the single stateful windowed rollup via `first`,
+    * like nearDupGate), the (T,V) single row force-broadcast. Latency =
+    * window + watermark delay, the standing gate trade.
+    */
+  def xentGate(docs: DataFrame,
+      lm: graft.operators.RelevanceOps.BigramLm, tsCol: String,
+      idCol: String, textCol: String, maxXent: Double, window_ : String,
+      delay: String, lambdaNum: Int = 3, lambdaDen: Int = 4): DataFrame = {
+    import graft.functions.TextFns
+    import graft.operators.RelevanceOps
+    val inst = docs
+      .withWatermark(tsCol, delay)
+      .withColumn("toks__", TextFns.tokens(col(textCol)))
+      .select(col(tsCol), col(idCol), col(textCol),
+        explode_outer(when(size(col("toks__")) >= 2,
+          expr(RelevanceOps.bigramPairsExpr("toks__")))).as("p"))
+      .select(col(tsCol), col(idCol), col(textCol),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    inst
+      .join(lm.c12, Seq("w1", "w2"), "left")
+      .join(lm.c1, Seq("w1"), "left")
+      .join(lm.c2, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.tot))
+      .withColumn("cm", when(col("w1").isNotNull,
+        RelevanceOps.interpInstanceCostMicro(col("c12"), col("c1"),
+          col("c2"), col("t"), col("v"), lambdaNum, lambdaDen)))
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(sum(col("cm")).as("nll_micro"),
+        count(col("w1")).as("n_bigrams"),
+        first(col(textCol)).as(textCol))
+      .withColumn("xent", when(col("n_bigrams") > 0,
+        round(col("nll_micro") / 1e6 / col("n_bigrams"), 4)))
+      .filter(col("n_bigrams") === 0 || col("xent") <= maxXent)
+      .select(col("window.start").as("window_start"), col(idCol),
+        col(textCol), col("xent"))
+  }
+
   /** At-ingest PII redaction: the t15 chain applied as a stateless
     * streaming projection (the SAME column expression —
     * [[graft.operators.PipelineQueries.piiRedact]] — so the streaming

@@ -217,6 +217,96 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("xent gate: corpus-typical text keeps, shuffled text drops, OOV " +
+    "backs off, short docs keep; in-corpus chain equals t23's p") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.RelevanceOps
+    val corpusRows = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox sleeps under the old oak tree every day"),
+      (102L, "a lazy dog jumps over the quick brown fox every single day"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val lm = RelevanceOps.bigramLm(corpus, "text")
+    val arrivals = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L,
+        "the quick brown fox jumps over the lazy dog"),   // typical: KEEP
+      (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L,
+        "dog the over quick lazy jumps brown fox the"),    // shuffled: DROP
+      (java.sql.Timestamp.valueOf("2021-01-16 17:02:00"), 2L,
+        "zebra xylophone quantum nebula"),                 // pure OOV: DROP
+      (java.sql.Timestamp.valueOf("2021-01-16 17:03:00"), 3L, "word")) // KEEP
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val maxXent = 2.0 // probed: typical 0.65, shuffled 3.58, OOV 5.32
+    val kept = PipelineStreams.xentGate(
+      in.toDF().toDF("ts", "doc_id", "text"), lm, "ts", "doc_id", "text",
+      maxXent, "10 minutes", "10 minutes")
+    val q = kept.writeStream.format("memory").queryName("xg")
+      .outputMode("append").start()
+    try {
+      arrivals.foreach { d => in.addData(d); q.processAllAvailable() }
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 99L,
+        "watermark sentinel advancing past the arrival window"))
+      q.processAllAvailable()
+      val got = spark.table("xg").filter(col("doc_id") < 99)
+        .select(col("doc_id"), col("xent"))
+        .collect().map(r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      // batch recomputation with the SAME shared pieces is the expected
+      // decision for every arrival
+      val expected = arrivals.map { case (_, id, text) =>
+        val one = Seq((id, text)).toDF("doc_id", "text")
+        val inst = one
+          .withColumn("toks__", graft.functions.TextFns.tokens(col("text")))
+          .select(col("doc_id"), explode_outer(when(size(col("toks__")) >= 2,
+            expr(RelevanceOps.bigramPairsExpr("toks__")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .join(lm.c12, Seq("w1", "w2"), "left")
+          .join(lm.c1, Seq("w1"), "left")
+          .join(lm.c2, Seq("w2"), "left")
+          .crossJoin(broadcast(lm.tot))
+          .withColumn("cm", when(col("w1").isNotNull,
+            RelevanceOps.interpInstanceCostMicro(col("c12"), col("c1"),
+              col("c2"), col("t"), col("v"))))
+          .agg(sum(col("cm")).as("nll"), count(col("w1")).as("n"))
+          .head()
+        val n = inst.getLong(1)
+        id -> (if (n == 0) None
+        else Some(math.rint(inst.getLong(0).toDouble / 1e6 / n * 1e4) / 1e4))
+      }.toMap
+      val keepExpected = expected.filter { case (_, x) =>
+        x.isEmpty || x.get <= maxXent }
+      assert(got.keySet === keepExpected.keySet)
+      for ((id, x) <- got) assert(x === expected(id), s"doc $id xent")
+      assert(got.keySet === Set(0L, 3L),
+        "typical + unscorable keep; shuffled + OOV drop")
+      // the OOV-complete cost reduces to t23's p on in-corpus instances:
+      // score the corpus docs themselves through the instance chain and
+      // compare against interpolatedBigramXent (tf-rounding granularity
+      // only — assert within 1e-4 + per-instance slack)
+      val t23 = RelevanceOps.interpolatedBigramXent(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("xent")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val instAll = corpus
+        .withColumn("toks__", graft.functions.TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(expr(RelevanceOps.bigramPairsExpr("toks__"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .join(lm.c12, Seq("w1", "w2"), "left")
+        .join(lm.c1, Seq("w1"), "left")
+        .join(lm.c2, Seq("w2"), "left")
+        .crossJoin(broadcast(lm.tot))
+        .withColumn("cm", RelevanceOps.interpInstanceCostMicro(col("c12"),
+          col("c1"), col("c2"), col("t"), col("v")))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("cm")) / 1e6 / count(lit(1))).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((id, x) <- instAll)
+        assert(math.abs(x - t23(id)) < 1e-4 + 1e-6,
+          s"doc $id instance-chain xent $x vs t23 ${t23(id)}")
+    } finally q.stop()
+  }
+
   test("quality gate: short/junk docs filtered, real docs kept") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
