@@ -252,6 +252,100 @@ object PipelineStreams {
         col(textCol), col("xent"))
   }
 
+  /** The full at-ingest curation chain, composed — what a production
+    * ingest actually wires before the sink, in cheap-to-expensive order:
+    *
+    *   1. stateless per-row gates, all delegating to the SHARED batch
+    *      definitions: [[redactPii]] → [[qualityGate]] → [[gopherGate]];
+    *   2. horizon exact-dedup ([[dedupByDigest]] — the chain's first
+    *      stateful stage, digest-only state) then history exact-dedup
+    *      ([[dedupAgainstCorpus]] — stateless anti-join to the d01
+    *      digest artifact);
+    *   3. ONE combined windowed stage scoring BOTH expensive gates: the
+    *      survivor stream explodes twice (LSH band rows + LM bigram
+    *      instances), the two legs union into one row stream tagged by
+    *      null-ness, five stream-static LEFT joins attach the corpus
+    *      artifacts (band index, shingle index, the three LM count
+    *      tables — a null join key on the other leg's rows simply never
+    *      matches), and a single groupBy(window, doc) aggregate holds
+    *      per doc exactly one state row: near-dup flag, xent counters,
+    *      and the text (via `first`). Docs emit at watermark close iff
+    *      no verified near-dup AND xent ≤ `maxXent` (unscorable docs
+    *      keep — the standing gate convention).
+    *
+    * One watermark, set once at the top (the r8 trap: redefining a
+    * watermark downstream of a stateful op throws — which is why this
+    * chain INLINES the near-dup and xent legs instead of calling
+    * [[nearDupGate]]/[[xentGate]], each of which sets its own). Two
+    * stateful stages total for four dedup/quality decisions; the
+    * double explode re-reads the survivor subtree once per leg (a
+    * micro-batch-local cost — survivors, not the raw stream).
+    */
+  def ingestChain(docs: DataFrame, corpusDigests: DataFrame,
+      corpusBands: DataFrame, corpusShingles: DataFrame,
+      lm: graft.operators.RelevanceOps.BigramLm, tsCol: String,
+      idCol: String, textCol: String, nearDupThreshold: Double,
+      maxXent: Double, window_ : String, delay: String, k: Int = 16,
+      bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    import graft.functions.TextFns
+    import graft.operators.RelevanceOps
+    val gated = gopherGate(
+      qualityGate(redactPii(docs, textCol), textCol), textCol)
+      .withWatermark(tsCol, delay)
+    val fresh = dedupAgainstCorpus(
+      gated
+        .withColumn("digest",
+          graft.operators.DedupOps.contentDigest(col(textCol)))
+        .dropDuplicatesWithinWatermark("digest"),
+      corpusDigests, textCol)
+    val base = fresh.select(col(tsCol), col(idCol), col(textCol))
+      .withColumn("toks__", TextFns.tokens(col(textCol)))
+    val bandRows = base
+      .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
+      .withColumn("sig",
+        TextFns.shingleMinhash(col("toks__"), shingleWords, k))
+      .select(col(tsCol), col(idCol), col(textCol), col("sh_b"),
+        posexplode_outer(when(col("sig").isNotNull,
+          TextFns.lshBandKeys(col("sig"), k, bands)))
+          .as(Seq("band", "band_key")),
+        lit(null).cast("string").as("w1"),
+        lit(null).cast("string").as("w2"))
+    val lmRows = base
+      .select(col(tsCol), col(idCol), col(textCol),
+        lit(null).cast("array<string>").as("sh_b"),
+        lit(null).cast("int").as("band"),
+        lit(null).cast("string").as("band_key"),
+        explode_outer(when(size(col("toks__")) >= 2,
+          expr(RelevanceOps.bigramPairsExpr("toks__")))).as("p"))
+      .select(col(tsCol), col(idCol), col(textCol), col("sh_b"),
+        col("band"), col("band_key"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bandRows.unionByName(lmRows)
+      .join(corpusBands, Seq("band", "band_key"), "left")
+      .join(corpusShingles, Seq("cid"), "left")
+      .join(lm.c12, Seq("w1", "w2"), "left")
+      .join(lm.c1, Seq("w1"), "left")
+      .join(lm.c2, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.tot))
+      .withColumn("nd_hit", coalesce(
+        TextFns.jaccard(col("sh_b"), col("shs")) >= nearDupThreshold,
+        lit(false)))
+      .withColumn("cm", when(col("w1").isNotNull,
+        RelevanceOps.interpInstanceCostMicro(col("c12"), col("c1"),
+          col("c2"), col("t"), col("v"))))
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(max(when(col("nd_hit"), 1).otherwise(0)).as("dup"),
+        sum(col("cm")).as("nll_micro"),
+        count(col("w1")).as("n_bigrams"),
+        first(col(textCol)).as(textCol))
+      .withColumn("xent", when(col("n_bigrams") > 0,
+        round(col("nll_micro") / 1e6 / col("n_bigrams"), 4)))
+      .filter(col("dup") === 0 &&
+        (col("n_bigrams") === 0 || col("xent") <= maxXent))
+      .select(col("window.start").as("window_start"), col(idCol),
+        col(textCol), col("xent"))
+  }
+
   /** At-ingest PII redaction: the t15 chain applied as a stateless
     * streaming projection (the SAME column expression —
     * [[graft.operators.PipelineQueries.piiRedact]] — so the streaming

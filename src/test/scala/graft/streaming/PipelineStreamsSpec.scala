@@ -307,6 +307,67 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest chain: every drop reason exercised, one keeper survives " +
+    "the composed gates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DedupOps, RelevanceOps}
+    def mk(words: Seq[String]) = words.mkString(" ")
+    // two 60-word corpus docs (gopher needs >=50 words, >=2 stopwords)
+    val wA = Seq("the") ++ (1 to 28).map(i => s"alpha$i") ++
+      Seq("and") ++ (29 to 58).map(i => s"alpha$i")
+    val wB = Seq("the") ++ (1 to 28).map(i => s"beta$i") ++
+      Seq("and") ++ (29 to 58).map(i => s"beta$i")
+    val corpus = Seq((100L, mk(wA)), (101L, mk(wB))).toDF("doc_id", "text")
+    val lm = RelevanceOps.bigramLm(corpus, "text")
+    val digests = corpus
+      .select(DedupOps.contentDigest(col("text")).as("digest"))
+    val bandsIdx = DedupOps.bandIndex(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleWords = 3)
+    val shinglesIdx = DedupOps.shingleIndex(corpus, "doc_id", "text",
+      shingleWords = 3)
+    // keeper: A's first half + B's second half — every bigram (incl. both
+    // junctions: "alpha28 and" from A, "and beta29" from B) is in-corpus,
+    // so xent is corpus-typical; shingle overlap with either corpus doc
+    // is ~0.3, far under the 0.8 near-dup gate
+    val good = mk(wA.take(30) ++ wB.drop(30))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val arrivals = Seq(
+      (ts("2021-01-16 17:00:00"), 0L, good),            // KEEP
+      (ts("2021-01-16 17:01:00"), 1L, "too short"),     // quality drop
+      (ts("2021-01-16 17:02:00"), 2L,                   // 30 words: gopher
+        mk(Seq("the", "and") ++ (1 to 28).map(i => s"gamma$i"))),
+      (ts("2021-01-16 17:03:00"), 3L, good),            // horizon exact dup
+      (ts("2021-01-16 17:04:00"), 4L, mk(wA)),          // corpus exact dup
+      (ts("2021-01-16 17:05:00"), 5L,                   // reworded near-dup
+        mk(wA.updated(5, "sneaky"))),
+      (ts("2021-01-16 17:06:00"), 6L,                   // shuffled: xent
+        mk(good.split(" ").reverse.toSeq)))
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val kept = PipelineStreams.ingestChain(
+      in.toDF().toDF("ts", "doc_id", "text"), digests, bandsIdx,
+      shinglesIdx, lm, "ts", "doc_id", "text", nearDupThreshold = 0.8,
+      maxXent = 2.0, "10 minutes", "10 minutes",
+      k = 32, bands = 8, shingleWords = 3)
+    assert(kept.columns === Array("window_start", "doc_id", "text", "xent"))
+    val q = kept.writeStream.format("memory").queryName("ic")
+      .outputMode("append").start()
+    try {
+      arrivals.foreach { d => in.addData(d); q.processAllAvailable() }
+      in.addData((ts("2021-01-16 17:40:00"), 99L,
+        mk(Seq("the", "and") ++ (1 to 58).map(i => s"omega$i"))))
+      q.processAllAvailable()
+      val got = spark.table("ic").filter(col("doc_id") < 99)
+        .select(col("doc_id"), col("text"), col("xent")).collect()
+      assert(got.length === 1, s"kept ${got.length} docs")
+      // which of the two identical-text copies (0 or 3) survives the
+      // horizon dedup is partition-order-arbitrary by contract
+      assert(Set(0L, 3L).contains(got.head.getLong(0)))
+      assert(got.head.getString(1) === good)
+      val xent = got.head.getDouble(2)
+      assert(xent > 0 && xent <= 2.0, s"keeper xent $xent")
+    } finally q.stop()
+  }
+
   test("quality gate: short/junk docs filtered, real docs kept") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
