@@ -444,6 +444,78 @@ object SimilarityOps {
         (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
   }
 
+  /** s19: product-quantization ADC recall (Jégou et al., the faiss
+    * IVF-PQ compression half): split vectors into two halves, encode
+    * each half as its nearest sub-codebook entry (max-inner-product
+    * assignment, the MIPS flavor), and rank corpus vectors for a query
+    * by the asymmetric distance computation — the sum of two
+    * precomputed query·centroid inner products looked up by code. The
+    * eval reports recall@k against the exact inner-product baseline:
+    * the number that decides whether 2×log₂(16) bits per vector is an
+    * acceptable index compression.
+    *
+    * Scale shape: the codebooks (16 rows per half) and the per-query
+    * lookup tables (|Q|·16 rows) broadcast; the corpus contributes ONE
+    * (id, code1, code2) row per vector to the scored join — the whole
+    * point of PQ is that vectors never travel — and the per-query rank
+    * window is the exact-eval caveat shared with s18/s01 (production
+    * reads a sampled query set). Encoding is the ivfAssign max_by
+    * aggregate: map-side partials, one row per vector out.
+    *
+    * Determinism: assignments and ranks order raw doubles with id
+    * tiebreaks (the s01 precedent); the ADC sum is ONE addition of two
+    * dots — same float on both engines.
+    */
+  def pqAdcRecall(corpus: DataFrame, queries: DataFrame,
+      codebookSrc: DataFrame, k: Int, halfDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def half(c: Column, which: Int): Column =
+      if (which == 1) slice(c, 1, halfDim)
+      else slice(c, halfDim + 1, halfDim)
+    def cb(which: Int) = codebookSrc.select(col(idCol).as("code_id"),
+      half(asDouble(col(vecCol)), which).as("cbv"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    def encode(which: Int) = c
+      .select(col("corpus_id"), half(col("cv"), which).as("h"))
+      .crossJoin(broadcast(cb(which)))
+      .withColumn("ip", dot(col("h"), col("cbv")))
+      .groupBy(col("corpus_id"))
+      .agg(max_by(col("code_id"),
+        struct(col("ip"), (-col("code_id")).as("tie"))).as(s"code$which"))
+    val codes = encode(1).join(encode(2), Seq("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    def lut(which: Int) = q.crossJoin(broadcast(cb(which)))
+      .select(col("query_id"), col("code_id").as(s"code$which"),
+        dot(half(col("qv"), which), col("cbv")).as(s"ip$which"))
+    val scored = codes
+      .join(broadcast(lut(1)), Seq("code1"))
+      .join(broadcast(lut(2)), Seq("code2", "query_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("approx", col("ip1") + col("ip2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(desc("approx"), col("corpus_id"))
+    val adcTop = scored.withColumn("rank", row_number().over(wA))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("ip", dot(col("cv"), col("qv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(desc("ip"), col("corpus_id"))
+    val exactTop = exact.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = adcTop.join(exactTop, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
