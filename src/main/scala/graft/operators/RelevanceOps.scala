@@ -431,7 +431,7 @@ object RelevanceOps {
     val cr = featR.groupBy(col("f")).agg(count(lit(1)).as("cr"))
     val ct = featT.groupBy(col("f")).agg(count(lit(1)).as("ct"))
     val totals = featR.agg(count(lit(1)).cast("double").as("tr"))
-      .crossJoin(featT.agg(count(lit(1)).cast("double").as("tt")))
+      .crossJoin(broadcast(featT.agg(count(lit(1)).cast("double").as("tt"))))
     val v = buckets.toDouble
     tf.join(broadcast(cr), Seq("f"))
       .join(broadcast(ct), Seq("f"), "left")

@@ -436,8 +436,8 @@ object SimilarityOps {
       .join(base, Seq("query_id", "corpus_id"))
       .groupBy(col("m"), col("query_id")).agg(count(lit(1)).as("n_hits"))
     q.select(col("query_id"))
-      .crossJoin(q.sparkSession.range(1)
-        .select(explode(array(prefixes.map(lit): _*)).as("m")))
+      .crossJoin(broadcast(q.sparkSession.range(1)
+        .select(explode(array(prefixes.map(lit): _*)).as("m"))))
       .join(hits, Seq("m", "query_id"), "left")
       .select(col("m"), col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
