@@ -167,6 +167,53 @@ object MediaCodecs {
     }
   }
 
+  /** [[parseWav]] plus the decoded PCM: the first-channel signed 16-bit
+    * sample of every frame (the builder writes mono, so frame == sample;
+    * for multi-channel files this is the per-frame channel-0 series the
+    * loudness profile wants). Same chunk-walking validation; None on
+    * anything [[parseWav]] rejects or a non-16-bit stream.
+    */
+  def parseWavData(b: Array[Byte]): Option[(WavMeta, Array[Int])] = {
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    if (le32(b, 4) + 8 > b.length) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataOff = -1
+    var dataSize = -1
+    while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          if (le16(b, off + 8) != 1) return None
+          fmt = Some((le32(b, off + 12), le16(b, off + 10),
+            le16(b, off + 22), le16(b, off + 20)))
+        case "data" => dataOff = off + 8; dataSize = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1)
+    }
+    fmt match {
+      case Some((rate, channels, bits, blockAlign))
+          if dataSize >= 0 && blockAlign > 0 && rate > 0 && channels > 0 &&
+            bits == 16 =>
+        val n = dataSize / blockAlign
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val u = le16(b, dataOff + i * blockAlign)
+          out(i) = if (u >= 32768) u - 65536 else u
+          i += 1
+        }
+        Some((WavMeta(rate, channels, bits, n), out))
+      case _ => None
+    }
+  }
+
   // ---- YUV4MPEG2 ---------------------------------------------------------
 
   def y4mHeader(width: Int, height: Int): String =

@@ -108,6 +108,45 @@ object Multimodal {
       }
   }
 
+  /** One per-window loudness summary row. mean_abs_milli is the integer
+    * (1000·Σ|x|) div n — floor division on non-negative longs, the same
+    * arithmetic DuckDB's `//` performs, so the oracle is exact. */
+  case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Long,
+      peak: Int, mean_abs_milli: Long)
+
+  /** m04: per-window audio loudness profile — the silence-detection /
+    * level-normalization precursor every speech-data pipeline runs
+    * before segmenting: decode the PCM, cut it into `windowFrames`-frame
+    * windows, and report each window's sample count, peak |amplitude|,
+    * and milli-scaled mean |amplitude|.
+    *
+    * Scale shape: decode AND windowed reduction happen inside one
+    * partition-local pass ([[graft.functions.MediaCodecs.parseWavData]]
+    * — samples never become rows, never shuffle, never leave the
+    * executor); only the per-window summaries (≤ nFrames/windowFrames
+    * rows per file) flow out. Non-audio and malformed payloads
+    * contribute nothing (the decode-stage poison-row rule).
+    */
+  def audioProfile(media: Dataset[MediaRow],
+      windowFrames: Int): Dataset[AudioWindow] = {
+    require(windowFrames > 0, s"windowFrames=$windowFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        MediaCodecs.parseWavData(row.payload) match {
+          case Some((_, samples)) =>
+            samples.indices.groupBy(_ / windowFrames).toSeq.sortBy(_._1)
+              .map { case (w, idx) =>
+                val abs = idx.map(i => math.abs(samples(i).toLong))
+                AudioWindow(row.media_id, w, idx.length.toLong,
+                  abs.max.toInt, 1000L * abs.sum / idx.length)
+              }
+          case None => Nil
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame index
     * (every `stride`-th frame) — generator-shaped, so `explode` over a
     * per-row `sequence`, no UDTF needed.

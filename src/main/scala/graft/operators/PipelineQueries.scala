@@ -1300,6 +1300,20 @@ object PipelineQueries {
       val meta = Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d)).toDF()
       Multimodal.resizePlan(meta.filter(col("kind") === "image"), 224)
         .orderBy(col("media_id"))
+    }),
+
+    // Per-window audio loudness profile over REAL decoded PCM (the
+    // silence-detection precursor of every speech pipeline): windows of
+    // 100 frames, peak and integer milli-mean |amplitude|. Decode and
+    // windowed reduction are one partition-local pass — samples never
+    // become rows; the oracle recomputes the builder's LCG samples,
+    // signed conversion, and floor-division mean in SQL, pinning the
+    // whole build→parse→profile round trip.
+    "m04_audio_profile" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.audioProfile(Multimodal.mediaFromDocuments(s, d), 100)
+        .toDF()
+        .orderBy(col("media_id"), col("window_idx"))
     })
   )
 
@@ -2850,6 +2864,31 @@ object PipelineQueries {
         |SELECT media_id, width, height, out_w, out_h,
         |       CAST(floor((224 - out_w) / 2.0) AS INT) AS pad_x,
         |       CAST(floor((224 - out_h) / 2.0) AS INT) AS pad_y
-        |FROM r ORDER BY media_id""".stripMargin
+        |FROM r ORDER BY media_id""".stripMargin,
+    // m04: the builder writes sample_i = (seed*31 + i*2654435761) % 65536
+    // little-endian; the parser reads it back signed. Recompute the
+    // series, window it, and take the same integer floor-division mean.
+    "m04_audio_profile" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id,
+        |         unnest([i FOR i IN generate_series(0, n_frames - 1)]) AS i
+        |  FROM a),
+        |v AS (
+        |  SELECT media_id, i, i // 100 AS window_idx,
+        |         (media_id * 31 + i * 2654435761) % 65536 AS u
+        |  FROM s),
+        |x AS (SELECT media_id, window_idx,
+        |             abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ax
+        |      FROM v)
+        |SELECT media_id, CAST(window_idx AS INT) AS window_idx,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(max(ax) AS INT) AS peak,
+        |       CAST((1000 * sum(ax)) // count(*) AS BIGINT) AS mean_abs_milli
+        |FROM x GROUP BY media_id, window_idx
+        |ORDER BY media_id, window_idx""".stripMargin
   )
 }

@@ -82,6 +82,25 @@ class MediaCodecsSpec extends AnyFunSuite {
         MediaCodecs.y4mHeader(w, h).length + 1 + nf * (6 + w * h * 3 / 2))
   }
 
+  test("parseWavData: exact signed samples back from the builder's LCG, " +
+    "agreeing with parseWav's meta; rejects what parseWav rejects") {
+    for (n <- Seq(0, 1, 50, 249); seed <- Seq(0L, 7L, 4999L)) {
+      val Some((meta, samples)) =
+        MediaCodecs.parseWavData(MediaCodecs.buildWav(8000, n, seed))
+      assert(meta === MediaCodecs.WavMeta(8000, 1, 16, n))
+      assert(samples.length === n)
+      for (i <- 0 until n) {
+        val u = ((seed * 31 + i * 2654435761L) % 65536L).toInt
+        val want = if (u >= 32768) u - 65536 else u
+        assert(samples(i) === want, s"seed=$seed i=$i")
+      }
+    }
+    val wav = MediaCodecs.buildWav(8000, 20, 2L)
+    assert(MediaCodecs.parseWavData(wav.dropRight(5)).isEmpty)
+    assert(MediaCodecs.parseWavData(null).isEmpty)
+    assert(MediaCodecs.parseWavData(MediaCodecs.buildBmp(4, 4, 1L)).isEmpty)
+  }
+
   test("truncated payloads never parse (poison rows degrade, not crash)") {
     val bmp = MediaCodecs.buildBmp(8, 8, 2L)
     val wavB = MediaCodecs.buildWav(8000, 20, 2L)
