@@ -193,8 +193,19 @@ object PipelineQueries {
     * [[GopherCountNames]] are reserved and would be clobbered.
     */
   private[graft] def gopherKeep(docs: DataFrame, textCol: String): DataFrame =
+    gopherKeepCol(docs, textCol, "__gopher_keep")
+      .filter(col("__gopher_keep"))
+      .drop("__gopher_keep")
+
+  /** The t17 keep bit as a named COLUMN (rather than a filter) — what an
+    * observability consumer needs (the streaming funnel counts drops, it
+    * doesn't drop rows). Same one-definition discipline: [[gopherKeep]]
+    * is now filter-on-this-flag, so the two can never diverge.
+    */
+  private[graft] def gopherKeepCol(docs: DataFrame, textCol: String,
+      flag: String): DataFrame =
     docs.select(col("*") +: gopherCountCols(col(textCol)): _*)
-      .filter(expr(GopherKeepSql))
+      .withColumn(flag, expr(GopherKeepSql))
       .drop(GopherCountNames: _*)
 
   /** The t15 redaction chain as a column expression — ONE definition used

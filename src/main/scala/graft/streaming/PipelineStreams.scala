@@ -447,6 +447,51 @@ object PipelineStreams {
       .select(col("session_window.start").as("session_start"), col(idCol),
         col("clean_text"), col("n_kept"))
 
+  /** At-ingest gate-funnel observability — the streaming twin of batch
+    * t19's curation funnel: per event-time window, how many documents
+    * arrived and where they fell out (quality gate → gopher gate →
+    * within-window exact dedup), in the same cheap-to-expensive order
+    * the real chain applies. The flags delegate to the SHARED batch
+    * definitions (t02's keep bit; t17's keep via `gopherKeepCol`, the
+    * same expression `gopherKeep` filters on), so the funnel can never
+    * disagree with what the gates actually do.
+    *
+    * Shape: stateless per-row flags, then the dupRateByWindow two-level
+    * aggregation — (window, digest) first (flags are digest-constant:
+    * identical text implies identical gate bits), windowed rollup second
+    * — so exact within-window dup accounting needs no unbounded state.
+    * Conservation (spec-pinned): n_arrived = n_quality_drop +
+    * n_gopher_drop + n_dup_drop + n_kept.
+    */
+  def funnelByWindow(docs: DataFrame, tsCol: String, textCol: String,
+      window_ : String, watermark: String): DataFrame = {
+    val flagged = graft.operators.PipelineQueries.gopherKeepCol(
+        docs.withColumn("q_keep",
+          graft.functions.TextFns.qualityFeatures(col(textCol))
+            .getField("keep")),
+        textCol, "g_keep")
+      .withColumn("digest",
+        graft.operators.DedupOps.contentDigest(col(textCol)))
+      .withWatermark(tsCol, watermark)
+    flagged
+      .groupBy(window(col(tsCol), window_), col("digest"))
+      .agg(count(lit(1)).as("copies"),
+        first(col("q_keep")).as("q"), first(col("g_keep")).as("g"))
+      .groupBy(col("window"))
+      .agg(sum(col("copies")).as("n_arrived"),
+        sum(when(!col("q"), col("copies")).otherwise(0L))
+          .as("n_quality_drop"),
+        sum(when(col("q") && !col("g"), col("copies")).otherwise(0L))
+          .as("n_gopher_drop"),
+        sum(when(col("q") && col("g"), col("copies") - 1).otherwise(0L))
+          .as("n_dup_drop"),
+        count(when(col("q") && col("g"), 1)).as("n_kept"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_arrived"), col("n_quality_drop"), col("n_gopher_drop"),
+        col("n_dup_drop"), col("n_kept"))
+  }
+
   /** Ingest-duplication observability: per event-time window, how many
     * documents arrived vs how many distinct contents — the dup_frac series
     * a crawl operator watches to catch a feed gone circular (the at-ingest

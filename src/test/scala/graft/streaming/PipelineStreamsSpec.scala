@@ -368,6 +368,47 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("gate funnel: per-window drop accounting conserves and matches " +
+    "the batch gate bits") {
+    implicit val sqlCtx = spark.sqlContext
+    def mk(prefix: String, n: Int) =
+      (Seq("the") ++ (1 to n - 2).map(i => s"$prefix$i") ++ Seq("and"))
+        .mkString(" ")
+    val good1 = mk("alpha", 60)
+    val good2 = mk("beta", 60)
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val funnel = PipelineStreams.funnelByWindow(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val q = funnel.writeStream.format("memory").queryName("fw")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        doc("2021-01-16 17:00:00", good1),
+        doc("2021-01-16 17:01:00", good1),           // window dup
+        doc("2021-01-16 17:02:00", good1),           // window dup
+        doc("2021-01-16 17:03:00", good2),
+        doc("2021-01-16 17:04:00", "too short"),     // quality drop
+        doc("2021-01-16 17:05:00", "1234567890 0987654321 #$%"), // quality
+        doc("2021-01-16 17:06:00", mk("gamma", 30))) // 30 words: gopher
+      q.processAllAvailable()
+      in.addData(doc("2021-01-16 17:30:00", "watermark closer"))
+      q.processAllAvailable()
+      val r = spark.table("fw")
+        .filter(col("window_start") === "2021-01-16 17:00:00").collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[Long]("n_arrived") === 7L)
+      assert(row.getAs[Long]("n_quality_drop") === 2L)
+      assert(row.getAs[Long]("n_gopher_drop") === 1L)
+      assert(row.getAs[Long]("n_dup_drop") === 2L)
+      assert(row.getAs[Long]("n_kept") === 2L)
+      // conservation: every arrival is accounted exactly once
+      assert(row.getAs[Long]("n_arrived") ===
+        row.getAs[Long]("n_quality_drop") + row.getAs[Long]("n_gopher_drop") +
+          row.getAs[Long]("n_dup_drop") + row.getAs[Long]("n_kept"))
+    } finally q.stop()
+  }
+
   test("quality gate: short/junk docs filtered, real docs kept") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
