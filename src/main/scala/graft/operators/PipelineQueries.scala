@@ -1025,6 +1025,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d10's clusters with the PRODUCTION canonical choice: keep the
+    // highest-VALUE member of every near-dup cluster (longest by token
+    // count, min-id tiebreak) instead of d10's positional min-id — what a
+    // curation pipeline actually does when a re-crawl found the fuller
+    // page. The keeper is a cluster-keyed max_by aggregate (map-side
+    // partials, one row per cluster out — no per-cluster window), joined
+    // back on cluster_id un-hinted (a mega-cluster's join-back skew is
+    // AQE skew-split territory). Token count is the t12-shared
+    // tokenization, so the oracle recomputes the same integer key.
+    "d22_quality_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = DedupOps.minhashVerified(docs, "doc_id", "text",
+          threshold = 0.9)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val clusters = DedupOps.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      val withQ = clusters.join(
+        docs.select(col("doc_id").as("id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("id"))
+      val best = withQ.groupBy(col("cluster_id"))
+        .agg(max_by(col("id"),
+          struct(col("n_tokens"), (-col("id")).as("t"))).as("keep_id"))
+      withQ.join(best, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("n_tokens"),
+          (col("id") === col("keep_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Line-level dedup (the CCNet/RefinedWeb line pass): keep the
     // corpus-wide first occurrence of every distinct trimmed line, report
     // per-doc accounting. Driver-synthetic docs carry no newlines (each
@@ -2200,6 +2229,40 @@ object PipelineQueries {
         |SELECT id AS doc_id, min(label) AS cluster_id,
         |       (id = min(label)) AS is_canonical
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // d22: the d10 closure, then the keeper = row_number 1 by
+    // (n_tokens DESC, doc_id) per cluster — the same total order the
+    // engine's max_by(struct(n_tokens, -id)) maximizes.
+    "d22_quality_canonical" ->
+      (s"WITH RECURSIVE $lshOraclePrologue,\n" +
+      """e AS (SELECT c.id_a AS src, c.id_b AS dst
+        |      FROM cand c
+        |      JOIN sh ja ON ja.doc_id = c.id_a
+        |      JOIN sh jb ON jb.doc_id = c.id_b
+        |      WHERE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+        |            / (len(ja.shs) + len(jb.shs)
+        |               - len(list_intersect(ja.shs, jb.shs))) >= 0.9),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id),
+        |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |tk AS (SELECT doc_id,
+        |         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |              END AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |j AS (SELECT cl.doc_id, cl.cluster_id, tk.n_tokens
+        |      FROM cl JOIN tk USING (doc_id)),
+        |k AS (SELECT cluster_id, doc_id AS keep_id FROM (
+        |        SELECT cluster_id, doc_id,
+        |               row_number() OVER (PARTITION BY cluster_id
+        |                 ORDER BY n_tokens DESC, doc_id) AS rn
+        |        FROM j) WHERE rn = 1)
+        |SELECT j.doc_id, j.cluster_id, j.n_tokens,
+        |       j.doc_id = k.keep_id AS is_canonical
+        |FROM j JOIN k USING (cluster_id) ORDER BY j.doc_id""".stripMargin),
     // d16: the banding sweep re-derived wholly from the independent d04
     // signatures — finest (one component per band) candidate pairing,
     // per-component agreement mask, each config's verdict from aligned
