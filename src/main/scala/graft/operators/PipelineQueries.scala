@@ -616,6 +616,54 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // The corpus DATA CARD (datasheets-for-datasets): per source, the
+    // numbers a release documents — docs, tokens, quality/gopher keep
+    // counts (funnel order), PII incidence, exact-dup fraction, and
+    // language count — in the t19 one-tree discipline: every flag is a
+    // per-row scalar over ONE corpus pass, the digest collapse is the
+    // two-level (source, digest) rollup (hot digest costs
+    // O(partitions)), and languages ride as per-(source,digest)
+    // collect_sets (bounded by lang cardinality) flattened at the
+    // source level — no second corpus scan for countDistinct. Every
+    // predicate is a SHARED definition (t02 keep, GopherKeepSql, the
+    // four PII patterns, contentDigest, t12 tokenization), so the card
+    // can never disagree with the gates it summarizes.
+    "t27_data_card" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("keep_q",
+          TextFns.qualityFeatures(col("text")).getField("keep"))
+        .withColumn("digest", DedupOps.contentDigest(col("text")))
+        .withColumn("n_toks", TextFns.tokenCount(col("text")).cast("long"))
+        .withColumn("has_pii",
+          regexp_count(col("text"), lit(PiiEmail)) +
+            regexp_count(col("text"), lit(PiiIpv4)) +
+            regexp_count(col("text"), lit(PiiPhone)) +
+            regexp_count(col("text"), lit(PiiIdRun)) > 0)
+        .select(Seq(col("doc_id"), col("source"), col("lang"),
+          col("keep_q"), col("digest"), col("n_toks"), col("has_pii")) ++
+          gopherCountCols(col("text")): _*)
+        .withColumn("keep_g", expr(GopherKeepSql))
+      val lvl1 = base.groupBy(col("source"), col("digest"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_toks")).as("toks"),
+          count(when(col("keep_q"), 1)).as("nq"),
+          count(when(col("keep_q") && col("keep_g"), 1)).as("ng"),
+          count(when(col("has_pii"), 1)).as("npii"),
+          collect_set(col("lang")).as("langs"))
+      lvl1.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("nq")).as("n_quality_keep"),
+          sum(col("ng")).as("n_gopher_keep"),
+          sum(col("npii")).as("n_pii_docs"),
+          size(array_distinct(flatten(collect_list(col("langs")))))
+            .cast("long").as("n_langs"))
+        .withColumn("dup_frac", round(
+          lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 6))
+        .orderBy(col("source"))
+    }),
+
     // UT1-style domain blocklist filtering (the CCNet/RefinedWeb URL
     // gate): a host is blocked when any whole-label dot-suffix of it is
     // a blocklist entry — subdomains inherit their parent domain's
@@ -2229,6 +2277,46 @@ object PipelineQueries {
         |SELECT id AS doc_id, min(label) AS cluster_id,
         |       (id = min(label)) AS is_canonical
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // t27: one CTE per shared predicate family — gopher counts + keep
+    // from gopherCountsCte/GopherKeepSql, quality from qualityKeepSql,
+    // PII from the four shared patterns, digest/tokens from the d01/t12
+    // recipes — then the same two-level (source, digest) rollup.
+    "t27_data_card" ->
+      (s"WITH $gopherCountsCte,\n" +
+      s"""g AS (SELECT doc_id, $GopherKeepSql AS keep_g FROM c),
+         |dd AS (
+         |  SELECT doc_id, source, lang, md5(text) AS digest,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |         END AS BIGINT) AS n_toks,
+         |    (len(regexp_extract_all(text, '$PiiEmail'))
+         |     + len(regexp_extract_all(text, '$PiiIpv4'))
+         |     + len(regexp_extract_all(text, '$PiiPhone'))
+         |     + len(regexp_extract_all(text, '$PiiIdRun'))) > 0 AS has_pii,
+         |    ${qualityKeepSql("text")} AS keep_q
+         |  FROM documents),
+         |j AS (SELECT dd.*, g.keep_g FROM dd JOIN g USING (doc_id)),
+         |l1 AS (
+         |  SELECT source, digest, count(*) AS n,
+         |    CAST(sum(n_toks) AS BIGINT) AS toks,
+         |    count(CASE WHEN keep_q THEN 1 END) AS nq,
+         |    count(CASE WHEN keep_q AND keep_g THEN 1 END) AS ng,
+         |    count(CASE WHEN has_pii THEN 1 END) AS npii
+         |  FROM j GROUP BY source, digest),
+         |nl AS (SELECT source, CAST(count(DISTINCT lang) AS BIGINT)
+         |         AS n_langs
+         |       FROM j GROUP BY source)
+         |SELECT l1.source,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nq) AS BIGINT) AS n_quality_keep,
+         |  CAST(sum(ng) AS BIGINT) AS n_gopher_keep,
+         |  CAST(sum(npii) AS BIGINT) AS n_pii_docs,
+         |  any_value(nl.n_langs) AS n_langs,
+         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 6) AS dup_frac
+         |FROM l1 JOIN nl USING (source)
+         |GROUP BY l1.source ORDER BY l1.source""".stripMargin),
     // d22: the d10 closure, then the keeper = row_number 1 by
     // (n_tokens DESC, doc_id) per cluster — the same total order the
     // engine's max_by(struct(n_tokens, -id)) maximizes.

@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 141)
+    assert(SparkEntry.queries.size === 142)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -25,8 +25,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // r10: d20 ingest triage (d17∘d18 composition), t23 interpolated-
     // backoff LM, t24 trigram LM, d16s sampled LSH sweep, s17 approx
     // prototype prune, d21 source cap, t25 CCNet buckets, t26 DSIR
-    // resampling, s18 matryoshka recall, s19 PQ-ADC recall, m04 audio profile, d22 quality-canonical — all oracled on arrival
-    assert(SparkEntry.oracleSql.size === 141)
+    // resampling, s18 matryoshka recall, s19 PQ-ADC recall, m04 audio profile, d22 quality-canonical, t27 data card — all oracled on arrival
+    assert(SparkEntry.oracleSql.size === 142)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }
