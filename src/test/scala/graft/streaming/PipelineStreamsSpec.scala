@@ -368,6 +368,71 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest chain: both stateful stages survive a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DedupOps, RelevanceOps}
+    def mk(words: Seq[String]) = words.mkString(" ")
+    val wA = Seq("the") ++ (1 to 28).map(i => s"alpha$i") ++
+      Seq("and") ++ (29 to 58).map(i => s"alpha$i")
+    val wB = Seq("the") ++ (1 to 28).map(i => s"beta$i") ++
+      Seq("and") ++ (29 to 58).map(i => s"beta$i")
+    val corpus = Seq((100L, mk(wA)), (101L, mk(wB))).toDF("doc_id", "text")
+    val lm = RelevanceOps.bigramLm(corpus, "text")
+    val digests = corpus
+      .select(DedupOps.contentDigest(col("text")).as("digest"))
+    val bandsIdx = DedupOps.bandIndex(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleWords = 3)
+    val shinglesIdx = DedupOps.shingleIndex(corpus, "doc_id", "text",
+      shingleWords = 3)
+    val good1 = mk(wA.take(30) ++ wB.drop(30))
+    val good2 = mk(wB.take(30) ++ wA.drop(30))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val kept = PipelineStreams.ingestChain(
+      in.toDF().toDF("ts", "doc_id", "text"), digests, bandsIdx,
+      shinglesIdx, lm, "ts", "doc_id", "text", nearDupThreshold = 0.8,
+      maxXent = 2.0, "10 minutes", "10 minutes",
+      k = 32, bands = 8, shingleWords = 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("ic-ckpt").toString
+    val buf = new scala.collection.concurrent.TrieMap[
+      Long, Array[org.apache.spark.sql.Row]]
+    def sink = kept.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => { buf.put(id, b.collect()); () })
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+    // before restart: the keeper enters BOTH stateful stages (its digest
+    // into the dedup store, its text+counters into the windowed agg) and
+    // a same-text copy is deduped
+    val q1 = sink.start()
+    try {
+      in.addData((ts("2021-01-16 17:00:00"), 0L, good1))
+      q1.processAllAvailable()
+      in.addData((ts("2021-01-16 17:01:00"), 1L, good1))
+      q1.processAllAvailable()
+      assert(buf.values.flatten.isEmpty, "window must still be open")
+    } finally q1.stop()
+    // after restart: a further copy must STILL dedup (digest state
+    // restored), a fresh doc must still pass, and the window must emit
+    // the pre-restart keeper's text (agg state restored)
+    val q2 = sink.start()
+    try {
+      in.addData((ts("2021-01-16 17:02:00"), 2L, good1))
+      q2.processAllAvailable()
+      in.addData((ts("2021-01-16 17:03:00"), 3L, good2))
+      q2.processAllAvailable()
+      in.addData((ts("2021-01-16 17:40:00"), 99L,
+        mk(Seq("the", "and") ++ (1 to 58).map(i => s"omega$i"))))
+      q2.processAllAvailable()
+      val got = buf.values.flatten.toArray
+        .filter(_.getLong(1) < 99)
+        .map(r => r.getLong(1) -> r.getString(2)).sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq(0L, 3L),
+        s"expected the pre-restart keeper and the fresh doc, got ${got.toSeq}")
+      assert(got.toMap === Map(0L -> good1, 3L -> good2))
+    } finally q2.stop()
+  }
+
   test("gate funnel: per-window drop accounting conserves and matches " +
     "the batch gate bits") {
     implicit val sqlCtx = spark.sqlContext
