@@ -456,6 +456,52 @@ object DedupOps {
           .otherwise(lit("ingest")).as("decision"))
   }
 
+  /** THE URL-canonicalization recipe, shared by [[urlDedup]] and its oracle
+    * (one rule list so engine and oracle cannot drift): strip the fragment,
+    * strip `utm_*` tracking params (the synthetic URLs carry at most one
+    * query param; a multi-param canonicalizer would re-apply the replace to
+    * a fixpoint), lowercase scheme+authority ONLY (paths are
+    * case-significant per RFC 3986 §6.2.2.1), drop http's default `:80`
+    * port, and drop one trailing slash. Every regex is anchored so it
+    * matches at most once — the one shape where Spark's replace-all and
+    * DuckDB's replace-first `regexp_replace` semantics provably agree.
+    * Pure per-row string work: runs inside the scan's codegen stage,
+    * nothing shuffles before the canonical-key aggregate.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "\\?utm_[^&#]*$", "")
+    // scheme matching is case-insensitive (RFC 3986 §3.1) — the (?i:)
+    // group keeps the insensitivity away from the host capture, though
+    // lower() makes that moot here
+    val auth = regexp_extract(noUtm, "^((?i:https?)://[^/]*)", 1)
+    val lowered = concat(lower(auth), noUtm.substr(length(auth) + 1, length(noUtm)))
+    val noPort = regexp_replace(lowered, "^(http://[^/:]+):80(/|$)", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** d23: URL dedup — the first pass every web-corpus pipeline runs
+    * (FineWeb, CCNet, RefinedWeb dedup by canonicalized URL before any
+    * content hash exists): canonicalize each capture's URL and keep the
+    * EARLIEST capture per canonical URL ((ts, id) total order).
+    *
+    * Scale shape: canonicalization is per-row scan-side; the only shuffle
+    * is the canonical-key aggregate, with map-side partial `min(struct)` /
+    * `count` — the t07 min-struct survivor pattern, no window, no
+    * join-back, one output row per canonical URL. At 100 TB the canonical
+    * key is the natural partition key and skew (a crawler loop hammering
+    * one URL) collapses in the partials before it can concentrate.
+    */
+  def urlDedup(captures: DataFrame, urlCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    captures
+      .withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_captures"),
+        min(struct(col(tsCol), col(idCol))).as("first"))
+      .select(col("canon_url"), col("n_captures"),
+        col("first").getField(idCol).as("kept_event_id"))
+
   /** Train/eval decontamination: per corpus doc, how many of its distinct
     * word n-grams appear anywhere in the benchmark set (docs sharing any
     * n-gram are contamination suspects). The benchmark shingle set is tiny

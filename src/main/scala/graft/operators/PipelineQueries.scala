@@ -971,6 +971,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-canonicalization dedup — the crawl-native first pass that runs
+    // BEFORE any content exists to hash (FineWeb dedups by URL before
+    // text dedup): messy capture URLs (mixed case, default port, tracking
+    // params, fragments, trailing slashes — each variant keyed off event
+    // fields so the oracle rebuilds the identical mess) collapse to a
+    // canonical form and the earliest capture per canonical URL survives.
+    // Canonical rule list + scale shape: DedupOps.canonicalUrl/urlDedup.
+    "d23_url_dedup" -> ((s, d) => {
+      val messy = Tables.events(s, d).withColumn("url",
+        concat(
+          lit("http://"),
+          when(col("event_id") % 2 === 0, lit("Host")).otherwise(lit("host")),
+          col("user_id") % 20,
+          when(col("event_id") % 2 === 0, lit(".Example.org"))
+            .otherwise(lit(".example.org")),
+          when(col("event_id") % 3 === 0, lit(":80"))
+            .when(col("event_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+          lit("/p/"), col("event_id") % 40,
+          when(col("event_id") % 2 === 1, lit("/")).otherwise(lit("")),
+          when(col("event_id") % 5 === 0, lit("?utm_source=feed"))
+            .when(col("event_id") % 5 === 1,
+              concat(lit("?q="), col("event_id") % 7)).otherwise(lit("")),
+          when(col("event_id") % 4 === 0,
+            concat(lit("#sec"), col("event_id") % 3)).otherwise(lit(""))))
+      DedupOps.urlDedup(messy, "url", "ts", "event_id")
+        .orderBy(col("canon_url"))
+    }),
+
     // Per-source document cap (C4/RefinedWeb "no domain dominates"): keep
     // at most 10 docs per source, survivors chosen by the shared 24-bit
     // md5 draw (the t06/t12 recipe — deterministic, partition-independent,
@@ -2428,6 +2456,54 @@ object PipelineQueries {
     // d21: the oracle is the per-source row_number window the engine
     // deliberately avoids (bounded top-K aggregator instead) — same kept
     // set by construction, since (draw, doc_id) is a total order.
+    // The oracle rebuilds the identical messy URLs, applies the SAME
+    // anchored rule list (DuckDB backrefs are \1 where Spark's are $1 —
+    // dialect, not semantics; every pattern is anchored so replace-first
+    // vs replace-all cannot diverge), then keeps the earliest capture via
+    // the row_number window the engine's min-struct aggregate avoids.
+    "d23_url_dedup" ->
+      """WITH u AS (
+        |  SELECT event_id, ts,
+        |    'http://'
+        |    || CASE WHEN event_id % 2 = 0 THEN 'Host' ELSE 'host' END
+        |    || CAST(user_id % 20 AS VARCHAR)
+        |    || CASE WHEN event_id % 2 = 0 THEN '.Example.org'
+        |            ELSE '.example.org' END
+        |    || CASE WHEN event_id % 3 = 0 THEN ':80'
+        |            WHEN event_id % 3 = 1 THEN ':8080' ELSE '' END
+        |    || '/p/' || CAST(event_id % 40 AS VARCHAR)
+        |    || CASE WHEN event_id % 2 = 1 THEN '/' ELSE '' END
+        |    || CASE WHEN event_id % 5 = 0 THEN '?utm_source=feed'
+        |            WHEN event_id % 5 = 1
+        |              THEN '?q=' || CAST(event_id % 7 AS VARCHAR)
+        |            ELSE '' END
+        |    || CASE WHEN event_id % 4 = 0
+        |              THEN '#sec' || CAST(event_id % 3 AS VARCHAR)
+        |            ELSE '' END AS url
+        |  FROM events),
+        |c1 AS (SELECT event_id, ts,
+        |         regexp_replace(regexp_replace(url, '#.*$', ''),
+        |                        '\?utm_[^&#]*$', '') AS x
+        |       FROM u),
+        |c2 AS (SELECT event_id, ts,
+        |         lower(regexp_extract(x, '^((?i:https?)://[^/]*)', 1))
+        |           || substr(x,
+        |                length(regexp_extract(x, '^((?i:https?)://[^/]*)', 1)) + 1)
+        |           AS x
+        |       FROM c1),
+        |c3 AS (SELECT event_id, ts,
+        |         regexp_replace(
+        |           regexp_replace(x, '^(http://[^/:]+):80(/|$)', '\1\2'),
+        |           '/$', '') AS canon_url
+        |       FROM c2),
+        |r AS (SELECT canon_url, event_id,
+        |        row_number() OVER (PARTITION BY canon_url
+        |                           ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY canon_url) AS n_captures
+        |      FROM c3)
+        |SELECT canon_url, CAST(n_captures AS BIGINT) AS n_captures,
+        |       event_id AS kept_event_id
+        |FROM r WHERE rn = 1 ORDER BY canon_url""".stripMargin,
     "d21_source_cap" ->
       """WITH d AS (
         |  SELECT doc_id, source,
