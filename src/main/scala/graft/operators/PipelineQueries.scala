@@ -1288,6 +1288,17 @@ object PipelineQueries {
     // (m = 8/16/32 of the 64-dim embeddings) against the full-dim exact
     // baseline, for the usual 10-query eval set. One pair pass computes
     // every prefix sim — see SimilarityOps.matryoshkaRecall.
+    // 1-bit sign-quantization recall: the far end of the compression
+    // sweep s09 (int8) and s19 (PQ) sit on — 32× smaller codes, Hamming
+    // ranking with zero float math in the pair loop. Packed words are in
+    // the output so the oracle pins the quantization integer-exactly.
+    "s20_sign_quant_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.signQuantRecall(emb, emb.filter(col("vec_id") < 10),
+        k = 5, dim = 64)
+        .orderBy(col("query_id"))
+    }),
+
     "s18_matryoshka_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.matryoshkaRecall(emb, emb.filter(col("vec_id") < 10),
@@ -2720,6 +2731,56 @@ object PipelineQueries {
     // s18: list slices v[1:m] + list_cosine_similarity mirror the engine's
     // slice/dot/norm chain (the s01 raw-double rank precedent); baseline
     // is the m=64 full-dim ranking from the same pair table.
+    // Exact-baseline CTE is s13's `b`; the pack mirrors the engine's
+    // two-32-bit-word layout (a 64-bit pack would need 1<<63 — overflow
+    // under DuckDB's checked shift, the reason BOTH engines use words).
+    "s20_sign_quant_recall" ->
+      """WITH q0 AS (SELECT vec_id AS query_id,
+        |                   CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 10),
+        |c0 AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        |qc AS (SELECT query_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qa,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qb
+        |       FROM q0),
+        |cc AS (SELECT corpus_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS ca,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS cb
+        |       FROM c0),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, c0.corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, c0.cv) DESC,
+        |                              c0.corpus_id) AS rank
+        |    FROM q0, c0 WHERE c0.corpus_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |hm AS (SELECT qc.query_id, cc.corpus_id,
+        |         bit_count(xor(qc.qa, cc.ca)) + bit_count(xor(qc.qb, cc.cb))
+        |           AS ham
+        |       FROM qc, cc WHERE cc.corpus_id <> qc.query_id),
+        |r AS (SELECT query_id, corpus_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY ham, corpus_id) AS rank
+        |      FROM hm),
+        |a AS (SELECT query_id, corpus_id FROM r WHERE rank <= 5),
+        |h AS (SELECT query_id, count(*) AS n_hits
+        |      FROM a JOIN b USING (query_id, corpus_id) GROUP BY query_id)
+        |SELECT qc.query_id, qc.qa, qc.qb,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+        |FROM qc LEFT JOIN h USING (query_id)
+        |ORDER BY qc.query_id""".stripMargin,
     "s18_matryoshka_recall" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  CAST(embedding AS DOUBLE[]) AS qv

@@ -406,6 +406,66 @@ object SimilarityOps {
     * Rank determinism is the s01 precedent: both engines compute the
     * identical dot/(|q||c|) doubles, ranked desc with corpus-id tiebreak.
     */
+  /** s20: 1-bit sign quantization + Hamming ranking recall — the extreme
+    * point of the embedding-compression curve (LSH sign hashing, Charikar
+    * 2002; 64 dims → 8 bytes, 32× smaller than float32): each vector
+    * becomes its per-dimension sign bitmap, candidates are ranked by
+    * Hamming distance (a codegen'd `bit_count(xor)` on packed words —
+    * no float math in the pair loop at all), and the eval reports
+    * recall@k against the exact cosine baseline.
+    *
+    * Codes pack into TWO 32-bit words (dims 1–32 / 33–64) rather than one
+    * 64-bit word: a full 64-bit pack needs a `1<<63` shift that overflows
+    * a checked-arithmetic engine (DuckDB rejects it), and the two-word
+    * form is how SIMD Hamming kernels consume codes anyway. The packed
+    * words are part of the output, so the oracle hash-pins the
+    * quantization itself (integer-exact), not just the recall.
+    *
+    * Scale shape: packing is per-row scan-side (the corpus contributes
+    * one (id, word, word) row — vectors never travel past the scan);
+    * queries broadcast; the per-query rank window is the exact-eval
+    * caveat shared with s01/s18/s19. Hamming ties are broken by
+    * corpus_id — an all-integer total order, no raw-double rank hazard
+    * anywhere on the approximate side.
+    */
+  def signQuantRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(dim % 2 == 0 && dim >= 2 && dim <= 64, s"dim=$dim")
+    val half = dim / 2
+    def packWord(vec: Column, offset: Int): Column =
+      (1 to half).map(i =>
+        when(element_at(vec, offset + i) >= 0d, lit(1L << (i - 1)))
+          .otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .select(col("corpus_id"), packWord(col("cv"), 0).as("ca"),
+        packWord(col("cv"), half).as("cb"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), packWord(col("qv"), 0).as("qa"),
+        packWord(col("qv"), half).as("qb"))
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("ham",
+        bit_count(col("ca").bitwiseXOR(col("qa"))) +
+          bit_count(col("cb").bitwiseXOR(col("qb"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("corpus_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    q.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("qa"), col("qb"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
   def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       prefixes: Seq[Int], fullDim: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
