@@ -762,6 +762,13 @@ object PipelineQueries {
     // term-count shuffle with map-side combine; the unpartitioned ranking
     // window runs over at most topN rows (cut by TakeOrderedAndProject
     // first), never the corpus.
+    // One BPE merge round's pair table over the distinct-word vocab —
+    // the tokenizer-training inner loop. Two-level rollup so the char
+    // explode runs over vocab, not corpus tokens: RelevanceOps.bpePairStats.
+    "t28_bpe_pairs" -> ((s, d) =>
+      RelevanceOps.bpePairStats(Tables.documents(s, d), "text", 50)
+        .orderBy(desc("pair_count"), col("c1"), col("c2"))),
+
     "t10_vocab_coverage" -> ((s, d) =>
       RelevanceOps.vocabCoverage(Tables.documents(s, d), "text", 30)
         .orderBy(col("rank"))),
@@ -2084,6 +2091,25 @@ object PipelineQueries {
         |  FROM d, st)
         |SELECT doc_id, score_micro / 1e6 AS score
         |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    // Pairs from the distinct-word table (unnest over generate_series —
+    // DuckDB's generate_series cannot lateral-join a column, hence the
+    // list-comprehension spelling); strict (count desc, c1, c2) order so
+    // the LIMIT boundary cannot tie-split across engines.
+    "t28_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS tf
+        |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+        |e AS (SELECT w, tf,
+        |        unnest([i FOR i IN generate_series(1, length(w) - 1)]) AS i
+        |      FROM wf WHERE length(w) >= 2),
+        |p AS (SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, tf
+        |      FROM e)
+        |SELECT c1, c2, CAST(sum(tf) AS BIGINT) AS pair_count
+        |FROM p GROUP BY c1, c2
+        |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin,
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

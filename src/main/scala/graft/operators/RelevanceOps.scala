@@ -478,4 +478,43 @@ object RelevanceOps {
         round(sum(col("n")).over(w).cast("double") / col("total"), 6))
       .select(col("rank"), col("term"), col("n"), col("cum_frac"))
   }
+
+  /** t28: one BPE merge round's candidate statistic (Sennrich et al. 2016
+    * — the tokenizer-training loop's inner step): count adjacent SYMBOL
+    * pairs inside words, weighted by word frequency, and report the top
+    * pairs — the argmax of this table IS the next merge. Symbols here are
+    * the pre-merge alphabet (single characters), i.e. round one of the
+    * training loop; later rounds would re-run the same statistic over the
+    * merged symbol sequences.
+    *
+    * Scale shape — the two-level rollup is the whole point: text explodes
+    * to WORDS once and immediately collapses to the (word, tf) vocab
+    * table (map-side partials; Heaps-law-sized, aggregated not broadcast),
+    * so the per-character explode runs over DISTINCT words — at 100 TB
+    * the pair pass costs O(vocab · word_len), not O(corpus tokens). Pair
+    * counts then collapse again to an alphabet²-bounded table, so the
+    * final top-K sort is trivially small (TakeOrderedAndProject — a
+    * per-partition heap, no global sort shuffle).
+    *
+    * Determinism: counts are exact integers; the top-K order
+    * (count desc, c1, c2) is strict, so the K boundary cannot tie-split
+    * across engines. 1-character words contribute no pairs (guarded —
+    * Spark's `sequence(1, 0)` would otherwise DESCEND, not empty out).
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    val vocab = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("tf"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("c1"),
+        col("w").substr(col("i") + 1, lit(1)).as("c2"), col("tf"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(sum(col("tf")).as("pair_count"))
+      .orderBy(desc("pair_count"), col("c1"), col("c2"))
+      .limit(topK)
+  }
 }
