@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -240,6 +240,37 @@ object PipelineQueries {
     */
   val PackBudget = 256
 
+  /** THE 24-bit md5 sampling draw on an id — the deterministic,
+    * layout-independent, oracle-recomputable coin t21/d21/d16s toss
+    * (hex chars 1–6 of md5(id-as-string) → [0, 2²⁴)). One definition so
+    * a batch rate and a streaming gate applying it can never disagree on
+    * which rows a threshold keeps.
+    */
+  def draw24(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long")
+
+  /** t21's UniMax/mT5 temperature-rate derivation (τ = 0.5, cap 1):
+    * per-source keep threshold floor(min(1, √(N/nᵢ)/8)·2²⁴) against
+    * [[draw24]]. Returns (source, n_docs, thresh) — source-cardinality
+    * rows, the shape a broadcast wants. The capped form's float chain
+    * (divide → sqrt → least → ×2²⁴ → floor) never reduces floats across
+    * rows, so it is IEEE-identical engine↔oracle (the t21 lesson: a
+    * normalized-weights form would need a cross-source float sum whose
+    * accumulation order is engine-dependent).
+    */
+  def temperatureRates(docs: DataFrame, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          sqrt(col("n_total").cast("double") / col("n_docs").cast("double"))
+            / 8) * 16777216.0).cast("long"))
+      .select(col(sourceCol), col("n_docs"), col("thresh"))
+  }
+
   /** t23's Jelinek–Mercer interpolation weight λ = num/den — ONE rational,
     * interpolated into both engines (the PackBudget rule). Den MUST stay a
     * power of two: λ and 1−λ are then exact binary doubles, so the
@@ -458,18 +489,8 @@ object PipelineQueries {
     // window anywhere), a broadcast join back, and a per-row keep.
     "t21_temperature_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .withColumn("v",
-          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6),
-            16, 10).cast("long"))
-      val counts = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-      val rates = counts
-        .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
-        .withColumn("thresh",
-          floor(least(lit(1.0),
-            sqrt(col("n_total").cast("double") / col("n_docs").cast("double"))
-              / 8) * 16777216.0).cast("long"))
-        .select(col("source"), col("n_docs"), col("thresh"))
+        .withColumn("v", draw24(col("doc_id")))
+      val rates = temperatureRates(docs, "source")
       docs.join(broadcast(rates), Seq("source"))
         .withColumn("keep", col("v") < col("thresh"))
         .groupBy(col("source"))

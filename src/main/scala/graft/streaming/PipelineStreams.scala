@@ -194,6 +194,37 @@ object PipelineStreams {
     rows.filter(
       graft.operators.PipelineQueries.blockedBy(col(hostCol)).isNull)
 
+  /** At-ingest temperature-mix sampling gate — the streaming twin of
+    * batch t21: rates are derived OFFLINE over the accumulated corpus
+    * ([[graft.operators.PipelineQueries.temperatureRates]], in production
+    * a per-training-cycle parquet artifact like xentGate's LM tables) and
+    * the gate keeps a row iff its SHARED 24-bit md5 draw
+    * ([[graft.operators.PipelineQueries.draw24]]) falls under its
+    * source's integer threshold — so the gate's kept set IS batch t21's
+    * kept set by construction, not by test luck (one draw, one threshold
+    * table, two call sites).
+    *
+    * A source ABSENT from the rates table keeps everything (threshold
+    * 2²⁴): a brand-new source has no calibrated rate yet, and silently
+    * dropping it would starve the next calibration cycle of the counts
+    * it needs — the explicit production policy, not an accident of join
+    * type.
+    *
+    * Shape: stateless — one stream-static LEFT join against the
+    * source-cardinality rates frame (broadcast) and a per-row integer
+    * compare; no watermark, no state store, adds zero latency.
+    */
+  def mixGate(docs: DataFrame, rates: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val out = docs.columns
+    docs
+      .join(broadcast(rates.select(col(sourceCol), col("thresh"))),
+        Seq(sourceCol), "left")
+      .filter(graft.operators.PipelineQueries.draw24(col(idCol)) <
+        coalesce(col("thresh"), lit(1L << 24)))
+      .select(out.map(col): _*)
+  }
+
   /** At-ingest CCNet-style perplexity gate: score each arriving doc's
     * interpolated bigram cross-entropy against a PRE-MATERIALIZED corpus
     * LM ([[graft.operators.RelevanceOps.BigramLm]] — the t23 count

@@ -548,6 +548,50 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("mix gate: per-source sampling equals the batch t21 keep set; " +
+    "uncalibrated sources keep everything") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: web dominates (n=90), news mid (n=9), rare tiny (n=1 →
+    // sqrt-law rate caps at 1). Rates derived ONCE, batch-side.
+    val corpus = ((0L until 90L).map(i => (i, "web")) ++
+      (90L until 99L).map(i => (i, "news")) :+ (99L, "rare"))
+      .toDF("doc_id", "source")
+    val rates = graft.operators.PipelineQueries
+      .temperatureRates(corpus, "source")
+    val thresh = rates.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(thresh("rare") === (1L << 24)) // capped: keep-all
+    assert(thresh("web") < thresh("news") && thresh("news") < (1L << 24))
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val gated = PipelineStreams.mixGate(
+      in.toDF().toDF("ts", "doc_id", "source"), rates, "doc_id", "source")
+    assert(gated.columns === Array("ts", "doc_id", "source"))
+    val q = gated.writeStream.format("memory").queryName("mxg")
+      .outputMode("append").start()
+    val rows = (0L until 100L).map(i =>
+      (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), i,
+        if (i < 90) "web" else if (i < 99) "news" else "rare")) ++
+      Seq((java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1000L, "unseen"))
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val kept = spark.table("mxg").select("doc_id").as[Long].collect().sorted
+      // identical to the batch application of the same rates
+      val batch = corpus.union(Seq((1000L, "unseen")).toDF("doc_id", "source"))
+        .join(rates.select("source", "thresh"), Seq("source"), "left")
+        .filter(graft.operators.PipelineQueries.draw24(col("doc_id")) <
+          coalesce(col("thresh"), lit(1L << 24)))
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept === batch)
+      // policy pins: rare (rate 1) and unseen (no rate) fully kept;
+      // web genuinely sampled — kept some, dropped some
+      assert(kept.contains(99L) && kept.contains(1000L))
+      val webKept = kept.count(_ < 90L)
+      assert(webKept > 0 && webKept < 90, s"webKept=$webKept")
+    } finally q.stop()
+  }
+
   test("streaming redaction: stateless, and IDENTICAL to the batch t15 chain") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
