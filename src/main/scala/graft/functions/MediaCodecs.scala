@@ -258,7 +258,19 @@ object MediaCodecs {
     * determines the frame payload size; a final truncated frame makes the
     * whole stream malformed.
     */
-  def parseY4m(b: Array[Byte]): Option[Y4mMeta] = {
+  def parseY4m(b: Array[Byte]): Option[Y4mMeta] =
+    walkY4m(b, collectLuma = false).map(_._1)
+
+  /** [[parseY4m]] plus the decoded LUMA planes (the first w·h bytes of
+    * each 4:2:0 frame payload) — what a temporal-activity pass consumes.
+    * Same validity rules: any malformed or truncated frame rejects the
+    * whole stream.
+    */
+  def parseY4mLuma(b: Array[Byte]): Option[(Y4mMeta, Array[Array[Byte]])] =
+    walkY4m(b, collectLuma = true)
+
+  private def walkY4m(b: Array[Byte],
+      collectLuma: Boolean): Option[(Y4mMeta, Array[Array[Byte]])] = {
     val magic = "YUV4MPEG2"
     if (b == null || b.length < magic.length + 1) return None
     var i = 0
@@ -291,6 +303,7 @@ object MediaCodecs {
     }
     var off = nl + 1
     var frames = 0
+    val lumas = Array.newBuilder[Array[Byte]]
     while (off < b.length) {
       // "FRAME" marker, optional parameters, newline, then the payload
       if (off + 6 > b.length) return None
@@ -303,9 +316,11 @@ object MediaCodecs {
       var p = off + 5
       while (p < b.length && b(p) != '\n') p += 1
       if (p >= b.length || p + 1 + frameBytes > b.length) return None
+      if (collectLuma)
+        lumas += java.util.Arrays.copyOfRange(b, p + 1, p + 1 + w * h)
       off = p + 1 + frameBytes
       frames += 1
     }
-    Some(Y4mMeta(w, h, fn, fd, frames))
+    Some((Y4mMeta(w, h, fn, fd, frames), lumas.result()))
   }
 }

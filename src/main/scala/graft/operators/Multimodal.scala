@@ -147,6 +147,49 @@ object Multimodal {
     }
   }
 
+  /** One per-frame-pair temporal-activity row. sad_milli is the integer
+    * (1000·Σ|Δluma|) div n — the m04 floor-division discipline. */
+  case class MotionRow(media_id: Long, frame_idx: Int, n_pixels: Long,
+      sad_milli: Long)
+
+  /** m05: per-frame-pair motion profile over REAL decoded video — the
+    * scene-cut / static-clip detector every video-data pipeline runs
+    * before sampling frames (a stride-subsampled luma SAD is exactly
+    * what ffmpeg's scene-score computes on a downscaled plane): for each
+    * consecutive frame pair, the mean absolute luma difference over every
+    * `stride`-th pixel, milli-scaled.
+    *
+    * Scale shape: decode ([[graft.functions.MediaCodecs.parseY4mLuma]])
+    * and the pair reduction are ONE partition-local pass — frames never
+    * become rows, pixels never shuffle; only the ≤ nFrames−1 summary
+    * rows per video flow out (the m04 shape). Subsampling cuts the pixel
+    * work `stride`× with the same engine↔oracle integer arithmetic.
+    * Non-video and malformed payloads contribute nothing (magic-sniffed,
+    * the decode-stage poison-row rule); single-frame videos have no
+    * pairs.
+    */
+  def motionProfile(media: Dataset[MediaRow], stride: Int): Dataset[MotionRow] = {
+    require(stride > 0, s"stride=$stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        MediaCodecs.parseY4mLuma(row.payload) match {
+          case Some((_, lumas)) if lumas.length >= 2 =>
+            (1 until lumas.length).map { f =>
+              val prev = lumas(f - 1); val cur = lumas(f)
+              var i = 0; var sum = 0L; var n = 0L
+              while (i < cur.length) {
+                sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); n += 1
+                i += stride
+              }
+              MotionRow(row.media_id, f, n, 1000L * sum / n)
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame index
     * (every `stride`-th frame) — generator-shaped, so `explode` over a
     * per-row `sequence`, no UDTF needed.

@@ -1469,6 +1469,13 @@ object PipelineQueries {
       Multimodal.audioProfile(Multimodal.mediaFromDocuments(s, d), 100)
         .toDF()
         .orderBy(col("media_id"), col("window_idx"))
+    }),
+
+    "m05_motion_profile" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.motionProfile(Multimodal.mediaFromDocuments(s, d), 7)
+        .toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -3235,6 +3242,37 @@ object PipelineQueries {
         |       CAST(max(ax) AS INT) AS peak,
         |       CAST((1000 * sum(ax)) // count(*) AS BIGINT) AS mean_abs_milli
         |FROM x GROUP BY media_id, window_idx
-        |ORDER BY media_id, window_idx""".stripMargin
+        |ORDER BY media_id, window_idx""".stripMargin,
+    // m05: the builder fills each Y4M frame payload with
+    // (seed + 131·f + i) % 256 (MediaCodecs.buildY4m); luma is the first
+    // w·h bytes of the 4:2:0 payload. Recompute the two mod-256 bytes per
+    // sampled pixel and take the same integer floor-division milli-mean.
+    "m05_motion_profile" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    2 * (4 + CASE WHEN length(text) >= 1
+        |                  THEN ord(substr(text, 1, 1)) ELSE 0 END % 12) AS w,
+        |    2 * (4 + CASE WHEN length(text) >= 2
+        |                  THEN ord(substr(text, 2, 1)) ELSE 0 END % 12) AS h,
+        |    CAST(1 + doc_id % 30 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, w, h,
+        |         unnest([g FOR g IN generate_series(1, n_frames - 1)]) AS frame_idx
+        |  FROM v WHERE n_frames >= 2),
+        |p AS (
+        |  SELECT media_id, frame_idx,
+        |         unnest([i FOR i IN generate_series(0, w * h - 1, 7)]) AS i
+        |  FROM f),
+        |d AS (
+        |  SELECT media_id, frame_idx,
+        |         abs((media_id + 131 * frame_idx + i) % 256
+        |             - (media_id + 131 * (frame_idx - 1) + i) % 256) AS ad
+        |  FROM p)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST((1000 * sum(ad)) // count(*) AS BIGINT) AS sad_milli
+        |FROM d GROUP BY media_id, frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

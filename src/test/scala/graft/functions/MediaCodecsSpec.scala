@@ -101,6 +101,27 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseWavData(MediaCodecs.buildBmp(4, 4, 1L)).isEmpty)
   }
 
+  test("parseY4mLuma: sample-exact luma planes from the builder's fill, " +
+    "chroma excluded; rejects what parseY4m rejects") {
+    for ((w, h, nf) <- Seq((8, 8, 1), (8, 6, 3), (30, 28, 5));
+         seed <- Seq(0L, 7L, 4999L)) {
+      val Some((meta, lumas)) =
+        MediaCodecs.parseY4mLuma(MediaCodecs.buildY4m(w, h, nf, seed))
+      assert(meta.width === w && meta.height === h && meta.nFrames === nf)
+      assert(lumas.length === nf)
+      lumas.zipWithIndex.foreach { case (plane, f) =>
+        assert(plane.length === w * h, s"luma plane is w*h, not w*h*3/2")
+        for (i <- Seq(0, 1, w * h / 2, w * h - 1))
+          assert((plane(i) & 0xFF) === ((seed + 131L * f + i) % 256).toInt,
+            s"seed=$seed f=$f i=$i")
+      }
+    }
+    val y4m = MediaCodecs.buildY4m(8, 8, 2, 2L)
+    assert(MediaCodecs.parseY4mLuma(y4m.dropRight(5)).isEmpty)
+    assert(MediaCodecs.parseY4mLuma(null).isEmpty)
+    assert(MediaCodecs.parseY4mLuma(MediaCodecs.buildWav(8000, 5, 1L)).isEmpty)
+  }
+
   test("truncated payloads never parse (poison rows degrade, not crash)") {
     val bmp = MediaCodecs.buildBmp(8, 8, 2L)
     val wavB = MediaCodecs.buildWav(8000, 20, 2L)

@@ -663,6 +663,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("motion profile: closed-form SAD on built frames, stride honored, " +
+    "non-video and single-frame rows contribute nothing") {
+    import graft.functions.MediaCodecs
+    val media = Seq(
+      Multimodal.MediaRow(2L, "video", MediaCodecs.buildY4m(8, 6, 3, 2L)),
+      Multimodal.MediaRow(5L, "video", MediaCodecs.buildY4m(8, 6, 1, 5L)), // 1 frame
+      Multimodal.MediaRow(7L, "audio", MediaCodecs.buildWav(8000, 10, 7L))
+    ).toDS()
+    val out = Multimodal.motionProfile(media, stride = 7).collect()
+      .map(m => (m.media_id, m.frame_idx) -> m).toMap
+    assert(out.keySet === Set((2L, 1), (2L, 2))) // only the 3-frame video pairs
+    // exact per-pixel closed form: |((s+131f+i) - (s+131(f-1)+i)) mod-256 diff|
+    for (f <- 1 to 2) {
+      val idx = 0 until (8 * 6) by 7
+      val diffs = idx.map { i =>
+        val a = ((2L + 131L * (f - 1) + i) % 256).toInt
+        val b = ((2L + 131L * f + i) % 256).toInt
+        math.abs(b - a).toLong
+      }
+      val m = out((2L, f))
+      assert(m.n_pixels === idx.length.toLong)
+      assert(m.sad_milli === 1000L * diffs.sum / idx.length)
+    }
+    // stride 1 touches every pixel
+    val full = Multimodal.motionProfile(media, stride = 1).collect()
+      .filter(_.media_id == 2L)
+    assert(full.forall(_.n_pixels === (8 * 6).toLong))
+  }
+
   test("salted aggregation equals unsalted on skewed data") {
     val rnd = new scala.util.Random(11)
     val skewed = (0 until 5000).map { i =>
