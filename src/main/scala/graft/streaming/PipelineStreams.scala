@@ -194,6 +194,30 @@ object PipelineStreams {
     rows.filter(
       graft.operators.PipelineQueries.blockedBy(col(hostCol)).isNull)
 
+  /** At-ingest URL dedup — the streaming twin of batch d23, and the
+    * crawl-native FIRST gate (it needs no fetched content, so it runs
+    * before the fetch in a frontier, not just before storage):
+    * canonicalize each arriving capture's URL with the SHARED rule list
+    * ([[graft.operators.DedupOps.canonicalUrl]] — one definition, the
+    * gopherGate discipline) and keep one capture per canonical URL
+    * within the watermark horizon. Same machinery and same caveats as
+    * [[dedupByDigest]]: the survivor is arrival-order-arbitrary (batch
+    * d23's min-(ts, id) pass is the deterministic backstop), state is
+    * one canonical-URL row inside the watermark, and re-crawls farther
+    * apart than `delay` re-emit by design — at crawl scale, unbounded
+    * exact URL memory is the frontier database's job, not a stream
+    * operator's.
+    *
+    * Output contract: the input schema plus a `canon_url` column.
+    */
+  def urlDedupGate(rows: DataFrame, tsCol: String, urlCol: String,
+      delay: String): DataFrame =
+    rows
+      .withColumn("canon_url",
+        graft.operators.DedupOps.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** At-ingest temperature-mix sampling gate — the streaming twin of
     * batch t21: rates are derived OFFLINE over the accumulated corpus
     * ([[graft.operators.PipelineQueries.temperatureRates]], in production

@@ -350,6 +350,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(df) <= 5, p)
   }
 
+  test("url dedup (d23): one canonical-keyed exchange, partial min, no window") {
+    val caps = Seq((1L, "2024-01-01 00:00:00", "http://A.example.org/x/"))
+      .toDF("event_id", "ts_s", "url")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val df = DedupOps.urlDedup(caps, "url", "ts", "event_id")
+    val p = planOf(df)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+    assert(shuffles(df) === 1, p)
+  }
+
+  test("bpe pairs (t28): two rollup exchanges, top-k is a heap not a sort") {
+    val df = RelevanceOps.bpePairStats(docs, "text", 10)
+    val p = planOf(df)
+    // word-tf rollup + pair rollup; the limit plans TakeOrderedAndProject
+    assert(shuffles(df) === 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sign-quant recall (s20): queries broadcast, corpus never shuffles before ranking") {
+    withoutAutoBroadcast {
+      val df = SimilarityOps.signQuantRecall(emb, emb.filter(col("vec_id") < 2),
+        k = 2, dim = 2)
+      val p = planOf(df)
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+      // rank windows (approx + exact baseline) and the hit rollup shuffle
+      // ids only — the packed-code projection happens scan-side
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("recursive cte (q34): recursion plans equi-joins, never a cartesian") {
     val df = graft.SparkEntry.queries("q34_recursive_cte")(
       spark, "/root/testdata/sf0.001")

@@ -548,6 +548,39 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("url dedup gate: one capture per canonical URL in-horizon, " +
+    "canonicalization IDENTICAL to batch d23's rule list") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val gated = PipelineStreams.urlDedupGate(
+      in.toDF().toDF("ts", "url"), "ts", "url", "10 minutes")
+    assert(gated.columns === Array("ts", "url", "canon_url"))
+    val q = gated.writeStream.format("memory").queryName("udg")
+      .outputMode("append").start()
+    val raw = Seq(
+      "http://A.example.org/x/",      // three spellings,
+      "http://a.example.org:80/x",    //   one canonical
+      "http://a.example.org/x#frag",
+      "http://b.example.org/y?utm_source=feed", // distinct canonical
+      "http://b.example.org/y?q=1")   // content query — NOT the same as ^
+    try {
+      in.addData(raw.zipWithIndex.map { case (u, i) =>
+        doc(s"2021-01-16 17:0$i:00", u) }: _*)
+      q.processAllAvailable()
+      val kept = spark.table("udg").select("canon_url").as[String]
+        .collect().sorted
+      assert(kept === Array(
+        "http://a.example.org/x",
+        "http://b.example.org/y",
+        "http://b.example.org/y?q=1"))
+      // the gate's canonical column equals the batch expression per row
+      val batch = raw.toDF("url")
+        .select(graft.operators.DedupOps.canonicalUrl(col("url")))
+        .as[String].collect().distinct.sorted
+      assert(kept === batch)
+    } finally q.stop()
+  }
+
   test("mix gate: per-source sampling equals the batch t21 keep set; " +
     "uncalibrated sources keep everything") {
     implicit val sqlCtx = spark.sqlContext
