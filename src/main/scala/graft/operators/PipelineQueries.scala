@@ -1312,6 +1312,17 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // The composed IVF-PQ query path: s13's cells (centroids vec_id<8),
+    // s19's codes (codebooks vec_id<16), one eval pricing cell-miss AND
+    // quantization together — SimilarityOps.ivfPqRecall.
+    "s21_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfPqRecall(emb, emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") < 16),
+        k = 5, halfDim = 32)
+        .orderBy(col("query_id"))
+    }),
+
     // Matryoshka truncation sweep: recall@5 of prefix-dim cosine search
     // (m = 8/16/32 of the 64-dim embeddings) against the full-dim exact
     // baseline, for the usual 10-query eval set. One pair pass computes
@@ -2782,6 +2793,63 @@ object PipelineQueries {
         |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
         |FROM q LEFT JOIN h USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
+    // s21: s19's encode/LUT/ADC CTEs + the ivfOraclePrologue cell
+    // assignment, candidates restricted to the query's cell before the
+    // rank. Probed cell in the output pins the assignment too.
+    "s21_ivfpq_recall" ->
+      (s"WITH $ivfOraclePrologue,\n" +
+      """cb AS (SELECT vec_id AS code_id,
+        |               CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |e1 AS (SELECT corpus_id, code_id AS code1 FROM (
+        |         SELECT c.corpus_id, cb.code_id,
+        |                row_number() OVER (PARTITION BY c.corpus_id
+        |                  ORDER BY list_inner_product(cv[1:32], v[1:32]) DESC,
+        |                           cb.code_id) AS rn
+        |         FROM c, cb) WHERE rn = 1),
+        |e2 AS (SELECT corpus_id, code_id AS code2 FROM (
+        |         SELECT c.corpus_id, cb.code_id,
+        |                row_number() OVER (PARTITION BY c.corpus_id
+        |                  ORDER BY list_inner_product(cv[33:64], v[33:64]) DESC,
+        |                           cb.code_id) AS rn
+        |         FROM c, cb) WHERE rn = 1),
+        |l1 AS (SELECT q.query_id, cb.code_id AS code1,
+        |              list_inner_product(q.qv[1:32], cb.v[1:32]) AS ip1
+        |       FROM q, cb),
+        |l2 AS (SELECT q.query_id, cb.code_id AS code2,
+        |              list_inner_product(q.qv[33:64], cb.v[33:64]) AS ip2
+        |       FROM q, cb),
+        |adc AS (SELECT query_id, corpus_id FROM (
+        |          SELECT l1.query_id, e1.corpus_id,
+        |                 row_number() OVER (PARTITION BY l1.query_id
+        |                   ORDER BY l1.ip1 + l2.ip2 DESC, e1.corpus_id) AS rank
+        |          FROM e1 JOIN e2 USING (corpus_id)
+        |               JOIN asg ac ON ac.vec_id = e1.corpus_id
+        |               JOIN l1 USING (code1)
+        |               JOIN l2 ON l2.code2 = e2.code2
+        |                      AND l2.query_id = l1.query_id
+        |               JOIN asg aq ON aq.vec_id = l1.query_id
+        |                          AND aq.centroid_id = ac.centroid_id
+        |          WHERE e1.corpus_id <> l1.query_id) WHERE rank <= 5),
+        |ex AS (SELECT query_id, corpus_id FROM (
+        |         SELECT q.query_id, c.corpus_id,
+        |                row_number() OVER (PARTITION BY q.query_id
+        |                  ORDER BY list_inner_product(c.cv, q.qv) DESC,
+        |                           c.corpus_id) AS rank
+        |         FROM q, c WHERE c.corpus_id <> q.query_id) WHERE rank <= 5),
+        |h AS (SELECT a.query_id, count(*) AS n_hits
+        |      FROM adc a JOIN ex USING (query_id, corpus_id)
+        |      GROUP BY a.query_id)
+        |SELECT q.query_id, aq.centroid_id,
+        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+        |FROM q JOIN asg aq ON aq.vec_id = q.query_id
+        |       LEFT JOIN h USING (query_id)
+        |ORDER BY q.query_id""".stripMargin),
     // s18: list slices v[1:m] + list_cosine_similarity mirror the engine's
     // slice/dot/norm chain (the s01 raw-double rank precedent); baseline
     // is the m=64 full-dim ranking from the same pair table.

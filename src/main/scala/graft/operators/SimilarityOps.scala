@@ -526,32 +526,59 @@ object SimilarityOps {
     * tiebreaks (the s01 precedent); the ADC sum is ONE addition of two
     * dots — same float on both engines.
     */
-  def pqAdcRecall(corpus: DataFrame, queries: DataFrame,
-      codebookSrc: DataFrame, k: Int, halfDim: Int,
+  private def pqHalf(c: Column, which: Int, halfDim: Int): Column =
+    if (which == 1) slice(c, 1, halfDim)
+    else slice(c, halfDim + 1, halfDim)
+
+  private def pqCodebook(codebookSrc: DataFrame, which: Int, halfDim: Int,
+      idCol: String, vecCol: String): DataFrame =
+    codebookSrc.select(col(idCol).as("code_id"),
+      pqHalf(asDouble(col(vecCol)), which, halfDim).as("cbv"))
+
+  /** The PQ encoding pass shared by [[pqAdcRecall]] and [[ivfPqRecall]]:
+    * one (corpus_id, code1, code2) row per vector — each half assigned to
+    * its max-inner-product sub-codebook entry via the ivfAssign max_by
+    * aggregate (map-side partials, codebooks broadcast, vectors never
+    * travel past the scan). ONE definition so the exhaustive and the
+    * IVF-restricted evals can never encode differently.
+    */
+  def pqEncode(corpus: DataFrame, codebookSrc: DataFrame, halfDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def half(c: Column, which: Int): Column =
-      if (which == 1) slice(c, 1, halfDim)
-      else slice(c, halfDim + 1, halfDim)
-    def cb(which: Int) = codebookSrc.select(col(idCol).as("code_id"),
-      half(asDouble(col(vecCol)), which).as("cbv"))
     val c = corpus.select(col(idCol).as("corpus_id"),
       asDouble(col(vecCol)).as("cv"))
     def encode(which: Int) = c
-      .select(col("corpus_id"), half(col("cv"), which).as("h"))
-      .crossJoin(broadcast(cb(which)))
+      .select(col("corpus_id"), pqHalf(col("cv"), which, halfDim).as("h"))
+      .crossJoin(broadcast(pqCodebook(codebookSrc, which, halfDim, idCol, vecCol)))
       .withColumn("ip", dot(col("h"), col("cbv")))
       .groupBy(col("corpus_id"))
       .agg(max_by(col("code_id"),
         struct(col("ip"), (-col("code_id")).as("tie"))).as(s"code$which"))
-    val codes = encode(1).join(encode(2), Seq("corpus_id"))
+    encode(1).join(encode(2), Seq("corpus_id"))
+  }
+
+  /** The per-query ADC lookup table for one half: (query_id, code, ip) —
+    * |Q|·2^codebits rows, always broadcast. */
+  private def pqLut(queries: DataFrame, codebookSrc: DataFrame, which: Int,
+      halfDim: Int, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(pqCodebook(codebookSrc, which, halfDim, idCol, vecCol)))
+      .select(col("query_id"), col("code_id").as(s"code$which"),
+        dot(pqHalf(col("qv"), which, halfDim), col("cbv")).as(s"ip$which"))
+
+  def pqAdcRecall(corpus: DataFrame, queries: DataFrame,
+      codebookSrc: DataFrame, k: Int, halfDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val codes = pqEncode(corpus, codebookSrc, halfDim, idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    def lut(which: Int) = q.crossJoin(broadcast(cb(which)))
-      .select(col("query_id"), col("code_id").as(s"code$which"),
-        dot(half(col("qv"), which), col("cbv")).as(s"ip$which"))
     val scored = codes
-      .join(broadcast(lut(1)), Seq("code1"))
-      .join(broadcast(lut(2)), Seq("code2", "query_id"))
+      .join(broadcast(pqLut(queries, codebookSrc, 1, halfDim, idCol, vecCol)),
+        Seq("code1"))
+      .join(broadcast(pqLut(queries, codebookSrc, 2, halfDim, idCol, vecCol)),
+        Seq("code2", "query_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("approx", col("ip1") + col("ip2"))
     val wA = Window.partitionBy(col("query_id"))
@@ -572,6 +599,69 @@ object SimilarityOps {
     q.select(col("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
+  /** s21: the COMPOSED faiss IVF-PQ query path — s13's cell restriction
+    * (probe only the query's IVF cell) stacked on s19's ADC ranking
+    * (score candidates by summed codebook lookups, never raw vectors):
+    * recall@k here prices BOTH losses at once, cell-miss and
+    * quantization, against the same full-corpus exact-inner-product
+    * baseline — the number an index config is actually chosen by
+    * (s13 prices the cell alone, s19 the codes alone; their product is
+    * NOT this number, which is why the composition is its own eval).
+    *
+    * Scale shape: the corpus contributes one (id, cell, code1, code2)
+    * row — the literal IVF-PQ index entry — built by two broadcast
+    * passes (centroids, codebooks) that never move a vector; the
+    * query-side cell assignment and LUTs broadcast (probeTopK's
+    * self-assign lesson — re-deriving query cells from the corpus-wide
+    * assignment would rescan the corpus); the cell equijoin prunes the
+    * candidate set BEFORE the rank window, which is the entire point of
+    * IVF. Ranks order raw ADC doubles with corpus-id tiebreak (the s01
+    * precedent); the probed cell rides the output so the oracle pins
+    * the assignment, not just the recall.
+    */
+  def ivfPqRecall(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebookSrc: DataFrame, k: Int, halfDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val codes = pqEncode(corpus, codebookSrc, halfDim, idCol, vecCol)
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id").as("corpus_id"), col("centroid_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val qCells = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val scored = codes
+      .join(cells, Seq("corpus_id"))
+      .join(broadcast(pqLut(queries, codebookSrc, 1, halfDim, idCol, vecCol)),
+        Seq("code1"))
+      .join(broadcast(pqLut(queries, codebookSrc, 2, halfDim, idCol, vecCol)),
+        Seq("code2", "query_id"))
+      .join(broadcast(qCells), Seq("query_id", "centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("approx", col("ip1") + col("ip2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(desc("approx"), col("corpus_id"))
+    val adcTop = scored.withColumn("rank", row_number().over(wA))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("ip", dot(col("cv"), col("qv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(desc("ip"), col("corpus_id"))
+    val exactTop = exact.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = adcTop.join(exactTop, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    qCells
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("centroid_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
   }

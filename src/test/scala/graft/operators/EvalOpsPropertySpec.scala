@@ -50,6 +50,52 @@ class EvalOpsPropertySpec extends AnyFunSuite with SparkSpec {
       val rec = r.getAs[Double](2); rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("ivf-pq: one centroid makes the cell restriction vacuous — " +
+    "exactly pqAdcRecall; cells prune cross-cluster candidates") {
+    val n = 12
+    val corpus = (0L until n.toLong).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val books = corpus.filter(col("vec_id") < 8)
+    val oneCell = corpus.filter(col("vec_id") === 0L)
+    val restricted = SimilarityOps
+      .ivfPqRecall(corpus, queries, oneCell, books, k = 3, halfDim = 8)
+      .orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val exhaustive = SimilarityOps
+      .pqAdcRecall(corpus, queries, books, k = 3, halfDim = 8)
+      .orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(restricted === exhaustive)
+
+    // cell-miss priced in isolation: a high-magnitude outlier x is the
+    // query's TRUE inner-product top-1 but cosine-assigns to the OTHER
+    // cell (ip rewards magnitude, cell assignment ignores it). With
+    // codebooks = corpus, x's code is itself, so exhaustive ADC finds it
+    // (recall@1 = 1) while the cell-restricted path — SAME codes, SAME
+    // query — prunes it (recall@1 = 0). The recall gap IS the cell loss.
+    def unit(dim: Int, scale: Double, extraDim: Int, extra: Double) =
+      Array.tabulate(16)(j => (if (j == dim) scale
+        else if (j == extraDim) extra else 0.0).toFloat)
+    val aSide = (0L to 4L).map(i => (i,
+      unit(0, 1.0, if (i == 0) 1 else 2 + i.toInt, 0.5)))
+    val bSide = (5L to 8L).map(i => (i, unit(0, -1.0, 4 + i.toInt, 0.5)))
+    val outlier = Seq((9L, unit(0, -1.0, 1, 10.0)))
+    val cmCorpus = (aSide ++ bSide ++ outlier).toDF("vec_id", "embedding")
+    val cents = Seq((0L, unit(0, 1.0, 1, 0.0)), (1L, unit(0, -1.0, 1, 0.0)))
+      .toDF("vec_id", "embedding")
+    val q0 = cmCorpus.filter(col("vec_id") === 0L)
+    val exhaust = SimilarityOps
+      .pqAdcRecall(cmCorpus, q0, cmCorpus, k = 1, halfDim = 8)
+      .head()
+    assert(exhaust.getLong(1) === 1L, s"exhaustive ADC must find x: $exhaust")
+    val pruned = SimilarityOps
+      .ivfPqRecall(cmCorpus, q0, cents, cmCorpus, k = 1, halfDim = 8)
+      .head()
+    assert(pruned.getLong(1) === 0L && pruned.getLong(2) === 0L,
+      s"cell restriction must prune the cross-cell outlier: $pruned")
+  }
+
   test("ccnet buckets: per-source tercile sizes are the ceil-rank splits") {
     val got = graft.SparkEntry.queries("t25_ccnet_buckets")(
       spark, "/root/testdata/sf0.001").collect()
