@@ -154,9 +154,19 @@ object DedupOps {
     * can never order or join kept lines differently.
     */
   private[graft] def lineRebuild(sep: String): org.apache.spark.sql.Column =
+    lineRebuildWhen(lit(true), sep)
+
+  /** [[lineRebuild]] restricted to lines passing `keep`, in the SAME
+    * aggregate (collect_list skips the null the failed `when` yields) —
+    * so a filtered rebuild (t29's C4 line gate) needs no second
+    * aggregation pass or per-doc join-back.
+    */
+  private[graft] def lineRebuildWhen(keep: org.apache.spark.sql.Column,
+      sep: String): org.apache.spark.sql.Column =
     array_join(
       transform(
-        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        array_sort(collect_list(
+          when(keep, struct(col("line_no"), col("line"))))),
         x => x.getField("line")),
       sep)
 

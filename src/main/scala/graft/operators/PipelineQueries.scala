@@ -271,6 +271,68 @@ object PipelineQueries {
       .select(col(sourceCol), col("n_docs"), col("thresh"))
   }
 
+  /** t29's C4-style LINE filter (Raffel et al. 2020 §2.2, the famous
+    * clean-crawled-corpus line rules): a line keeps only if it has at
+    * least [[C4MinLineWords]] words, no curly brace (code markers), no
+    * "javascript" / "lorem ipsum" (case-insensitive — cookie banners and
+    * template filler), and ends in terminal punctuation (. ! ? ").
+    * First-failing-rule attribution in this FIXED cheap-to-expensive
+    * order (the t17/t18 gopher discipline); null = keep. ONE column
+    * definition feeding the batch stats, the rebuild, and the streaming
+    * gate, so verdicts can never drift between paths.
+    */
+  val C4MinLineWords = 4
+
+  def c4LineReason(line: Column): Column =
+    when(size(split(line, "\\s+")) < C4MinLineWords, "short")
+      .when(line.contains("{"), "brace")
+      .when(lower(line).contains("javascript"), "javascript")
+      .when(lower(line).contains("lorem ipsum"), "lorem")
+      .when(!line.rlike("[.!?\"]$"), "no_punct")
+      .otherwise(lit(null).cast("string"))
+
+  /** t29: per-doc C4 line-filter accounting + the cleaned document —
+    * n_lines, n_kept, one count per drop reason, and the doc rebuilt
+    * from its kept lines in original order (the d14 rebuild aggregate,
+    * filtered in-aggregate — [[DedupOps.lineRebuildWhen]]).
+    *
+    * Scale shape: line explode + per-line rules are scan-side
+    * (digestedLines, the shared line canonicalization); ONE doc-keyed
+    * exchange carries each kept line once into the rollup — the d14
+    * irreducible cost of materializing a cleaned corpus; the accounting
+    * columns ride the same aggregate for free. Docs with no non-blank
+    * lines keep a row ((0, 0, …, ""), the d11 left-join convention).
+    * The driver's newline-free, punctuation-free text exercises only
+    * the no_punct path (every doc = one unpunctuated line — the t14
+    * degeneracy note); the structured-text fixture gate carries the
+    * real per-rule coverage.
+    */
+  def c4LineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = DedupOps
+      .digestedLines(docs, Seq(idCol), textCol, "\n")
+      .withColumn("reason", c4LineReason(col("line")))
+    def reasonCount(r: String) =
+      count(when(col("reason") === r, 1)).as(s"n_$r")
+    val perDoc = lines.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      count(when(col("reason").isNull, 1)).as("n_kept"),
+      reasonCount("short"), reasonCount("brace"),
+      reasonCount("javascript"), reasonCount("lorem"),
+      reasonCount("no_punct"),
+      DedupOps.lineRebuildWhen(col("reason").isNull, "\n").as("clean_text"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_short"), lit(0L)).as("n_short"),
+        coalesce(col("n_brace"), lit(0L)).as("n_brace"),
+        coalesce(col("n_javascript"), lit(0L)).as("n_javascript"),
+        coalesce(col("n_lorem"), lit(0L)).as("n_lorem"),
+        coalesce(col("n_no_punct"), lit(0L)).as("n_no_punct"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** t23's Jelinek–Mercer interpolation weight λ = num/den — ONE rational,
     * interpolated into both engines (the PackBudget rule). Den MUST stay a
     * power of two: λ and 1−λ are then exact binary doubles, so the
@@ -789,6 +851,13 @@ object PipelineQueries {
     "t28_bpe_pairs" -> ((s, d) =>
       RelevanceOps.bpePairStats(Tables.documents(s, d), "text", 50)
         .orderBy(desc("pair_count"), col("c1"), col("c2"))),
+
+    // C4 line filters: per-doc drop accounting + the cleaned rebuild —
+    // see c4LineStats for the rules, the in-aggregate filtered rebuild,
+    // and the driver-data degeneracy note (fixture gate = real coverage).
+    "t29_c4_line_filters" -> ((s, d) =>
+      c4LineStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     "t10_vocab_coverage" -> ((s, d) =>
       RelevanceOps.vocabCoverage(Tables.documents(s, d), "text", 30)
@@ -2134,6 +2203,46 @@ object PipelineQueries {
     // DuckDB's generate_series cannot lateral-join a column, hence the
     // list-comprehension spelling); strict (count desc, c1, c2) order so
     // the LIMIT boundary cannot tie-split across engines.
+    // t29: the d11 line-split idiom + the same first-match rule chain
+    // (CASE order mirrors the engine's when-chain exactly); string_agg
+    // ORDER BY line_no rebuilds kept lines (the d14 idiom).
+    "t29_c4_line_filters" ->
+      """WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |           FROM documents),
+        |raw AS (SELECT doc_id, UNNEST(ls) AS line0,
+        |               UNNEST(generate_series(1, len(ls))) AS line_no FROM s),
+        |l AS (SELECT doc_id, line_no, trim(line0) AS line
+        |      FROM raw WHERE len(trim(line0)) > 0),
+        |r AS (SELECT doc_id, line_no, line,
+        |        CASE
+        |          WHEN len(regexp_split_to_array(line, '\s+')) < 4
+        |            THEN 'short'
+        |          WHEN contains(line, '{') THEN 'brace'
+        |          WHEN contains(lower(line), 'javascript') THEN 'javascript'
+        |          WHEN contains(lower(line), 'lorem ipsum') THEN 'lorem'
+        |          WHEN NOT regexp_matches(line, '[.!?"]$') THEN 'no_punct'
+        |        END AS reason
+        |      FROM l),
+        |a AS (SELECT doc_id, count(*) AS n_lines,
+        |        count(CASE WHEN reason IS NULL THEN 1 END) AS n_kept,
+        |        count(CASE WHEN reason = 'short' THEN 1 END) AS n_short,
+        |        count(CASE WHEN reason = 'brace' THEN 1 END) AS n_brace,
+        |        count(CASE WHEN reason = 'javascript' THEN 1 END)
+        |          AS n_javascript,
+        |        count(CASE WHEN reason = 'lorem' THEN 1 END) AS n_lorem,
+        |        count(CASE WHEN reason = 'no_punct' THEN 1 END) AS n_no_punct,
+        |        coalesce(string_agg(CASE WHEN reason IS NULL THEN line END,
+        |          chr(10) ORDER BY line_no), '') AS clean_text
+        |      FROM r GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_lines, 0) AS n_lines, coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(n_short, 0) AS n_short, coalesce(n_brace, 0) AS n_brace,
+        |  coalesce(n_javascript, 0) AS n_javascript,
+        |  coalesce(n_lorem, 0) AS n_lorem,
+        |  coalesce(n_no_punct, 0) AS n_no_punct,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "t28_bpe_pairs" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

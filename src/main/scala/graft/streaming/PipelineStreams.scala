@@ -194,6 +194,33 @@ object PipelineStreams {
     rows.filter(
       graft.operators.PipelineQueries.blockedBy(col(hostCol)).isNull)
 
+  /** At-ingest C4 line cleaning — the streaming twin of batch t29: each
+    * arriving doc's text is rewritten to its kept lines (same trim/blank
+    * canonicalization, same SHARED rule chain
+    * [[graft.operators.PipelineQueries.c4LineReason]] — one definition,
+    * the gopherGate discipline), entirely per-row: a document arrives
+    * whole, so unlike the reassembly legs no window or state is needed.
+    *
+    * Per-row higher-order functions (filter/transform over the line
+    * array) are the RIGHT tool here — the t20 when-chain lesson applies
+    * to literal-sized lists, and this is the genuinely data-dependent
+    * array case that rule reserves HOFs for; the alternative (explode →
+    * windowed stateful rollup → rebuild) would buy codegen on the lambda
+    * at the price of a shuffle and a watermark delay per doc.
+    *
+    * Output contract: the input schema with `textCol` REPLACED by the
+    * cleaned text (kept lines joined by newline; "" when nothing keeps —
+    * compose a min-length quality gate downstream to drop those).
+    */
+  def c4LineGate(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      array_join(
+        filter(
+          transform(split(col(textCol), "\n"), l => trim(l)),
+          t => length(t) > 0 &&
+            graft.operators.PipelineQueries.c4LineReason(t).isNull),
+        "\n"))
+
   /** At-ingest URL dedup — the streaming twin of batch d23, and the
     * crawl-native FIRST gate (it needs no fetched content, so it runs
     * before the fetch in a frontier, not just before storage):

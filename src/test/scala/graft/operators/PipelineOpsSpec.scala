@@ -663,6 +663,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c4 line filters: first-match attribution order, in-aggregate " +
+    "filtered rebuild, blank lines invisible") {
+    val fix = Seq(
+      // "{ x }" is short AND braced AND unpunctuated → attributes 'short'
+      // the js line is 5 words AND js AND no punct → 'javascript'
+      (0L, "{ x }\nEnable JavaScript to continue here\nA good long sentence stays here.\n\n   \nshort one."),
+      (1L, "")
+    ).toDF("doc_id", "text")
+    val out = PipelineQueries.c4LineStats(fix, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_lines") === 4) // blank + ws-only lines invisible
+    assert(r0.getAs[Long]("n_kept") === 1)
+    assert(r0.getAs[Long]("n_short") === 2) // "{ x }" and "short one."
+    assert(r0.getAs[Long]("n_brace") === 0) // lost to first-match 'short'
+    assert(r0.getAs[Long]("n_javascript") === 1)
+    assert(r0.getAs[Long]("n_no_punct") === 0) // js line attributed upstream
+    assert(r0.getAs[String]("clean_text") === "A good long sentence stays here.")
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_lines") === 0 && r1.getAs[String]("clean_text") === "")
+  }
+
   test("motion profile: closed-form SAD on built frames, stride honored, " +
     "non-video and single-frame rows contribute nothing") {
     import graft.functions.MediaCodecs

@@ -548,6 +548,31 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("c4 line gate: per-row cleaning IDENTICAL to batch t29's rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val gated = PipelineStreams.c4LineGate(in.toDF().toDF("ts", "text"), "text")
+    assert(gated.columns === Array("ts", "text"))
+    val q = gated.writeStream.format("memory").queryName("c4g")
+      .outputMode("append").start()
+    val raw = Seq(
+      "{ x }\nA good long sentence stays here.\n\nEnable JavaScript to continue please\nshort.",
+      "menu\nnav",
+      "Two keepers live here today.\n   Indented but long enough to stay.")
+    try {
+      in.addData(raw.zipWithIndex.map { case (t, i) =>
+        doc(s"2021-01-16 17:0$i:00", t) }: _*)
+      q.processAllAvailable()
+      val kept = spark.table("c4g").select("text").as[String].collect().sorted
+      val batch = graft.operators.PipelineQueries
+        .c4LineStats(raw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .select("clean_text").as[String].collect().sorted
+      assert(kept === batch)
+      assert(kept.contains("")) // all-dropped doc emits empty text
+    } finally q.stop()
+  }
+
   test("url dedup gate: one capture per canonical URL in-horizon, " +
     "canonicalization IDENTICAL to batch d23's rule list") {
     implicit val sqlCtx = spark.sqlContext

@@ -17,7 +17,7 @@ against the real DuckDB compare:
          d14_dedup_collapse t14_pii_counts t15_pii_redact t16_redact_rescore \
          d17_incremental_dedup \
          d01_exact_dedup t01_token_stats t08_repetition t12_source_mix \
-         t21_temperature_mix t22_bigram_xent t23_interp_xent t24_trigram_xent t25_ccnet_buckets t26_dsir_weights t27_data_card d19_substring_stats t28_bpe_pairs"
+         t21_temperature_mix t22_bigram_xent t23_interp_xent t24_trigram_xent t25_ccnet_buckets t26_dsir_weights t27_data_card d19_substring_stats t28_bpe_pairs t29_c4_line_filters"
     python3 tools/check.py /tmp/sfix /tmp/sfix_out
 
     Keep that query list in sync with every operator that reads document
@@ -110,6 +110,18 @@ def main():
     docs.append((153, docs[0][1], docs[0][2], docs[0][3]))
     docs.append((154, "archived snapshot body with enough letters here",
                  "en", "crawl20240101120000"))
+    # C4 line-filter triggers (t29): each drop rule fired at least once,
+    # plus a keeper line, in one doc — and a doc whose every line drops
+    docs.append((155, "\n".join([
+        "Too few.",                                       # short (< 4 words)
+        "function render() { return body; }",             # brace
+        "Please enable JavaScript to view this page.",    # javascript
+        "Lorem ipsum dolor sit amet, consectetur elit.",  # lorem (first match)
+        "This sentence has enough words and ends well.",  # keeps
+        "this line just trails off with no punctuation",  # no_punct
+        'He said "it ends with a quote."',                # keeps (quote end)
+    ]), "en", "web"))
+    docs.append((156, "menu\nnav\nfooter", "en", "web"))  # all short
 
     df = pd.DataFrame(
         [(i, t, l, s, len(t)) for (i, t, l, s) in docs],
