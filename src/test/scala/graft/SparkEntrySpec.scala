@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 142)
+    assert(SparkEntry.queries.size === 148)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -26,7 +26,10 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // backoff LM, t24 trigram LM, d16s sampled LSH sweep, s17 approx
     // prototype prune, d21 source cap, t25 CCNet buckets, t26 DSIR
     // resampling, s18 matryoshka recall, s19 PQ-ADC recall, m04 audio profile, d22 quality-canonical, t27 data card — all oracled on arrival
-    assert(SparkEntry.oracleSql.size === 142)
+    // r10 session 3: d23 URL-canonicalization dedup, s20 sign-quant
+    // Hamming recall, t28 BPE pair stats, m05 motion profile, s21 IVF-PQ
+    // composed recall, t29 C4 line filters — all oracled on arrival
+    assert(SparkEntry.oracleSql.size === 148)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }
