@@ -297,6 +297,58 @@ object DedupOps {
           .otherwise(lit("dup_in_batch")).as("status"))
   }
 
+  /** d24: bloom-pruned incremental dedup — [[incrementalDedup]]'s exact
+    * classification with Spark's own runtime-filter machinery planted by
+    * hand at the ingest boundary: a bloom filter built over the (small)
+    * batch's digests probes the (huge) corpus digest scan, so corpus rows
+    * that PROVABLY don't match any batch digest drop at the scan — before
+    * the partial aggregate, before the exchange. `InjectRuntimeFilter`
+    * can't plant this itself here (it only fires under joins it can cost
+    * inside one query tree with creation-side thresholds); the ingest
+    * pipeline knows statically that batch ≪ corpus, so we build what the
+    * optimizer would have wanted.
+    *
+    * Semantics are EXACTLY [[incrementalDedup]]'s, always: a bloom has no
+    * false negatives, so every corpus digest equal to a batch digest
+    * survives the probe, and false positives are non-matching digests the
+    * exact digest-equality join rejects anyway — the approximate structure
+    * prunes the plan, never the answer (spec-pinned equality on generated
+    * corpora; the registry oracle is the same exact SQL as d17's).
+    *
+    * Scale shape vs d17: d17's corpus-side exchange carries one row per
+    * DISTINCT corpus digest — at 100 TB that is still corpus-sized. Here
+    * the corpus side shrinks to ~|batch| + fpp·|corpus| rows BEFORE its
+    * exchange (bits/item ≈ 16 ⇒ fpp ≈ 4e-4), so every d17 join downstream
+    * runs at batch scale. The bloom itself is one subquery stage over the
+    * batch (nBits/8 bytes, ~2 MB for a million-doc batch) broadcast into
+    * the corpus scan's tasks — the classic build-small/probe-big runtime
+    * filter, with the probe's `xxhash64(digest)` the SAME hashed
+    * expression on both sides.
+    */
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, expectedBatchDocs: Long): DataFrame = {
+    require(expectedBatchDocs > 0, s"expectedBatchDocs=$expectedBatchDocs")
+    val batchDigested = batch
+      .select(col(idCol), contentDigest(col(textCol)).as("digest"))
+    val bloom = batchDigested
+      .agg(graft.functions.BloomFns.bloomAgg(xxhash64(col("digest")),
+        expectedBatchDocs, expectedBatchDocs * 16).as("bf"))
+    val corpusDigests = corpus
+      .select(contentDigest(col(textCol)).as("digest"))
+      .filter(graft.functions.BloomFns.mightContain(bloom,
+        xxhash64(col("digest"))))
+      .groupBy(col("digest")).agg(lit(true).as("in_corpus"))
+    val firstInBatch = batchDigested
+      .groupBy(col("digest")).agg(min(col(idCol)).as("first_id"))
+    batchDigested
+      .join(firstInBatch, Seq("digest"))
+      .join(corpusDigests, Seq("digest"), "left")
+      .select(col(idCol), col("digest"),
+        when(col("in_corpus").isNotNull, lit("dup_in_corpus"))
+          .when(col(idCol) === col("first_id"), lit("new_unique"))
+          .otherwise(lit("dup_in_batch")).as("status"))
+  }
+
   /** d19: exact-substring duplication accounting — the Lee et al.
     * ("Deduplicating Training Data Makes Language Models Better")
     * repeated-span signal, Spark-shaped: per document, how many token

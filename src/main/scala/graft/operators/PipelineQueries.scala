@@ -1126,6 +1126,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-pruned incremental dedup: d17's classification with the
+    // corpus scan probed by a batch-side bloom BEFORE any exchange —
+    // Spark's own runtime-filter expressions, planted by hand (the
+    // optimizer can't see batch ≪ corpus from thresholds alone). The
+    // approximate structure prunes the plan, never the answer, so the
+    // oracle is the same exact SQL shape as d17's — on a different
+    // deterministic split (% 7) so the two entries exercise different
+    // data. See DedupOps.bloomIncrementalDedup.
+    "d24_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.bloomIncrementalDedup(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", expectedBatchDocs = 100000L)
+        .orderBy(col("doc_id"))
+    }),
+
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") < 200)
@@ -2749,6 +2766,21 @@ object PipelineQueries {
         |           FROM documents WHERE doc_id % 10 <> 0),
         |b AS (SELECT doc_id, md5(text) AS digest
         |      FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.digest,
+        |  CASE WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
+        |       WHEN b.doc_id = f.first_id THEN 'new_unique'
+        |       ELSE 'dup_in_batch' END AS status
+        |FROM b JOIN f USING (digest) LEFT JOIN c ON b.digest = c.digest
+        |ORDER BY b.doc_id""".stripMargin,
+    // d24: the bloom prunes the PLAN, never the answer (no false
+    // negatives; false positives are rejected by the exact digest
+    // equality join) — so the oracle is d17's exact SQL on the % 7 split.
+    "d24_bloom_dedup" ->
+      """WITH c AS (SELECT DISTINCT md5(text) AS digest
+        |           FROM documents WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id, md5(text) AS digest
+        |      FROM documents WHERE doc_id % 7 = 0),
         |f AS (SELECT digest, min(doc_id) AS first_id FROM b GROUP BY 1)
         |SELECT b.doc_id, b.digest,
         |  CASE WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'

@@ -48,4 +48,15 @@ object ColumnBridge {
     */
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** The analyzed logical plan of a DataFrame — the input shape
+    * `ScalarSubquery` wants when a custom operator embeds one query's
+    * single-row result inside another (graft's bloom-probe pattern:
+    * `BloomFilterMightContain` requires its filter side to be a constant
+    * or a scalar subquery, exactly how Spark's own `InjectRuntimeFilter`
+    * builds it).
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
