@@ -852,6 +852,14 @@ object PipelineQueries {
       RelevanceOps.bpePairStats(Tables.documents(s, d), "text", 50)
         .orderBy(desc("pair_count"), col("c1"), col("c2"))),
 
+    // The merge-application half of t28: each top-5 candidate merge
+    // applied independently over the DISTINCT-word vocab, priced by the
+    // corpus token count it saves. See RelevanceOps.bpeApplyRound for
+    // the replace-semantics argument and the vocab-reuse plan shape.
+    "t30_bpe_apply" -> ((s, d) =>
+      RelevanceOps.bpeApplyRound(Tables.documents(s, d), "text", 5)
+        .orderBy(col("rank"))),
+
     // C4 line filters: per-doc drop accounting + the cleaned rebuild —
     // see c4LineStats for the rules, the in-aggregate filtered rebuild,
     // and the driver-data degeneracy note (fixture gate = real coverage).
@@ -1684,6 +1692,24 @@ object PipelineQueries {
       |             a.centroid_id
       |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id)""".stripMargin
 
+  /** Shared t28/t30 oracle CTEs: tokenization → word-frequency vocab →
+    * per-position character pairs — one constant so the pair table a
+    * merge is chosen from (t28) can never drift from the pair table the
+    * merge is applied with (t30).
+    */
+  private val bpeVocabCtes: String =
+    """tok AS (
+      |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |wf AS (SELECT w, count(*) AS tf
+      |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+      |e AS (SELECT w, tf,
+      |        unnest([i FOR i IN generate_series(1, length(w) - 1)]) AS i
+      |      FROM wf WHERE length(w) >= 2),
+      |p AS (SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, tf
+      |      FROM e)""".stripMargin
+
   /** Shared t23/t25 oracle CTEs: tokenization → bigram counts → per-
     * transition interpolated micro-nat cost (`per`) — one constant so the
     * xent a doc is bucketed by (t25) can never drift from the xent it
@@ -2261,20 +2287,32 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "t28_bpe_pairs" ->
-      """WITH tok AS (
-        |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |wf AS (SELECT w, count(*) AS tf
-        |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
-        |e AS (SELECT w, tf,
-        |        unnest([i FOR i IN generate_series(1, length(w) - 1)]) AS i
-        |      FROM wf WHERE length(w) >= 2),
-        |p AS (SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, tf
-        |      FROM e)
-        |SELECT c1, c2, CAST(sum(tf) AS BIGINT) AS pair_count
-        |FROM p GROUP BY c1, c2
-        |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin,
+      (s"WITH $bpeVocabCtes\n" +
+        """SELECT c1, c2, CAST(sum(tf) AS BIGINT) AS pair_count
+          |FROM p GROUP BY c1, c2
+          |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin),
+    // t30: t28's vocab/pair CTEs (ONE definition — bpeVocabCtes), the
+    // strict (count desc, c1, c2) top-5, and each merge applied with the
+    // engines' SHARED non-overlapping left-to-right replace semantics.
+    "t30_bpe_apply" ->
+      (s"WITH $bpeVocabCtes,\n" +
+        """top5 AS (SELECT c1, c2, CAST(sum(tf) AS BIGINT) AS pair_count
+          |         FROM p GROUP BY c1, c2
+          |         ORDER BY pair_count DESC, c1, c2 LIMIT 5),
+          |rk AS (SELECT c1, c2, pair_count,
+          |         CAST(row_number() OVER (ORDER BY pair_count DESC, c1, c2)
+          |              AS INT) AS rank
+          |       FROM top5),
+          |ap AS (SELECT r.rank, r.c1, r.c2, r.pair_count,
+          |         v.tf * length(v.w) AS chars,
+          |         v.tf * length(replace(v.w, r.c1 || r.c2, '•')) AS chars_after
+          |       FROM rk r CROSS JOIN wf v)
+          |SELECT rank, c1, c2, pair_count,
+          |  CAST(sum(chars) AS BIGINT) AS tokens_before,
+          |  CAST(sum(chars_after) AS BIGINT) AS tokens_after,
+          |  CAST(sum(chars) - sum(chars_after) AS BIGINT) AS n_merges
+          |FROM ap GROUP BY rank, c1, c2, pair_count
+          |ORDER BY rank""".stripMargin),
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -517,4 +517,57 @@ object RelevanceOps {
       .orderBy(desc("pair_count"), col("c1"), col("c2"))
       .limit(topK)
   }
+
+  /** t30: the OTHER half of the BPE training step — [[bpePairStats]]
+    * chooses candidate merges, this APPLIES each of the top `topK`
+    * independently and prices it: corpus token count before/after, i.e.
+    * the compression each merge would actually buy (the argmax applies;
+    * the runners-up quantify how peaked the gain curve is — flat curves
+    * mean merge order barely matters, peaked curves mean it does).
+    *
+    * Applying one merge to a word is `replace(w, c1·c2, '•')`: built-in
+    * string replace is non-overlapping left-to-right in BOTH engines,
+    * which IS BPE's scan semantics ("aaa" under merge (a,a) → [aa, a] —
+    * 2 tokens, and `length(replace("aaa","aa","•")) = 2`). Token counts
+    * come out of lengths, so no token array ever materializes.
+    *
+    * Scale shape: the vocab aggregate is computed ONCE and consumed by
+    * both the pair table and the apply pass — same groupBy(w) exchange,
+    * AQE stage-level reuse bridges the two consumers (the r9
+    * broadcast-reuse lesson: identical-subtree reuse works at runtime;
+    * check FinalPlan, not .explain). The pair side collapses to
+    * alphabet², the top-K is a heap, and the apply pass is a
+    * topK-row broadcast cross join over DISTINCT words —
+    * O(vocab · topK) per-row string work, never O(corpus tokens).
+    * All counts are exact integers; (count desc, c1, c2) is a strict
+    * total order, so rank and the K boundary are engine-stable.
+    */
+  def bpeApplyRound(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK")
+    val vocab = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val order = Seq(desc("pair_count"), col("c1"), col("c2"))
+    val pairs = vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("tf"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("c1"),
+        col("w").substr(col("i") + 1, lit(1)).as("c2"), col("tf"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(sum(col("tf")).as("pair_count"))
+      .orderBy(order: _*)
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+    vocab
+      .crossJoin(broadcast(pairs))
+      .select(col("rank"), col("c1"), col("c2"), col("pair_count"),
+        (col("tf") * length(col("w"))).as("chars"),
+        (col("tf") * length(org.apache.spark.sql.functions.replace(
+          col("w"), concat(col("c1"), col("c2")), lit("•")))).as("chars_after"))
+      .groupBy(col("rank"), col("c1"), col("c2"), col("pair_count"))
+      .agg(sum(col("chars")).as("tokens_before"),
+        sum(col("chars_after")).as("tokens_after"))
+      .withColumn("n_merges", col("tokens_before") - col("tokens_after"))
+  }
 }

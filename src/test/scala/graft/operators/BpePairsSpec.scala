@@ -28,6 +28,43 @@ class BpePairsSpec extends AnyFunSuite with SparkSpec {
     assert(RelevanceOps.bpePairStats(docs, "text", 50).count() === 0L)
   }
 
+  test("t30: overlapping-run merge counts match BPE scan semantics") {
+    // "aaa" under merge (a,a): greedy left-to-right gives [aa, a] → 2
+    // tokens; "aaaa" → [aa, aa] → 2. The replace-length identity must
+    // reproduce exactly that.
+    val docs = Seq((0L, "aaa aaaa ab")).toDF("doc_id", "text")
+    val rows = RelevanceOps.bpeApplyRound(docs, "text", 5)
+      .collect().map(r => ((r.getString(1), r.getString(2)),
+        (r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // pairs: aa appears 2x in aaa + 3x in aaaa = 5; ab 1x; tokens_before
+    // = 3 + 4 + 2 = 9 chars
+    val (rankAa, cntAa, before, afterAa, mergesAa) = rows(("a", "a"))
+    assert(rankAa === 1 && cntAa === 5L && before === 9L)
+    assert(afterAa === 2L + 2L + 2L, "aaa→2, aaaa→2, ab→2")
+    assert(mergesAa === 3L)
+    val (_, cntAb, _, afterAb, mergesAb) = rows(("a", "b"))
+    assert(cntAb === 1L && afterAb === 3L + 4L + 1L && mergesAb === 1L)
+  }
+
+  test("t30: rank-1 pair is t28's argmax and merges are conserved") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val top = RelevanceOps.bpePairStats(docs, "text", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).head
+    val applied = RelevanceOps.bpeApplyRound(docs, "text", 3)
+      .orderBy(col("rank")).collect()
+    assert((applied.head.getString(1), applied.head.getString(2),
+      applied.head.getLong(3)) === top)
+    for (r <- applied) {
+      val (cnt, before, after, merges) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(before - after === merges)
+      assert(merges > 0 && merges <= cnt,
+        "each merge consumes one occurrence; overlaps can only reduce")
+      assert(before === applied.head.getLong(4), "tokens_before is corpus-constant")
+    }
+  }
+
   test("vocab-rollup equivalence: same counts as the raw token stream") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val viaVocab = RelevanceOps.bpePairStats(docs, "text", 1000)
