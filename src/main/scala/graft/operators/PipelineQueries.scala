@@ -1303,6 +1303,15 @@ object PipelineQueries {
         .orderBy(col("centroid_id"))
     }),
 
+    // IVF index-health datasheet over the 16-centroid assignment: per-cell
+    // population + milli-fraction, cells used, milli imbalance factor —
+    // all-integer outputs. See SimilarityOps.cellBalance.
+    "s22_cell_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.cellBalance(emb, emb.filter(col("vec_id") < 16))
+        .orderBy(col("centroid_id"))
+    }),
+
     // IVF single-probe ANN top-k — the scale path the s01 brute-force
     // baseline is traded against: assignment confines each query's scan to
     // one cell's inverted list. Differential-checked against DuckDB
@@ -2881,6 +2890,25 @@ object PipelineQueries {
         |  FROM embeddings e, cent)
         |SELECT centroid_id, count(*) AS n, round(sum(round(sim, 6)), 4) AS sum_sim
         |FROM scored WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    // s22: cell16Prologue's assignment (one definition with s03/d15),
+    // LEFT-joined so empty cells keep their row; every output is an
+    // integer count or a floor-divided milli-ratio.
+    "s22_cell_balance" ->
+      (s"WITH $cell16Prologue,\n" +
+        """pc AS (SELECT c.centroid_id, count(a.vec_id) AS nv
+          |       FROM cent c LEFT JOIN asg a USING (centroid_id)
+          |       GROUP BY c.centroid_id),
+          |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n_total,
+          |               CAST(max(nv) AS BIGINT) AS max_cell,
+          |               count(CASE WHEN nv > 0 THEN 1 END) AS n_cells_used,
+          |               count(*) AS k
+          |        FROM pc)
+          |SELECT pc.centroid_id, CAST(pc.nv AS BIGINT) AS n_vectors,
+          |  CAST(pc.nv * 1000 // tot.n_total AS BIGINT) AS milli_frac,
+          |  CAST(tot.max_cell * tot.k * 1000 // tot.n_total AS BIGINT)
+          |    AS milli_imbalance,
+          |  CAST(tot.n_cells_used AS BIGINT) AS n_cells_used
+          |FROM pc, tot ORDER BY pc.centroid_id""".stripMargin),
     "s03_cosine_neardup" ->
       (s"WITH $cell16Prologue\n" +
       """SELECT a.id AS id_a, b.id AS id_b,

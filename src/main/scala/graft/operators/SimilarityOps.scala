@@ -67,6 +67,42 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** s22: IVF index-health datasheet — per cell, its population and
+    * milli-fraction of the corpus, plus the corpus-constant diagnostics an
+    * index build is judged by: cells actually used and the imbalance
+    * factor (max cell / mean cell, milli-scaled). Imbalance is what turns
+    * into tail latency at query time (the hottest cell bounds a probe's
+    * worst case) and into skew at build time; empty cells are wasted
+    * centroids (k-means collapse). EVERY centroid reports a row — an
+    * empty cell is precisely the signal, so it must not vanish in a join.
+    *
+    * Determinism: all-integer outputs (counts and floor-divided
+    * milli-ratios — the m04 discipline); no float ever decides a value.
+    * Scale shape: [[ivfAssign]]'s max_by partial aggregate (one row per
+    * vector to the shuffle), a k-row per-cell rollup, a 1-row totals
+    * aggregate broadcast back onto the k-row table — nothing
+    * corpus-sized moves after the assignment.
+    */
+  def cellBalance(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val perCell = centroids
+      .select(col(idCol).as("centroid_id"))
+      .join(ivfAssign(corpus, centroids, idCol, vecCol)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n")),
+        Seq("centroid_id"), "left")
+      .select(col("centroid_id"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+    val totals = perCell.agg(
+      sum(col("n_vectors")).as("n_total"),
+      max(col("n_vectors")).as("max_cell"),
+      count(when(col("n_vectors") > 0, 1)).as("n_cells_used"),
+      count(lit(1)).as("k"))
+    perCell.crossJoin(broadcast(totals))
+      .select(col("centroid_id"), col("n_vectors"),
+        expr("n_vectors * 1000 DIV n_total").as("milli_frac"),
+        expr("max_cell * k * 1000 DIV n_total").as("milli_imbalance"),
+        col("n_cells_used"))
+  }
+
   /** IVF coarse quantization: assign each vector to its nearest centroid
     * (by cosine). Centroids are a small broadcast table; assignment is a
     * shuffle-free map. At query time only matching-cell vectors are scanned

@@ -14,6 +14,33 @@ class EvalOpsPropertySpec extends AnyFunSuite with SparkSpec {
 
   private val rnd = new scala.util.Random(13)
 
+  test("s22 cell balance: empty cells keep a row, counts conserve, " +
+    "imbalance is the provable floor division") {
+    // axis-aligned construction: centroid 0 = +x captures ids 2..21
+    // (all +x-ish), centroid 1 = +y captures nothing else... build
+    // corpus so cell membership is forced: 20 vectors near +x, 5 near
+    // +y, and a third centroid at -x that captures NOTHING.
+    def axis(i: Int, s: Double): Array[Float] = {
+      val a = Array.fill(4)(0f); a(i) = s.toFloat; a
+    }
+    val cents = Seq((0L, axis(0, 1.0)), (1L, axis(1, 1.0)),
+      (2L, axis(0, -1.0))).toDF("vec_id", "embedding")
+    val corpus = ((0L until 20L).map(i => (10L + i, axis(0, 2.0 + i))) ++
+      (0L until 5L).map(i => (40L + i, axis(1, 1.0 + i))))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.cellBalance(corpus, cents)
+      .orderBy(col("centroid_id")).collect()
+    assert(rows.length === 3, "every centroid reports, even empty")
+    val byCell = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell === Map(0L -> 20L, 1L -> 5L, 2L -> 0L))
+    assert(rows.map(_.getLong(1)).sum === 25L, "conservation")
+    for (r <- rows) {
+      assert(r.getLong(2) === r.getLong(1) * 1000L / 25L, "milli_frac")
+      assert(r.getLong(3) === 20L * 3L * 1000L / 25L, "imbalance 2400")
+      assert(r.getLong(4) === 2L, "two cells used")
+    }
+  }
+
   test("matryoshka recall is exactly 1.0 when all information lives in " +
     "the prefix") {
     // tail dims all zero ⇒ prefix cosine == full cosine ⇒ identical ranking
