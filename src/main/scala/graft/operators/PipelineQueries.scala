@@ -860,6 +860,14 @@ object PipelineQueries {
       RelevanceOps.bpeApplyRound(Tables.documents(s, d), "text", 5)
         .orderBy(col("rank"))),
 
+    // Top-30 PMI collocations at min count 5 — phrase mining over the
+    // shared bigram transition table. See RelevanceOps.pmiCollocations
+    // for the ln-sum overflow argument and the minCount-first prune.
+    "t31_pmi_collocations" -> ((s, d) =>
+      RelevanceOps.pmiCollocations(Tables.documents(s, d), "text",
+        minCount = 5L, topK = 30)
+        .orderBy(desc("pmi_micro"), col("w1"), col("w2"))),
+
     // C4 line filters: per-doc drop accounting + the cleaned rebuild —
     // see c4LineStats for the rules, the in-aggregate filtered rebuild,
     // and the driver-data degeneracy note (fixture gate = real coverage).
@@ -2300,6 +2308,18 @@ object PipelineQueries {
         """SELECT c1, c2, CAST(sum(tf) AS BIGINT) AS pair_count
           |FROM p GROUP BY c1, c2
           |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin),
+    // t31: rides interpXentCtes' corpus-level count tables (c12/c1/c2/tv
+    // — ONE bigram definition with t23/t25); the ln-sum parenthesization
+    // mirrors the engine token for token.
+    "t31_pmi_collocations" ->
+      (s"WITH $interpXentCtes\n" +
+        """SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+          |  CAST(round((((ln(CAST(c12.c12 AS DOUBLE)) + ln(tv.t))
+          |    - ln(CAST(c1.c1 AS DOUBLE))) - ln(CAST(c2.c2 AS DOUBLE)))
+          |    * 1000000.0, 0) AS BIGINT) AS pmi_micro
+          |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tv
+          |WHERE c12.c12 >= 5
+          |ORDER BY pmi_micro DESC, w1, w2 LIMIT 30""".stripMargin),
     // t30: t28's vocab/pair CTEs (ONE definition — bpeVocabCtes), the
     // strict (count desc, c1, c2) top-5, and each merge applied with the
     // engines' SHARED non-overlapping left-to-right replace semantics.

@@ -501,6 +501,53 @@ object RelevanceOps {
     * across engines. 1-character words contribute no pairs (guarded —
     * Spark's `sequence(1, 0)` would otherwise DESCEND, not empty out).
     */
+  /** t31: top-K PMI collocations — the phrase-mining statistic (Church &
+    * Hanks 1990) a tokenizer/phrase vocabulary is grown from: for each
+    * bigram seen ≥ `minCount` times, ln(P(w₁w₂)/(P(w₁)P(w₂))) over the
+    * corpus transition table, reported in integer micro-nats.
+    *
+    * Counts come from THE shared [[bigramPairsExpr]] explode (one pairing
+    * definition with t22/t23/t24 and the streaming gate); c₁ is the
+    * context marginal and c₂ the successor marginal of the same table, so
+    * PMI = ((ln c₁₂ + ln T) − ln c₁) − ln c₂ — written as the ln-SUM, not
+    * ln of a product ratio, because c₁₂·T overflows int64 at web scale
+    * while each ln argument stays a plain count. The parenthesization is
+    * fixed and mirrored verbatim in the oracle so both engines evaluate
+    * the identical float chain; the result rounds to micro-nats (the t26
+    * sign-symmetric precedent — PMI goes negative for anti-collocations).
+    *
+    * Scale shape: the minCount filter lands on the c₁₂ aggregate BEFORE
+    * any join — at web scale it prunes the Heaps-law bigram tail to the
+    * collocation head, which is the entire cost story; the marginal joins
+    * stay un-hinted (the t22 rule), only the single-row T broadcasts, and
+    * the top-K is TakeOrderedAndProject. Integer pmi_micro with (w₁, w₂)
+    * tiebreak makes rank and the K boundary engine-stable.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK > 0, s"minCount=$minCount topK=$topK")
+    val bigr = docs.select(TextFns.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(bigramPairsExpr("ts"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bigr.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = bigr.agg(count(lit(1)).cast("double").as("t"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(((log(col("c12").cast("double")) + log(col("t")))
+          - log(col("c1").cast("double"))
+          - log(col("c2").cast("double"))) * 1e6, 0).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     require(topK > 0, s"topK=$topK")
     val vocab = docs

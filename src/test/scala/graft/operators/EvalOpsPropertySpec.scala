@@ -14,6 +14,25 @@ class EvalOpsPropertySpec extends AnyFunSuite with SparkSpec {
 
   private val rnd = new scala.util.Random(13)
 
+  test("t31 PMI: provable micro-nat values on a forced transition table") {
+    // 10 docs "p q" + 90 docs "u v" + 3 docs "r s": T = 103 (the
+    // sub-threshold pair's transitions still count in the marginal
+    // table — minCount gates the OUTPUT, not the statistics);
+    // (p,q): c12=c1=c2=10 → pmi = ln(103·10/100); (u,v): ln(103/90).
+    // (r,s) falls under minCount and must be absent.
+    val docs = ((0 until 10).map(i => (i.toLong, "p q")) ++
+      (0 until 90).map(i => (100L + i, "u v")) ++
+      (0 until 3).map(i => (500L + i, "r s"))).toDF("doc_id", "text")
+    val got = RelevanceOps.pmiCollocations(docs, "text", 5L, 30)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(("p", "q"), ("u", "v")))
+    assert(got(("p", "q")) === ((10L,
+      math.round(math.log(103.0 * 10 / (10 * 10)) * 1e6))))  // ln 10.3
+    assert(got(("u", "v")) === ((90L,
+      math.round(math.log(103.0 * 90 / (90 * 90)) * 1e6))))  // ln(103/90)
+  }
+
   test("s22 cell balance: empty cells keep a row, counts conserve, " +
     "imbalance is the provable floor division") {
     // axis-aligned construction: centroid 0 = +x captures ids 2..21
