@@ -868,6 +868,13 @@ object PipelineQueries {
         minCount = 5L, topK = 30)
         .orderBy(desc("pmi_micro"), col("w1"), col("w2"))),
 
+    // Per-source lexical KL from the corpus mix — the domain-shift
+    // datasheet line. See RelevanceOps.sourceKl for the plug-in
+    // estimator and the one-explode count-table shape.
+    "t32_source_kl" -> ((s, d) =>
+      RelevanceOps.sourceKl(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))),
+
     // C4 line filters: per-doc drop accounting + the cleaned rebuild —
     // see c4LineStats for the rules, the in-aggregate filtered rebuild,
     // and the driver-data degeneracy note (fixture gate = real coverage).
@@ -2308,6 +2315,31 @@ object PipelineQueries {
         """SELECT c1, c2, CAST(sum(tf) AS BIGINT) AS pair_count
           |FROM p GROUP BY c1, c2
           |ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin),
+    // t32: the engine's one-explode rollup chain mirrored CTE for CTE;
+    // the per-term micro-nat chain parenthesizes identically.
+    "t32_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |tw AS (SELECT source, unnest(t) AS w FROM tok),
+        |sw AS (SELECT source, w, count(*) AS csw FROM tw GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(csw) AS BIGINT) AS ns
+        |       FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM cw),
+        |term AS (
+        |  SELECT sw.source, ns.ns,
+        |    CAST(round(CAST(sw.csw AS DOUBLE) *
+        |      (((ln(CAST(sw.csw AS DOUBLE)) + ln(tot.n))
+        |        - ln(CAST(ns.ns AS DOUBLE))) - ln(CAST(cw.cw AS DOUBLE)))
+        |      * 1000000.0, 0) AS BIGINT) AS tm
+        |  FROM sw JOIN cw USING (w) JOIN ns USING (source), tot)
+        |SELECT source, max(ns) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(CAST(sum(tm) AS DOUBLE) / 1000000.0 / max(ns), 6) AS kl
+        |FROM term GROUP BY source ORDER BY source""".stripMargin,
     // t31: rides interpXentCtes' corpus-level count tables (c12/c1/c2/tv
     // — ONE bigram definition with t23/t25); the ln-sum parenthesization
     // mirrors the engine token for token.

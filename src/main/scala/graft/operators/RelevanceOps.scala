@@ -501,6 +501,55 @@ object RelevanceOps {
     * across engines. 1-character words contribute no pairs (guarded —
     * Spark's `sequence(1, 0)` would otherwise DESCEND, not empty out).
     */
+  /** t32: per-source unigram KL divergence from the corpus distribution —
+    * the domain-shift datasheet line (is `source` X lexically typical of
+    * the mix, or an outlier the sampler should know about?): KL(pₛ ‖ p_c)
+    * over the words PRESENT in the source (the standard plug-in
+    * estimate), pₛ = cₛ𝑤/nₛ and p_c = c𝑤/N, both MLE — every count ≥ 1 on
+    * the summation support, so no smoothing is needed and the estimate is
+    * provably ≥ 0 (log-sum inequality: p_c sums to ≤ 1 over pₛ's
+    * support).
+    *
+    * Determinism (the t11/t22 discipline): each term's
+    * cₛ𝑤·((ln cₛ𝑤 + ln N) − ln nₛ) − ln c𝑤 chain is the fixed-
+    * parenthesization ln-SUM (the t31 overflow argument), rounded to
+    * integer micro-nats per term BEFORE the per-source sum; individual
+    * terms go negative, so the t26 sign-symmetric half-away rounding
+    * carries the boundary. The final kl = sum/1e6/nₛ divides exact
+    * integers, rounded at 6 dp.
+    *
+    * Scale shape: ONE token explode feeds everything — the corpus word
+    * table c𝑤 is the per-source table's own rollup (sum of cₛ𝑤 by w), so
+    * the corpus never tokenizes twice; the c𝑤 join is w-keyed and
+    * un-hinted (Heaps-law vocab, the t22 rule); only the single-row N
+    * broadcasts; per-source output is |sources| rows.
+    */
+  def sourceKl(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+    val sw = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("csw"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("csw")).as("ns"))
+    val tot = cw.agg(sum(col("cw")).cast("double").as("n"))
+    sw.join(cw, Seq("w"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro",
+        round(col("csw").cast("double") *
+          (((log(col("csw").cast("double")) + log(col("n")))
+            - log(col("ns").cast("double")))
+            - log(col("cw").cast("double"))) * 1e6, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("term_micro")).as("kl_sum_micro"))
+      .withColumn("kl",
+        round(col("kl_sum_micro") / 1e6 / col("n_tokens"), 6))
+      .drop("kl_sum_micro")
+  }
+
   /** t31: top-K PMI collocations — the phrase-mining statistic (Church &
     * Hanks 1990) a tokenizer/phrase vocabulary is grown from: for each
     * bigram seen ≥ `minCount` times, ln(P(w₁w₂)/(P(w₁)P(w₂))) over the

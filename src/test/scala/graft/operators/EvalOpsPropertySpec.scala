@@ -14,6 +14,27 @@ class EvalOpsPropertySpec extends AnyFunSuite with SparkSpec {
 
   private val rnd = new scala.util.Random(13)
 
+  test("t32 source KL: zero for a mix-typical source, ln 2 for a " +
+    "disjoint one, token-less sources absent") {
+    // disjoint case: A="x x x", B="y y y" → each source's word has
+    // p_s = 1, p_c = 1/2 → KL = ln 2 exactly
+    val disjoint = Seq((0L, "A", "x x x"), (1L, "B", "y y y"))
+      .toDF("doc_id", "source", "text")
+    val kd = RelevanceOps.sourceKl(disjoint, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ln2 = BigDecimal(math.round(3 * math.log(2) * 1e6) / 1e6 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kd === Map("A" -> ((3L, 1L, ln2)), "B" -> ((3L, 1L, ln2))))
+    // typical case: both sources have the corpus distribution → KL = 0;
+    // a source with only empty/whitespace docs reports no row
+    val typical = Seq((0L, "A", "x y"), (1L, "B", "x y"),
+      (2L, "C", "   ")).toDF("doc_id", "source", "text")
+    val kt = RelevanceOps.sourceKl(typical, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kt === Map("A" -> 0.0, "B" -> 0.0))
+  }
+
   test("t31 PMI: provable micro-nat values on a forced transition table") {
     // 10 docs "p q" + 90 docs "u v" + 3 docs "r s": T = 103 (the
     // sub-threshold pair's transitions still count in the marginal
