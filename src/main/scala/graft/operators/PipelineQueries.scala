@@ -1463,6 +1463,20 @@ object PipelineQueries {
         .orderBy(col("m"), col("query_id"))
     }),
 
+    // Filtered ANN: the s13 eval with the corpus PRE-filtered to the
+    // vec_id % 3 == 0 attribute slice; the per-query surviving-candidate
+    // count rides next to the recall it explains (candidate starvation
+    // is filtered search's failure mode). See
+    // SimilarityOps.filteredProbeRecall.
+    "s23_filtered_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.filteredProbeRecall(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"))
+    }),
+
     "s13_ivf_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
@@ -3192,6 +3206,51 @@ object PipelineQueries {
     // prologue) — both pass exact (query, corpus, rank) hash-matches on
     // this fixture, so the recall overlap derived from them is rank-safe
     // cross-engine.
+    // s23: s13's oracle with the corpus restricted to the % 3 attribute
+    // slice everywhere (assignment is per-row, so filtering `asg` IS the
+    // filtered corpus's assignment) plus the probed-cell candidate count.
+    "s23_filtered_ann" ->
+      (s"WITH $ivfOraclePrologue,\n" +
+      """q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 10),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, c.vec_id AS corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, CAST(c.embedding AS DOUBLE[])) DESC,
+        |                              c.vec_id) AS rank
+        |    FROM q0, embeddings c
+        |    WHERE c.vec_id % 3 = 0 AND c.vec_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |q AS (SELECT q0.query_id, q0.qv, a.centroid_id
+        |      FROM q0 JOIN asg a ON a.vec_id = q0.query_id),
+        |c AS (SELECT e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS sv,
+        |             a.centroid_id
+        |      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        |      WHERE e.vec_id % 3 = 0),
+        |p AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q.query_id, c.corpus_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |                              ORDER BY list_cosine_similarity(q.qv, c.sv) DESC,
+        |                              c.corpus_id) AS rank
+        |    FROM q JOIN c ON c.centroid_id = q.centroid_id
+        |                 AND c.corpus_id <> q.query_id)
+        |  WHERE rank <= 5),
+        |cand AS (SELECT q.query_id, count(*) AS n_candidates
+        |         FROM q JOIN c ON c.centroid_id = q.centroid_id
+        |                      AND c.corpus_id <> q.query_id
+        |         GROUP BY q.query_id),
+        |h AS (SELECT b.query_id, count(*) AS n_hits
+        |      FROM b JOIN p USING (query_id, corpus_id) GROUP BY b.query_id)
+        |SELECT q0.query_id,
+        |       CAST(coalesce(cand.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+        |FROM q0 LEFT JOIN cand ON cand.query_id = q0.query_id
+        |        LEFT JOIN h ON h.query_id = q0.query_id
+        |ORDER BY q0.query_id""".stripMargin),
     "s13_ivf_recall" ->
       (s"WITH $ivfOraclePrologue,\n" +
       """q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

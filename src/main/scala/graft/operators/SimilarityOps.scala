@@ -103,6 +103,52 @@ object SimilarityOps {
         col("n_cells_used"))
   }
 
+  /** s23: attribute-FILTERED ANN recall — the production "filtered
+    * search" path every vector index advertises (search only rows with
+    * lang = X / license = Y), evaluated in its PRE-FILTER form: the
+    * predicate restricts the corpus BEFORE cell probing, and recall is
+    * measured against brute force over the same filtered corpus. The
+    * failure mode this eval exposes is candidate starvation — a
+    * selective filter can leave a probed cell nearly empty, collapsing
+    * recall for queries whose neighbors were filtered away — so the
+    * per-query surviving-candidate count rides the output next to the
+    * recall it explains.
+    *
+    * Scale shape: `corpus` arrives already filtered, so every downstream
+    * pass ([[probeTopK]]'s assignment, the baseline, the candidate count)
+    * runs at filtered— not corpus— volume; the filter composes with the
+    * scan (predicate pushdown) when the predicate is a column one. The
+    * assignment subtrees appear in two consumers (probe + count) —
+    * identical subtrees, bridged by AQE stage reuse (the r9 lesson);
+    * like s01/s13 this is the exact-eval path, run over a sampled query
+    * set by design.
+    */
+  def filteredProbeRecall(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k=$k")
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = probeTopK(corpus, centroids, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val qCells = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cand = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id").as("corpus_id"), col("centroid_id"))
+      .join(broadcast(qCells), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    queries.select(col(idCol).as("query_id"))
+      .join(cand, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
   /** IVF coarse quantization: assign each vector to its nearest centroid
     * (by cosine). Centroids are a small broadcast table; assignment is a
     * shuffle-free map. At query time only matching-cell vectors are scanned

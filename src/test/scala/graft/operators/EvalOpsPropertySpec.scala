@@ -14,6 +14,31 @@ class EvalOpsPropertySpec extends AnyFunSuite with SparkSpec {
 
   private val rnd = new scala.util.Random(13)
 
+  test("s23 filtered ANN: candidate starvation reports 0-candidate rows, " +
+    "not dropped queries") {
+    def axis(i: Int, s: Double): Array[Float] = {
+      val a = Array.fill(4)(0f); a(i) = s.toFloat; a
+    }
+    val cents = Seq((100L, axis(0, 1.0)), (101L, axis(1, 1.0)))
+      .toDF("vec_id", "embedding")
+    // corpus: +x rows all ODD ids, +y rows all EVEN ids
+    val corpus = ((0 until 10).map(i => (2L * i + 1, axis(0, 1.0 + i))) ++
+      (0 until 10).map(i => (2L * i + 40, axis(1, 1.0 + i))))
+      .toDF("vec_id", "embedding")
+    val query = Seq((999L, axis(0, 5.0))).toDF("vec_id", "embedding")
+    // filter keeps EVEN ids → the query's +x cell is emptied entirely
+    val got = SimilarityOps.filteredProbeRecall(
+      corpus.filter(col("vec_id") % 2 === 0), cents, query, 5).collect()
+    assert(got.length === 1, "starved query must still report")
+    assert(got.head.getLong(1) === 0L && got.head.getLong(2) === 0L &&
+      got.head.getDouble(3) === 0.0)
+    // vacuous filter: every +x row survives → the cell holds all 10 and
+    // recall is perfect (cell = exact neighborhood by construction)
+    val full = SimilarityOps.filteredProbeRecall(corpus, cents, query, 5)
+      .collect()
+    assert(full.head.getLong(1) === 10L && full.head.getDouble(3) === 1.0)
+  }
+
   test("t32 source KL: zero for a mix-typical source, ln 2 for a " +
     "disjoint one, token-less sources absent") {
     // disjoint case: A="x x x", B="y y y" → each source's word has
