@@ -107,6 +107,35 @@ object MediaCodecs {
     Some(BmpMeta(width, height, bpp))
   }
 
+  /** Decode the channel-0 plane (blue, for BGR pixel order) of a 24/32bpp
+    * BI_RGB BMP as a TOP-DOWN row-major byte array — the orientation a
+    * real image decoder hands to vision code, regardless of the on-disk
+    * row order (positive height = bottom-up storage, flipped here;
+    * negative = already top-down). Palette depths return None: an indexed
+    * pixel is a color-table lookup, not a sample, and the m06 hash is
+    * defined over direct-color planes. Malformed payloads degrade to None
+    * via [[parseBmp]]'s validation (the decode-stage poison-row rule).
+    */
+  def parseBmpChannel0(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseBmp(b) match {
+      case Some(BmpMeta(w, h, bpp)) if bpp == 24 || bpp == 32 =>
+        val rawHeight = le32(b, 22)
+        val dataOffset = le32(b, 10)
+        val rowBytes = (((w.toLong * bpp + 31) / 32) * 4).toInt
+        val step = bpp / 8
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (rawHeight > 0) h - 1 - y else y
+          val base = dataOffset + srcRow * rowBytes
+          var x = 0
+          while (x < w) { out(y * w + x) = b(base + step * x); x += 1 }
+          y += 1
+        }
+        Some((w, h, out))
+      case _ => None
+    }
+
   // ---- RIFF/WAVE ---------------------------------------------------------
 
   /** Canonical 44-byte-header mono 16-bit PCM WAV with `nFrames` samples

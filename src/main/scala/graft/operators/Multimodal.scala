@@ -147,6 +147,58 @@ object Multimodal {
     }
   }
 
+  /** One per-image perceptual-hash row: 64 aHash bits packed into two
+    * 32-bit words (the s20 two-word rule — bit 63 of a single long needs
+    * a shift a checked-arithmetic oracle rejects). */
+  case class ImageHashRow(media_id: Long, width: Int, height: Int,
+      ha: Long, hb: Long, n_ones: Int)
+
+  /** m06: perceptual image hash (aHash — average hash, the classic
+    * visual-dedup signature) over REAL decoded pixels: nearest-neighbor
+    * sample an 8×8 grid of the channel-0 plane, threshold each sample
+    * STRICTLY above the 64-sample mean (integer cross-multiplied,
+    * v·64 > Σ — the t17 no-float-gate discipline), pack bits row-major.
+    * Visually-near-duplicate images land within a few Hamming bits; the
+    * m-family's dedup step, as d04/d05 are text's.
+    *
+    * Scale shape: decode ([[graft.functions.MediaCodecs.parseBmpChannel0]])
+    * and the grid reduction are ONE partition-local pass — pixels never
+    * become rows or shuffle; each image emits one 30-byte summary row
+    * (the m04/m05 shape). Non-image and malformed payloads contribute
+    * nothing. Grid coordinates are the floor anchors x=(i·w) div 8,
+    * y=(j·h) div 8 — all-integer, so the sample set is engine-exact.
+    */
+  def imageHash(media: Dataset[MediaRow]): Dataset[ImageHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        MediaCodecs.parseBmpChannel0(row.payload) match {
+          case Some((w, h, px)) =>
+            val vals = new Array[Int](64)
+            var s = 0L
+            var idx = 0
+            while (idx < 64) {
+              val x = (idx % 8) * w / 8
+              val y = (idx / 8) * h / 8
+              val v = px(y * w + x) & 0xFF
+              vals(idx) = v; s += v; idx += 1
+            }
+            var ha = 0L; var hb = 0L
+            idx = 0
+            while (idx < 64) {
+              if (vals(idx) * 64L > s) {
+                if (idx < 32) ha |= 1L << idx else hb |= 1L << (idx - 32)
+              }
+              idx += 1
+            }
+            Some(ImageHashRow(row.media_id, w, h, ha, hb,
+              java.lang.Long.bitCount(ha) + java.lang.Long.bitCount(hb)))
+          case None => None
+        }
+      }
+    }
+  }
+
   /** One per-frame-pair temporal-activity row. sad_milli is the integer
     * (1000·Σ|Δluma|) div n — the m04 floor-division discipline. */
   case class MotionRow(media_id: Long, frame_idx: Int, n_pixels: Long,

@@ -1619,6 +1619,16 @@ object PipelineQueries {
       Multimodal.motionProfile(Multimodal.mediaFromDocuments(s, d), 7)
         .toDF()
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Perceptual image hash over real decoded BMP planes — the visual
+    // dedup signature. See Multimodal.imageHash for the grid/threshold
+    // definition and the two-word packing rule.
+    "m06_image_phash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.imageHash(Multimodal.mediaFromDocuments(s, d))
+        .toDF()
+        .orderBy(col("media_id"))
     })
   )
 
@@ -3659,6 +3669,40 @@ object PipelineQueries {
         |       CAST(count(*) AS BIGINT) AS n_pixels,
         |       CAST((1000 * sum(ad)) // count(*) AS BIGINT) AS sad_milli
         |FROM d GROUP BY media_id, frame_idx
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // m06: the builder stores bottom-up, the decoder hands back top-down
+    // (what vision code expects), so the oracle's pixel formula reads the
+    // builder pattern at flipped row h-1-y — the decode round trip is
+    // exactly what this pins. Grid anchors and the mean gate are
+    // all-integer; bits pack into two 32-bit words (the s20 rule).
+    "m06_image_phash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    4 + (CASE WHEN length(text) >= 1
+        |              THEN ord(substr(text, 1, 1)) ELSE 0 END) % 60 AS w,
+        |    4 + (CASE WHEN length(text) >= 2
+        |              THEN ord(substr(text, 2, 1)) ELSE 0 END) % 60 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT media_id, w, h,
+        |        unnest([v FOR v IN generate_series(0, 63)]) AS idx
+        |      FROM img),
+        |px AS (SELECT media_id, w, h, idx,
+        |        (media_id + 31 * (((idx % 8) * w) // 8)
+        |         + 17 * (h - 1 - (((idx // 8) * h) // 8))) % 256 AS v
+        |       FROM g),
+        |s AS (SELECT media_id, sum(v) AS s64 FROM px GROUP BY 1),
+        |bits AS (SELECT px.media_id, px.w, px.h, px.idx,
+        |          CASE WHEN px.v * 64 > s.s64 THEN 1 ELSE 0 END AS bit
+        |         FROM px JOIN s USING (media_id))
+        |SELECT media_id, CAST(max(w) AS INT) AS width,
+        |  CAST(max(h) AS INT) AS height,
+        |  CAST(coalesce(sum(CASE WHEN idx < 32
+        |    THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << idx) END), 0)
+        |    AS BIGINT) AS ha,
+        |  CAST(coalesce(sum(CASE WHEN idx >= 32
+        |    THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (idx - 32)) END), 0)
+        |    AS BIGINT) AS hb,
+        |  CAST(sum(bit) AS INT) AS n_ones
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

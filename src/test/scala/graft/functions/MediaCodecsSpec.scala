@@ -54,6 +54,40 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("parseBmpChannel0: pixel-exact top-down planes from both row " +
+    "orders and both direct-color depths; palette refuses") {
+    // Python fixture pixels: storage row y, byte i = (7y + 13i) % 256;
+    // channel0 of pixel x = byte i = step·x. Bottom-up files flip rows.
+    def pinned(file: String, w: Int, h: Int, step: Int, topdown: Boolean)
+        : Unit = {
+      val Some((gw, gh, px)) =
+        MediaCodecs.parseBmpChannel0(resource(s"/media/$file"))
+      assert((gw, gh) === ((w, h)), file)
+      for (y <- 0 until h; x <- 0 until w) {
+        val srcRow = if (topdown) y else h - 1 - y
+        assert((px(y * w + x) & 0xFF) === (7 * srcRow + 13 * step * x) % 256,
+          s"$file ($x,$y)")
+      }
+    }
+    pinned("img_7x5_24.bmp", 7, 5, 3, topdown = false)
+    pinned("img_5x3_topdown.bmp", 5, 3, 3, topdown = true)
+    pinned("img_6x4_32.bmp", 6, 4, 4, topdown = false)
+    assert(MediaCodecs.parseBmpChannel0(
+      resource("/media/img_9x2_8pal.bmp")).isEmpty,
+      "palette depths are lookups, not samples")
+    assert(MediaCodecs.parseBmpChannel0(
+      resource("/media/bad_truncated.bmp")).isEmpty)
+    // Scala builder round trip: decoded (x, y) reads the builder pattern
+    // at flipped row h-1-y (builder stores bottom-up)
+    for (w <- Seq(4, 7); h <- Seq(3, 6); seed <- Seq(0L, 9L)) {
+      val Some((_, _, px)) =
+        MediaCodecs.parseBmpChannel0(MediaCodecs.buildBmp(w, h, seed))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xFF) ===
+          ((seed + 31 * x + 17 * (h - 1 - y)) % 256).toInt, s"($x,$y)")
+    }
+  }
+
   test("build→parse round trip across the generator parameter grid") {
     for (w <- Seq(1, 4, 5, 7, 63); h <- Seq(1, 3, 63); seed <- Seq(0L, 7L)) {
       assert(MediaCodecs.parseBmp(MediaCodecs.buildBmp(w, h, seed))
