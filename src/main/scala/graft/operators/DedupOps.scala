@@ -75,6 +75,34 @@ object DedupOps {
       .filter(length(col("line")) > 0)
       .withColumn("ldigest", contentDigest(col("line")))
 
+  /** d25: WITHIN-document line self-dedup — the per-page cleanup pass
+    * (repeated nav blocks, templated footers stamped between sections,
+    * transcripts re-quoting themselves) that precedes d11's corpus-wide
+    * line pass: keep the FIRST occurrence of each trimmed non-blank line
+    * within its own document and rebuild the text, reporting the counts.
+    *
+    * Scale shape — the best one there is: a document's own lines need no
+    * other document, so the whole operator is per-row higher-order
+    * functions inside the scan's stage (the t29 c4LineGate rule:
+    * genuinely data-dependent arrays are what HOFs are FOR) — zero
+    * exchanges, zero state, embarrassingly parallel at any corpus size.
+    * `array_distinct` preserves first-occurrence order by contract,
+    * which IS the keep rule; line canonicalization (trim, drop blanks)
+    * matches [[digestedLines]] so the d11 family and this pass agree on
+    * what a "line" is. Idempotent by construction (distinct ∘ distinct).
+    */
+  def selfDedupLines(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => length(l) > 0).as("ls"))
+      .select(col(idCol), size(col("ls")).cast("long").as("n_lines"),
+        array_distinct(col("ls")).as("kept"))
+      .select(col(idCol), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("clean_text"))
+
   /** Per-digest first-occurrence table: ONE row per distinct line with the
     * corpus-wide minimal (doc_id, line_no) instance — as a partial-aggregated
     * `groupBy(ldigest).agg(min(struct(...)))`, deliberately NOT

@@ -1166,6 +1166,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-document line self-dedup: per-row HOFs, zero exchanges —
+    // the per-page cleanup before d11's corpus pass. See
+    // DedupOps.selfDedupLines.
+    "d25_selfdedup_lines" -> ((s, d) =>
+      DedupOps.selfDedupLines(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "d02_shingle_cardinality" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") < 200)
@@ -2036,6 +2043,28 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
         |  coalesce(n_kept, 0) AS n_kept, coalesce(n_removed, 0) AS n_removed
         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // d25: first-occurrence-per-(doc, line) via a within-doc window; the
+    // rebuild string_aggs kept lines in original order. LEFT JOIN keeps
+    // blank-only docs as (0, 0, '').
+    "d25_selfdedup_lines" ->
+      """WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |raw AS (SELECT doc_id, UNNEST(ls) AS line,
+        |               UNNEST(generate_series(1, len(ls))) AS line_no FROM s),
+        |l AS (SELECT doc_id, line_no, trim(line) AS line
+        |      FROM raw WHERE len(trim(line)) > 0),
+        |m AS (SELECT doc_id, line, line_no, row_number() OVER (
+        |        PARTITION BY doc_id, line ORDER BY line_no) AS rn
+        |      FROM l),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |        string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |                   ORDER BY line_no) AS clean_text
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "d12_boilerplate_lines" ->
       """WITH raw AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
         |             FROM documents),

@@ -1125,6 +1125,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(hotKept > 40 && hotKept < 140, s"hot kept $hotKept")
   }
 
+  test("d25 self-dedup: first occurrence kept in order, idempotent, " +
+    "blank-only docs report (0, 0, '')") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a\nb\na\n\n b \nc"),   // "a" and trimmed " b " repeat
+      (1L, "   \n\n"),             // blank-only
+      (2L, "solo")).toDF("doc_id", "text")
+    val got = DedupOps.selfDedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      0L -> ((5L, 3L, "a\nb\nc")),
+      1L -> ((0L, 0L, "")),
+      2L -> ((1L, 1L, "solo"))))
+    // idempotence: re-running over the cleaned text changes nothing
+    val cleaned = docs.select(col("doc_id"))
+      .join(DedupOps.selfDedupLines(docs, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+    val again = DedupOps.selfDedupLines(cleaned, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again === got.map { case (k, v) => k -> v._3 })
+  }
+
   test("pack bins: offsets bounded by the budget, prefix-exact per shard") {
     val rows = graft.SparkEntry.queries("t13_pack_bins")(
         spark, "/root/testdata/sf0.001").collect()
