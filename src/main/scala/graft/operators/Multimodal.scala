@@ -199,6 +199,34 @@ object Multimodal {
     }
   }
 
+  /** 16-bit band decomposition of the 64-bit aHash — the d18 banding idea
+    * carried to images, with an EXACT guarantee LSH lacks: by pigeonhole,
+    * two hashes within Hamming distance 3 agree on at least one of the
+    * four bands (3 differing bits can dirty at most 3 bands), so a
+    * band-keyed join followed by a full-Hamming verify finds EVERY pair
+    * at radius ≤ 3 — no probabilistic miss. Shared by the batch index
+    * builder and the streaming detector so banding cannot drift.
+    */
+  private[graft] def imageHashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("ha"), col("hb"),
+      posexplode(array(
+        col("ha").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("ha"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("hb").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("hb"), 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band", "band_key")))
+
+  /** The pre-materialized visual-dup index an ingest stream probes (the
+    * d01-digest-index / d18-band-index pattern for images): one row per
+    * (band, band_key) of each corpus image's aHash, hash words riding
+    * along for the verify. In production this is a parquet artifact
+    * appended as images ingest.
+    */
+  def imageBandIndex(media: Dataset[MediaRow]): DataFrame =
+    imageHashBands(imageHash(media).toDF())
+      .select(col("band"), col("band_key"), col("media_id").as("cid"),
+        col("ha").as("cha"), col("hb").as("chb"))
+
   /** One per-frame-pair temporal-activity row. sad_milli is the integer
     * (1000·Σ|Δluma|) div n — the m04 floor-division discipline. */
   case class MotionRow(media_id: Long, frame_idx: Int, n_pixels: Long,

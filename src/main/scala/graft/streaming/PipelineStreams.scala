@@ -194,6 +194,42 @@ object PipelineStreams {
     rows.filter(
       graft.operators.PipelineQueries.blockedBy(col(hostCol)).isNull)
 
+  /** At-ingest VISUAL near-dup detector — m06's perceptual hash composed
+    * with the d18 band-probe shape, completing the dedup family across
+    * modalities: each arriving image decodes and hashes in-stream
+    * (stateless mapPartitions — pixels never leave their task), its four
+    * 16-bit hash bands probe the pre-materialized corpus index
+    * ([[graft.operators.Multimodal.imageBandIndex]], a stream-static
+    * join), and candidates verify by FULL Hamming distance on the packed
+    * words. Unlike text LSH this radius is exact: pigeonhole guarantees
+    * every pair within Hamming ≤ 3 shares a band, so the detector flags
+    * precisely the pairs the batch ledger would — no probabilistic miss.
+    *
+    * Stateless throughout (no watermark, no state store, zero added
+    * latency — the blocklistGate shape): a multi-band match emits up to
+    * 4 copies of the same (media_id, dup_of) flag; batch reconciliation
+    * dedups on read, the documented price of statelessness (streaming
+    * `distinct` needs a stateful stage — the nearDupAgainstCorpus
+    * trade, not worth it for a detector).
+    */
+  def imageDupDetector(media: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRow],
+      corpusIndex: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
+    val bands = graft.operators.Multimodal.imageHashBands(
+      graft.operators.Multimodal.imageHash(media).toDF())
+    bands
+      .join(corpusIndex, Seq("band", "band_key"))
+      .filter(col("media_id") =!= col("cid"))
+      .withColumn("ham",
+        bit_count(col("ha").bitwiseXOR(col("cha"))) +
+          bit_count(col("hb").bitwiseXOR(col("chb"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col("media_id"), col("cid").as("dup_of"),
+        col("ham").cast("int").as("hamming"))
+  }
+
   /** At-ingest C4 line cleaning — the streaming twin of batch t29: each
     * arriving doc's text is rewritten to its kept lines (same trim/blank
     * canonicalization, same SHARED rule chain

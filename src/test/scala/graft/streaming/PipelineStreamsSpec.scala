@@ -650,6 +650,50 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image dup detector: flags exactly the batch ledger's " +
+    "radius-3 pairs, multiplicity bounded by the band count") {
+    import graft.functions.MediaCodecs
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      MediaRow(1L, "image", MediaCodecs.buildBmp(16, 16, 5L)),
+      MediaRow(2L, "image", MediaCodecs.buildBmp(16, 16, 99L)))
+    val index = Multimodal.imageBandIndex(corpus.toDS())
+    val arrivals = Seq(
+      MediaRow(10L, "image", MediaCodecs.buildBmp(16, 16, 5L)), // re-upload
+      MediaRow(11L, "image", MediaCodecs.buildBmp(16, 16, 42L)),
+      MediaRow(12L, "audio", MediaCodecs.buildWav(8000, 10, 7L))) // not image
+    val in = MemoryStream[MediaRow]
+    val q = PipelineStreams.imageDupDetector(in.toDS(), index)
+      .writeStream.format("memory").queryName("idd")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("idd")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // batch ledger: full cross Hamming over the same hashes
+      val sh = Multimodal.imageHash(arrivals.toDS()).collect()
+        .map(r => r.media_id -> (r.ha, r.hb)).toMap
+      val ch = Multimodal.imageHash(corpus.toDS()).collect()
+        .map(r => r.media_id -> (r.ha, r.hb)).toMap
+      val expected = for {
+        (sid, (sa, sb)) <- sh.toSeq; (cid, (ca, cb)) <- ch.toSeq
+        ham = java.lang.Long.bitCount(sa ^ ca) +
+          java.lang.Long.bitCount(sb ^ cb)
+        if ham <= 3
+      } yield (sid, cid, ham)
+      assert(got.toSet === expected.toSet)
+      assert(expected.exists(p => p._1 == 10L && p._2 == 1L && p._3 == 0),
+        "the exact re-upload must be in the ledger at Hamming 0")
+      // stateless multiplicity: at most one flag per shared band
+      got.groupBy(t => (t._1, t._2)).foreach { case (k, v) =>
+        assert(v.length <= 4, s"$k flagged ${v.length} times")
+      }
+    } finally q.stop()
+  }
+
   test("streaming redaction: stateless, and IDENTICAL to the batch t15 chain") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
