@@ -740,6 +740,46 @@ object DedupOps {
         round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
   }
 
+  /** d26: shingle CONTAINMENT audit over the banded candidate pairs —
+    * the asymmetric complement of [[minhashEstimates]]'s Jaccard:
+    * C(A⊆B) = |A∩B|/|A| and its mirror, with the set sizes riding along.
+    * Near-total containment at modest Jaccard is the doc-IN-doc
+    * signature (a quoted article inside an aggregator page, a README
+    * pasted into a monorepo dump) that symmetric Jaccard structurally
+    * under-scores — the Broder resemblance-vs-containment distinction.
+    *
+    * Scope caveat, documented deliberately: candidates here come from
+    * JACCARD banding, which under-samples tiny-doc-in-huge-doc pairs
+    * (their Jaccard is low, so few bands agree); this operator AUDITS
+    * containment on the pairs the d10 pipeline already surfaces. True
+    * subset SEARCH at scale is d19's repeated-window family, whose
+    * anchoring is length-free.
+    *
+    * Scale shape: identical to [[minhashEstimates]] — the band join is
+    * the only corpus-sized shuffle; shingle arrays join back onto
+    * candidate pairs only. Every output is an integer set size or a
+    * ratio of two of them (round(6) exact-in-binary normalization).
+    */
+  def containmentEstimates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
+    val side = docs.select(col(idCol).as("jid"),
+      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+    cands
+      .join(side.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(side.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / size(col("sh_a")), 6)
+          .as("containment_a"),
+        round(col("n_common").cast("double") / size(col("sh_b")), 6)
+          .as("containment_b"))
+  }
+
   /** LSH banding S-curve sweep: candidate volume and true-dup yield for
     * every aligned (bands, rowsPerBand) cut of the k-wide signature, in
     * ONE pass — the band-choice tuning table for [[minhashCandidates]]

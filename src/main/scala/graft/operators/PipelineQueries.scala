@@ -1036,6 +1036,14 @@ object PipelineQueries {
       DedupOps.minhashEstimates(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Asymmetric containment over the same banded candidates — the
+    // doc-in-doc audit (quoted-article / README-in-dump detection) that
+    // symmetric Jaccard under-scores. See DedupOps.containmentEstimates
+    // for the Jaccard-banding scope caveat.
+    "d26_containment" -> ((s, d) =>
+      DedupOps.containmentEstimates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // LSH band-choice S-curve: candidate volume + true-dup yield per
     // aligned (bands, rows_per_band) config in one pass over the finest
     // banding's candidates — the d10 twin of s14's recall/cost frontier.
@@ -1868,6 +1876,21 @@ object PipelineQueries {
         |        6) AS jaccard
         |FROM cand c
         |JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+        |JOIN sh ja ON ja.doc_id = c.id_a JOIN sh jb ON jb.doc_id = c.id_b
+        |ORDER BY id_a, id_b""".stripMargin),
+    // d26: the d09 prologue's candidates and shingle arrays, with the
+    // asymmetric |A∩B|/|A| ratios next to the integer set sizes.
+    "d26_containment" ->
+      (s"WITH $lshOraclePrologue\n" +
+      """SELECT c.id_a, c.id_b,
+        |  CAST(len(ja.shs) AS BIGINT) AS n_a,
+        |  CAST(len(jb.shs) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(ja.shs, jb.shs)) AS BIGINT) AS n_common,
+        |  round(CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+        |        / len(ja.shs), 6) AS containment_a,
+        |  round(CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+        |        / len(jb.shs), 6) AS containment_b
+        |FROM cand c
         |JOIN sh ja ON ja.doc_id = c.id_a JOIN sh jb ON jb.doc_id = c.id_b
         |ORDER BY id_a, id_b""".stripMargin),
     "t05_fingerprint" ->

@@ -1125,6 +1125,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(hotKept > 40 && hotKept < 140, s"hot kept $hotKept")
   }
 
+  test("d26 containment: set bounds hold and Jaccard is recoverable " +
+    "from the same intersections") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val cont = DedupOps.containmentEstimates(docs, "doc_id", "text")
+      .collect()
+    assert(cont.nonEmpty, "sf0.01 must surface candidate pairs")
+    val jac = DedupOps.minhashEstimates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    for (r <- cont) {
+      val (na, nb, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (ca, cb) = (r.getDouble(5), r.getDouble(6))
+      assert(nc >= 0 && nc <= math.min(na, nb))
+      assert(ca > 0 && ca <= 1.0 && cb > 0 && cb <= 1.0)
+      // same intersection feeds both operators: J = c/(n_a + n_b - c)
+      val j = jac((r.getLong(0), r.getLong(1)))
+      val expectJ = BigDecimal(nc.toDouble / (na + nb - nc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - expectJ) < 1e-9,
+        s"pair ${(r.getLong(0), r.getLong(1))}")
+      assert(j <= ca + 1e-9 && j <= cb + 1e-9,
+        "Jaccard never exceeds either containment")
+    }
+  }
+
   test("d25 self-dedup: first occurrence kept in order, idempotent, " +
     "blank-only docs report (0, 0, '')") {
     import spark.implicits._
