@@ -30,12 +30,26 @@ object Bench {
     * keep their full name so keys stay unique.
     */
   private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
-    val raw = names.map { k =>
-      val parts = k.split('_')
-      k -> (parts.head + parts.tail.map(_.head).mkString)
-    }.toMap
-    val counts = raw.values.groupBy(identity).view.mapValues(_.size)
-    raw.map { case (k, s) => k -> (if (counts(s) > 1) k else s) }
+    // shortest-first ladder: the registry prefix token alone (q01, d16s —
+    // unique for almost every query), then prefix+word-initials for the
+    // few prefix collisions (a04cm), then the full name. The line budget
+    // is real: the driver tail-captures ~2.9 KB, and at 150+ queries
+    // every byte per key is ~0.15 KB of margin.
+    def dedup(cands: Map[String, String], fallback: Map[String, String] => Map[String, String])
+        : Map[String, String] = {
+      val counts = cands.values.groupBy(identity).view.mapValues(_.size)
+      val collided = cands.filter { case (_, s) => counts(s) > 1 }
+      if (collided.isEmpty) cands
+      else cands ++ fallback(collided)
+    }
+    val prefix = names.map(k => k -> k.split('_').head).toMap
+    dedup(prefix, collided => {
+      val initials = collided.keys.map { k =>
+        val parts = k.split('_')
+        k -> (parts.head + parts.tail.map(_.head).mkString)
+      }.toMap
+      dedup(initials, c2 => c2.keys.map(k => k -> k).toMap)
+    })
   }
 
   /** Per-query measurement policy: a FIRST-run failure is terminal

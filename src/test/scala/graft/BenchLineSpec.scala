@@ -31,12 +31,18 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("shortKeys abbreviate uniquely; collisions fall back to full names") {
     val ks = Bench.shortKeys(Seq("a04_counter_map", "a04_cool_mix", "q01_agg"))
-    // a04_counter_map and a04_cool_mix both abbreviate to a04cm → both
-    // keep their full names; q01_agg abbreviates freely
+    // a04_counter_map and a04_cool_mix share the prefix AND the initials
+    // abbreviation (a04cm) → both keep their full names; q01_agg takes
+    // the bare prefix (shortest rung of the ladder)
     assert(ks("a04_counter_map") === "a04_counter_map")
     assert(ks("a04_cool_mix") === "a04_cool_mix")
-    assert(ks("q01_agg") === "q01a")
+    assert(ks("q01_agg") === "q01")
     assert(ks.values.toSeq.distinct.size === ks.size)
+    // prefix collisions that the initials DO separate stay at tier two
+    val ks2 = Bench.shortKeys(Seq("a04_counter_map", "a04_per_user", "b01_x"))
+    assert(ks2("a04_counter_map") === "a04cm")
+    assert(ks2("a04_per_user") === "a04pu")
+    assert(ks2("b01_x") === "b01")
   }
 
   test("full-registry line fits the driver's capture window with margin") {
