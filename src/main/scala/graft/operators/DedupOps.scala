@@ -613,6 +613,89 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** t33: eval-leakage report — [[decontaminationCounts]]'s dual, aggregated
+    * per BENCHMARK item instead of per corpus doc: for each eval-set
+    * document, what fraction of its distinct word n-grams appears ANYWHERE
+    * in the training corpus. d07 answers "which training docs must I drop";
+    * this answers "which eval items are already compromised" — the
+    * benchmark-integrity datasheet (the GPT-3/PaLM appendix-style
+    * contamination analysis) a lab publishes alongside a model, and the
+    * signal that decides whether an eval stays in the suite at all.
+    *
+    * Scale shape: corpus shingles NEVER shuffle — the tiny benchmark
+    * shingle set broadcasts onto the corpus scan as a semi-join filter,
+    * and the surviving matched-shingle `distinct` is key-bounded by that
+    * same benchmark set (map-side partials collapse each matched gram
+    * before the one exchange), so a 100 TB corpus contributes at most
+    * |bench shingles| aggregate rows. Everything after — the leaked-flag
+    * join and the per-item rollup — is benchmark-sized. leak_milli is
+    * integer floor-division (NULL for a shingle-less item: shorter than n
+    * words, nothing to leak through).
+    */
+  def evalLeakage(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchSh = benchmark.select(col(idCol).as("bench_id"),
+      explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    val leaked = corpus
+      .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .join(broadcast(benchSh.select(col("sh")).distinct()),
+        Seq("sh"), "left_semi")
+      .distinct()
+      .select(col("sh"), lit(true).as("leaked"))
+    val perItem = benchSh.join(broadcast(leaked), Seq("sh"), "left")
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("leaked")).as("n_leaked"))
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(perItem, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("leak_milli",
+        when(col("n_grams") > 0, expr("(1000 * n_leaked) div n_grams")))
+  }
+
+  /** d27: recrawl snapshot delta — the change-classification pass between
+    * two captures of the same id space (two crawls of the same seed list,
+    * two corpus releases): full-outer align the snapshots on id and label
+    * every id `added` / `removed` / `changed` / `unchanged` by comparing
+    * [[contentDigest]]s. This is the freshness ledger an incremental
+    * recrawl pipeline feeds back into scheduling (hosts whose pages churn
+    * get recrawled sooner — the reference's crawl-frequency loop one level
+    * up) and the provenance diff published between corpus releases.
+    *
+    * Scale shape: digests are per-row scan-side, so the full-outer join
+    * moves (id, digest) pairs only — text never shuffles. The
+    * join key is the snapshot's natural sort/bucket key; against bucketed
+    * snapshot artifacts both exchanges elide entirely, and either way the
+    * shuffle volume is two digest tables, not two corpora.
+    */
+  /** THE delta-status rule — shared by batch [[snapshotDelta]] and the
+    * streaming at-ingest classifier
+    * ([[graft.streaming.PipelineStreams.revisitClassifier]]), so the two
+    * surfaces label a capture identically by construction. Presence rides
+    * explicit flags (not digest nullness — a null-text row IS present,
+    * its digest is null) and the digest comparison is null-safe, so two
+    * null-text captures compare `unchanged`.
+    */
+  private[graft] def deltaStatus(inOld: Column, inNew: Column,
+      oldDigest: Column, newDigest: Column): Column =
+    when(inOld.isNull, lit("added"))
+      .when(inNew.isNull, lit("removed"))
+      .when(oldDigest <=> newDigest, lit("unchanged"))
+      .otherwise(lit("changed"))
+
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol),
+      contentDigest(col(textCol)).as("old_digest"), lit(true).as("in_old"))
+    val n = newSnap.select(col(idCol),
+      contentDigest(col(textCol)).as("new_digest"), lit(true).as("in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol), col("old_digest"), col("new_digest"),
+        deltaStatus(col("in_old"), col("in_new"),
+          col("old_digest"), col("new_digest")).as("status"))
+  }
+
   /** Corpus-internal boilerplate accounting (the MassiveText/CCNet-style
     * repeated-span signal, adapted to span-free docs): per document, how
     * many of its distinct word n-grams occur in at least `minDf` documents

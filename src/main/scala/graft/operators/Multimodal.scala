@@ -249,25 +249,93 @@ object Multimodal {
     * pairs.
     */
   def motionProfile(media: Dataset[MediaRow], stride: Int): Dataset[MotionRow] = {
+    import media.sparkSession.implicits._
+    frameSadRows(media, stride).flatMap { r =>
+      r.sad_milli.map(s => MotionRow(r.media_id, r.frame_idx, r.n_pixels, s))
+    }
+  }
+
+  /** One per-frame row for shot segmentation: frame 0 anchors every decoded
+    * video (sad_milli = None — there is no previous frame), frames ≥ 1
+    * carry the m05 motion metric. */
+  case class FrameSadRow(media_id: Long, frame_idx: Int, n_pixels: Long,
+      sad_milli: Option[Long])
+
+  /** Per-frame SAD rows INCLUDING the frame-0 anchor (n_pixels = 0,
+    * sad_milli = None — no previous frame), from ONE decode pass
+    * (decoding twice — once for metadata, once for motion — would double
+    * the dominant cost of the stage at scale). THE one SAD definition:
+    * [[motionProfile]] and [[shotSegments]] both read frames through
+    * here, so the metric cannot drift between the profile and the
+    * segmentation built on it.
+    */
+  private[graft] def frameSadRows(media: Dataset[MediaRow],
+      stride: Int): Dataset[FrameSadRow] = {
     require(stride > 0, s"stride=$stride")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { row =>
         MediaCodecs.parseY4mLuma(row.payload) match {
-          case Some((_, lumas)) if lumas.length >= 2 =>
-            (1 until lumas.length).map { f =>
-              val prev = lumas(f - 1); val cur = lumas(f)
-              var i = 0; var sum = 0L; var n = 0L
-              while (i < cur.length) {
-                sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); n += 1
-                i += stride
+          case Some((_, lumas)) if lumas.nonEmpty =>
+            FrameSadRow(row.media_id, 0, 0L, None) +:
+              (1 until lumas.length).map { f =>
+                val prev = lumas(f - 1); val cur = lumas(f)
+                var i = 0; var sum = 0L; var n = 0L
+                while (i < cur.length) {
+                  sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); n += 1
+                  i += stride
+                }
+                FrameSadRow(row.media_id, f, n, Some(1000L * sum / n))
               }
-              MotionRow(row.media_id, f, n, 1000L * sum / n)
-            }
           case _ => Nil
         }
       }
     }
+  }
+
+  /** m07: shot segmentation — the scene-cut pass every video-curation
+    * pipeline runs before keyframe sampling (sample one frame per SHOT,
+    * not per fixed stride, so slideshows don't drown out action clips):
+    * a frame whose stride-subsampled luma SAD vs the previous frame
+    * (m05's metric, same integer arithmetic) reaches `cutMilli` opens a
+    * new shot; frame 0 always opens shot 0. Emits one row per
+    * (video, shot): boundary frames, length, and the integer mean SAD of
+    * the shot's interior motion rows (NULL for a shot that is only the
+    * frame-0 anchor of a single-frame video).
+    *
+    * Scale shape: decode + SAD are the one partition-local pass of
+    * [[frameSadRows]] — pixels never become rows; what shuffles is one
+    * ≤ n_frames-row summary per video into a per-video window whose
+    * group size is bounded by frames-per-video (clips are minutes, not
+    * unbounded — a 100 TB corpus scales in VIDEOS, and each video's
+    * frame rows are one bounded window group; production chunks
+    * feature-length inputs at the decode stage). The cumulative-cut-count
+    * shot id is a running sum over that bounded group, then the shot
+    * rollup aggregates on (media_id, shot_id) — map-side partial, no
+    * further window.
+    */
+  def shotSegments(media: Dataset[MediaRow], stride: Int,
+      cutMilli: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSadRows(media, stride).toDF()
+    val isCut = when(col("frame_idx") === 0, lit(1L))
+      .otherwise(when(col("sad_milli") >= cutMilli, lit(1L)).otherwise(lit(0L)))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("shot_id", (sum(isCut).over(w) - 1L).cast("int"))
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("sad_milli")).as("sum_sad"),
+        count(col("sad_milli")).as("n_sad"))
+      .select(col("media_id"), col("shot_id"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        // floor division on non-negative longs; NULL when the shot has no
+        // motion rows (single-frame video) — `div` nulls on a 0 divisor
+        when(col("n_sad") > 0, expr("sum_sad div n_sad"))
+          .as("mean_sad_milli"))
   }
 
   /** Frame sampling for video rows: one output row per sampled frame index

@@ -1015,6 +1015,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-leakage report — d07's dual, rolled up per BENCHMARK item:
+    // what fraction of each eval doc's distinct 3-grams appears anywhere
+    // in the training split. Same %50 holdout as d07 so the two reports
+    // describe the same contamination event from both sides. See
+    // DedupOps.evalLeakage for the bench-bounded aggregate shape.
+    "t33_eval_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.evalLeakage(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", 3)
+        .orderBy(col("bench_id"))
+    }),
+
+    // Recrawl snapshot delta: full-outer digest alignment of two captures
+    // of the same id space. %11/%13 carve asymmetric membership (added /
+    // removed both non-empty) and %5 docs get deterministically revised
+    // text, so all four statuses arise on driver data. See
+    // DedupOps.snapshotDelta.
+    "d27_snapshot_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 11 =!= 5)
+      val next = docs.filter(col("doc_id") % 13 =!= 6)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      DedupOps.snapshotDelta(prev, next, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-internal boilerplate accounting: distinct word 3-grams with
     // document frequency >= 4 are "boilerplate"; per doc, how much of it
     // is made of them. Unlike d07 there is no broadcastable side — both
@@ -1471,6 +1500,18 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Two-stage retrieval: Hamming candidate generation over s20's sign
+    // codes (overfetch 4·k) + exact cosine re-rank of only those
+    // candidates — the candidate/re-rank serving shape every deployed
+    // ANN system uses; the hamming-vs-reranked recall gap is the
+    // second stage's justification. See SimilarityOps.rerankRecall.
+    "s24_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.rerankRecall(emb, emb.filter(col("vec_id") < 10),
+        k = 5, overfetch = 4, dim = 64)
+        .orderBy(col("query_id"))
+    }),
+
     "s18_matryoshka_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.matryoshkaRecall(emb, emb.filter(col("vec_id") < 10),
@@ -1644,6 +1685,18 @@ object PipelineQueries {
       Multimodal.imageHash(Multimodal.mediaFromDocuments(s, d))
         .toDF()
         .orderBy(col("media_id"))
+    }),
+
+    // Shot segmentation over the m05 SAD stream: a frame whose SAD
+    // reaches 128000 milli (straddling the synthetic pattern's ~127.9k
+    // mean — both cut and non-cut branches exercised on driver data)
+    // opens a new shot; one row per (video, shot). See
+    // Multimodal.shotSegments for the bounded-window scale argument.
+    "m07_shot_segments" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.shotSegments(Multimodal.mediaFromDocuments(s, d),
+        stride = 7, cutMilli = 128000L)
+        .orderBy(col("media_id"), col("shot_id"))
     })
   )
 
@@ -2282,6 +2335,55 @@ object PipelineQueries {
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM c JOIN b USING (sh)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // t33: d07's shingle CTEs verbatim (same %50 holdout, same len<3
+    // empty-shingle guard — which also defuses the '' -> [''] DuckDB
+    // split trap), aggregated per bench item; leak_milli is integer
+    // floor division, NULL when the item has no shingles.
+    "t33_eval_leakage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+        |                FOR g IN generate_series(1, len(t) - 2)]) END) AS sh
+        |  FROM tok),
+        |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0),
+        |cs AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 <> 0),
+        |per AS (SELECT b.bench_id, count(*) AS n_grams,
+        |          count(cs.sh) AS n_leaked
+        |        FROM b LEFT JOIN cs USING (sh) GROUP BY b.bench_id)
+        |SELECT d.doc_id AS bench_id,
+        |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(per.n_leaked, 0) AS BIGINT) AS n_leaked,
+        |  CASE WHEN coalesce(per.n_grams, 0) > 0
+        |       THEN CAST((1000 * per.n_leaked) // per.n_grams AS BIGINT)
+        |  END AS leak_milli
+        |FROM documents d LEFT JOIN per ON per.bench_id = d.doc_id
+        |WHERE d.doc_id % 50 = 0
+        |ORDER BY bench_id""".stripMargin,
+    // d27: full-outer digest alignment; status from id PRESENCE (not
+    // digest nullness) and a null-safe digest comparison, mirroring the
+    // engine's in_old/in_new flags and <=>.
+    "d27_snapshot_delta" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS old_digest
+        |  FROM documents WHERE doc_id % 11 <> 5),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |             ELSE text END) AS new_digest
+        |  FROM documents WHERE doc_id % 13 <> 6)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  o.old_digest, n.new_digest,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_digest IS NOT DISTINCT FROM n.new_digest
+        |         THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "d08_boilerplate_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -3238,6 +3340,68 @@ object PipelineQueries {
         |  coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
         |FROM qc LEFT JOIN h USING (query_id)
         |ORDER BY qc.query_id""".stripMargin,
+    // s24: s20's packing/Hamming/baseline CTEs, plus the candidate cut at
+    // rank 20 (4·k, all-integer (ham, corpus_id) order) and the exact
+    // cosine re-rank restricted to candidates (the s01 raw-double rank
+    // precedent, shared with the baseline CTE).
+    "s24_rerank_recall" ->
+      """WITH q0 AS (SELECT vec_id AS query_id,
+        |                   CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 10),
+        |c0 AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        |qc AS (SELECT query_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qa,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qb
+        |       FROM q0),
+        |cc AS (SELECT corpus_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS ca,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS cb
+        |       FROM c0),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, c0.corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, c0.cv) DESC,
+        |                              c0.corpus_id) AS rank
+        |    FROM q0, c0 WHERE c0.corpus_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |hm AS (SELECT qc.query_id, cc.corpus_id,
+        |         bit_count(xor(qc.qa, cc.ca)) + bit_count(xor(qc.qb, cc.cb))
+        |           AS ham
+        |       FROM qc, cc WHERE cc.corpus_id <> qc.query_id),
+        |r1 AS (SELECT query_id, corpus_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY ham, corpus_id) AS rank1
+        |       FROM hm),
+        |cand AS (SELECT query_id, corpus_id, rank1 FROM r1 WHERE rank1 <= 20),
+        |s1 AS (SELECT query_id, corpus_id FROM cand WHERE rank1 <= 5),
+        |rr AS (SELECT cand.query_id, cand.corpus_id,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(q0.qv, c0.cv) DESC,
+        |                    cand.corpus_id) AS rank2
+        |       FROM cand JOIN q0 USING (query_id) JOIN c0 USING (corpus_id)),
+        |s2 AS (SELECT query_id, corpus_id FROM rr WHERE rank2 <= 5),
+        |h1 AS (SELECT query_id, count(*) AS n1
+        |       FROM s1 JOIN b USING (query_id, corpus_id) GROUP BY query_id),
+        |h2 AS (SELECT query_id, count(*) AS n2
+        |       FROM s2 JOIN b USING (query_id, corpus_id) GROUP BY query_id)
+        |SELECT q0.query_id,
+        |  CAST(coalesce(h1.n1, 0) AS BIGINT) AS n_hits_hamming,
+        |  coalesce(h1.n1, 0) / 5.0 AS recall_hamming_at_5,
+        |  CAST(coalesce(h2.n2, 0) AS BIGINT) AS n_hits_reranked,
+        |  coalesce(h2.n2, 0) / 5.0 AS recall_reranked_at_5
+        |FROM q0 LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)
+        |ORDER BY q0.query_id""".stripMargin,
     "s18_matryoshka_recall" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  CAST(embedding AS DOUBLE[]) AS qv
@@ -3755,6 +3919,57 @@ object PipelineQueries {
         |    THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (idx - 32)) END), 0)
         |    AS BIGINT) AS hb,
         |  CAST(sum(bit) AS INT) AS n_ones
-        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m07: m05's SAD CTEs verbatim, plus the frame-0 anchor union, the
+    // cumulative-cut-count shot id (window sum over the bounded per-video
+    // group), and the per-shot rollup with NULL mean for a shot that is
+    // only the anchor of a single-frame video.
+    "m07_shot_segments" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    2 * (4 + CASE WHEN length(text) >= 1
+        |                  THEN ord(substr(text, 1, 1)) ELSE 0 END % 12) AS w,
+        |    2 * (4 + CASE WHEN length(text) >= 2
+        |                  THEN ord(substr(text, 2, 1)) ELSE 0 END % 12) AS h,
+        |    CAST(1 + doc_id % 30 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, w, h,
+        |         unnest([g FOR g IN generate_series(1, n_frames - 1)]) AS frame_idx
+        |  FROM v WHERE n_frames >= 2),
+        |p AS (
+        |  SELECT media_id, frame_idx,
+        |         unnest([i FOR i IN generate_series(0, w * h - 1, 7)]) AS i
+        |  FROM f),
+        |dd AS (
+        |  SELECT media_id, frame_idx,
+        |         abs((media_id + 131 * frame_idx + i) % 256
+        |             - (media_id + 131 * (frame_idx - 1) + i) % 256) AS ad
+        |  FROM p),
+        |sad AS (
+        |  SELECT media_id, frame_idx,
+        |         CAST((1000 * sum(ad)) // count(*) AS BIGINT) AS sad_milli
+        |  FROM dd GROUP BY media_id, frame_idx),
+        |frames AS (
+        |  SELECT media_id, 0 AS frame_idx, CAST(NULL AS BIGINT) AS sad_milli
+        |  FROM v
+        |  UNION ALL
+        |  SELECT media_id, frame_idx, sad_milli FROM sad),
+        |cuts AS (
+        |  SELECT media_id, frame_idx, sad_milli,
+        |    CAST(sum(CASE WHEN frame_idx = 0 OR sad_milli >= 128000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY media_id ORDER BY frame_idx) - 1
+        |      AS INT) AS shot_id
+        |  FROM frames)
+        |SELECT media_id, shot_id,
+        |  CAST(min(frame_idx) AS INT) AS start_frame,
+        |  CAST(max(frame_idx) AS INT) AS end_frame,
+        |  CAST(count(*) AS INT) AS n_frames,
+        |  CASE WHEN count(sad_milli) > 0
+        |       THEN CAST(sum(sad_milli) // count(sad_milli) AS BIGINT)
+        |  END AS mean_sad_milli
+        |FROM cuts GROUP BY media_id, shot_id
+        |ORDER BY media_id, shot_id""".stripMargin
   )
 }

@@ -510,16 +510,24 @@ object SimilarityOps {
     * corpus_id — an all-integer total order, no raw-double rank hazard
     * anywhere on the approximate side.
     */
+  /** THE sign-bit word packing (bit i−1 set iff dim offset+i is ≥ 0) —
+    * one definition shared by s20's recall eval and s24's candidate
+    * generation, so the two surfaces quantize identically by
+    * construction. */
+  private[graft] def signPackWord(vec: Column, offset: Int,
+      half: Int): Column =
+    (1 to half).map(i =>
+      when(element_at(vec, offset + i) >= 0d, lit(1L << (i - 1)))
+        .otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
   def signQuantRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     require(dim % 2 == 0 && dim >= 2 && dim <= 64, s"dim=$dim")
     val half = dim / 2
     def packWord(vec: Column, offset: Int): Column =
-      (1 to half).map(i =>
-        when(element_at(vec, offset + i) >= 0d, lit(1L << (i - 1)))
-          .otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b))
+      signPackWord(vec, offset, half)
     val c = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
       .select(col("corpus_id"), packWord(col("cv"), 0).as("ca"),
@@ -546,6 +554,92 @@ object SimilarityOps {
       .select(col("query_id"), col("qa"), col("qb"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
+  /** s24: two-stage retrieval recall — the PRODUCTION ANN serving shape
+    * (every deployed vector index is candidate-generation-then-rerank:
+    * faiss' IVF+refine, ScaNN's scoring/rescoring split, DiskANN's
+    * PQ-route-then-full-precision-verify): stage 1 ranks the WHOLE corpus
+    * by Hamming distance over the 1-bit sign codes ([[signPackWord]] —
+    * the same 8-byte words s20 evaluates, zero float math, 32× less index
+    * IO than the raw vectors) and keeps the top `overfetch`·k candidates
+    * per query; stage 2 fetches full-precision vectors for ONLY those
+    * candidates and re-ranks by exact cosine. Reports recall@k of both
+    * the Hamming-only cut and the re-ranked cut against the exact
+    * baseline — the lift between the two columns is the number that
+    * justifies the second stage.
+    *
+    * Scale shape: stage 1 touches only the packed-code table (the 8-byte
+    * index artifact; the corpus code rows never shuffle — queries
+    * broadcast, ranking is the per-query window of the s01/s20 eval
+    * caveat). Stage 2's float fetch is a candidate-keyed join in which
+    * the CANDIDATE list (|Q|·overfetch·k rows — bounded by the query
+    * batch, the legitimate-broadcast contrast to t22's Heaps-law rule)
+    * broadcasts onto the corpus vector scan, so full-precision vectors
+    * stream scan-side and only the ≤ |Q|·overfetch·k matches survive to
+    * the tiny re-rank window. Candidate selection is all-integer
+    * ((ham, corpus_id) total order); only the re-rank itself is the
+    * shared raw-double rank precedent of s01.
+    */
+  def rerankRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % 2 == 0 && dim >= 2 && dim <= 64, s"dim=$dim")
+    require(overfetch >= 1, s"overfetch=$overfetch")
+    val half = dim / 2
+    val candN = overfetch * k
+    val cVec = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+    val qVec = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+    val cCodes = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("v"))
+      .select(col("corpus_id"), signPackWord(col("v"), 0, half).as("ca"),
+        signPackWord(col("v"), half, half).as("cb"))
+    val qCodes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
+      .select(col("query_id"), signPackWord(col("v"), 0, half).as("qa"),
+        signPackWord(col("v"), half, half).as("qb"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("corpus_id"))
+    val cand = cCodes.crossJoin(broadcast(qCodes))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("ham",
+        bit_count(col("ca").bitwiseXOR(col("qa"))) +
+          bit_count(col("cb").bitwiseXOR(col("qb"))))
+      .withColumn("rank1", row_number().over(w1))
+      .filter(col("rank1") <= candN)
+      .select(col("query_id"), col("corpus_id"), col("rank1"))
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), lit(true).as("in_exact"))
+    // ONE candidate pass produces BOTH cuts' hit counts (rank1 ≤ k is a
+    // column, not a second consumer of the candidate subtree — the
+    // two-consumer replay the s14 lesson warns about is designed out):
+    // fetch floats, re-rank, mark baseline membership, then conditional
+    // sums per query.
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    val perQuery = cVec
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank2", row_number().over(w2))
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rank1") <= k && col("in_exact"), 1L).otherwise(0L))
+          .as("n_hits_hamming"),
+        sum(when(col("rank2") <= k && col("in_exact"), 1L).otherwise(0L))
+          .as("n_hits_reranked"))
+    qVec.select(col("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits_hamming"), lit(0L)).as("n_hits_hamming"),
+        (coalesce(col("n_hits_hamming"), lit(0L)) / k.toDouble)
+          .as(s"recall_hamming_at_$k"),
+        coalesce(col("n_hits_reranked"), lit(0L)).as("n_hits_reranked"),
+        (coalesce(col("n_hits_reranked"), lit(0L)) / k.toDouble)
+          .as(s"recall_reranked_at_$k"))
   }
 
   def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
