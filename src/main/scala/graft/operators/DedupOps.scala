@@ -684,10 +684,21 @@ object DedupOps {
       .when(oldDigest <=> newDigest, lit("unchanged"))
       .otherwise(lit("changed"))
 
+  /** The (id, old_digest) table [[snapshotDelta]]'s old side reduces to —
+    * and the pre-materialized artifact the streaming
+    * [[graft.streaming.PipelineStreams.revisitClassifier]] probes (the
+    * d01-digest-index pattern: the previous crawl contributes digests,
+    * never text). One builder so batch and stream index the snapshot
+    * identically.
+    */
+  def snapshotDigestIndex(snap: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    snap.select(col(idCol), contentDigest(col(textCol)).as("old_digest"))
+
   def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol),
-      contentDigest(col(textCol)).as("old_digest"), lit(true).as("in_old"))
+    val o = snapshotDigestIndex(oldSnap, idCol, textCol)
+      .withColumn("in_old", lit(true))
     val n = newSnap.select(col(idCol),
       contentDigest(col(textCol)).as("new_digest"), lit(true).as("in_new"))
     o.join(n, Seq(idCol), "full_outer")

@@ -53,6 +53,40 @@ object PipelineStreams {
     * Output contract: the input schema plus a `digest` column (the
     * shared [[graft.operators.DedupOps.contentDigest]]).
     */
+  /** At-ingest revisit classification — the streaming twin of batch d27
+    * ([[graft.operators.DedupOps.snapshotDelta]]) and the Heritrix/WARC
+    * "revisit record" decision: label every arriving capture against the
+    * PREVIOUS snapshot's digest index as `added` (id never captured),
+    * `changed`, or `unchanged`. An `unchanged` verdict is what lets the
+    * pipeline skip every expensive downstream stage for an unmodified
+    * re-crawl at ingest; the batch d27 ledger's `removed` needs the
+    * id-space complement, which a stream of ARRIVALS cannot observe —
+    * that leg stays batch-only by construction, documented here.
+    *
+    * Status comes from THE shared
+    * [[graft.operators.DedupOps.deltaStatus]] rule with in_new pinned
+    * true (an arriving capture is present by definition), and the static
+    * side is THE shared
+    * [[graft.operators.DedupOps.snapshotDigestIndex]] artifact — so
+    * stream and batch can neither label nor index differently. Stateless
+    * stream-static LEFT join on the id: digests only, the previous
+    * corpus's text never loads, refreshed per recrawl cycle like d01's
+    * digest index.
+    *
+    * Output contract: the input schema plus `new_digest`, `old_digest`
+    * (null when `added`), and `status`.
+    */
+  def revisitClassifier(docs: DataFrame, oldDigests: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("new_digest",
+        graft.operators.DedupOps.contentDigest(col(textCol)))
+      .join(oldDigests.select(col(idCol), col("old_digest"),
+        lit(true).as("in_old")), Seq(idCol), "left")
+      .withColumn("status", graft.operators.DedupOps.deltaStatus(
+        col("in_old"), lit(true), col("old_digest"), col("new_digest")))
+      .drop("in_old")
+
   def dedupAgainstCorpus(docs: DataFrame, corpusDigests: DataFrame,
       textCol: String): DataFrame =
     docs

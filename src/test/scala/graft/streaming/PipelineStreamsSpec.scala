@@ -882,4 +882,40 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
         "first paragraph\nsecond line of it", "shared closing paragraph"))
     } finally q.stop()
   }
+
+  test("revisit classifier: stream labels equal the batch d27 ledger " +
+    "on arriving ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val oldSnap = Seq((1L, "same text"), (2L, "old body"),
+      (4L, "dropped page")).toDF("doc_id", "text")
+    val classified = PipelineStreams.revisitClassifier(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      graft.operators.DedupOps.snapshotDigestIndex(oldSnap, "doc_id", "text"),
+      "doc_id", "text")
+    val q = classified.writeStream.format("memory").queryName("rv")
+      .outputMode("append").start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
+      in.addData((1L, ts, "same text"), (2L, ts, "new body"),
+        (5L, ts, "fresh page"))
+      q.processAllAvailable()
+      val out = spark.table("rv").select("doc_id", "status")
+        .as[(Long, String)].collect().toMap
+      assert(out === Map(1L -> "unchanged", 2L -> "changed", 5L -> "added"))
+      // an unchanged arrival still carries both digests for the ledger
+      assert(spark.table("rv").filter(col("doc_id") === 1L)
+        .filter(col("old_digest") === col("new_digest")).count() === 1L)
+      // batch identity: d27 on the same snapshots, restricted to the
+      // arriving ids (`removed` is the batch-only leg by construction —
+      // an id-space complement no stream of arrivals can observe)
+      val arrivals = Seq((1L, "same text"), (2L, "new body"),
+        (5L, "fresh page")).toDF("doc_id", "text")
+      val batch = graft.operators.DedupOps
+        .snapshotDelta(oldSnap, arrivals, "doc_id", "text")
+        .filter(col("status") =!= "removed")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+      assert(out === batch)
+    } finally q.stop()
+  }
 }
