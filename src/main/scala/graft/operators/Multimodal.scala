@@ -127,21 +127,78 @@ object Multimodal {
     * rows per file) flow out. Non-audio and malformed payloads
     * contribute nothing (the decode-stage poison-row rule).
     */
+  /** Per-payload window summaries — THE one audio windowing definition,
+    * shared by [[audioProfile]] and [[silenceTrim]] so the profile and
+    * the trim plan built on it cannot drift. */
+  private def audioWindowsOf(mediaId: Long, payload: Array[Byte],
+      windowFrames: Int): Seq[AudioWindow] =
+    MediaCodecs.parseWavData(payload) match {
+      case Some((_, samples)) =>
+        samples.indices.groupBy(_ / windowFrames).toSeq.sortBy(_._1)
+          .map { case (w, idx) =>
+            val abs = idx.map(i => math.abs(samples(i).toLong))
+            AudioWindow(mediaId, w, idx.length.toLong,
+              abs.max.toInt, 1000L * abs.sum / idx.length)
+          }
+      case None => Nil
+    }
+
   def audioProfile(media: Dataset[MediaRow],
       windowFrames: Int): Dataset[AudioWindow] = {
     require(windowFrames > 0, s"windowFrames=$windowFrames")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      rows.flatMap(row =>
+        audioWindowsOf(row.media_id, row.payload, windowFrames))
+    }
+  }
+
+  /** One per-clip trim plan. Option fields are None for an all-silent
+    * clip (nothing to keep). */
+  case class TrimRow(media_id: Long, n_windows: Int, n_active: Int,
+      first_active: Option[Int], last_active: Option[Int],
+      start_frame: Option[Long], kept_frames: Option[Long])
+
+  /** m08: leading/trailing silence trim — the VAD-lite pass every
+    * speech-data pipeline runs before transcription or segmentation
+    * (ffmpeg's silenceremove / pydub's detect_leading_silence, expressed
+    * over m04's windows): a window is ACTIVE when its mean |amplitude|
+    * reaches `silMilli`; the plan keeps the span from the first active
+    * window to the last (interior quiet windows stay — trimming is
+    * edge-only by definition), reported as window indices plus the frame
+    * offset and kept-frame count a cutter needs. An all-silent clip
+    * reports NULLs (drop it entirely — the "dead air" filter).
+    *
+    * Scale shape: decode and the per-clip reduction are ONE
+    * partition-local pass over the shared [[audioWindowsOf]] windows —
+    * samples never become rows, and unlike a windows-then-aggregate
+    * plan there is no second decode and no shuffle at all: each clip
+    * emits exactly one summary row from the scan stage. All outputs are
+    * integers (the m04 floor-division milli discipline decides ACTIVE;
+    * the plan itself is index arithmetic).
+    */
+  def silenceTrim(media: Dataset[MediaRow], windowFrames: Int,
+      silMilli: Long): Dataset[TrimRow] = {
+    require(windowFrames > 0, s"windowFrames=$windowFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       rows.flatMap { row =>
-        MediaCodecs.parseWavData(row.payload) match {
-          case Some((_, samples)) =>
-            samples.indices.groupBy(_ / windowFrames).toSeq.sortBy(_._1)
-              .map { case (w, idx) =>
-                val abs = idx.map(i => math.abs(samples(i).toLong))
-                AudioWindow(row.media_id, w, idx.length.toLong,
-                  abs.max.toInt, 1000L * abs.sum / idx.length)
-              }
-          case None => Nil
+        val ws = audioWindowsOf(row.media_id, row.payload, windowFrames)
+        if (ws.isEmpty) None
+        else {
+          val active = ws.filter(_.mean_abs_milli >= silMilli)
+          if (active.isEmpty)
+            Some(TrimRow(row.media_id, ws.length, 0, None, None, None, None))
+          else {
+            val first = active.head.window_idx
+            val last = active.last.window_idx
+            val kept = ws
+              .filter(w => w.window_idx >= first && w.window_idx <= last)
+              .map(_.n_samples).sum
+            Some(TrimRow(row.media_id, ws.length, active.length,
+              Some(first), Some(last), Some(first.toLong * windowFrames),
+              Some(kept)))
+          }
         }
       }
     }

@@ -1512,6 +1512,17 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Overfetch tuning curve: re-ranked recall@5 per candidate budget
+    // (1/2/4/8 × k) from ONE candidate pass at the largest budget —
+    // the sizing frontier for s24's serving shape. See
+    // SimilarityOps.overfetchCurve.
+    "s25_overfetch_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.overfetchCurve(emb, emb.filter(col("vec_id") < 10),
+        k = 5, overfetches = Seq(1, 2, 4, 8), dim = 64)
+        .orderBy(col("overfetch"), col("query_id"))
+    }),
+
     "s18_matryoshka_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.matryoshkaRecall(emb, emb.filter(col("vec_id") < 10),
@@ -1697,6 +1708,18 @@ object PipelineQueries {
       Multimodal.shotSegments(Multimodal.mediaFromDocuments(s, d),
         stride = 7, cutMilli = 128000L)
         .orderBy(col("media_id"), col("shot_id"))
+    }),
+
+    // Silence-trim plan over m04's windows: active at mean |amplitude|
+    // >= 16.4M milli (straddles the synthetic PCM's ~16.38M mean — both
+    // branches and the all-silent NULL case arise on driver data). See
+    // Multimodal.silenceTrim for the one-pass per-clip shape.
+    "m08_silence_trim" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.silenceTrim(Multimodal.mediaFromDocuments(s, d),
+        windowFrames = 100, silMilli = 16400000L)
+        .toDF()
+        .orderBy(col("media_id"))
     })
   )
 
@@ -3402,6 +3425,69 @@ object PipelineQueries {
         |  coalesce(h2.n2, 0) / 5.0 AS recall_reranked_at_5
         |FROM q0 LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)
         |ORDER BY q0.query_id""".stripMargin,
+    // s25: s24's prologue with the candidate cut at the LARGEST budget
+    // (8·5 = 40), then every configuration is a rank1-prefix slice of the
+    // same candidate table — a smaller budget's candidates are by
+    // construction a prefix of a larger one's.
+    "s25_overfetch_curve" ->
+      """WITH q0 AS (SELECT vec_id AS query_id,
+        |                   CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 10),
+        |c0 AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        |qc AS (SELECT query_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qa,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qb
+        |       FROM q0),
+        |cc AS (SELECT corpus_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS ca,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS cb
+        |       FROM c0),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, c0.corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, c0.cv) DESC,
+        |                              c0.corpus_id) AS rank
+        |    FROM q0, c0 WHERE c0.corpus_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |hm AS (SELECT qc.query_id, cc.corpus_id,
+        |         bit_count(xor(qc.qa, cc.ca)) + bit_count(xor(qc.qb, cc.cb))
+        |           AS ham
+        |       FROM qc, cc WHERE cc.corpus_id <> qc.query_id),
+        |r1 AS (SELECT query_id, corpus_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY ham, corpus_id) AS rank1
+        |       FROM hm),
+        |cand AS (SELECT query_id, corpus_id, rank1 FROM r1 WHERE rank1 <= 40),
+        |cfg AS (SELECT unnest([1, 2, 4, 8]) AS overfetch),
+        |sl AS (SELECT cfg.overfetch, cand.query_id, cand.corpus_id,
+        |         row_number() OVER (PARTITION BY cand.query_id, cfg.overfetch
+        |           ORDER BY list_cosine_similarity(q0.qv, c0.cv) DESC,
+        |                    cand.corpus_id) AS rank2
+        |       FROM cand
+        |       JOIN q0 USING (query_id) JOIN c0 USING (corpus_id), cfg
+        |       WHERE cand.rank1 <= cfg.overfetch * 5),
+        |s2 AS (SELECT overfetch, query_id, corpus_id FROM sl
+        |       WHERE rank2 <= 5),
+        |h AS (SELECT overfetch, query_id, count(*) AS n
+        |      FROM s2 JOIN b USING (query_id, corpus_id)
+        |      GROUP BY overfetch, query_id),
+        |grid AS (SELECT cfg.overfetch, q0.query_id FROM cfg, q0)
+        |SELECT grid.overfetch, grid.query_id,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n, 0) / 5.0 AS recall_at_5
+        |FROM grid LEFT JOIN h USING (overfetch, query_id)
+        |ORDER BY grid.overfetch, grid.query_id""".stripMargin,
     "s18_matryoshka_recall" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  CAST(embedding AS DOUBLE[]) AS qv
@@ -3970,6 +4056,54 @@ object PipelineQueries {
         |       THEN CAST(sum(sad_milli) // count(sad_milli) AS BIGINT)
         |  END AS mean_sad_milli
         |FROM cuts GROUP BY media_id, shot_id
-        |ORDER BY media_id, shot_id""".stripMargin
+        |ORDER BY media_id, shot_id""".stripMargin,
+    // m08: m04's window CTEs verbatim, then the edge-trim plan: active
+    // windows by the same integer milli-mean, first/last active bounds,
+    // kept frames = samples inside the span; all-silent clips report
+    // NULL bounds (the engine's None branch).
+    "m08_silence_trim" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id,
+        |         unnest([i FOR i IN generate_series(0, n_frames - 1)]) AS i
+        |  FROM a),
+        |v AS (
+        |  SELECT media_id, i, i // 100 AS window_idx,
+        |         (media_id * 31 + i * 2654435761) % 65536 AS u
+        |  FROM s),
+        |x AS (SELECT media_id, window_idx,
+        |             abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ax
+        |      FROM v),
+        |w AS (SELECT media_id, window_idx, count(*) AS n_samples,
+        |             (1000 * sum(ax)) // count(*) AS mean_abs_milli
+        |      FROM x GROUP BY media_id, window_idx),
+        |act AS (SELECT media_id, window_idx, n_samples,
+        |          CASE WHEN mean_abs_milli >= 16400000 THEN 1 ELSE 0 END
+        |            AS active
+        |        FROM w),
+        |agg AS (SELECT media_id,
+        |          count(*) AS n_windows, sum(active) AS n_active,
+        |          min(CASE WHEN active = 1 THEN window_idx END)
+        |            AS first_active,
+        |          max(CASE WHEN active = 1 THEN window_idx END)
+        |            AS last_active
+        |        FROM act GROUP BY media_id),
+        |kept AS (SELECT act.media_id, sum(act.n_samples) AS kept_frames
+        |         FROM act JOIN agg USING (media_id)
+        |         WHERE act.window_idx
+        |           BETWEEN agg.first_active AND agg.last_active
+        |         GROUP BY act.media_id)
+        |SELECT agg.media_id,
+        |  CAST(agg.n_windows AS INT) AS n_windows,
+        |  CAST(agg.n_active AS INT) AS n_active,
+        |  CAST(agg.first_active AS INT) AS first_active,
+        |  CAST(agg.last_active AS INT) AS last_active,
+        |  CAST(agg.first_active * 100 AS BIGINT) AS start_frame,
+        |  CAST(kept.kept_frames AS BIGINT) AS kept_frames
+        |FROM agg LEFT JOIN kept USING (media_id)
+        |ORDER BY agg.media_id""".stripMargin
   )
 }

@@ -581,17 +581,15 @@ object SimilarityOps {
     * ((ham, corpus_id) total order); only the re-rank itself is the
     * shared raw-double rank precedent of s01.
     */
-  def rerankRecall(corpus: DataFrame, queries: DataFrame, k: Int,
-      overfetch: Int, dim: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+  /** Hamming-ranked candidate table over the shared sign codes — the
+    * candidate-generation stage shared by s24's eval and s25's overfetch
+    * sweep, cut at `candN` per query: one (query_id, corpus_id, rank1)
+    * row per surviving candidate, rank1 the all-integer (ham, corpus_id)
+    * stage-1 rank. */
+  private[graft] def signCandidates(corpus: DataFrame, queries: DataFrame,
+      candN: Int, dim: Int, idCol: String, vecCol: String): DataFrame = {
     require(dim % 2 == 0 && dim >= 2 && dim <= 64, s"dim=$dim")
-    require(overfetch >= 1, s"overfetch=$overfetch")
     val half = dim / 2
-    val candN = overfetch * k
-    val cVec = withNorm(corpus.select(col(idCol).as("corpus_id"),
-      asDouble(col(vecCol)).as("cv")), "cv", "cn")
-    val qVec = withNorm(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv")), "qv", "qn")
     val cCodes = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("v"))
       .select(col("corpus_id"), signPackWord(col("v"), 0, half).as("ca"),
@@ -602,7 +600,7 @@ object SimilarityOps {
         signPackWord(col("v"), half, half).as("qb"))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("ham"), col("corpus_id"))
-    val cand = cCodes.crossJoin(broadcast(qCodes))
+    cCodes.crossJoin(broadcast(qCodes))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("ham",
         bit_count(col("ca").bitwiseXOR(col("qa"))) +
@@ -610,6 +608,18 @@ object SimilarityOps {
       .withColumn("rank1", row_number().over(w1))
       .filter(col("rank1") <= candN)
       .select(col("query_id"), col("corpus_id"), col("rank1"))
+  }
+
+  def rerankRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(overfetch >= 1, s"overfetch=$overfetch")
+    val cVec = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+    val qVec = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+    val cand = signCandidates(corpus, queries, overfetch * k, dim,
+      idCol, vecCol)
     val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
       .select(col("query_id"), col("corpus_id"), lit(true).as("in_exact"))
     // ONE candidate pass produces BOTH cuts' hit counts (rank1 ≤ k is a
@@ -640,6 +650,60 @@ object SimilarityOps {
         coalesce(col("n_hits_reranked"), lit(0L)).as("n_hits_reranked"),
         (coalesce(col("n_hits_reranked"), lit(0L)) / k.toDouble)
           .as(s"recall_reranked_at_$k"))
+  }
+
+  /** s25: overfetch tuning curve for two-stage retrieval — re-ranked
+    * recall@k per candidate-budget `overfetch`·k, the s14-style frontier
+    * that answers THE production sizing question for [[rerankRecall]]'s
+    * shape: how many cheap candidates must stage 1 pass forward before
+    * re-rank recall saturates (each step of overfetch is paid in
+    * full-precision fetch + rerank flops per query, the serving-latency
+    * budget).
+    *
+    * One pass: candidates are generated ONCE at the LARGEST budget
+    * ([[signCandidates]], the shared stage-1 definition), floats fetch
+    * once, and every configuration is an exploded (overfetch, row) slice
+    * of the same scored frame — a smaller budget's candidate set is by
+    * construction a prefix of a larger one's (rank1 is config-independent),
+    * so no per-config pair loop exists. Re-rank within each slice is the
+    * per-(query, config) window over ≤ max-budget rows; everything else
+    * is the s24 scale shape (codes-only corpus pass, candidate-bounded
+    * broadcast, conditional sums).
+    */
+  def overfetchCurve(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetches: Seq[Int], dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(overfetches.nonEmpty && overfetches.forall(_ >= 1),
+      s"overfetches=$overfetches")
+    val cVec = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+    val qVec = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+    val cand = signCandidates(corpus, queries, overfetches.max * k, dim,
+      idCol, vecCol)
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), lit(true).as("in_exact"))
+    val w2 = Window.partitionBy(col("query_id"), col("overfetch"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    val hits = cVec
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("overfetch", explode(array(overfetches.map(lit): _*)))
+      .filter(col("rank1") <= col("overfetch") * k)
+      .withColumn("rank2", row_number().over(w2))
+      .filter(col("rank2") <= k)
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("overfetch"), col("query_id"))
+      .agg(sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hits"))
+    qVec.select(col("query_id"))
+      .crossJoin(broadcast(qVec.sparkSession.range(1)
+        .select(explode(array(overfetches.map(lit): _*)).as("overfetch"))))
+      .join(hits, Seq("overfetch", "query_id"), "left")
+      .select(col("overfetch"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble)
+          .as(s"recall_at_$k"))
   }
 
   def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
