@@ -613,6 +613,47 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** d28: duplicate-cluster size histogram — the dedup datasheet figure
+    * every dedup paper leads with (Lee et al. "Deduplicating Training
+    * Data", the C4/RefinedWeb analyses): how many exact-dup clusters
+    * exist at each size scale, how many documents they hold, and what
+    * share of the corpus that is. Complements t27's per-source dup
+    * fraction with the corpus-wide SHAPE of duplication — a corpus where
+    * 10% of docs sit in two-copy clusters needs different handling than
+    * one where 10% sit in a single million-copy cluster.
+    *
+    * Buckets are power-of-two floors (1, 2, 4, …, capped at `maxBucket`)
+    * decided by a STATIC when-chain on the cluster size — all-integer
+    * (no float log2, whose boundary rounding could misbucket an exact
+    * power), and codegen-friendly per the t20 rule. Scale shape: the
+    * only corpus-sized exchange is [[exactDedup]]'s digest aggregate
+    * (map-side partials, text never shuffles); the cluster table rolls
+    * up to ≤ log2(maxBucket)+1 rows, and the corpus total for the share
+    * column is a 1-row aggregate OF THAT rollup (no second corpus pass),
+    * broadcast back the d08 way.
+    */
+  def dupClusterHistogram(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 128): DataFrame = {
+    require(maxBucket >= 1 && Integer.bitCount(maxBucket) == 1,
+      s"maxBucket=$maxBucket must be a power of two")
+    val lows = Iterator.iterate(maxBucket)(_ / 2).takeWhile(_ > 1).toSeq
+    val bucketLo = lows.foldLeft(null: Column) { (acc, lo) =>
+      if (acc == null) when(col("n_copies") >= lo, lit(lo))
+      else acc.when(col("n_copies") >= lo, lit(lo))
+    } match {
+      case null => lit(1)
+      case c => c.otherwise(lit(1))
+    }
+    val buckets = exactDedup(docs, idCol, textCol)
+      .select(bucketLo.as("bucket_lo"), col("n_copies"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_copies")).as("n_docs"))
+    val total = buckets.agg(sum(col("n_docs")).as("total_docs"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("bucket_lo"), col("n_clusters"), col("n_docs"),
+        expr("(1000 * n_docs) div total_docs").as("doc_share_milli"))
+  }
+
   /** t33: eval-leakage report — [[decontaminationCounts]]'s dual, aggregated
     * per BENCHMARK item instead of per corpus doc: for each eval-set
     * document, what fraction of its distinct word n-grams appears ANYWHERE

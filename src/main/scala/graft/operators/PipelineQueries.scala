@@ -1029,6 +1029,23 @@ object PipelineQueries {
         .orderBy(col("bench_id"))
     }),
 
+    // Duplicate-cluster size histogram — the dedup datasheet figure.
+    // Driver documents are all-unique, so deterministic duplicated
+    // slices (%10 -> 2-copy, %100 -> 3-copy, %1000 -> 6-copy clusters)
+    // make buckets 1/2/4 genuinely arise; the fixture gates carry the
+    // natural-dup coverage. See DedupOps.dupClusterHistogram.
+    "d28_dup_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def slice(m: Int, off: Long) = docs.filter(col("doc_id") % m === 0)
+        .withColumn("doc_id", col("doc_id") + off)
+      val corpus = docs
+        .unionByName(slice(10, 1000000L)).unionByName(slice(100, 2000000L))
+        .unionByName(slice(1000, 3000000L)).unionByName(slice(1000, 4000000L))
+        .unionByName(slice(1000, 5000000L))
+      DedupOps.dupClusterHistogram(corpus, "doc_id", "text")
+        .orderBy(col("bucket_lo"))
+    }),
+
     // Recrawl snapshot delta: full-outer digest alignment of two captures
     // of the same id space. %11/%13 carve asymmetric membership (added /
     // removed both non-empty) and %5 docs get deterministically revised
@@ -2386,6 +2403,31 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN per ON per.bench_id = d.doc_id
         |WHERE d.doc_id % 50 = 0
         |ORDER BY bench_id""".stripMargin,
+    // d28: d01's md5 grouping over the unioned corpus, the same static
+    // power-of-two bucket chain, totals from the rollup itself.
+    "d28_dup_histogram" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 1000 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 1000 = 0
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 1000 = 0),
+        |c AS (SELECT md5(text) AS digest, count(*) AS n
+        |      FROM corpus GROUP BY 1),
+        |b AS (SELECT CASE WHEN n >= 128 THEN 128 WHEN n >= 64 THEN 64
+        |                  WHEN n >= 32 THEN 32 WHEN n >= 16 THEN 16
+        |                  WHEN n >= 8 THEN 8 WHEN n >= 4 THEN 4
+        |                  WHEN n >= 2 THEN 2 ELSE 1 END AS bucket_lo, n
+        |      FROM c),
+        |g AS (SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_clusters,
+        |             CAST(sum(n) AS BIGINT) AS n_docs
+        |      FROM b GROUP BY bucket_lo),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM g)
+        |SELECT g.bucket_lo, g.n_clusters, g.n_docs,
+        |  CAST((1000 * g.n_docs) // t.total_docs AS BIGINT)
+        |    AS doc_share_milli
+        |FROM g, t ORDER BY g.bucket_lo""".stripMargin,
     // d27: full-outer digest alignment; status from id PRESENCE (not
     // digest nullness) and a null-safe digest comparison, mirroring the
     // engine's in_old/in_new flags and <=>.
