@@ -67,6 +67,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(SimilarityOps.ivfAssign(emb, emb.filter(col("vec_id") < 2))) === 1)
   }
 
+  private lazy val emb4 = Seq(
+    (0L, Array(1.0f, -1.0f, 0.5f, 0.25f)),
+    (1L, Array(-1.0f, 1.0f, 0.5f, -0.25f)),
+    (2L, Array(0.9f, 0.1f, -0.2f, 0.7f)),
+    (3L, Array(0.0f, 0.9f, 0.1f, -0.6f)),
+    (4L, Array(0.4f, -0.3f, 0.8f, 0.1f)),
+    (5L, Array(-0.2f, 0.6f, -0.9f, 0.3f))
+  ).toDF("vec_id", "embedding")
+
+  test("two-stage rerank: exactly two pair loops (candidates + baseline)") {
+    // the s14 two-consumer lesson, pinned: both cut depths ride ONE
+    // candidate pass as columns, so a third pair loop appearing means the
+    // candidate subtree grew a second consumer again
+    val df = SimilarityOps.rerankRecall(emb4,
+      emb4.filter(col("vec_id") < 2), k = 2, overfetch = 2, dim = 4)
+    val p = planOf(df)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p)
+  }
+
+  test("overfetch sweep: no pair loop beyond s24's two plus the grid") {
+    val df = SimilarityOps.overfetchCurve(emb4,
+      emb4.filter(col("vec_id") < 2), k = 2, overfetches = Seq(1, 2),
+      dim = 4)
+    val p = planOf(df)
+    // candidates + exact baseline + the |Q|×|configs| grid scaffold
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 3, p)
+  }
+
   test("brute-force knn: corpus side never shuffles before scoring") {
     val df = SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 2)
     val p = planOf(df)
