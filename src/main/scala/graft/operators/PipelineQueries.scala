@@ -1502,6 +1502,18 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // The full serving stack: IVF route (nprobe=2 of 8 cells) -> sign-code
+    // Hamming candidates (overfetch 4·k) -> exact re-rank, recall vs the
+    // global baseline, per-query candidate-pool size for starvation
+    // visibility. See SimilarityOps.ivfRerankRecall.
+    "s26_ivf_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfRerankRecall(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2, overfetch = 4,
+        dim = 64)
+        .orderBy(col("query_id"))
+    }),
+
     // Matryoshka truncation sweep: recall@5 of prefix-dim cosine search
     // (m = 8/16/32 of the 64-dim embeddings) against the full-dim exact
     // baseline, for the usual 10-query eval set. One pair pass computes
@@ -3467,6 +3479,75 @@ object PipelineQueries {
         |  coalesce(h2.n2, 0) / 5.0 AS recall_reranked_at_5
         |FROM q0 LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)
         |ORDER BY q0.query_id""".stripMargin,
+    // s26: the ivfOraclePrologue's per-row assignment + the s24 pack/
+    // Hamming CTEs restricted to the query's top-2 routed cells; the
+    // exact baseline and the re-rank share one cosine expression.
+    "s26_ivf_rerank_recall" ->
+      (s"WITH $ivfOraclePrologue,\n" +
+      """q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 10),
+        |c0 AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv2
+        |       FROM embeddings),
+        |route AS (SELECT query_id, centroid_id FROM (
+        |  SELECT q0.query_id, cent.centroid_id,
+        |         row_number() OVER (PARTITION BY q0.query_id
+        |           ORDER BY list_cosine_similarity(q0.qv, cent.cv) DESC,
+        |                    cent.centroid_id) AS rn
+        |  FROM q0, cent) WHERE rn <= 2),
+        |qc AS (SELECT query_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qa,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN qv[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS qb
+        |       FROM q0),
+        |cc AS (SELECT corpus_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv2[i+1] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS ca,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN cv2[i+33] >= 0 THEN (1::BIGINT << i)
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS cb
+        |       FROM c0),
+        |candpool AS (SELECT route.query_id, asg.vec_id AS corpus_id
+        |             FROM route JOIN asg USING (centroid_id)
+        |             WHERE asg.vec_id <> route.query_id),
+        |nc AS (SELECT query_id, count(*) AS n_cand FROM candpool
+        |       GROUP BY query_id),
+        |hm AS (SELECT cp.query_id, cp.corpus_id,
+        |         bit_count(xor(qc.qa, cc.ca)) + bit_count(xor(qc.qb, cc.cb))
+        |           AS ham
+        |       FROM candpool cp
+        |       JOIN qc USING (query_id) JOIN cc USING (corpus_id)),
+        |r1 AS (SELECT query_id, corpus_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY ham, corpus_id) AS rank1
+        |       FROM hm),
+        |cand AS (SELECT query_id, corpus_id FROM r1 WHERE rank1 <= 20),
+        |rr AS (SELECT cand.query_id, cand.corpus_id,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(q0.qv, c0.cv2) DESC,
+        |                    cand.corpus_id) AS rank2
+        |       FROM cand JOIN q0 USING (query_id) JOIN c0 USING (corpus_id)),
+        |s2 AS (SELECT query_id, corpus_id FROM rr WHERE rank2 <= 5),
+        |b AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q0.query_id, c0.corpus_id,
+        |           row_number() OVER (PARTITION BY q0.query_id
+        |                              ORDER BY list_cosine_similarity(
+        |                                q0.qv, c0.cv2) DESC,
+        |                              c0.corpus_id) AS rank
+        |    FROM q0, c0 WHERE c0.corpus_id <> q0.query_id)
+        |  WHERE rank <= 5),
+        |h AS (SELECT query_id, count(*) AS n
+        |      FROM s2 JOIN b USING (query_id, corpus_id) GROUP BY query_id)
+        |SELECT q0.query_id,
+        |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n, 0) / 5.0 AS recall_at_5
+        |FROM q0 LEFT JOIN nc USING (query_id) LEFT JOIN h USING (query_id)
+        |ORDER BY q0.query_id""".stripMargin),
     // s25: s24's prologue with the candidate cut at the LARGEST budget
     // (8·5 = 40), then every configuration is a rank1-prefix slice of the
     // same candidate table — a smaller budget's candidates are by

@@ -169,11 +169,17 @@ object SimilarityOps {
     c.crossJoin(broadcast(cent))
       .withColumn("sim", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("centroid_id"), col("sim")),
-        struct(col("sim"), (-col("centroid_id")).as("tie"))).as("best"))
+      .agg(bestCentroid.as("best"))
       .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
         round(col("best.sim"), 6).as("sim"))
   }
+
+  /** THE IVF argmax aggregate ((sim desc, centroid_id asc) via max_by
+    * over struct(sim, -centroid_id)) — shared by [[ivfAssign]] and the
+    * s26 index build so cell assignment cannot drift between them. */
+  private def bestCentroid: Column =
+    max_by(struct(col("centroid_id"), col("sim")),
+      struct(col("sim"), (-col("centroid_id")).as("tie")))
 
   /** IVF probe: top-k among vectors sharing the query's cell (single-probe).
     * Recall < 1 by construction; the exactness gap vs [[bruteForceTopK]] is
@@ -704,6 +710,100 @@ object SimilarityOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) / k.toDouble)
           .as(s"recall_at_$k"))
+  }
+
+  /** s26: the FULL faiss-style serving stack in one eval — coarse route
+    * (IVF: the query's top-`nprobe` cells), compressed candidate
+    * generation (Hamming over the 1-bit sign codes of ONLY those cells'
+    * vectors), full-precision re-rank of the top `overfetch`·k
+    * candidates, recall@k against the global exact baseline. s13/s08
+    * measure the route alone, s20/s24 the compression alone; production
+    * serves all three stages composed, and their recall losses MULTIPLY —
+    * this is the number an index deployment is actually judged by.
+    * `n_cand` (candidates available after the cell restriction, before
+    * the Hamming cut) rides the output for starvation visibility, the
+    * s23 rule.
+    *
+    * Scale shape: the corpus contributes ONE index pass — assignment and
+    * code words in the same aggregate (THE shared [[bestCentroid]]
+    * argmax + the shared [[signPackWord]] packing), one corpus-keyed
+    * exchange, which at 100 TB is the pre-materialized IVF index
+    * artifact (cells + codes together is literally what a faiss IVF-PQ
+    * index file stores). Queries route themselves (the probeTopK
+    * self-assign lesson — no second corpus scan) and broadcast; the
+    * full-precision fetch is the s24 candidate-bounded broadcast onto
+    * the vector scan; both cut depths and the starvation count ride one
+    * candidate pass as columns (the s14 two-consumer rule).
+    */
+  def ivfRerankRecall(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, overfetch: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % 2 == 0 && dim >= 2 && dim <= 64, s"dim=$dim")
+    require(nprobe >= 1 && overfetch >= 1, s"nprobe=$nprobe overfetch=$overfetch")
+    val half = dim / 2
+    val candN = overfetch * k
+    val cent = withNorm(centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("pv")), "pv", "pn")
+    // the index build: assignment + sign codes in ONE corpus pass
+    val cIdx = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("v")), "v", "vn")
+      .withColumn("ca", signPackWord(col("v"), 0, half))
+      .withColumn("cb", signPackWord(col("v"), half, half))
+      .crossJoin(broadcast(cent))
+      .withColumn("sim", dot(col("v"), col("pv")) / (col("vn") * col("pn")))
+      .groupBy(col("corpus_id"))
+      .agg(bestCentroid.as("best"), first(col("ca")).as("ca"),
+        first(col("cb")).as("cb"))
+      .select(col("corpus_id"), col("best.centroid_id").as("centroid_id"),
+        col("ca"), col("cb"))
+    // query route: self-assigned top-nprobe cells + own codes, broadcast
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("psim"), col("centroid_id"))
+    val qRoute = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+      .withColumn("qa", signPackWord(col("qv"), 0, half))
+      .withColumn("qb", signPackWord(col("qv"), half, half))
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", dot(col("qv"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), col("qa"), col("qb"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("corpus_id"))
+    val wAll = Window.partitionBy(col("query_id"))
+    val cand = cIdx.join(broadcast(qRoute), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("ham",
+        bit_count(col("ca").bitwiseXOR(col("qa"))) +
+          bit_count(col("cb").bitwiseXOR(col("qb"))))
+      .withColumn("n_cand", count(lit(1)).over(wAll))
+      .withColumn("rank1", row_number().over(w1))
+      .filter(col("rank1") <= candN)
+      .select(col("query_id"), col("corpus_id"), col("n_cand"))
+    val cVec = withNorm(corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")), "cv", "cn")
+    val qVec = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), lit(true).as("in_exact"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"))
+    val perQuery = cVec
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank2", row_number().over(w2))
+      .filter(col("rank2") <= k)
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(max(col("n_cand")).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hits"))
+    qVec.select(col("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
   }
 
   def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
