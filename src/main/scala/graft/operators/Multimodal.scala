@@ -326,73 +326,95 @@ object Multimodal {
     * here, so the metric cannot drift between the profile and the
     * segmentation built on it.
     */
+  /** The per-payload form of [[frameSadRows]] — decode one container and
+    * return its frame rows; every consumer of the SAD metric reduces to
+    * this one function. */
+  private def frameSadsOf(mediaId: Long, payload: Array[Byte],
+      stride: Int): Seq[FrameSadRow] =
+    MediaCodecs.parseY4mLuma(payload) match {
+      case Some((_, lumas)) if lumas.nonEmpty =>
+        FrameSadRow(mediaId, 0, 0L, None) +:
+          (1 until lumas.length).map { f =>
+            val prev = lumas(f - 1); val cur = lumas(f)
+            var i = 0; var sum = 0L; var n = 0L
+            while (i < cur.length) {
+              sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); n += 1
+              i += stride
+            }
+            FrameSadRow(mediaId, f, n, Some(1000L * sum / n))
+          }
+      case _ => Nil
+    }
+
   private[graft] def frameSadRows(media: Dataset[MediaRow],
       stride: Int): Dataset[FrameSadRow] = {
     require(stride > 0, s"stride=$stride")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.flatMap { row =>
-        MediaCodecs.parseY4mLuma(row.payload) match {
-          case Some((_, lumas)) if lumas.nonEmpty =>
-            FrameSadRow(row.media_id, 0, 0L, None) +:
-              (1 until lumas.length).map { f =>
-                val prev = lumas(f - 1); val cur = lumas(f)
-                var i = 0; var sum = 0L; var n = 0L
-                while (i < cur.length) {
-                  sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF)); n += 1
-                  i += stride
-                }
-                FrameSadRow(row.media_id, f, n, Some(1000L * sum / n))
-              }
-          case _ => Nil
-        }
-      }
+      rows.flatMap(row => frameSadsOf(row.media_id, row.payload, stride))
     }
   }
+
+  /** One per-shot summary row. mean_sad_milli is None for a shot that is
+    * only the frame-0 anchor of a single-frame video. */
+  case class ShotRow(media_id: Long, shot_id: Int, start_frame: Int,
+      end_frame: Int, n_frames: Int, mean_sad_milli: Option[Long])
 
   /** m07: shot segmentation — the scene-cut pass every video-curation
     * pipeline runs before keyframe sampling (sample one frame per SHOT,
     * not per fixed stride, so slideshows don't drown out action clips):
     * a frame whose stride-subsampled luma SAD vs the previous frame
-    * (m05's metric, same integer arithmetic) reaches `cutMilli` opens a
-    * new shot; frame 0 always opens shot 0. Emits one row per
-    * (video, shot): boundary frames, length, and the integer mean SAD of
-    * the shot's interior motion rows (NULL for a shot that is only the
-    * frame-0 anchor of a single-frame video).
+    * (m05's metric, THE shared [[frameSadsOf]] arithmetic) reaches
+    * `cutMilli` opens a new shot; frame 0 always opens shot 0. Emits one
+    * row per (video, shot): boundary frames, length, and the integer
+    * mean SAD of the shot's interior motion rows.
     *
-    * Scale shape: decode + SAD are the one partition-local pass of
-    * [[frameSadRows]] — pixels never become rows; what shuffles is one
-    * ≤ n_frames-row summary per video into a per-video window whose
-    * group size is bounded by frames-per-video (clips are minutes, not
-    * unbounded — a 100 TB corpus scales in VIDEOS, and each video's
-    * frame rows are one bounded window group; production chunks
-    * feature-length inputs at the decode stage). The cumulative-cut-count
-    * shot id is a running sum over that bounded group, then the shot
-    * rollup aggregates on (media_id, shot_id) — map-side partial, no
-    * further window.
+    * Scale shape: decode, SAD, and the segmentation fold are ONE
+    * partition-local pass — a video's frames are already local to its
+    * payload row, so pushing the cut scan into the decode stage (the m08
+    * lesson) removes the per-video window AND its shuffle entirely: the
+    * operator plans ZERO exchanges, each video emits only its ≤ n_shots
+    * summary rows from the scan stage. Being stateless per row, the
+    * SAME operator runs unchanged over a readStream of media rows — the
+    * at-ingest scene-cut pass needs no separate streaming twin
+    * (spec-pinned in PipelineStreamsSpec).
     */
   def shotSegments(media: Dataset[MediaRow], stride: Int,
       cutMilli: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frames = frameSadRows(media, stride).toDF()
-    val isCut = when(col("frame_idx") === 0, lit(1L))
-      .otherwise(when(col("sad_milli") >= cutMilli, lit(1L)).otherwise(lit(0L)))
-    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    frames
-      .withColumn("shot_id", (sum(isCut).over(w) - 1L).cast("int"))
-      .groupBy(col("media_id"), col("shot_id"))
-      .agg(min(col("frame_idx")).as("start_frame"),
-        max(col("frame_idx")).as("end_frame"),
-        count(lit(1)).cast("int").as("n_frames"),
-        sum(col("sad_milli")).as("sum_sad"),
-        count(col("sad_milli")).as("n_sad"))
-      .select(col("media_id"), col("shot_id"), col("start_frame"),
-        col("end_frame"), col("n_frames"),
-        // floor division on non-negative longs; NULL when the shot has no
-        // motion rows (single-frame video) — `div` nulls on a 0 divisor
-        when(col("n_sad") > 0, expr("sum_sad div n_sad"))
-          .as("mean_sad_milli"))
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(row =>
+        shotsOf(row.media_id, row.payload, stride, cutMilli))
+    }.toDF()
+  }
+
+  /** Per-payload segmentation fold over [[frameSadsOf]] — THE one shot
+    * definition behind [[shotSegments]] (batch and streaming alike). */
+  private def shotsOf(mediaId: Long, payload: Array[Byte], stride: Int,
+      cutMilli: Long): Seq[ShotRow] = {
+    val frames = frameSadsOf(mediaId, payload, stride)
+    if (frames.isEmpty) Nil
+    else {
+      val shots = scala.collection.mutable.ArrayBuffer[ShotRow]()
+      var shotId = -1
+      var start = 0; var end = 0; var n = 0
+      var sumSad = 0L; var nSad = 0L
+      def flush(): Unit = if (shotId >= 0) {
+        shots += ShotRow(mediaId, shotId, start, end, n,
+          if (nSad > 0) Some(sumSad / nSad) else None)
+      }
+      frames.foreach { f =>
+        val isCut = f.frame_idx == 0 || f.sad_milli.exists(_ >= cutMilli)
+        if (isCut) {
+          flush()
+          shotId += 1; start = f.frame_idx; n = 0; sumSad = 0L; nSad = 0L
+        }
+        end = f.frame_idx; n += 1
+        f.sad_milli.foreach { s => sumSad += s; nSad += 1 }
+      }
+      flush()
+      shots.toSeq
+    }
   }
 
   /** Frame sampling for video rows: one output row per sampled frame index

@@ -55,6 +55,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(SimilarityOps.quantizeInt8(emb)) === 0)
     val meta = Seq((1L, 640, 480)).toDF("media_id", "width", "height")
     assert(shuffles(Multimodal.resizePlan(meta, 64)) === 0)
+    // m07: the segmentation fold lives inside the decode pass — a
+    // per-video window reappearing here means the shuffle came back
+    val media = Seq(Multimodal.MediaRow(1L, "video", Array[Byte]())).toDS()
+    assert(shuffles(Multimodal.shotSegments(media, 1, 1000L)) === 0)
   }
 
   test("exact dedup is exactly one digest-keyed exchange") {

@@ -883,6 +883,46 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("shot segmentation runs unchanged over a stream of media rows") {
+    // m07 is stateless per payload row, so the BATCH operator is its own
+    // at-ingest twin — this pins that it actually executes on a
+    // streaming Dataset and that the emitted shots equal the batch run
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def y4m(vals: Seq[Int]): Array[Byte] = {
+      val header = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      out ++= header
+      vals.foreach { v =>
+        out ++= "FRAME\n".getBytes("US-ASCII")
+        out ++= Array.fill(16)(v.toByte)
+        out ++= new Array[Byte](8)
+      }
+      out.toArray
+    }
+    val rowsIn = Seq(
+      Multimodal.MediaRow(1L, "video", y4m(Seq(10, 10, 210, 210))),
+      Multimodal.MediaRow(2L, "video", y4m(Seq(50))))
+    val in = MemoryStream[Multimodal.MediaRow]
+    val shots = Multimodal.shotSegments(in.toDS(), stride = 1,
+      cutMilli = 100000L)
+    val q = shots.writeStream.format("memory").queryName("scd")
+      .outputMode("append").start()
+    try {
+      in.addData(rowsIn: _*)
+      q.processAllAvailable()
+      val got = spark.table("scd")
+        .orderBy("media_id", "shot_id")
+        .select("media_id", "shot_id", "start_frame", "end_frame")
+        .as[(Long, Int, Int, Int)].collect().toSeq
+      val batch = Multimodal.shotSegments(rowsIn.toDS(), 1, 100000L)
+        .orderBy("media_id", "shot_id")
+        .select("media_id", "shot_id", "start_frame", "end_frame")
+        .as[(Long, Int, Int, Int)].collect().toSeq
+      assert(got === batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("revisit classifier: stream labels equal the batch d27 ledger " +
     "on arriving ids") {
     implicit val sqlCtx = spark.sqlContext
