@@ -307,6 +307,44 @@ object PipelineQueries {
     * degeneracy note); the structured-text fixture gate carries the
     * real per-rule coverage.
     */
+  /** t34: model-scored quality filtering — the FineWeb-Edu / DCLM stage
+    * where a trained probe, not a rule list, decides a document's
+    * training value. The probe here is a LINEAR scorer over the shared
+    * t02 feature struct ([[TextFns.qualityFeatures]]) plus a log-length
+    * term — deliberately transparent (the Spark-side plumbing of a
+    * classifier gate is identical whatever produces the weights: per-row
+    * featurize → dot with broadcast/constant weights → threshold
+    * buckets), and deliberately NOT another rule filter: unlike
+    * t17/t02's hard gates a scored doc carries a graded value the mix
+    * stage can stratify on.
+    *
+    * Cross-engine exactness is the t-family micro-unit discipline: each
+    * weighted term rounds to integer micro-units BEFORE the sum (the
+    * weights are engine-constant rationals with small power-of-two
+    * denominators, the feature ratios are t02's 6-dp-rounded doubles,
+    * and both engines round half away from zero on non-negatives — the
+    * one ln term carries the t09/t11 ≤1-ulp caveat). Buckets compare
+    * INTEGERS against integer thresholds. Per-row scan-side everywhere;
+    * the only exchange is the caller's presentation sort.
+    */
+  def eduScore(docs: DataFrame, idCol: String, textCol: String,
+      hiMicro: Long, midMicro: Long): DataFrame = {
+    val q = TextFns.qualityFeatures(col(textCol))
+    def micro(x: Column, perUnit: Int): Column =
+      round(x * perUnit, 0).cast("long")
+    val score =
+      micro(q.getField("alpha_ratio"), 4000000) +
+        micro(q.getField("space_ratio"), 2000000) -
+        micro(q.getField("mean_token_len"), 250000) +
+        micro(log(lit(1.0) + q.getField("n_tokens")), 500000)
+    docs.select(col(idCol), col("source"),
+      score.as("score_micro"))
+      .withColumn("edu_bucket",
+        when(col("score_micro") >= hiMicro, lit("high"))
+          .when(col("score_micro") >= midMicro, lit("medium"))
+          .otherwise(lit("low")))
+  }
+
   def c4LineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = DedupOps
       .digestedLines(docs, Seq(idCol), textCol, "\n")
@@ -445,6 +483,16 @@ object PipelineQueries {
           col("t.n_tokens").as("n_tokens"),
           col("t.n_distinct").as("n_distinct"),
           col("t.n_subwords").as("n_subwords"))),
+
+    // Model-scored quality filtering (the FineWeb-Edu/DCLM stage) with a
+    // transparent linear probe over the shared t02 features; integer
+    // micro-unit terms, integer bucket thresholds (chosen at the driver
+    // corpus's observed terciles so all three buckets arise). See
+    // eduScore above.
+    "t34_edu_score" -> ((s, d) =>
+      eduScore(Tables.documents(s, d), "doc_id", "text",
+        hiMicro = 4630000L, midMicro = 4370000L)
+        .orderBy(col("doc_id"))),
 
     "t02_quality_features" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2049,6 +2097,37 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // keep gate interpolated from qualityKeepSql — the ONE formula t07
     // and t16 also read (review r7: hand-written copies could drift)
+    // t34: t02's feature expressions verbatim, each weighted term rounded
+    // to integer micro-units before the sum (the ln term carries the
+    // t09/t11 <=1-ulp caveat), integer bucket thresholds.
+    "t34_edu_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+        |    round((len(text) - len(replace(text, ' ', '')))
+        |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
+        |    round(len(replace(text, ' ', ''))
+        |          / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |            AS DOUBLE), 1.0), 6) AS mean_token_len,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(alpha_ratio * 4000000, 0) AS BIGINT)
+        |    + CAST(round(space_ratio * 2000000, 0) AS BIGINT)
+        |    - CAST(round(mean_token_len * 250000, 0) AS BIGINT)
+        |    + CAST(round(ln(1.0 + n_tokens) * 500000, 0) AS BIGINT)
+        |      AS score_micro
+        |  FROM f)
+        |SELECT doc_id, source, score_micro,
+        |  CASE WHEN score_micro >= 4630000 THEN 'high'
+        |       WHEN score_micro >= 4370000 THEN 'medium'
+        |       ELSE 'low' END AS edu_bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t02_quality_features" ->
       s"""SELECT doc_id,
          |  len(text) AS n_chars,
