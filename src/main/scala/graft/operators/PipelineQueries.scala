@@ -327,23 +327,28 @@ object PipelineQueries {
     * INTEGERS against integer thresholds. Per-row scan-side everywhere;
     * the only exchange is the caller's presentation sort.
     */
-  def eduScore(docs: DataFrame, idCol: String, textCol: String,
-      hiMicro: Long, midMicro: Long): DataFrame = {
-    val q = TextFns.qualityFeatures(col(textCol))
+  /** THE probe-score expression (integer micro-units) — shared by batch
+    * [[eduScore]] and the streaming at-ingest gate
+    * ([[graft.streaming.PipelineStreams.eduGate]]), so the two surfaces
+    * grade a document identically by construction. */
+  private[graft] def eduScoreMicro(text: Column): Column = {
+    val q = TextFns.qualityFeatures(text)
     def micro(x: Column, perUnit: Int): Column =
       round(x * perUnit, 0).cast("long")
-    val score =
-      micro(q.getField("alpha_ratio"), 4000000) +
-        micro(q.getField("space_ratio"), 2000000) -
-        micro(q.getField("mean_token_len"), 250000) +
-        micro(log(lit(1.0) + q.getField("n_tokens")), 500000)
+    micro(q.getField("alpha_ratio"), 4000000) +
+      micro(q.getField("space_ratio"), 2000000) -
+      micro(q.getField("mean_token_len"), 250000) +
+      micro(log(lit(1.0) + q.getField("n_tokens")), 500000)
+  }
+
+  def eduScore(docs: DataFrame, idCol: String, textCol: String,
+      hiMicro: Long, midMicro: Long): DataFrame =
     docs.select(col(idCol), col("source"),
-      score.as("score_micro"))
+      eduScoreMicro(col(textCol)).as("score_micro"))
       .withColumn("edu_bucket",
         when(col("score_micro") >= hiMicro, lit("high"))
           .when(col("score_micro") >= midMicro, lit("medium"))
           .otherwise(lit("low")))
-  }
 
   def c4LineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = DedupOps

@@ -206,6 +206,23 @@ object PipelineStreams {
     docs.filter(
       graft.functions.TextFns.qualityFeatures(col(textCol)).getField("keep"))
 
+  /** At-ingest model-scored quality gate — the streaming twin of batch
+    * t34 and the modern (FineWeb-Edu/DCLM) replacement for rule gates:
+    * keep a doc when its probe score reaches `minMicro`. The score is
+    * THE shared [[graft.operators.PipelineQueries.eduScoreMicro]]
+    * expression (one definition, the gopherGate discipline), applied as
+    * a stateless schema-preserving filter with the score riding along —
+    * a downstream mix stage stratifies on it, which a boolean gate
+    * cannot offer.
+    *
+    * Output contract: the input schema plus `score_micro`.
+    */
+  def eduGate(docs: DataFrame, textCol: String, minMicro: Long): DataFrame =
+    docs
+      .withColumn("score_micro",
+        graft.operators.PipelineQueries.eduScoreMicro(col(textCol)))
+      .filter(col("score_micro") >= minMicro)
+
   /** At-ingest Gopher/MassiveText rule gate: the t17 keep conjunction
     * applied as a schema-preserving streaming filter. Stateless, and the
     * counts + keep predicate are THE batch definitions

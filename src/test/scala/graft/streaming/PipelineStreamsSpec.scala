@@ -883,6 +883,31 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("edu gate: kept set and scores equal the batch t34 grading") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "a clear english sentence with several reasonable words"),
+      (2L, "!!!! ???? 1234 %%%%"), // alpha-free noise, low score
+      (3L, "another well formed document that should score highly here"))
+    val gated = PipelineStreams.eduGate(
+      in.toDF().toDF("doc_id", "text"), "text", minMicro = 2000000L)
+    val q = gated.writeStream.format("memory").queryName("eg")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("eg").select("doc_id", "score_micro")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.PipelineQueries
+        .eduScore(rows.toDF("doc_id", "text")
+          .withColumn("source", lit("web")), "doc_id", "text", 1L, 0L)
+        .select("doc_id", "score_micro").as[(Long, Long)].collect()
+        .filter(_._2 >= 2000000L).toMap
+      assert(got === batch && got.contains(1L) && !got.contains(2L))
+    } finally q.stop()
+  }
+
   test("shot segmentation runs unchanged over a stream of media rows") {
     // m07 is stateless per payload row, so the BATCH operator is its own
     // at-ingest twin — this pins that it actually executes on a
