@@ -350,6 +350,57 @@ object PipelineQueries {
           .when(col("score_micro") >= midMicro, lit("medium"))
           .otherwise(lit("low")))
 
+  /** t35: signal-correlation datasheet — per source, the Pearson
+    * correlation between the cheap probe score (t34's [[eduScoreMicro]])
+    * and the expensive LM cross-entropy (t23's interpolated bigram
+    * xent): the DataComp-style analysis that decides whether a cheap
+    * signal can stand in for an LM pass at selection time, and the
+    * first sanity check on any new quality probe.
+    *
+    * Exactness: both signals are the integer units their source queries
+    * already pin (score micro-units; xent in 1e-4 nats). Every moment
+    * accumulates as DECIMAL(38,0) (DuckDB: HUGEINT) — int64 sums of
+    * x·y products overflow around 1e5 docs, the a09 ANSI-overflow trap
+    * one level up — so n·Σxy − Σx·Σy is EXACT integer arithmetic on both
+    * engines; only the final r takes one exact→double cast per operand
+    * in a fixed parenthesization (value-nearest on both engines, then
+    * identical IEEE ops and correctly-rounded sqrt). Zero-variance
+    * sources report NULL, not an IEEE infinity. Docs without bigrams
+    * (< 2 tokens) have no xent and drop from the join — the t23
+    * convention, documented.
+    *
+    * Scale shape: two per-doc scans (probe is scan-side; the xent
+    * subtree is t23's — at 100 TB both are materialized per-doc
+    * artifacts read back as parquet), one doc-keyed join, and a
+    * per-source rollup whose partials are six decimals per source.
+    */
+  def signalCorrelation(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scores = docs.select(col(idCol), col("source"),
+      eduScoreMicro(col(textCol)).as("x"))
+    val xents = RelevanceOps.interpolatedBigramXent(docs, idCol, textCol)
+      .select(col(idCol), round(col("xent") * 10000, 0).cast("long").as("y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = scores.join(xents, Seq(idCol))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val n = dec(col("n_docs"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val d1 = n * col("sxx") - col("sx") * col("sx")
+    val d2 = n * col("syy") - col("sy") * col("sy")
+    g.select(col("source"), col("n_docs"),
+      expr("CAST(sx AS BIGINT) div n_docs").as("mean_score_micro"),
+      expr("CAST(sy AS BIGINT) div n_docs").as("mean_xent_e4"),
+      when(d1 > 0 && d2 > 0,
+        round(num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 6))
+        .as("corr"))
+  }
+
   def c4LineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = DedupOps
       .digestedLines(docs, Seq(idCol), textCol, "\n")
@@ -498,6 +549,13 @@ object PipelineQueries {
       eduScore(Tables.documents(s, d), "doc_id", "text",
         hiMicro = 4630000L, midMicro = 4370000L)
         .orderBy(col("doc_id"))),
+
+    // Per-source probe-vs-LM correlation datasheet — decimal-exact
+    // moments, one final fixed-parenthesization double step. See
+    // signalCorrelation above.
+    "t35_signal_corr" -> ((s, d) =>
+      signalCorrelation(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("source"))),
 
     "t02_quality_features" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2102,6 +2160,56 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // keep gate interpolated from qualityKeepSql — the ONE formula t07
     // and t16 also read (review r7: hand-written copies could drift)
+    // t35: interpXentCtes' per-doc xent (t23's exact epilogue, re-scaled
+    // to e4 integers) joined with t34's score expression; HUGEINT
+    // moments mirror the engine's DECIMAL(38,0) exactly, and the final
+    // r repeats the same exact->double casts in the same
+    // parenthesization.
+    "t35_signal_corr" ->
+      (s"WITH $interpXentCtes,\n" +
+      """xd AS (SELECT doc_id,
+        |         CAST(round(round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf),
+        |                          4) * 10000, 0) AS BIGINT) AS y
+        |       FROM per GROUP BY doc_id),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+        |    round((len(text) - len(replace(text, ' ', '')))
+        |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
+        |    round(len(replace(text, ' ', ''))
+        |          / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |            AS DOUBLE), 1.0), 6) AS mean_token_len,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(alpha_ratio * 4000000, 0) AS BIGINT)
+        |    + CAST(round(space_ratio * 2000000, 0) AS BIGINT)
+        |    - CAST(round(mean_token_len * 250000, 0) AS BIGINT)
+        |    + CAST(round(ln(1.0 + n_tokens) * 500000, 0) AS BIGINT) AS x
+        |  FROM f),
+        |j AS (SELECT sc.source, sc.x, xd.y
+        |      FROM sc JOIN xd USING (doc_id)),
+        |g AS (SELECT source, count(*) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx,
+        |        sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |        sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |      FROM j GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(CAST(sx AS BIGINT) // n AS BIGINT) AS mean_score_micro,
+        |  CAST(CAST(sy AS BIGINT) // n AS BIGINT) AS mean_xent_e4,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM g ORDER BY source""".stripMargin),
     // t34: t02's feature expressions verbatim, each weighted term rounded
     // to integer micro-units before the sum (the ln term carries the
     // t09/t11 <=1-ulp caveat), integer bucket thresholds.
