@@ -228,6 +228,28 @@ object RelevanceOps {
     * tables written once per training cycle — a stream joins them as
     * static sides, and this builder is also how a batch job materializes
     * them. */
+  /** The corpus unigram reference a drift monitor scores against — word
+    * counts plus the (T, V) scalar row; in production a pre-materialized
+    * parquet artifact like [[BigramLm]]'s tables. */
+  case class UnigramLm(cw: DataFrame, tot: DataFrame)
+
+  def unigramLm(corpus: DataFrame, textCol: String): UnigramLm = {
+    val toks = corpus
+      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
+    UnigramLm(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cw")),
+      toks.agg(count(lit(1)).cast("double").as("t"),
+        countDistinct(col("w")).cast("double").as("v")))
+  }
+
+  /** OOV-complete per-token cost against a [[UnigramLm]]:
+    * −ln((c_w + 1)/(T + V)) in integer micro-nats — the add-one floor
+    * catches words the reference never saw (c_w null → 1/(T+V)), the
+    * [[interpInstanceCostMicro]] discipline one order down. */
+  def unigramInstanceCostMicro(cw: Column, t: Column, v: Column): Column =
+    round(-log((coalesce(cw.cast("double"), lit(0.0)) + 1.0) / (t + v))
+      * 1e6, 0).cast("long")
+
   case class BigramLm(c12: DataFrame, c1: DataFrame, c2: DataFrame,
       tot: DataFrame)
 

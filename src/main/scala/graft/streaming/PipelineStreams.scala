@@ -217,6 +217,44 @@ object PipelineStreams {
     *
     * Output contract: the input schema plus `score_micro`.
     */
+  /** At-ingest distribution-drift monitor — per (event-time window,
+    * source), the stream's token count and mean lexical cross-entropy
+    * (integer micro-nats per token) against a PRE-MATERIALIZED corpus
+    * unigram reference ([[graft.operators.RelevanceOps.UnigramLm]], the
+    * xentGate artifact one order down): a window whose xent climbs above
+    * the reference's own level is drifting from the corpus the pipeline
+    * was tuned on — the production data-drift alarm for a source
+    * switching language, a spam flood, or an upstream parser regression,
+    * caught at ingest instead of in next week's batch datasheet (t32 is
+    * the batch-side KL twin of this signal).
+    *
+    * Scale shape: the token explode is stateless per row; the reference
+    * join is stream-static on the word (the cw table broadcasts or
+    * shuffles by size — Heaps-law vocab, so NOT hint-broadcast, the t22
+    * rule); the ONE stateful stage is the (window, source) rollup whose
+    * state is one integer-sum row per open (window, source) — map-side
+    * partials collapse the token stream before it reaches state. OOV
+    * tokens hit the add-one floor rather than poisoning the sum with an
+    * infinity.
+    */
+  def driftByWindow(docs: DataFrame, tsCol: String, sourceCol: String,
+      textCol: String, window_ : String, delay: String,
+      lm: graft.operators.RelevanceOps.UnigramLm): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(sourceCol).as("source"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
+      .join(lm.cw, Seq("w"), "left")
+      .crossJoin(broadcast(lm.tot))
+      .withColumn("cost_micro", graft.operators.RelevanceOps
+        .unigramInstanceCostMicro(col("cw"), col("t"), col("v")))
+      .groupBy(window(col(tsCol), window_), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cost_micro")).as("sum_micro"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_tokens"),
+        expr("sum_micro div n_tokens").as("xent_micro_per_token"))
+
   def eduGate(docs: DataFrame, textCol: String, minMicro: Long): DataFrame =
     docs
       .withColumn("score_micro",

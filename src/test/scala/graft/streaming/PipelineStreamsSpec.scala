@@ -883,6 +883,55 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor: windowed xent equals the batch form and ranks " +
+    "OOV windows above in-corpus ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.RelevanceOps
+    val corpus = Seq("the quick brown fox", "the lazy dog sleeps",
+      "the fox and the dog").toDF("text")
+    val lm = RelevanceOps.unigramLm(corpus, "text")
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val drift = PipelineStreams.driftByWindow(
+      in.toDF().toDF("ts", "source", "text"), "ts", "source", "text",
+      "10 minutes", "5 minutes", lm)
+    val q = drift.writeStream.format("memory").queryName("dw")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
+      in.addData(
+        (t0, "inlang", "the quick dog"),       // all in-reference
+        (t0, "gibber", "zxqv wklm pffr"))      // all OOV
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:30:00"),
+        "closer", "x")) // close the first window
+      q.processAllAvailable()
+      val got = spark.table("dw")
+        .filter(col("window_start") === t0)
+        .select("source", "n_tokens", "xent_micro_per_token")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet === Set("inlang", "gibber"))
+      assert(got("inlang")._1 === 3L && got("gibber")._1 === 3L)
+      // drift signal: the OOV window must score strictly higher
+      assert(got("gibber")._2 > got("inlang")._2)
+      // batch identity: same expressions over the same docs
+      val batch = Seq(("inlang", "the quick dog"),
+        ("gibber", "zxqv wklm pffr")).toDF("source", "text")
+        .select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        .join(lm.cw, Seq("w"), "left")
+        .crossJoin(broadcast(lm.tot))
+        .withColumn("cost_micro", RelevanceOps
+          .unigramInstanceCostMicro(col("cw"), col("t"), col("v")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("cost_micro")).as("s"))
+        .select(col("source"), col("n"), expr("s div n").as("x"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("edu gate: kept set and scores equal the batch t34 grading") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
