@@ -284,6 +284,45 @@ object Multimodal {
       .select(col("band"), col("band_key"), col("media_id").as("cid"),
         col("ha").as("cha"), col("hb").as("chb"))
 
+  /** m09: visual duplicate CLUSTERS — the m-family's d06/d10: aHash every
+    * image ([[imageHash]]), generate candidate pairs through THE shared
+    * 16-bit band decomposition ([[imageHashBands]] — exact at Hamming
+    * radius ≤ 3 by pigeonhole, the same guarantee the streaming detector
+    * rides), verify full Hamming per pair, and resolve the dup graph
+    * with the shared [[graft.operators.DedupOps.connectedComponents]]
+    * min-label propagation. One row per image: (media_id, cluster_id,
+    * is_canonical) — the ledger a curation pass keeps one image per
+    * cluster from, completing the visual-dedup story signature (m06) →
+    * at-ingest detector (imageDupDetector) → batch clusters (this).
+    *
+    * Scale shape: decode + hash are scan-side (pixels never become
+    * rows); the ONLY pair generator is the band-keyed self-join (never
+    * all-pairs — the d09 rule; each image contributes 4 ≤ 30-byte band
+    * rows), duplicate multi-band hits collapse in the pair `distinct`,
+    * and the component loop is the d06 plan-pinned 3-exchange hop over
+    * edge endpoints only (singleton images — the vast majority — skip
+    * the loop entirely).
+    */
+  def visualClusters(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
+    val hashes = imageHash(media).toDF()
+    val bands = imageHashBands(hashes)
+    val rhs = bands.select(col("band"), col("band_key"),
+      col("media_id").as("dst"), col("ha").as("dha"), col("hb").as("dhb"))
+    val edges = bands.join(rhs, Seq("band", "band_key"))
+      .filter(col("media_id") < col("dst"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("dha"))) +
+        bit_count(col("hb").bitwiseXOR(col("dhb"))) <= maxHamming)
+      .select(col("media_id").as("src"), col("dst"))
+      .distinct()
+    graft.operators.DedupOps.connectedComponents(
+      hashes.select(col("media_id").as("id")), edges)
+      .select(col("id").as("media_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** One per-frame-pair temporal-activity row. sad_milli is the integer
     * (1000·Σ|Δluma|) div n — the m04 floor-division discipline. */
   case class MotionRow(media_id: Long, frame_idx: Int, n_pixels: Long,

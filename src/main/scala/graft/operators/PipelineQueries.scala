@@ -1850,6 +1850,20 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("shot_id"))
     }),
 
+    // Visual duplicate clusters over the banded aHash graph. Identical
+    // payloads re-keyed at +10M make every original/copy pair an exact
+    // visual dup (the d28 synthesized-dup recipe — the pixel pattern
+    // seeds from the ORIGINAL id, so a re-keyed copy is the "same image
+    // ingested twice" case the operator exists for), and the oracle
+    // recomputes both hash sets from the same seeds.
+    "m09_visual_clusters" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.mediaFromDocuments(s, d)
+      val copies = base.map(r => r.copy(media_id = r.media_id + 10000000L))
+      Multimodal.visualClusters(base.union(copies))
+        .orderBy(col("media_id"))
+    }),
+
     // Silence-trim plan over m04's windows: active at mean |amplitude|
     // >= 16.4M milli (straddles the synthetic PCM's ~16.38M mean — both
     // branches and the all-silent NULL case arise on driver data). See
@@ -4372,6 +4386,64 @@ object PipelineQueries {
         |  END AS mean_sad_milli
         |FROM cuts GROUP BY media_id, shot_id
         |ORDER BY media_id, shot_id""".stripMargin,
+    // m09: m06's pixel/bit chain parameterized by the pattern SEED
+    // (copies at +10M reuse the original seed — that is the point),
+    // then the 4-band decomposition, the banded pair join with full
+    // Hamming verify at radius 3, and the d06 recursive min-label
+    // closure.
+    "m09_visual_clusters" ->
+      """WITH RECURSIVE img AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed,
+        |    4 + (CASE WHEN length(text) >= 1
+        |              THEN ord(substr(text, 1, 1)) ELSE 0 END) % 60 AS w,
+        |    4 + (CASE WHEN length(text) >= 2
+        |              THEN ord(substr(text, 2, 1)) ELSE 0 END) % 60 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS media_id, doc_id AS seed,
+        |    4 + (CASE WHEN length(text) >= 1
+        |              THEN ord(substr(text, 1, 1)) ELSE 0 END) % 60 AS w,
+        |    4 + (CASE WHEN length(text) >= 2
+        |              THEN ord(substr(text, 2, 1)) ELSE 0 END) % 60 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT media_id, seed, w, h,
+        |        unnest([v FOR v IN generate_series(0, 63)]) AS idx
+        |      FROM img),
+        |px AS (SELECT media_id, idx,
+        |        (seed + 31 * (((idx % 8) * w) // 8)
+        |         + 17 * (h - 1 - (((idx // 8) * h) // 8))) % 256 AS v
+        |       FROM g),
+        |sm AS (SELECT media_id, sum(v) AS s64 FROM px GROUP BY 1),
+        |bits AS (SELECT px.media_id, px.idx,
+        |          CASE WHEN px.v * 64 > sm.s64 THEN 1 ELSE 0 END AS bit
+        |         FROM px JOIN sm USING (media_id)),
+        |hs AS (SELECT media_id,
+        |  CAST(coalesce(sum(CASE WHEN idx < 32
+        |    THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << idx) END), 0)
+        |    AS BIGINT) AS ha,
+        |  CAST(coalesce(sum(CASE WHEN idx >= 32
+        |    THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (idx - 32)) END), 0)
+        |    AS BIGINT) AS hb
+        |  FROM bits GROUP BY media_id),
+        |bd AS (SELECT media_id, ha, hb, b.band,
+        |        CASE b.band WHEN 0 THEN ha & 65535
+        |                    WHEN 1 THEN (ha >> 16) & 65535
+        |                    WHEN 2 THEN hb & 65535
+        |                    ELSE (hb >> 16) & 65535 END AS band_key
+        |       FROM hs, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |e AS (SELECT DISTINCT a.media_id AS src, c.media_id AS dst
+        |      FROM bd a JOIN bd c USING (band, band_key)
+        |      WHERE a.media_id < c.media_id
+        |        AND bit_count(xor(a.ha, c.ha))
+        |            + bit_count(xor(a.hb, c.hb)) <= 3),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT media_id, media_id FROM hs
+        |  UNION
+        |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
+        |SELECT id AS media_id, min(label) AS cluster_id,
+        |       (id = min(label)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
     // m08: m04's window CTEs verbatim, then the edge-trim plan: active
     // windows by the same integer milli-mean, first/last active bounds,
     // kept frames = samples inside the span; all-silent clips report
