@@ -153,6 +153,51 @@ object Multimodal {
     }
   }
 
+  /** One per-clip fingerprint row: up to 32 delta-sign bits packed LSB
+    * first (bit i = window i+1 louder than window i). */
+  case class AudioFpRow(media_id: Long, n_windows: Int, n_bits: Int,
+      fp: Long)
+
+  /** m10: audio fingerprint — the audio analog of m06's aHash and the
+    * shape of every production audio-dedup signature (Chromaprint/
+    * Shazam-family fingerprints are sign bits of energy DELTAS across
+    * time-frequency cells; without an FFT in this sandbox the cells are
+    * [[audioWindowsOf]]'s time windows, which is the degenerate
+    * one-band case of the same construction): bit i is 1 iff window
+    * i+1's mean |amplitude| exceeds window i's, packed LSB-first and
+    * CAPPED at 32 bits (a fingerprint is fixed-width by design — a
+    * production system fingerprints a sliding clip prefix; the cap is
+    * that prefix). Re-encoded or re-keyed copies of the same audio
+    * produce identical bits; loudness normalization preserves them
+    * (deltas compare, not threshold), which is exactly why delta-sign
+    * beats m08's absolute-threshold windows as a dedup signature.
+    *
+    * Scale shape: decode, windowing, and the delta fold are ONE
+    * partition-local pass over the shared [[audioWindowsOf]] (the
+    * m07/m08 rule: per-clip reductions live inside the decode stage) —
+    * zero exchanges, one ≤ 32-byte row per clip out of the scan.
+    */
+  def audioFingerprint(media: Dataset[MediaRow],
+      windowFrames: Int): Dataset[AudioFpRow] = {
+    require(windowFrames > 0, s"windowFrames=$windowFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val ws = audioWindowsOf(row.media_id, row.payload, windowFrames)
+        if (ws.isEmpty) None
+        else {
+          val bits = (1 until ws.length)
+            .map(i => if (ws(i).mean_abs_milli > ws(i - 1).mean_abs_milli)
+              1L else 0L)
+            .take(32)
+          val fp = bits.zipWithIndex
+            .foldLeft(0L) { case (acc, (b, i)) => acc | (b << i) }
+          Some(AudioFpRow(row.media_id, ws.length, bits.length, fp))
+        }
+      }
+    }
+  }
+
   /** One per-clip trim plan. Option fields are None for an all-silent
     * clip (nothing to keep). */
   case class TrimRow(media_id: Long, n_windows: Int, n_active: Int,

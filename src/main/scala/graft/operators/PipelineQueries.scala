@@ -1850,6 +1850,17 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("shot_id"))
     }),
 
+    // Audio fingerprint: delta-energy sign bits over 10-frame windows
+    // (5-25 windows per driver clip -> 4-24 meaningful bits), capped at
+    // 32. See Multimodal.audioFingerprint.
+    "m10_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.audioFingerprint(Multimodal.mediaFromDocuments(s, d),
+        windowFrames = 10)
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // Visual duplicate clusters over the banded aHash graph. Identical
     // payloads re-keyed at +10M make every original/copy pair an exact
     // visual dup (the d28 synthesized-dup recipe — the pixel pattern
@@ -4386,6 +4397,45 @@ object PipelineQueries {
         |  END AS mean_sad_milli
         |FROM cuts GROUP BY media_id, shot_id
         |ORDER BY media_id, shot_id""".stripMargin,
+    // m10: m04's LCG/window chain at 10-frame windows, lag for the
+    // delta, LSB-first packing capped at 32 bits.
+    "m10_audio_fingerprint" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id,
+        |         unnest([i FOR i IN generate_series(0, n_frames - 1)]) AS i
+        |  FROM a),
+        |v AS (
+        |  SELECT media_id, i, i // 10 AS window_idx,
+        |         (media_id * 31 + i * 2654435761) % 65536 AS u
+        |  FROM s),
+        |x AS (SELECT media_id, window_idx,
+        |             abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ax
+        |      FROM v),
+        |w AS (SELECT media_id, window_idx,
+        |             (1000 * sum(ax)) // count(*) AS mean_abs_milli
+        |      FROM x GROUP BY media_id, window_idx),
+        |d AS (SELECT media_id, window_idx, mean_abs_milli,
+        |        lag(mean_abs_milli) OVER (PARTITION BY media_id
+        |                                  ORDER BY window_idx) AS prev
+        |      FROM w),
+        |b AS (SELECT media_id, window_idx,
+        |        CASE WHEN mean_abs_milli > prev THEN 1 ELSE 0 END AS bit
+        |      FROM d WHERE prev IS NOT NULL AND window_idx <= 32),
+        |nw AS (SELECT media_id, count(*) AS n_windows FROM w GROUP BY 1),
+        |fp AS (SELECT media_id, count(*) AS n_bits,
+        |         CAST(coalesce(sum(CAST(bit AS BIGINT)
+        |           * (CAST(1 AS BIGINT) << (window_idx - 1))), 0) AS BIGINT)
+        |           AS fp
+        |       FROM b GROUP BY media_id)
+        |SELECT nw.media_id, CAST(nw.n_windows AS INT) AS n_windows,
+        |  CAST(coalesce(fp.n_bits, 0) AS INT) AS n_bits,
+        |  coalesce(fp.fp, 0) AS fp
+        |FROM nw LEFT JOIN fp USING (media_id)
+        |ORDER BY nw.media_id""".stripMargin,
     // m09: m06's pixel/bit chain parameterized by the pattern SEED
     // (copies at +10M reuse the original seed — that is the point),
     // then the 4-band decomposition, the banded pair join with full
