@@ -55,10 +55,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(SimilarityOps.quantizeInt8(emb)) === 0)
     val meta = Seq((1L, 640, 480)).toDF("media_id", "width", "height")
     assert(shuffles(Multimodal.resizePlan(meta, 64)) === 0)
-    // m07: the segmentation fold lives inside the decode pass — a
-    // per-video window reappearing here means the shuffle came back
+    // m07/m08/m10: the per-clip reductions live inside the decode pass —
+    // a per-clip window or rollup reappearing here means a shuffle came
+    // back (the m08 lesson, pinned for all three)
     val media = Seq(Multimodal.MediaRow(1L, "video", Array[Byte]())).toDS()
     assert(shuffles(Multimodal.shotSegments(media, 1, 1000L)) === 0)
+    assert(shuffles(Multimodal.silenceTrim(media, 4, 1000L).toDF()) === 0)
+    assert(shuffles(Multimodal.audioFingerprint(media, 4).toDF()) === 0)
   }
 
   test("exact dedup is exactly one digest-keyed exchange") {
