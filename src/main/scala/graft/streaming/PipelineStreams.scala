@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming counterparts of the training-data pipeline operators: the
@@ -457,6 +457,75 @@ object PipelineStreams {
       .filter(col("n_bigrams") === 0 || col("xent") <= maxXent)
       .select(col("window.start").as("window_start"), col(idCol),
         col(textCol), col("xent"))
+  }
+
+  /** At-ingest signal-correlation monitor — the streaming twin of batch
+    * t35: per (event-time window, source), the Pearson correlation
+    * between the cheap probe score (THE shared
+    * [[graft.operators.PipelineQueries.eduScoreMicro]]) and the per-doc
+    * LM cross-entropy against a PRE-MATERIALIZED
+    * [[graft.operators.RelevanceOps.BigramLm]] (the xentGate artifact
+    * and OOV-complete cost). A correlation that collapses in a window is
+    * the alarm that the cheap probe has STOPPED predicting LM quality on
+    * the current traffic — the probe needs retraining, caught at ingest.
+    *
+    * Two stacked stateful stages (the dupRateByWindow shape): stage A
+    * rolls bigram instances up to (window, doc) — integer nll sum,
+    * count, probe score riding `first()` — and derives the per-doc
+    * integer y; stage B rolls (window, doc) rows up to (window, source)
+    * as the six DECIMAL(38,0) moments of t35's discipline (int64 Σx·y
+    * overflows near 1e5 docs per group), with the identical
+    * fixed-parenthesization double step and zero-variance NULL guard at
+    * the end. Sub-bigram docs drop (the t35/t23 convention); state is
+    * one integer/decimal row per open (window, doc) and (window,
+    * source).
+    */
+  def corrByWindow(docs: DataFrame,
+      lm: graft.operators.RelevanceOps.BigramLm, tsCol: String,
+      idCol: String, sourceCol: String, textCol: String, window_ : String,
+      delay: String, lambdaNum: Int = 3, lambdaDen: Int = 4): DataFrame = {
+    import graft.functions.TextFns
+    import graft.operators.RelevanceOps
+    val inst = docs
+      .withWatermark(tsCol, delay)
+      .withColumn("x__",
+        graft.operators.PipelineQueries.eduScoreMicro(col(textCol)))
+      .withColumn("toks__", TextFns.tokens(col(textCol)))
+      .filter(size(col("toks__")) >= 2)
+      .select(col(tsCol), col(idCol), col(sourceCol).as("source"),
+        col("x__"),
+        explode(expr(RelevanceOps.bigramPairsExpr("toks__"))).as("p"))
+      .select(col(tsCol), col(idCol), col("source"), col("x__"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val perDoc = inst
+      .join(lm.c12, Seq("w1", "w2"), "left")
+      .join(lm.c1, Seq("w1"), "left")
+      .join(lm.c2, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.tot))
+      .withColumn("cm", RelevanceOps.interpInstanceCostMicro(col("c12"),
+        col("c1"), col("c2"), col("t"), col("v"), lambdaNum, lambdaDen))
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(first(col("source")).as("source"), first(col("x__")).as("x"),
+        sum(col("cm")).as("nll_micro"), count(lit(1)).as("n_bigrams"))
+      .withColumn("y", expr("nll_micro div n_bigrams"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val n = dec(col("n_docs"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val d1 = n * col("sxx") - col("sx") * col("sx")
+    val d2 = n * col("syy") - col("sy") * col("sy")
+    perDoc
+      .groupBy(col("window"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"),
+        when(d1 > 0 && d2 > 0,
+          round(num.cast("double") /
+            (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 6))
+          .as("corr"))
   }
 
   /** The full at-ingest curation chain, composed — what a production

@@ -883,6 +883,75 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("correlation monitor: windowed r equals the batch moments and " +
+    "guards zero variance") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{PipelineQueries, RelevanceOps}
+    val lmCorpus = Seq("the quick brown fox jumps",
+      "the lazy dog sleeps all day",
+      "a fox and a dog ran far").toDF("text")
+    val lm = RelevanceOps.bigramLm(lmCorpus, "text")
+    val rows = Seq(
+      (1L, "varied", "the quick brown fox jumps far today"),
+      (2L, "varied", "zz qq ww ee rr tt"),
+      (3L, "varied", "the lazy dog sleeps"),
+      (4L, "varied", "a fox and a dog"),
+      // a source whose docs are identical: both signals constant
+      (5L, "const", "the quick brown fox"),
+      (6L, "const", "the quick brown fox"))
+    val t0 = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val corr = PipelineStreams.corrByWindow(
+      in.toDF().toDF("doc_id", "ts", "source", "text"), lm,
+      "ts", "doc_id", "source", "text", "10 minutes", "5 minutes")
+    val q = corr.writeStream.format("memory").queryName("cw")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.map { case (i, s, t) => (i, t0, s, t) }: _*)
+      q.processAllAvailable()
+      in.addData((99L, java.sql.Timestamp.valueOf("2021-01-16 17:30:00"),
+        "closer", "x y"))
+      q.processAllAvailable()
+      val got = spark.table("cw").filter(col("window_start") === t0)
+        .select("source", "n_docs", "corr")
+        .as[(String, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("const")._1 === 2L && got("const")._2 === None)
+      // batch twin from the same shared expressions + t35's moment math
+      val perDoc = rows.toDF("doc_id", "source", "text")
+        .withColumn("x", PipelineQueries.eduScoreMicro(col("text")))
+        .withColumn("toks__", graft.functions.TextFns.tokens(col("text")))
+        .filter(size(col("toks__")) >= 2)
+        .select(col("doc_id"), col("source"), col("x"),
+          explode(org.apache.spark.sql.functions
+            .expr(RelevanceOps.bigramPairsExpr("toks__"))).as("p"))
+        .select(col("doc_id"), col("source"), col("x"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .join(lm.c12, Seq("w1", "w2"), "left")
+        .join(lm.c1, Seq("w1"), "left")
+        .join(lm.c2, Seq("w2"), "left")
+        .crossJoin(broadcast(lm.tot))
+        .withColumn("cm", RelevanceOps.interpInstanceCostMicro(col("c12"),
+          col("c1"), col("c2"), col("t"), col("v"), 3, 4))
+        .groupBy(col("doc_id"))
+        .agg(first(col("source")).as("source"), first(col("x")).as("x"),
+          sum(col("cm")).as("s"), count(lit(1)).as("nb"))
+        .withColumn("y", expr("s div nb"))
+        .select("source", "x", "y").as[(String, Long, Long)].collect()
+      val varied = perDoc.filter(_._1 == "varied")
+      val nn = varied.length.toDouble
+      val (sx, sy) = (varied.map(_._2).sum.toDouble, varied.map(_._3).sum.toDouble)
+      val sxy = varied.map(r => r._2.toDouble * r._3).sum
+      val sxx = varied.map(r => r._2.toDouble * r._2).sum
+      val syy = varied.map(r => r._3.toDouble * r._3).sum
+      val expected = BigDecimal((nn * sxy - sx * sy) /
+        (math.sqrt(nn * sxx - sx * sx) * math.sqrt(nn * syy - sy * sy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got("varied")._1 === 4L)
+      assert(math.abs(got("varied")._2.get - expected) < 2e-6)
+    } finally q.stop()
+  }
+
   test("drift monitor: windowed xent equals the batch form and ranks " +
     "OOV windows above in-corpus ones") {
     implicit val sqlCtx = spark.sqlContext
