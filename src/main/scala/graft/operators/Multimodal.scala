@@ -198,6 +198,16 @@ object Multimodal {
     }
   }
 
+  /** The pre-materialized audio-print index an ingest stream probes (the
+    * imageBandIndex pattern for audio): one (n_bits, fp, cid) row per
+    * corpus clip. Matching on n_bits as well as the print keeps a short
+    * clip's few-bit print from colliding with a long clip's truncated
+    * prefix. */
+  def audioPrintIndex(media: Dataset[MediaRow],
+      windowFrames: Int): DataFrame =
+    audioFingerprint(media, windowFrames).toDF()
+      .select(col("n_bits"), col("fp"), col("media_id").as("cid"))
+
   /** One per-clip trim plan. Option fields are None for an all-silent
     * clip (nothing to keep). */
   case class TrimRow(media_id: Long, n_windows: Int, n_active: Int,

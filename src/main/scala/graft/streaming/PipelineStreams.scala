@@ -528,6 +528,27 @@ object PipelineStreams {
           .as("corr"))
   }
 
+  /** At-ingest audio dup CANDIDATE detector — the audio leg of the
+    * visual [[imageDupDetector]], with an honest difference in contract:
+    * an m10 print is a coarse ≤ 32-bit delta-sign signature, so a
+    * (n_bits, fp) match is a CANDIDATE to verify downstream (window
+    * series or sample comparison), NOT the pigeonhole-exact flag the
+    * image bands guarantee. Stream clips fingerprint in-stream (the
+    * stateless zero-exchange m10 pass) and probe the pre-materialized
+    * [[graft.operators.Multimodal.audioPrintIndex]] stream-static — the
+    * shared fingerprint definition on both sides, so stream and index
+    * cannot print differently.
+    */
+  def audioDupDetector(media: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRow],
+      corpusIndex: DataFrame, windowFrames: Int): DataFrame =
+    graft.operators.Multimodal.audioFingerprint(media, windowFrames)
+      .toDF()
+      .join(corpusIndex, Seq("n_bits", "fp"))
+      .filter(col("media_id") =!= col("cid"))
+      .select(col("media_id"), col("cid").as("candidate_of"),
+        col("n_bits"), col("fp"))
+
   /** The full at-ingest curation chain, composed — what a production
     * ingest actually wires before the sink, in cheap-to-expensive order:
     *

@@ -883,6 +883,31 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("audio dup detector: print matches flag candidates, fresh clips " +
+    "pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.functions.MediaCodecs
+    val a = MediaCodecs.buildWav(8000, 60, 5L)   // corpus clip
+    val b = MediaCodecs.buildWav(8000, 60, 999L) // unrelated seed
+    val corpus = Seq(Multimodal.MediaRow(100L, "audio", a)).toDS()
+    val index = Multimodal.audioPrintIndex(corpus, windowFrames = 4)
+    val in = MemoryStream[Multimodal.MediaRow]
+    val flagged = PipelineStreams.audioDupDetector(in.toDS(), index,
+      windowFrames = 4)
+    val q = flagged.writeStream.format("memory").queryName("ad")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Multimodal.MediaRow(1L, "audio", a), // re-keyed copy -> candidate
+        Multimodal.MediaRow(2L, "audio", b))
+      q.processAllAvailable()
+      val got = spark.table("ad")
+        .select("media_id", "candidate_of").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("correlation monitor: windowed r equals the batch moments and " +
     "guards zero variance") {
     implicit val sqlCtx = spark.sqlContext
