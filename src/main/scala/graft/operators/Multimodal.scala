@@ -208,6 +208,111 @@ object Multimodal {
     audioFingerprint(media, windowFrames).toDF()
       .select(col("n_bits"), col("fp"), col("media_id").as("cid"))
 
+  /** One per-clip FULL-series fingerprint row: every delta-sign bit up to
+    * the 64-bit cap, packed LSB-first into two 32-bit words (the s20/m06
+    * two-word rule — bit 63 of one long needs a shift a checked-arithmetic
+    * oracle rejects). `fa` holds bits 0–31 (== [[audioFingerprint]]'s
+    * 32-bit print at the same windowing), `fb` bits 32–63. */
+  case class AudioBitsRow(media_id: Long, n_windows: Int, n_bits: Int,
+      fa: Long, fb: Long)
+
+  /** The full-series extension of [[audioFingerprint]]: ALL delta-sign
+    * bits (not just the 32-bit print), capped at 64 — the verify payload
+    * of the m11 dedup chain. The cap is the same fixed-width argument as
+    * m10's 32 (a production variant widens `fb` to a word array); clips
+    * longer than 65 windows compare on their 64-delta prefix, a
+    * documented truncation rather than a thrown error (the decode-stage
+    * poison-row rule: one monster clip must not kill a 100 TB stage).
+    *
+    * Scale shape: decode, windowing, and the delta fold are ONE
+    * partition-local pass over the shared [[audioWindowsOf]] — zero
+    * exchanges, one ≤ 40-byte row per clip out of the scan. */
+  def audioFullBits(media: Dataset[MediaRow],
+      windowFrames: Int): Dataset[AudioBitsRow] = {
+    require(windowFrames > 0, s"windowFrames=$windowFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val ws = audioWindowsOf(row.media_id, row.payload, windowFrames)
+        if (ws.isEmpty) None
+        else {
+          val bits = (1 until ws.length)
+            .map(i => if (ws(i).mean_abs_milli > ws(i - 1).mean_abs_milli)
+              1L else 0L)
+            .take(64)
+          var fa = 0L; var fb = 0L
+          bits.zipWithIndex.foreach { case (b, i) =>
+            if (i < 32) fa |= b << i else fb |= b << (i - 32)
+          }
+          Some(AudioBitsRow(row.media_id, ws.length, bits.length, fa, fb))
+        }
+      }
+    }
+  }
+
+  /** 8-bit band decomposition of the 32-bit audio print (`fa`) — the m06
+    * 4-band pigeonhole carried to audio: two prints within Hamming
+    * distance 3 agree on at least one of the four bands, so the banded
+    * join finds EVERY pair at print-radius ≤ 3 with no probabilistic
+    * miss. `n_windows` rides in the key so clips of different length
+    * never pair (the audioPrintIndex prefix-collision rule). */
+  private[graft] def audioBitBands(bits: DataFrame): DataFrame =
+    bits.select(col("media_id"), col("n_windows"), col("fa"), col("fb"),
+      posexplode(array(
+        col("fa").bitwiseAND(lit(0xFFL)),
+        shiftright(col("fa"), 8).bitwiseAND(lit(0xFFL)),
+        shiftright(col("fa"), 16).bitwiseAND(lit(0xFFL)),
+        shiftright(col("fa"), 24).bitwiseAND(lit(0xFFL))))
+        .as(Seq("band", "band_key")))
+
+  /** m11: audio duplicate CLUSTERS — the audio d06/m09: fingerprint every
+    * clip ([[audioFullBits]]), generate candidate pairs through the
+    * banded 32-bit print ([[audioBitBands]] — exact at print-Hamming ≤ 3
+    * by pigeonhole), then VERIFY on the full window-delta series (`fa`
+    * AND `fb` — the print is a coarse prefix, so two clips that happen to
+    * share 32 leading deltas but diverge later are rejected here), and
+    * resolve the dup graph with the shared
+    * [[graft.operators.DedupOps.connectedComponents]] min-label
+    * propagation. One row per fingerprintable clip:
+    * (media_id, cluster_id, is_canonical) — the ledger a curation pass
+    * keeps one recording per cluster from, completing the audio-dedup
+    * story: signature (m10) → at-ingest detector (audioDupDetector) →
+    * batch clusters (this).
+    *
+    * Clips with fewer than `minBits` deltas stay singletons by
+    * definition (too little signal to assert duplication — a one-window
+    * clip has NO deltas and would otherwise glue every short clip into
+    * one spurious cluster); they still appear in the ledger.
+    *
+    * Scale shape: decode + fingerprint are scan-side (samples never
+    * become rows); the ONLY pair generator is the band-keyed self-join
+    * (never all-pairs — the d09 rule; each clip contributes 4 ≤ 40-byte
+    * band rows), duplicate multi-band hits collapse in the pair
+    * `distinct`, and the component loop is the d06 plan-pinned
+    * 3-exchange hop over edge endpoints only (singleton clips — the
+    * vast majority — skip the loop entirely).
+    */
+  def audioClusters(media: Dataset[MediaRow], windowFrames: Int,
+      maxHamming: Int = 3, minBits: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
+    require(minBits >= 1, s"minBits=$minBits")
+    val bits = audioFullBits(media, windowFrames).toDF()
+    val bands = audioBitBands(bits.filter(col("n_bits") >= minBits))
+    val rhs = bands.select(col("n_windows"), col("band"), col("band_key"),
+      col("media_id").as("dst"), col("fa").as("dfa"), col("fb").as("dfb"))
+    val edges = bands.join(rhs, Seq("n_windows", "band", "band_key"))
+      .filter(col("media_id") < col("dst"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("dfa"))) +
+        bit_count(col("fb").bitwiseXOR(col("dfb"))) <= maxHamming)
+      .select(col("media_id").as("src"), col("dst"))
+      .distinct()
+    graft.operators.DedupOps.connectedComponents(
+      bits.select(col("media_id").as("id")), edges)
+      .select(col("id").as("media_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** One per-clip trim plan. Option fields are None for an all-silent
     * clip (nothing to keep). */
   case class TrimRow(media_id: Long, n_windows: Int, n_active: Int,

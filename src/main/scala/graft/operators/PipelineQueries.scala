@@ -1875,6 +1875,20 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Audio duplicate clusters over the banded delta-sign print with a
+    // FULL-series verify. Identical payloads re-keyed at +10M make every
+    // original/copy pair an exact audio dup (the m09 recipe for audio);
+    // 5-frame windows push driver clips past the 32-bit print cap
+    // (10-50 windows -> 9-49 delta bits), so the fb verify word is
+    // genuinely exercised, not just the banded print prefix.
+    "m11_audio_clusters" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.mediaFromDocuments(s, d)
+      val copies = base.map(r => r.copy(media_id = r.media_id + 10000000L))
+      Multimodal.audioClusters(base.union(copies), windowFrames = 5)
+        .orderBy(col("media_id"))
+    }),
+
     // Silence-trim plan over m04's windows: active at mean |amplitude|
     // >= 16.4M milli (straddles the synthetic PCM's ~16.38M mean — both
     // branches and the all-silent NULL case arise on driver data). See
@@ -4491,6 +4505,77 @@ object PipelineQueries {
         |  SELECT media_id, media_id FROM hs
         |  UNION
         |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
+        |SELECT id AS media_id, min(label) AS cluster_id,
+        |       (id = min(label)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
+    // m11: m10's LCG/window chain at 5-frame windows for base + copy
+    // clips (copies at +10M reuse the original seed — that is the
+    // point), the full 64-delta packing split fa/fb at window 32, the
+    // 4x8-bit banded pair join on (n_windows, band, band_key) with the
+    // full-series Hamming verify at radius 3, minBits 8, and the d06
+    // recursive min-label closure.
+    "m11_audio_clusters" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed,
+        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS media_id, doc_id AS seed,
+        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id, seed,
+        |         unnest([i FOR i IN generate_series(0, n_frames - 1)]) AS i
+        |  FROM a),
+        |v AS (
+        |  SELECT media_id, i, i // 5 AS window_idx,
+        |         (seed * 31 + i * 2654435761) % 65536 AS u
+        |  FROM s),
+        |x AS (SELECT media_id, window_idx,
+        |             abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ax
+        |      FROM v),
+        |w AS (SELECT media_id, window_idx,
+        |             (1000 * sum(ax)) // count(*) AS mean_abs_milli
+        |      FROM x GROUP BY media_id, window_idx),
+        |d AS (SELECT media_id, window_idx, mean_abs_milli,
+        |        lag(mean_abs_milli) OVER (PARTITION BY media_id
+        |                                  ORDER BY window_idx) AS prev
+        |      FROM w),
+        |b AS (SELECT media_id, window_idx,
+        |        CASE WHEN mean_abs_milli > prev THEN 1 ELSE 0 END AS bit
+        |      FROM d WHERE prev IS NOT NULL AND window_idx <= 64),
+        |nw AS (SELECT media_id, count(*) AS n_windows FROM w GROUP BY 1),
+        |fp AS (SELECT media_id, count(*) AS n_bits,
+        |         CAST(coalesce(sum(CASE WHEN window_idx <= 32
+        |           THEN CAST(bit AS BIGINT)
+        |             * (CAST(1 AS BIGINT) << (window_idx - 1)) END), 0)
+        |           AS BIGINT) AS fa,
+        |         CAST(coalesce(sum(CASE WHEN window_idx > 32
+        |           THEN CAST(bit AS BIGINT)
+        |             * (CAST(1 AS BIGINT) << (window_idx - 33)) END), 0)
+        |           AS BIGINT) AS fb
+        |       FROM b GROUP BY media_id),
+        |pr AS (SELECT nw.media_id, nw.n_windows,
+        |         coalesce(fp.n_bits, 0) AS n_bits,
+        |         coalesce(fp.fa, 0) AS fa, coalesce(fp.fb, 0) AS fb
+        |       FROM nw LEFT JOIN fp USING (media_id)),
+        |bd AS (SELECT media_id, n_windows, fa, fb, bb.band,
+        |         CASE bb.band WHEN 0 THEN fa & 255
+        |                      WHEN 1 THEN (fa >> 8) & 255
+        |                      WHEN 2 THEN (fa >> 16) & 255
+        |                      ELSE (fa >> 24) & 255 END AS band_key
+        |       FROM pr, (SELECT unnest([0, 1, 2, 3]) AS band) bb
+        |       WHERE n_bits >= 8),
+        |e AS (SELECT DISTINCT l.media_id AS src, r.media_id AS dst
+        |      FROM bd l JOIN bd r USING (n_windows, band, band_key)
+        |      WHERE l.media_id < r.media_id
+        |        AND bit_count(xor(l.fa, r.fa))
+        |            + bit_count(xor(l.fb, r.fb)) <= 3),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT media_id, media_id FROM pr
+        |  UNION
+        |  SELECT eb.dst, rr.label FROM reach rr JOIN eb ON eb.src = rr.id)
         |SELECT id AS media_id, min(label) AS cluster_id,
         |       (id = min(label)) AS is_canonical
         |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,

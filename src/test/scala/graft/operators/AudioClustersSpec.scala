@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** m11: the full-series verify semantics the 32-bit print cannot give —
+  * two clips sharing ALL 32 print bits but diverging later must NOT
+  * cluster; a pair within full-series Hamming ≤ 3 must; copies cluster on
+  * the min id; clips with fewer than minBits deltas stay singletons even
+  * when byte-identical (no signal, no dup claim). The banding and CC
+  * pieces carry their own specs; this pins their composition plus the
+  * fa/fb split.
+  */
+class AudioClustersSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  import Multimodal.MediaRow
+
+  private def wav(samples: Seq[Int]): Array[Byte] = {
+    val dataSize = 2 * samples.length
+    val b = new Array[Byte](44 + dataSize)
+    def ascii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
+    def le32(off: Int, v: Int): Unit =
+      (0 to 3).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    def le16(off: Int, v: Int): Unit =
+      (0 to 1).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, dataSize)
+    samples.zipWithIndex.foreach { case (s, i) => le16(44 + 2 * i, s & 0xFFFF) }
+    b
+  }
+
+  /** windows of 4 frames at the given constant amplitudes */
+  private def clip(levels: Seq[Int]): Array[Byte] =
+    wav(levels.flatMap(l => Seq.fill(4)(l)))
+
+  // 40 windows -> 39 delta bits: fa = bits 0..31, fb = bits 32..38.
+  private val rising = (1 to 40).map(_ * 100) // all 39 bits 1
+  // identical first 33 windows (fa identical, bit 32 = 1), then falling:
+  // fb = 0x01 vs rising's 0x7F -> full-series Hamming 6 > 3
+  private val diverges = (1 to 34).map(_ * 100) ++ (1 to 6).map(i => 3400 - i * 100)
+  // rising with ONE late dip (window 36: 3500 between 3600 and 3800)
+  // -> bit 35 flips 1->0, all else equal: full-series Hamming 1
+  private val oneDip = rising.updated(36, 3500)
+
+  test("print-equal but series-divergent clips do NOT cluster; radius-1 pair does") {
+    val media = Seq(
+      MediaRow(1L, "audio", clip(rising)),
+      MediaRow(2L, "audio", clip(diverges)),
+      MediaRow(3L, "audio", clip(oneDip)),
+      MediaRow(4L, "audio", clip(rising)), // exact copy of 1
+      MediaRow(9L, "junk", "not audio".getBytes("US-ASCII"))).toDS()
+    val out = Multimodal.audioClusters(media, windowFrames = 4)
+      .orderBy("media_id")
+      .select("media_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 1L, false), (4L, 1L, false)))
+  }
+
+  test("clips below minBits stay singletons even when byte-identical") {
+    val short = clip(Seq(10, 300, 200, 500, 400)) // 5 windows -> 4 bits < 8
+    val media = Seq(
+      MediaRow(1L, "audio", short), MediaRow(2L, "audio", short)).toDS()
+    val out = Multimodal.audioClusters(media, windowFrames = 4)
+      .orderBy("media_id")
+      .select("media_id", "cluster_id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 2L)))
+    // ...but an explicit lower bound admits them
+    val loose = Multimodal.audioClusters(media, windowFrames = 4, minBits = 4)
+      .select("cluster_id").as[Long].collect().toSeq
+    assert(loose === Seq(1L, 1L))
+  }
+
+  test("different-length clips never pair, even with matching print prefix") {
+    val media = Seq(
+      MediaRow(1L, "audio", clip(rising)),
+      MediaRow(2L, "audio", clip(rising :+ 4100))).toDS() // 41 windows
+    val out = Multimodal.audioClusters(media, windowFrames = 4)
+      .select("cluster_id").as[Long].collect().toSeq.sorted
+    assert(out === Seq(1L, 2L))
+  }
+
+  test("fa matches the m10 print; fb carries the post-32 deltas") {
+    val bits = Multimodal.audioFullBits(
+      Seq(MediaRow(1L, "audio", clip(rising))).toDS(), windowFrames = 4).head()
+    val fp = Multimodal.audioFingerprint(
+      Seq(MediaRow(1L, "audio", clip(rising))).toDS(), windowFrames = 4).head()
+    assert(bits.fa === fp.fp)
+    assert(bits.n_bits === 39)
+    assert(bits.fb === 0x7FL)
+  }
+}

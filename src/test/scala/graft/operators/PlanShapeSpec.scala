@@ -62,6 +62,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles(Multimodal.shotSegments(media, 1, 1000L)) === 0)
     assert(shuffles(Multimodal.silenceTrim(media, 4, 1000L).toDF()) === 0)
     assert(shuffles(Multimodal.audioFingerprint(media, 4).toDF()) === 0)
+    assert(shuffles(Multimodal.audioFullBits(media, 4).toDF()) === 0)
   }
 
   test("exact dedup is exactly one digest-keyed exchange") {
