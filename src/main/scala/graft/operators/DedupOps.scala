@@ -695,6 +695,51 @@ object DedupOps {
         when(col("n_grams") > 0, expr("(1000 * n_leaked) div n_grams")))
   }
 
+  /** t36: [[evalLeakage]] attributed to the INGEST SOURCE — for each
+    * corpus source, how many distinct benchmark n-grams it contains and
+    * how many eval items it compromises. t33 answers "which eval items
+    * are contaminated"; this answers "which acquisition pipeline did the
+    * contaminating" — the actionable axis (you can't fix an eval item,
+    * but you CAN drop or re-filter a feed), and the per-source column of
+    * the same datasheet t27/t32 put source rows in. Sources with zero
+    * leaks still report (a clean feed is a finding, not a missing row).
+    *
+    * Scale shape: the t33 discipline per source — corpus text never
+    * shuffles (shingles explode scan-side and die against the broadcast
+    * bench-shingle semi-join before the one distinct exchange), and the
+    * surviving (source, sh) table is bounded by |bench shingles| ×
+    * |sources that leak them|, with `srcCol` low-cardinality by schema.
+    * Everything after — the gram join back, the per-source rollup, the
+    * 1-row total — is benchmark-sized; the only forced broadcasts are
+    * the bench shingle set and that 1-row total (the t11 rule).
+    */
+  def evalLeakageBySource(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, srcCol: String, n: Int): DataFrame = {
+    val benchSh = benchmark.select(col(idCol).as("bench_id"),
+      explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    val srcLeak = corpus
+      .select(col(srcCol).as("source"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .join(broadcast(benchSh.select(col("sh")).distinct()),
+        Seq("sh"), "left_semi")
+      .distinct()
+    val rolled = benchSh.join(broadcast(srcLeak), Seq("sh"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("sh")).as("n_leaked_grams"),
+        countDistinct(col("bench_id")).as("n_items_hit"))
+    val total = benchmark.agg(count(lit(1)).as("n_items_total"))
+    corpus.select(col(srcCol).as("source")).distinct()
+      .join(rolled, Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_items_hit"), lit(0L)).as("n_items_hit"),
+        col("n_items_total"),
+        when(col("n_items_total") > 0,
+          expr("(1000 * coalesce(n_items_hit, 0)) div n_items_total"))
+          .as("item_share_milli"))
+  }
+
   /** d27: recrawl snapshot delta — the change-classification pass between
     * two captures of the same id space (two crawls of the same seed list,
     * two corpus releases): full-outer align the snapshots on id and label

@@ -1140,6 +1140,20 @@ object PipelineQueries {
         .orderBy(col("bench_id"))
     }),
 
+    // Per-source leakage attribution — t33's actionable axis: WHICH
+    // acquisition feed carries the contaminating grams (you can't fix an
+    // eval item, but you can drop a feed). Same %50 holdout and 3-gram
+    // shingles as d07/t33 so all three reports describe one
+    // contamination event. See DedupOps.evalLeakageBySource.
+    "t36_leakage_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.evalLeakageBySource(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", "source", 3)
+        .orderBy(col("source"))
+    }),
+
     // Duplicate-cluster size histogram — the dedup datasheet figure.
     // Driver documents are all-unique, so deterministic duplicated
     // slices (%10 -> 2-copy, %100 -> 3-copy, %1000 -> 6-copy clusters)
@@ -2646,6 +2660,43 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN per ON per.bench_id = d.doc_id
         |WHERE d.doc_id % 50 = 0
         |ORDER BY bench_id""".stripMargin,
+    // t36: t33's shingle CTEs with source carried on the corpus side;
+    // distinct (source, sh) leak table, per-source distinct-gram/item
+    // rollup, all-sources left join (zero-leak feeds still report), and
+    // the 1-row bench total for the milli share.
+    "t36_leakage_by_source" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+        |                FOR g IN generate_series(1, len(t) - 2)]) END) AS sh
+        |  FROM tok),
+        |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0),
+        |sl AS (SELECT DISTINCT source, sh FROM sh
+        |       WHERE doc_id % 50 <> 0
+        |         AND sh IN (SELECT sh FROM b)),
+        |per AS (SELECT sl.source,
+        |          count(DISTINCT sl.sh) AS n_leaked_grams,
+        |          count(DISTINCT b.bench_id) AS n_items_hit
+        |        FROM b JOIN sl USING (sh) GROUP BY sl.source),
+        |srcs AS (SELECT DISTINCT source FROM documents
+        |         WHERE doc_id % 50 <> 0),
+        |t AS (SELECT count(*) AS n_items_total FROM documents
+        |      WHERE doc_id % 50 = 0)
+        |SELECT srcs.source,
+        |  CAST(coalesce(per.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+        |  CAST(coalesce(per.n_items_hit, 0) AS BIGINT) AS n_items_hit,
+        |  CAST(t.n_items_total AS BIGINT) AS n_items_total,
+        |  CASE WHEN t.n_items_total > 0
+        |       THEN CAST((1000 * coalesce(per.n_items_hit, 0))
+        |                 // t.n_items_total AS BIGINT)
+        |  END AS item_share_milli
+        |FROM srcs LEFT JOIN per USING (source), t
+        |ORDER BY srcs.source""".stripMargin,
     // d28: d01's md5 grouping over the unioned corpus, the same static
     // power-of-two bucket chain, totals from the rollup itself.
     "d28_dup_histogram" ->

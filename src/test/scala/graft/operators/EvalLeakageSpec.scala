@@ -33,6 +33,28 @@ class EvalLeakageSpec extends AnyFunSuite with SparkSpec {
       (2L, 0L, 0L, None)))
   }
 
+  test("t36: per-source attribution — hits, zero-leak feeds, and the share") {
+    val srcCorpus = Seq(
+      (10L, "x a b c y", "web"),             // leaks "a b c" -> item 0
+      (11L, "totally unrelated words here", "web"),
+      (12L, "full copy of item two", "news"), // leaks all of item 1
+      (13L, "clean feed content only", "wiki")).toDF("doc_id", "text", "source")
+    val out = DedupOps
+      .evalLeakageBySource(srcCorpus, bench, "doc_id", "text", "source", 3)
+      .orderBy("source")
+      .select("source", "n_leaked_grams", "n_items_hit", "n_items_total",
+        "item_share_milli")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      ("news", 3L, 1L, 3L, Some(333L)),
+      ("web", 1L, 1L, 3L, Some(333L)),
+      ("wiki", 0L, 0L, 3L, Some(0L))))
+    // consistency with t33: total distinct leaked grams agree
+    val t33 = DedupOps.evalLeakage(srcCorpus, bench, "doc_id", "text", 3)
+      .agg(org.apache.spark.sql.functions.sum("n_leaked")).as[Long].head()
+    assert(out.map(_._2).sum === t33) // sources here leak disjoint grams
+  }
+
   test("duality with d07: leaked grams exist iff d07 flags corpus docs") {
     val t33Leaked = DedupOps.evalLeakage(corpus, bench, "doc_id", "text", 3)
       .agg(org.apache.spark.sql.functions.sum("n_leaked"))
