@@ -1639,6 +1639,19 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     }),
 
+    // IVF-PQ with refinement: s26's serving stack with the candidate
+    // stage swapped to s19's ADC (route nprobe=2 of 8 cells -> ADC top
+    // 4·k code-word candidates -> full-precision re-rank), recall@5 vs
+    // the s19/s21 exact inner-product baseline so it slots into the same
+    // compression sweep. See SimilarityOps.ivfPqRerankRecall.
+    "s27_ivfpq_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfPqRerankRecall(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 2, overfetch = 4, halfDim = 32)
+        .orderBy(col("query_id"))
+    }),
+
     // Matryoshka truncation sweep: recall@5 of prefix-dim cosine search
     // (m = 8/16/32 of the 64-dim embeddings) against the full-dim exact
     // baseline, for the usual 10-query eval set. One pair pass computes
@@ -3830,6 +3843,79 @@ object PipelineQueries {
         |  coalesce(h.n, 0) / 5.0 AS recall_at_5
         |FROM q0 LEFT JOIN nc USING (query_id) LEFT JOIN h USING (query_id)
         |ORDER BY q0.query_id""".stripMargin),
+    // s27: s21's encode/LUT CTEs + s26's route CTE, the ADC rank over
+    // the route-restricted pool (rank1 <= 20), the inner-product
+    // re-rank, and the s19/s21 exact-IP baseline.
+    "s27_ivfpq_rerank_recall" ->
+      (s"WITH $ivfOraclePrologue,\n" +
+      """cb AS (SELECT vec_id AS code_id,
+        |               CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv2
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |route AS (SELECT query_id, centroid_id FROM (
+        |  SELECT q.query_id, cent.centroid_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+        |                    cent.centroid_id) AS rn
+        |  FROM q, cent) WHERE rn <= 2),
+        |e1 AS (SELECT corpus_id, code_id AS code1 FROM (
+        |         SELECT c.corpus_id, cb.code_id,
+        |                row_number() OVER (PARTITION BY c.corpus_id
+        |                  ORDER BY list_inner_product(cv2[1:32], v[1:32]) DESC,
+        |                           cb.code_id) AS rn
+        |         FROM c, cb) WHERE rn = 1),
+        |e2 AS (SELECT corpus_id, code_id AS code2 FROM (
+        |         SELECT c.corpus_id, cb.code_id,
+        |                row_number() OVER (PARTITION BY c.corpus_id
+        |                  ORDER BY list_inner_product(cv2[33:64], v[33:64]) DESC,
+        |                           cb.code_id) AS rn
+        |         FROM c, cb) WHERE rn = 1),
+        |l1 AS (SELECT q.query_id, cb.code_id AS code1,
+        |              list_inner_product(q.qv[1:32], cb.v[1:32]) AS ip1
+        |       FROM q, cb),
+        |l2 AS (SELECT q.query_id, cb.code_id AS code2,
+        |              list_inner_product(q.qv[33:64], cb.v[33:64]) AS ip2
+        |       FROM q, cb),
+        |candpool AS (SELECT route.query_id, asg.vec_id AS corpus_id
+        |             FROM route JOIN asg USING (centroid_id)
+        |             WHERE asg.vec_id <> route.query_id),
+        |nc AS (SELECT query_id, count(*) AS n_cand FROM candpool
+        |       GROUP BY query_id),
+        |adc AS (SELECT cp.query_id, cp.corpus_id,
+        |          row_number() OVER (PARTITION BY cp.query_id
+        |            ORDER BY l1.ip1 + l2.ip2 DESC, cp.corpus_id) AS rank1
+        |        FROM candpool cp
+        |        JOIN e1 ON e1.corpus_id = cp.corpus_id
+        |        JOIN e2 ON e2.corpus_id = cp.corpus_id
+        |        JOIN l1 ON l1.code1 = e1.code1
+        |               AND l1.query_id = cp.query_id
+        |        JOIN l2 ON l2.code2 = e2.code2
+        |               AND l2.query_id = cp.query_id),
+        |cand AS (SELECT query_id, corpus_id FROM adc WHERE rank1 <= 20),
+        |rr AS (SELECT cand.query_id, cand.corpus_id,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_inner_product(q.qv, c.cv2) DESC,
+        |                    cand.corpus_id) AS rank2
+        |       FROM cand JOIN q USING (query_id) JOIN c USING (corpus_id)),
+        |s2 AS (SELECT query_id, corpus_id FROM rr WHERE rank2 <= 5),
+        |ex AS (SELECT query_id, corpus_id FROM (
+        |         SELECT q.query_id, c.corpus_id,
+        |                row_number() OVER (PARTITION BY q.query_id
+        |                  ORDER BY list_inner_product(c.cv2, q.qv) DESC,
+        |                           c.corpus_id) AS rank
+        |         FROM q, c WHERE c.corpus_id <> q.query_id) WHERE rank <= 5),
+        |h AS (SELECT s2.query_id, count(*) AS n_hits
+        |      FROM s2 JOIN ex USING (query_id, corpus_id)
+        |      GROUP BY s2.query_id)
+        |SELECT q.query_id,
+        |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+        |FROM q LEFT JOIN nc USING (query_id) LEFT JOIN h USING (query_id)
+        |ORDER BY q.query_id""".stripMargin),
     // s25: s24's prologue with the candidate cut at the LARGEST budget
     // (8·5 = 40), then every configuration is a rank1-prefix slice of the
     // same candidate table — a smaller budget's candidates are by

@@ -1006,6 +1006,96 @@ object SimilarityOps {
         (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
   }
 
+  /** s27: the faiss IVF-PQ serving stack WITH refinement — s26's three
+    * stages with the compressed candidate generator swapped from 1-bit
+    * sign codes to s19's PQ-ADC (coarse route over the query's
+    * top-`nprobe` cells → ADC scoring of ONLY those cells' code words →
+    * full-precision re-rank of the top `overfetch`·k, recall@k against
+    * the global exact inner-product baseline — the s19/s21 metric, so
+    * this slots into the same compression sweep). This is the index
+    * config faiss ships as IVFx,PQy + refine: s21 prices the unrefined
+    * ADC ranking, s26 the sign-code stack; the ADC-with-refine number is
+    * what a deployment actually tunes overfetch against. `n_cand` (pool
+    * size after the cell restriction, before the ADC cut) rides the
+    * output — the s23 starvation rule.
+    *
+    * Scale shape: the corpus contributes the (id, cell, code1, code2)
+    * index entries — the SHARED [[pqEncode]] + [[ivfAssign]] builders
+    * (one corpus-keyed join of two map-side-partial aggregates; at
+    * 100 TB this is the pre-materialized IVF-PQ index artifact, written
+    * once). Queries route themselves (the probeTopK self-assign lesson)
+    * and broadcast with their LUTs; the full-precision fetch is the s24
+    * candidate-bounded broadcast onto the vector scan. Ranks order raw
+    * ADC/IP doubles with corpus-id tiebreaks (the s01 precedent).
+    */
+  def ivfPqRerankRecall(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, codebookSrc: DataFrame, k: Int, nprobe: Int,
+      overfetch: Int, halfDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && overfetch >= 1,
+      s"nprobe=$nprobe overfetch=$overfetch")
+    val candN = overfetch * k
+    val codes = pqEncode(corpus, codebookSrc, halfDim, idCol, vecCol)
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("vec_id").as("corpus_id"), col("centroid_id"))
+    val cent = withNorm(centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("pv")), "pv", "pn")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(desc("psim"), col("centroid_id"))
+    val qRoute = withNorm(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+      .crossJoin(broadcast(cent))
+      .withColumn("psim", dot(col("qv"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("probe", row_number().over(pw))
+      .filter(col("probe") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val wAll = Window.partitionBy(col("query_id"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("approx"), col("corpus_id"))
+    val cand = codes.join(cells, Seq("corpus_id"))
+      .join(broadcast(qRoute), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .join(broadcast(pqLut(queries, codebookSrc, 1, halfDim, idCol, vecCol)),
+        Seq("code1", "query_id"))
+      .join(broadcast(pqLut(queries, codebookSrc, 2, halfDim, idCol, vecCol)),
+        Seq("code2", "query_id"))
+      .withColumn("approx", col("ip1") + col("ip2"))
+      .withColumn("n_cand", count(lit(1)).over(wAll))
+      .withColumn("rank1", row_number().over(w1))
+      .filter(col("rank1") <= candN)
+      .select(col("query_id"), col("corpus_id"), col("n_cand"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(desc("ip"), col("corpus_id"))
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("ip", dot(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), lit(true).as("in_exact"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("ip"), col("corpus_id"))
+    val perQuery = c
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+      .withColumn("rank2", row_number().over(w2))
+      .filter(col("rank2") <= k)
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(max(col("n_cand")).as("n_cand"),
+        sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_hits"))
+    q.select(col("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
