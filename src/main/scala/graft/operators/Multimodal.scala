@@ -257,6 +257,27 @@ object Multimodal {
     * miss. `n_windows` rides in the key so clips of different length
     * never pair (the audioPrintIndex prefix-collision rule). */
   private[graft] def audioBitBands(bits: DataFrame): DataFrame =
+    audioBitBandsImpl(bits)
+
+  /** Probe-side rename of [[audioBitBands]] rows — ONE definition shared
+    * by the [[audioBandIndex]] builder and [[audioClusters]]' join side,
+    * so the batch ledger and the streaming detector probe byte-identical
+    * index rows. */
+  private[graft] def asAudioIndexRows(bands: DataFrame): DataFrame =
+    bands.select(col("n_windows"), col("band"), col("band_key"),
+      col("media_id").as("cid"), col("fa").as("cfa"), col("fb").as("cfb"))
+
+  /** The pre-materialized audio near-dup index an ingest stream probes
+    * (the imageBandIndex pattern over [[audioFullBits]]): 4 rows per
+    * fingerprintable corpus clip with ≥ `minBits` deltas, full verify
+    * words riding along. In production this is a parquet artifact
+    * appended as clips ingest. */
+  def audioBandIndex(media: Dataset[MediaRow], windowFrames: Int,
+      minBits: Int = 8): DataFrame =
+    asAudioIndexRows(audioBitBands(audioFullBits(media, windowFrames)
+      .toDF().filter(col("n_bits") >= minBits)))
+
+  private def audioBitBandsImpl(bits: DataFrame): DataFrame =
     bits.select(col("media_id"), col("n_windows"), col("fa"), col("fb"),
       posexplode(array(
         col("fa").bitwiseAND(lit(0xFFL)),
@@ -299,13 +320,12 @@ object Multimodal {
     require(minBits >= 1, s"minBits=$minBits")
     val bits = audioFullBits(media, windowFrames).toDF()
     val bands = audioBitBands(bits.filter(col("n_bits") >= minBits))
-    val rhs = bands.select(col("n_windows"), col("band"), col("band_key"),
-      col("media_id").as("dst"), col("fa").as("dfa"), col("fb").as("dfb"))
-    val edges = bands.join(rhs, Seq("n_windows", "band", "band_key"))
-      .filter(col("media_id") < col("dst"))
-      .filter(bit_count(col("fa").bitwiseXOR(col("dfa"))) +
-        bit_count(col("fb").bitwiseXOR(col("dfb"))) <= maxHamming)
-      .select(col("media_id").as("src"), col("dst"))
+    val edges = bands.join(asAudioIndexRows(bands),
+        Seq("n_windows", "band", "band_key"))
+      .filter(col("media_id") < col("cid"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("cfa"))) +
+        bit_count(col("fb").bitwiseXOR(col("cfb"))) <= maxHamming)
+      .select(col("media_id").as("src"), col("cid").as("dst"))
       .distinct()
     graft.operators.DedupOps.connectedComponents(
       bits.select(col("media_id").as("id")), edges)

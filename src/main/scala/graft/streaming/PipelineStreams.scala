@@ -549,6 +549,42 @@ object PipelineStreams {
       .select(col("media_id"), col("cid").as("candidate_of"),
         col("n_bits"), col("fp"))
 
+  /** At-ingest audio NEAR-dup detector — [[audioDupDetector]]'s
+    * "verify downstream" caveat resolved in-stream, the audio twin of
+    * [[imageDupDetector]]: arriving clips fingerprint through the
+    * SHARED full-series pass
+    * ([[graft.operators.Multimodal.audioFullBits]] — stateless,
+    * zero-exchange), their 8-bit print bands probe the pre-materialized
+    * [[graft.operators.Multimodal.audioBandIndex]] stream-static, and
+    * candidates verify by full-series Hamming ON THE SPOT (the index
+    * carries both verify words). Pigeonhole makes the radius exact at
+    * print-Hamming ≤ 3 — the detector flags exactly the stream↔corpus
+    * pairs batch m11 would edge, minus nothing.
+    *
+    * Stateless throughout (the imageDupDetector / blocklistGate shape):
+    * a multi-band match emits up to 4 copies of the same
+    * (media_id, dup_of) flag; batch reconciliation dedups on read, the
+    * documented price of statelessness.
+    */
+  def audioNearDupDetector(media: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRow],
+      corpusIndex: DataFrame, windowFrames: Int, maxHamming: Int = 3,
+      minBits: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
+    graft.operators.Multimodal.audioBitBands(
+        graft.operators.Multimodal.audioFullBits(media, windowFrames)
+          .toDF().filter(col("n_bits") >= minBits))
+      .join(corpusIndex, Seq("n_windows", "band", "band_key"))
+      .filter(col("media_id") =!= col("cid"))
+      .withColumn("ham",
+        bit_count(col("fa").bitwiseXOR(col("cfa"))) +
+          bit_count(col("fb").bitwiseXOR(col("cfb"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col("media_id"), col("cid").as("dup_of"),
+        col("ham").cast("int").as("hamming"))
+  }
+
   /** The full at-ingest curation chain, composed — what a production
     * ingest actually wires before the sink, in cheap-to-expensive order:
     *

@@ -908,6 +908,71 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("audio NEAR-dup detector: in-stream full-series verify — copies " +
+    "and radius-1 flag, print-equal divergers and sub-minBits clips pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataSize = 2 * samples.length
+      val b = new Array[Byte](44 + dataSize)
+      def ascii(off: Int, s: String): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+          b(off + i) = c }
+      def le32(off: Int, v: Int): Unit =
+        (0 to 3).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+      def le16(off: Int, v: Int): Unit =
+        (0 to 1).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+      ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 2 * 8)
+      ascii(36, "data"); le32(40, dataSize)
+      samples.zipWithIndex.foreach { case (s, i) => le16(44 + 2 * i, s & 0xFFFF) }
+      b
+    }
+    def clip(levels: Seq[Int]): Array[Byte] =
+      wav(levels.flatMap(l => Seq.fill(4)(l)))
+    val rising = (1 to 40).map(_ * 100)
+    val diverges = (1 to 34).map(_ * 100) ++ (1 to 6).map(i => 3400 - i * 100)
+    val oneDip = rising.updated(36, 3500)
+    val short = Seq(10, 300, 200, 500, 400) // 4 bits < minBits
+    val corpus = Seq(
+      Multimodal.MediaRow(100L, "audio", clip(rising)),
+      Multimodal.MediaRow(101L, "audio", clip(short))).toDS()
+    val index = Multimodal.audioBandIndex(corpus, windowFrames = 4)
+    val in = MemoryStream[Multimodal.MediaRow]
+    val flagged = PipelineStreams.audioNearDupDetector(in.toDS(), index,
+      windowFrames = 4)
+    val q = flagged.writeStream.format("memory").queryName("and")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Multimodal.MediaRow(1L, "audio", clip(rising)),   // copy: ham 0
+        Multimodal.MediaRow(2L, "audio", clip(oneDip)),   // near: ham 1
+        Multimodal.MediaRow(3L, "audio", clip(diverges)), // print-equal only
+        Multimodal.MediaRow(4L, "audio", clip(short)))    // below minBits
+      q.processAllAvailable()
+      val got = spark.table("and")
+        .select("media_id", "dup_of", "hamming")
+        .distinct() // multi-band copies collapse on read (documented)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(got === Seq((1L, 100L, 0), (2L, 100L, 1)))
+      // exactness cross-check: the flags are precisely batch m11's
+      // stream-to-corpus edges on the union
+      val union = corpus.union(Seq(
+        Multimodal.MediaRow(1L, "audio", clip(rising)),
+        Multimodal.MediaRow(2L, "audio", clip(oneDip)),
+        Multimodal.MediaRow(3L, "audio", clip(diverges)),
+        Multimodal.MediaRow(4L, "audio", clip(short))).toDS())
+      // stream clips 1 and 2 land in corpus clip 100's cluster
+      val clustered = Multimodal.audioClusters(union, windowFrames = 4)
+        .select("media_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(clustered(100L) === clustered(1L))
+      assert(clustered(100L) === clustered(2L))
+      assert(clustered(3L) !== clustered(100L))
+      assert(clustered(4L) !== clustered(101L))
+    } finally q.stop()
+  }
+
   test("correlation monitor: windowed r equals the batch moments and " +
     "guards zero variance") {
     implicit val sqlCtx = spark.sqlContext
