@@ -445,6 +445,17 @@ object PipelineQueries {
   val TriL2Num = 1
   val TriL2Den = 4
 
+  /** t37's 4-gram interpolation weights λ₁ = 1/2, λ₂ = 1/4, λ₃ = 1/8
+    * (λ₄ = 1−λ₁−λ₂−λ₃ = 1/8 derived, exact) — same exact-binary-rational
+    * rule as [[LmInterpNum]]/[[TriL1Num]].
+    */
+  val QuadL1Num = 1
+  val QuadL1Den = 2
+  val QuadL2Num = 1
+  val QuadL2Den = 4
+  val QuadL3Num = 1
+  val QuadL3Den = 8
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -1031,6 +1042,15 @@ object PipelineQueries {
     "t24_trigram_xent" -> ((s, d) =>
       RelevanceOps.interpolatedTrigramXent(Tables.documents(s, d),
         "doc_id", "text", TriL1Num, TriL1Den, TriL2Num, TriL2Den)
+        .orderBy(col("doc_id"))),
+
+    // The 4-gram rung of the ladder — the order KenLM defaults to;
+    // λ₁=1/2, λ₂=1/4, λ₃=1/8, λ₄ derived (all exact binary). See
+    // RelevanceOps.interpolatedFourgramXent.
+    "t37_fourgram_xent" -> ((s, d) =>
+      RelevanceOps.interpolatedFourgramXent(Tables.documents(s, d),
+        "doc_id", "text", QuadL1Num, QuadL1Den, QuadL2Num, QuadL2Den,
+        QuadL3Num, QuadL3Den)
         .orderBy(col("doc_id"))),
 
     // DSIR importance resampling: raw docs (the 98%) scored against the
@@ -3112,6 +3132,55 @@ object PipelineQueries {
         |          JOIN c23 USING (w2, w3) JOIN c2 USING (w2)
         |          JOIN c3 USING (w3), tv)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+        |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // t37: t24's CTEs one order up — 4-gram instances, the four backoff
+    // count tables per term, λ₄ derived from the three shared exact
+    // binary rationals.
+    "t37_fourgram_xent" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+        |  FROM documents),
+        |qg AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[g], 'w2': t[g+1], 'w3': t[g+2], 'w4': t[g+3]}
+        |            FOR g IN generate_series(1, len(t) - 3)]) AS p
+        |  FROM tok),
+        |b4 AS MATERIALIZED (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, p.w4 AS w4
+        |  FROM qg),
+        |tf AS (SELECT doc_id, w1, w2, w3, w4, count(*) AS tf
+        |       FROM b4 GROUP BY 1, 2, 3, 4, 5),
+        |c1234 AS (SELECT w1, w2, w3, w4, count(*) AS c1234
+        |          FROM b4 GROUP BY 1, 2, 3, 4),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM b4 GROUP BY 1, 2, 3),
+        |c234 AS (SELECT w2, w3, w4, count(*) AS c234 FROM b4 GROUP BY 1, 2, 3),
+        |c23 AS (SELECT w2, w3, count(*) AS c23 FROM b4 GROUP BY 1, 2),
+        |c34 AS (SELECT w3, w4, count(*) AS c34 FROM b4 GROUP BY 1, 2),
+        |c3 AS (SELECT w3, count(*) AS c3 FROM b4 GROUP BY w3),
+        |c4 AS (SELECT w4, count(*) AS c4 FROM b4 GROUP BY w4),
+        |tv AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+        |              CAST(count(DISTINCT w4) AS DOUBLE) AS v FROM b4),
+        |per AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * -ln(
+        |        ($QuadL1Num.0 / $QuadL1Den)
+        |          * (c1234.c1234 / CAST(c123.c123 AS DOUBLE))
+        |        + ($QuadL2Num.0 / $QuadL2Den)
+        |          * (c234.c234 / CAST(c23.c23 AS DOUBLE))
+        |        + ($QuadL3Num.0 / $QuadL3Den)
+        |          * (c34.c34 / CAST(c3.c3 AS DOUBLE))
+        |        + (1 - $QuadL1Num.0 / $QuadL1Den - $QuadL2Num.0 / $QuadL2Den
+        |             - $QuadL3Num.0 / $QuadL3Den)
+        |          * ((c4.c4 + 1.0) / (tv.t + tv.v))) * 1e6)
+        |         AS BIGINT) AS cm
+        |  FROM tf JOIN c1234 USING (w1, w2, w3, w4)
+        |          JOIN c123 USING (w1, w2, w3) JOIN c234 USING (w2, w3, w4)
+        |          JOIN c23 USING (w2, w3) JOIN c34 USING (w3, w4)
+        |          JOIN c3 USING (w3) JOIN c4 USING (w4), tv)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_fourgrams,
         |  round(CAST(sum(cm) AS BIGINT) / 1e6 / sum(tf), 4) AS xent
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "d02_shingle_cardinality" ->

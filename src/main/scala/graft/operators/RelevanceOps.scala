@@ -407,6 +407,92 @@ object RelevanceOps {
       .drop(col("nll_micro"))
   }
 
+  /** t37: interpolated 4-GRAM LM cross-entropy — the top rung of the
+    * t22→t23→t24 ladder and the order KenLM actually defaults to (CCNet
+    * ships 5-gram models; 4 is the largest order whose count tables stay
+    * meaningfully shared at corpus scale): P(w₄|w₁w₂w₃) =
+    * λ₁·c₁₂₃₄/c₁₂₃ + λ₂·c₂₃₄/c₂₃ + λ₃·c₃₄/c₃ + λ₄·(c₄+1)/(T+V), each
+    * order backing off to the next-shorter context. All counts are over
+    * the corpus's 4-GRAM-instance table — one explode feeds every table
+    * — and the ≤-termwise bounds (c₁₂₃₄ ≤ c₁₂₃, c₂₃₄ ≤ c₂₃, c₃₄ ≤ c₃,
+    * c₄+1 ≤ T+V) give P ≤ λ₁+λ₂+λ₃+λ₄ = 1, so −ln P ≥ 0 and the
+    * engines' rounding modes agree (the t22/t23/t24 proof one order up).
+    *
+    * Determinism: λ₁, λ₂, λ₃ must be exact binary rationals
+    * (power-of-two denominators, enforced); λ₄ = 1−λ₁−λ₂−λ₃ is then
+    * exact too, and the per-row float chain is IEEE-identical
+    * engine↔oracle; micro-nat integer contributions before the per-doc
+    * sum, as the whole family. Docs with fewer than four tokens have no
+    * 4-gram positions and drop out.
+    *
+    * Scale shape: the t22 rule — every count table joins UN-hinted (the
+    * 4-gram table is the most Heaps-unbounded of the family); only the
+    * single-row (T,V) scalar broadcasts. Text never shuffles.
+    */
+  def interpolatedFourgramXent(docs: DataFrame, idCol: String,
+      textCol: String, l1Num: Int = 1, l1Den: Int = 2,
+      l2Num: Int = 1, l2Den: Int = 4,
+      l3Num: Int = 1, l3Den: Int = 8): DataFrame = {
+    def exactBinary(num: Int, den: Int, name: String): Double = {
+      require(den > 0 && (den & (den - 1)) == 0,
+        s"$name denominator $den must be a power of two")
+      require(num > 0 && num < den, s"$name=$num/$den out of (0, 1)")
+      num.toDouble / den
+    }
+    val l1 = exactBinary(l1Num, l1Den, "lambda1")
+    val l2 = exactBinary(l2Num, l2Den, "lambda2")
+    val l3 = exactBinary(l3Num, l3Den, "lambda3")
+    require(l1 + l2 + l3 < 1.0,
+      s"lambda1 + lambda2 + lambda3 = ${l1 + l2 + l3} must be < 1")
+    val l4 = 1.0 - l1 - l2 - l3 // exact: differences of binary rationals
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val quad = toks
+      .filter(size(col("ts")) >= 4)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(3, size(ts) - 1), " +
+          "i -> struct(ts[i-3] AS w1, ts[i-2] AS w2, " +
+          "ts[i-1] AS w3, ts[i] AS w4))"))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"), col("p.w4").as("w4"))
+    val tf = quad.groupBy(col(idCol), col("w1"), col("w2"), col("w3"),
+      col("w4")).agg(count(lit(1)).as("tf"))
+    val c1234 = quad.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).as("c1234"))
+    val c123 = quad.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val c234 = quad.groupBy(col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).as("c234"))
+    val c23 = quad.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
+    val c34 = quad.groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("c34"))
+    val c3 = quad.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
+    val c4 = quad.groupBy(col("w4")).agg(count(lit(1)).as("c4"))
+    val tot = quad.agg(count(lit(1)).cast("double").as("t"),
+      countDistinct(col("w4")).cast("double").as("v"))
+    tf.join(c1234, Seq("w1", "w2", "w3", "w4"))
+      .join(c123, Seq("w1", "w2", "w3"))
+      .join(c234, Seq("w2", "w3", "w4"))
+      .join(c23, Seq("w2", "w3"))
+      .join(c34, Seq("w3", "w4"))
+      .join(c3, Seq("w3"))
+      .join(c4, Seq("w4"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        lit(l1) * (col("c1234").cast("double") / col("c123").cast("double")) +
+          lit(l2) * (col("c234").cast("double") / col("c23").cast("double")) +
+          lit(l3) * (col("c34").cast("double") / col("c3").cast("double")) +
+          lit(l4) *
+            ((col("c4").cast("double") + 1.0) / (col("t") + col("v"))))
+      .withColumn("contrib_micro",
+        round(col("tf").cast("double") * -log(col("p")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_fourgrams"),
+        sum(col("contrib_micro")).as("nll_micro"))
+      .withColumn("xent",
+        round(col("nll_micro") / 1e6 / col("n_fourgrams"), 4))
+      .drop(col("nll_micro"))
+  }
+
   /** t26: DSIR-style importance log-weight (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every RAW doc by how much more likely its hashed-feature bag is

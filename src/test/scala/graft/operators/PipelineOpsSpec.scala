@@ -1083,6 +1083,44 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("4-gram xent: hand-computed four-order mix; sub-4-token docs drop") {
+    // instances: doc0 (a,b,c,d)(b,c,d,a)(c,d,a,b)(d,a,b,c)(a,b,c,d),
+    // doc1 (a,b,c,d) → T=6, V=4; c1234 abcd=3 others=1; every backoff
+    // ratio for the singleton instances is 1/1; λ = (1/2, 1/4, 1/8, 1/8)
+    val tiny = Seq((0L, "a b c d a b c d"), (1L, "a b c d"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = RelevanceOps.interpolatedFourgramXent(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(0L, 1L), "the 4-gram-less doc drops")
+    def micro(x: Double): Long = math.round(x * 1e6)
+    val pABCD = 0.5 + 0.25 + 0.125 + 0.125 * ((3.0 + 1.0) / (6.0 + 4.0))
+    val pOther = 0.5 + 0.25 + 0.125 + 0.125 * ((1.0 + 1.0) / (6.0 + 4.0))
+    val d0 = (micro(2 * -math.log(pABCD)) + 3 * micro(-math.log(pOther))) /
+      1e6 / 5
+    assert(got(0L) === ((5L,
+      BigDecimal(d0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val d1 = micro(-math.log(pABCD)) / 1e6 / 1
+    assert(got(1L) === ((1L,
+      BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // shuffled word order still scores strictly worse than typical prose
+    val shuffled = Seq((0L, "the cat sat on the soft mat"),
+      (1L, "the cat sat on the soft mat"), (2L, "the cat sat on the soft mat"),
+      (3L, "mat the soft on sat cat the")).toDF("doc_id", "text")
+    val sc = RelevanceOps.interpolatedFourgramXent(shuffled, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(3L) > sc(0L), s"shuffled ${sc(3L)} !> typical ${sc(0L)}")
+    // exact-binary-rational guards
+    intercept[IllegalArgumentException] {
+      RelevanceOps.interpolatedFourgramXent(tiny, "doc_id", "text",
+        l1Num = 1, l1Den = 3)
+    }
+    intercept[IllegalArgumentException] {
+      RelevanceOps.interpolatedFourgramXent(tiny, "doc_id", "text",
+        l1Num = 1, l1Den = 2, l2Num = 1, l2Den = 4,
+        l3Num = 1, l3Den = 4) // λ1+λ2+λ3 = 1
+    }
+  }
+
   test("temperature mix: hot source downsampled by sqrt law, tiny source kept whole") {
     // planted skew: one 640-doc hot source, one 10-doc tiny source.
     // N = 650: hot rate = min(1, sqrt(650/640)/8) ≈ 0.126 → thresh
