@@ -25,6 +25,17 @@ object Bench {
     if (v < 0) "-1"
     else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** RELATIVE-precision per-query rendering: 3dp below 10 s, 1dp at and
+    * above — the next rung of the line-budget ladder (the keys are
+    * already at their floor: registry prefixes are unique). A ≥ 10 s
+    * query's run-to-run noise is two orders above a millisecond, so the
+    * dropped digits carry no comparison signal; totals/medians keep full
+    * r3. Worst case falls from "99.999" to "99.9" — 2 B × registry size,
+    * ~2 queries of budget per byte. */
+  private[graft] def rq(v: Double): String =
+    if (v < 10) r3(v)
+    else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** Abbreviated key per query name: id prefix + word initials
     * (`a04_counter_map` → `a04cm`); names whose abbreviation collides
     * keep their full name so keys stay unique.
@@ -84,7 +95,7 @@ object Bench {
       key: String => String,
       extras: Seq[(String, String)] = Nil): String = {
     val qs = results
-      .map { case (k, v) => "\"" + key(k) + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + key(k) + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")

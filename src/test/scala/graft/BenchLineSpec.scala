@@ -97,4 +97,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.r3(0.0004) === "0.000")
     assert(Bench.r3(-1.0) === "-1")
   }
+
+  test("relative per-query rendering: 3dp below 10 s, 1dp above") {
+    assert(Bench.rq(1.23456) === "1.235")
+    assert(Bench.rq(9.9994) === "9.999")
+    assert(Bench.rq(10.0) === "10.0")
+    assert(Bench.rq(99.987) === "100.0")
+    assert(Bench.rq(-1.0) === "-1")
+  }
 }
