@@ -673,13 +673,24 @@ object DedupOps {
     * integer floor-division (NULL for a shingle-less item: shorter than n
     * words, nothing to leak through).
     */
+  /** THE benchmark shingle set — the pre-materialized contamination
+    * artifact (one `sh` row per distinct bench n-gram) shared by batch
+    * t33/t36 and the streaming
+    * [[graft.streaming.PipelineStreams.leakageByWindow]] monitor, so the
+    * three surfaces can never gram differently. Benchmark-sized; always
+    * broadcast at the probe. */
+  def benchShingleSet(benchmark: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    benchmark.select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+
   def evalLeakage(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val benchSh = benchmark.select(col(idCol).as("bench_id"),
       explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
     val leaked = corpus
       .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
-      .join(broadcast(benchSh.select(col("sh")).distinct()),
+      .join(broadcast(benchShingleSet(benchmark, textCol, n)),
         Seq("sh"), "left_semi")
       .distinct()
       .select(col("sh"), lit(true).as("leaked"))
@@ -720,7 +731,7 @@ object DedupOps {
     val srcLeak = corpus
       .select(col(srcCol).as("source"),
         explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
-      .join(broadcast(benchSh.select(col("sh")).distinct()),
+      .join(broadcast(benchShingleSet(benchmark, textCol, n)),
         Seq("sh"), "left_semi")
       .distinct()
     val rolled = benchSh.join(broadcast(srcLeak), Seq("sh"))

@@ -825,6 +825,43 @@ object PipelineStreams {
         col("n_dup_drop"), col("n_kept"))
   }
 
+  /** At-ingest contamination trend — t36's monitoring twin: per
+    * (event-time window, source), how many arriving docs carry at least
+    * one benchmark n-gram, against the pre-materialized
+    * [[graft.operators.DedupOps.benchShingleSet]] artifact (the SAME
+    * builder t33/t36 probe, so the three surfaces can never gram
+    * differently). A feed whose contam_milli series steps up just
+    * started syndicating eval content — caught inside the watermark
+    * horizon instead of at the next batch audit.
+    *
+    * Shape: shingles explode scan-side (explode_outer so gram-less docs
+    * still count as arrivals) and die against the broadcast bench set
+    * BEFORE any state; two stacked streaming aggregations (the
+    * dupRateByWindow shape): (window, source, doc) → flag + gram count,
+    * watermark-bounded, then the (window, source) rollup. State is one
+    * row per in-horizon doc — never per gram.
+    */
+  def leakageByWindow(docs: DataFrame, benchSet: DataFrame, tsCol: String,
+      sourceCol: String, idCol: String, textCol: String,
+      window_ : String, delay: String, n: Int = 3): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(sourceCol).as("source"), col(idCol),
+        explode_outer(graft.functions.TextFns.wordShingles(
+          col(textCol), n)).as("sh"))
+      .join(broadcast(benchSet.withColumn("leaked", lit(true))),
+        Seq("sh"), "left")
+      .groupBy(window(col(tsCol), window_), col("source"), col(idCol))
+      .agg(max(when(col("leaked"), 1L).otherwise(0L)).as("any_leak"),
+        sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"))
+      .groupBy(col("window"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("any_leak")).as("n_contaminated"),
+        sum(col("n_leaked")).as("n_leaked_grams"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_contaminated"), col("n_leaked_grams"),
+        expr("(1000 * n_contaminated) div n_docs").as("contam_milli"))
+
   /** Ingest-duplication observability: per event-time window, how many
     * documents arrived vs how many distinct contents — the dup_frac series
     * a crawl operator watches to catch a feed gone circular (the at-ingest

@@ -908,6 +908,47 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("leakage monitor: per-(window, source) contamination counts, " +
+    "gram-less docs count as arrivals, t36-consistent flags") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val bench = Seq((0L, "a b c d"), (1L, "full copy of item two"))
+      .toDF("doc_id", "text")
+    val benchSet = DedupOps.benchShingleSet(bench, "text", 3)
+    val t0 = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2021-01-16 17:12:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val mon = PipelineStreams.leakageByWindow(
+      in.toDF().toDF("doc_id", "ts", "source", "text"), benchSet,
+      "ts", "source", "doc_id", "text", "10 minutes", "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("lw")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (10L, t0, "web", "x a b c y"),            // 1 leaked gram (a b c)
+        (11L, t0, "web", "clean novel words here"), // 0
+        (12L, t0, "web", "hi"),                   // gram-less: arrival only
+        (13L, t0, "news", "full copy of item two"), // 3 leaked grams
+        (14L, t1, "web", "a b c d here"))         // second window
+      q.processAllAvailable()
+      // advance the watermark so both windows close
+      in.addData((99L, java.sql.Timestamp.valueOf("2021-01-16 17:40:00"),
+        "late", "x"))
+      q.processAllAvailable()
+      val got = spark.table("lw")
+        .select("window_start", "source", "n_docs", "n_contaminated",
+          "n_leaked_grams", "contam_milli")
+        .as[(java.sql.Timestamp, String, Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+      val w0 = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
+      val w1 = java.sql.Timestamp.valueOf("2021-01-16 17:10:00")
+      assert(got === Seq(
+        (w0, "news", 1L, 1L, 3L, 1000L),
+        (w0, "web", 3L, 1L, 1L, 333L),
+        (w1, "web", 1L, 1L, 2L, 1000L)))
+    } finally q.stop()
+  }
+
   test("audio NEAR-dup detector: in-stream full-series verify — copies " +
     "and radius-1 flag, print-equal divergers and sub-minBits clips pass") {
     implicit val sqlCtx = spark.sqlContext
