@@ -424,4 +424,101 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val p = planOf(df)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("4-gram xent (t37): exactly one forced broadcast — the (T,V) row; no text on exchanges") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pdocs = probe.createDataFrame(docs.rdd, docs.schema)
+    val df = RelevanceOps.interpolatedFourgramXent(pdocs, "doc_id", "text")
+    val p = planOf(df)
+    // the t22 rule at the widest rung: all eight count tables join
+    // UN-hinted (Heaps-unbounded at corpus scale), so with auto-broadcast
+    // off the ONLY broadcast left is the forced 1-row (T,V) scalar
+    assert("BroadcastExchange".r.findAllIn(p).size === 1, p)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    for (cols <- exchanges)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+  }
+
+  test("audio clusters (m11): payload never shuffles, bands are the only pair generator") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import probe.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Array[Byte]()),
+      Multimodal.MediaRow(2L, "audio", Array[Byte]())).toDS()
+    // the index build is scan-side end to end: decode, windowing, the
+    // delta fold, and the band explode all live inside the one pass —
+    // zero exchanges before a consumer joins it
+    assert(shuffles(Multimodal.audioBandIndex(media, 4)) === 0)
+    // the edge generator (the SAME join shape audioNearDupDetector
+    // probes stream-static): band-keyed hash join, no payload on any
+    // exchange. Pinned on the join subtree because audioClusters'
+    // component loop materializes its edge input internally (the d06
+    // driver-scalar-per-iteration design), hiding upstream exchanges
+    // from the final plan.
+    val bands = Multimodal.audioBitBands(
+      Multimodal.audioFullBits(media, 4).toDF())
+    val edges = bands.join(Multimodal.audioBandIndex(media, 4),
+      Seq("n_windows", "band", "band_key"))
+    val exchanges = edges.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    for (cols <- exchanges)
+      assert(!cols.contains("payload"), s"exchange carries payload: $cols")
+    assert(exchanges.forall(_.contains("band_key")),
+      s"non-band-keyed exchange found: $exchanges")
+    // and the clusters output itself still never moves payload bytes
+    val full = Multimodal.audioClusters(media, windowFrames = 4)
+    val fullEx = full.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    for (cols <- fullEx)
+      assert(!cols.contains("payload"), s"exchange carries payload: $cols")
+  }
+
+  test("leakage by source (t36): corpus text dies before the distinct exchange") {
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pdocs = probe.createDataFrame(docs.rdd, docs.schema)
+      .withColumn("source", when(col("doc_id") < 2, "web").otherwise("news"))
+    val df = DedupOps.evalLeakageBySource(
+      pdocs.filter(col("doc_id") % 2 === 0),
+      pdocs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", "source", 3)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    for (cols <- exchanges)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+    // the bench set and the (source, sh) leak table stay broadcast even
+    // with auto-broadcast off — they are forced, bench-bounded sides
+    assert(planOf(df).contains("BroadcastExchange"), planOf(df))
+  }
+
+  test("refined ivf-pq (s27): corpus index joins by key, no cartesian anywhere") {
+    withoutAutoBroadcast {
+      val df = SimilarityOps.ivfPqRerankRecall(emb,
+        emb.filter(col("vec_id") < 2), emb.filter(col("vec_id") < 2),
+        emb.filter(col("vec_id") < 2), k = 2, nprobe = 1, overfetch = 1,
+        halfDim = 1)
+      val p = planOf(df)
+      // every query-side table (route, LUTs, candidates, baseline) is a
+      // forced broadcast; the corpus's code/cell tables meet them through
+      // hash joins — a CartesianProduct would mean a corpus self-pairing
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastExchange"), p)
+    }
+  }
 }
