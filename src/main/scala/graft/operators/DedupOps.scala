@@ -632,8 +632,15 @@ object DedupOps {
     * column is a 1-row aggregate OF THAT rollup (no second corpus pass),
     * broadcast back the d08 way.
     */
-  def dupClusterHistogram(docs: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 128): DataFrame = {
+  /** The bucket/rollup/share TAIL of the histogram, shared by [[d28
+    * dupClusterHistogram]] (exact-dup digest clusters) and m12 (audio
+    * near-dup clusters) so the two datasheet figures can never bucket
+    * differently: input is one `n_copies` row per cluster; output the
+    * power-of-two-floor rollup with the corpus-share column. The total
+    * is a 1-row aggregate OF THE ROLLUP (no second pass), broadcast back
+    * the d08 way. */
+  private[graft] def sizeHistogram(clusterSizes: DataFrame,
+      maxBucket: Int): DataFrame = {
     require(maxBucket >= 1 && Integer.bitCount(maxBucket) == 1,
       s"maxBucket=$maxBucket must be a power of two")
     val lows = Iterator.iterate(maxBucket)(_ / 2).takeWhile(_ > 1).toSeq
@@ -644,7 +651,7 @@ object DedupOps {
       case null => lit(1)
       case c => c.otherwise(lit(1))
     }
-    val buckets = exactDedup(docs, idCol, textCol)
+    val buckets = clusterSizes
       .select(bucketLo.as("bucket_lo"), col("n_copies"))
       .groupBy(col("bucket_lo"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("n_copies")).as("n_docs"))
@@ -653,6 +660,11 @@ object DedupOps {
       .select(col("bucket_lo"), col("n_clusters"), col("n_docs"),
         expr("(1000 * n_docs) div total_docs").as("doc_share_milli"))
   }
+
+  def dupClusterHistogram(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 128): DataFrame =
+    sizeHistogram(exactDedup(docs, idCol, textCol).select(col("n_copies")),
+      maxBucket)
 
   /** t33: eval-leakage report — [[decontaminationCounts]]'s dual, aggregated
     * per BENCHMARK item instead of per corpus doc: for each eval-set

@@ -1936,6 +1936,19 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Audio dup-cluster size histogram — the d28 datasheet figure for
+    // the audio modality, over m11's ledger (same corpus recipe) through
+    // the SHARED DedupOps.sizeHistogram bucket tail.
+    "m12_audio_dup_histogram" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.mediaFromDocuments(s, d)
+      val copies = base.map(r => r.copy(media_id = r.media_id + 10000000L))
+      val sizes = Multimodal.audioClusters(base.union(copies), windowFrames = 5)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_copies"))
+      DedupOps.sizeHistogram(sizes.select(col("n_copies")), 128)
+        .orderBy(col("bucket_lo"))
+    }),
+
     // Silence-trim plan over m04's windows: active at mean |amplitude|
     // >= 16.4M milli (straddles the synthetic PCM's ~16.38M mean — both
     // branches and the all-silent NULL case arise on driver data). See
@@ -2142,6 +2155,77 @@ object PipelineQueries {
       |                                CAST(e.embedding AS DOUBLE[]), cent.cv) DESC,
       |                              cent.centroid_id) AS rn
       |    FROM embeddings e, cent) WHERE rn = 1)""".stripMargin
+
+  /** m11's full audio-cluster recompute — the m10 LCG/window chain at
+    * 5-frame windows over base + re-keyed copies, the fa/fb 64-delta
+    * packing, the 4×8-bit banded pair join with the full-series Hamming
+    * verify, and the recursive min-label closure, ending at the `reach`
+    * CTE. ONE constant shared by the m11 ledger oracle and m12's
+    * histogram so the two figures can never cluster differently.
+    * Callers prepend "WITH RECURSIVE " and append their final SELECT
+    * (m12 adds its own CTEs after a comma first). */
+  private val audioClusterOraclePrologue: String =
+    """a AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed,
+      |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS media_id, doc_id AS seed,
+      |         CAST(50 + length(text) % 200 AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT media_id, seed,
+      |         unnest([i FOR i IN generate_series(0, n_frames - 1)]) AS i
+      |  FROM a),
+      |v AS (
+      |  SELECT media_id, i, i // 5 AS window_idx,
+      |         (seed * 31 + i * 2654435761) % 65536 AS u
+      |  FROM s),
+      |x AS (SELECT media_id, window_idx,
+      |             abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ax
+      |      FROM v),
+      |w AS (SELECT media_id, window_idx,
+      |             (1000 * sum(ax)) // count(*) AS mean_abs_milli
+      |      FROM x GROUP BY media_id, window_idx),
+      |d AS (SELECT media_id, window_idx, mean_abs_milli,
+      |        lag(mean_abs_milli) OVER (PARTITION BY media_id
+      |                                  ORDER BY window_idx) AS prev
+      |      FROM w),
+      |b AS (SELECT media_id, window_idx,
+      |        CASE WHEN mean_abs_milli > prev THEN 1 ELSE 0 END AS bit
+      |      FROM d WHERE prev IS NOT NULL AND window_idx <= 64),
+      |nw AS (SELECT media_id, count(*) AS n_windows FROM w GROUP BY 1),
+      |fp AS (SELECT media_id, count(*) AS n_bits,
+      |         CAST(coalesce(sum(CASE WHEN window_idx <= 32
+      |           THEN CAST(bit AS BIGINT)
+      |             * (CAST(1 AS BIGINT) << (window_idx - 1)) END), 0)
+      |           AS BIGINT) AS fa,
+      |         CAST(coalesce(sum(CASE WHEN window_idx > 32
+      |           THEN CAST(bit AS BIGINT)
+      |             * (CAST(1 AS BIGINT) << (window_idx - 33)) END), 0)
+      |           AS BIGINT) AS fb
+      |       FROM b GROUP BY media_id),
+      |pr AS (SELECT nw.media_id, nw.n_windows,
+      |         coalesce(fp.n_bits, 0) AS n_bits,
+      |         coalesce(fp.fa, 0) AS fa, coalesce(fp.fb, 0) AS fb
+      |       FROM nw LEFT JOIN fp USING (media_id)),
+      |bd AS (SELECT media_id, n_windows, fa, fb, bb.band,
+      |         CASE bb.band WHEN 0 THEN fa & 255
+      |                      WHEN 1 THEN (fa >> 8) & 255
+      |                      WHEN 2 THEN (fa >> 16) & 255
+      |                      ELSE (fa >> 24) & 255 END AS band_key
+      |       FROM pr, (SELECT unnest([0, 1, 2, 3]) AS band) bb
+      |       WHERE n_bits >= 8),
+      |e AS (SELECT DISTINCT l.media_id AS src, r.media_id AS dst
+      |      FROM bd l JOIN bd r USING (n_windows, band, band_key)
+      |      WHERE l.media_id < r.media_id
+      |        AND bit_count(xor(l.fa, r.fa))
+      |            + bit_count(xor(l.fb, r.fb)) <= 3),
+      |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |reach(id, label) AS (
+      |  SELECT media_id, media_id FROM pr
+      |  UNION
+      |  SELECT eb.dst, rr.label FROM reach rr JOIN eb ON eb.src = rr.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Cross-IMPLEMENTATION oracles (the p19 murmur3 recipe): the VALUES
@@ -4719,72 +4803,33 @@ object PipelineQueries {
     // point), the full 64-delta packing split fa/fb at window 32, the
     // 4x8-bit banded pair join on (n_windows, band, band_key) with the
     // full-series Hamming verify at radius 3, minBits 8, and the d06
-    // recursive min-label closure.
+    // recursive min-label closure. The chain through `reach` is the
+    // shared audioClusterOraclePrologue (m12 composes from it).
     "m11_audio_clusters" ->
-      """WITH RECURSIVE a AS (
-        |  SELECT doc_id AS media_id, doc_id AS seed,
-        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS media_id, doc_id AS seed,
-        |         CAST(50 + length(text) % 200 AS INT) AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 1),
-        |s AS (
-        |  SELECT media_id, seed,
-        |         unnest([i FOR i IN generate_series(0, n_frames - 1)]) AS i
-        |  FROM a),
-        |v AS (
-        |  SELECT media_id, i, i // 5 AS window_idx,
-        |         (seed * 31 + i * 2654435761) % 65536 AS u
-        |  FROM s),
-        |x AS (SELECT media_id, window_idx,
-        |             abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ax
-        |      FROM v),
-        |w AS (SELECT media_id, window_idx,
-        |             (1000 * sum(ax)) // count(*) AS mean_abs_milli
-        |      FROM x GROUP BY media_id, window_idx),
-        |d AS (SELECT media_id, window_idx, mean_abs_milli,
-        |        lag(mean_abs_milli) OVER (PARTITION BY media_id
-        |                                  ORDER BY window_idx) AS prev
-        |      FROM w),
-        |b AS (SELECT media_id, window_idx,
-        |        CASE WHEN mean_abs_milli > prev THEN 1 ELSE 0 END AS bit
-        |      FROM d WHERE prev IS NOT NULL AND window_idx <= 64),
-        |nw AS (SELECT media_id, count(*) AS n_windows FROM w GROUP BY 1),
-        |fp AS (SELECT media_id, count(*) AS n_bits,
-        |         CAST(coalesce(sum(CASE WHEN window_idx <= 32
-        |           THEN CAST(bit AS BIGINT)
-        |             * (CAST(1 AS BIGINT) << (window_idx - 1)) END), 0)
-        |           AS BIGINT) AS fa,
-        |         CAST(coalesce(sum(CASE WHEN window_idx > 32
-        |           THEN CAST(bit AS BIGINT)
-        |             * (CAST(1 AS BIGINT) << (window_idx - 33)) END), 0)
-        |           AS BIGINT) AS fb
-        |       FROM b GROUP BY media_id),
-        |pr AS (SELECT nw.media_id, nw.n_windows,
-        |         coalesce(fp.n_bits, 0) AS n_bits,
-        |         coalesce(fp.fa, 0) AS fa, coalesce(fp.fb, 0) AS fb
-        |       FROM nw LEFT JOIN fp USING (media_id)),
-        |bd AS (SELECT media_id, n_windows, fa, fb, bb.band,
-        |         CASE bb.band WHEN 0 THEN fa & 255
-        |                      WHEN 1 THEN (fa >> 8) & 255
-        |                      WHEN 2 THEN (fa >> 16) & 255
-        |                      ELSE (fa >> 24) & 255 END AS band_key
-        |       FROM pr, (SELECT unnest([0, 1, 2, 3]) AS band) bb
-        |       WHERE n_bits >= 8),
-        |e AS (SELECT DISTINCT l.media_id AS src, r.media_id AS dst
-        |      FROM bd l JOIN bd r USING (n_windows, band, band_key)
-        |      WHERE l.media_id < r.media_id
-        |        AND bit_count(xor(l.fa, r.fa))
-        |            + bit_count(xor(l.fb, r.fb)) <= 3),
-        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-        |reach(id, label) AS (
-        |  SELECT media_id, media_id FROM pr
-        |  UNION
-        |  SELECT eb.dst, rr.label FROM reach rr JOIN eb ON eb.src = rr.id)
-        |SELECT id AS media_id, min(label) AS cluster_id,
+      (s"WITH RECURSIVE $audioClusterOraclePrologue\n" +
+      """SELECT id AS media_id, min(label) AS cluster_id,
         |       (id = min(label)) AS is_canonical
-        |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
+        |FROM reach GROUP BY id ORDER BY media_id""".stripMargin),
+    // m12: the m11 prologue's cluster labels rolled to sizes, then d28's
+    // bucket CASE chain and share column — the dedup datasheet figure
+    // for the audio modality.
+    "m12_audio_dup_histogram" ->
+      (s"WITH RECURSIVE $audioClusterOraclePrologue,\n" +
+      """cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1),
+        |bk AS (SELECT CASE WHEN n >= 128 THEN 128 WHEN n >= 64 THEN 64
+        |                   WHEN n >= 32 THEN 32 WHEN n >= 16 THEN 16
+        |                   WHEN n >= 8 THEN 8 WHEN n >= 4 THEN 4
+        |                   WHEN n >= 2 THEN 2 ELSE 1 END AS bucket_lo, n
+        |       FROM sz),
+        |g AS (SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_clusters,
+        |             CAST(sum(n) AS BIGINT) AS n_docs
+        |      FROM bk GROUP BY bucket_lo),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM g)
+        |SELECT g.bucket_lo, g.n_clusters, g.n_docs,
+        |  CAST((1000 * g.n_docs) // t.total_docs AS BIGINT)
+        |    AS doc_share_milli
+        |FROM g, t ORDER BY g.bucket_lo""".stripMargin),
     // m08: m04's window CTEs verbatim, then the edge-trim plan: active
     // windows by the same integer milli-mean, first/last active bounds,
     // kept frames = samples inside the span; all-silent clips report

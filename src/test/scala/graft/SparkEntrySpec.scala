@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 173)
+    assert(SparkEntry.queries.size === 174)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -31,8 +31,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // composed recall, t29 C4 line filters — all oracled on arrival
     // + d24 bloom-pruned incremental dedup (exact d17 answer, pruned plan)
     // r10 session 6: m11 audio duplicate clusters (banded print +
-    // full-series verify + CC), t36 per-source leakage attribution, s27 IVF-PQ-with-refine recall, t37 4-gram LM — oracled on arrival
-    assert(SparkEntry.oracleSql.size === 173)
+    // full-series verify + CC), t36 per-source leakage attribution, s27 IVF-PQ-with-refine recall, t37 4-gram LM, m12 audio dup histogram — oracled on arrival
+    assert(SparkEntry.oracleSql.size === 174)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }
