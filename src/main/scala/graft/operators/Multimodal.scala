@@ -39,32 +39,45 @@ object Multimodal {
     * yield ok=false with zeroed metadata, never an exception (a poison row
     * must not kill a 100 TB decode stage).
     */
+  /** Container sniff by MAGIC alone — THE branch [[decode]] dispatches
+    * on, exposed so the decode-health monitor attributes a
+    * truncated-but-magic-intact payload to its container instead of
+    * "unknown" (one sniff definition, no drift). */
+  def sniffKind(b: Array[Byte]): String =
+    if (b == null || b.length < 12) "unknown"
+    else if (b(0) == 'B' && b(1) == 'M') "image"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "audio"
+    else if (b(0) == 'Y' && b(1) == 'U' && b(2) == 'V') "video"
+    else "unknown"
+
   def decode(row: MediaRow): MediaMeta = {
     val b = row.payload
     val nb = if (b == null) 0L else b.length.toLong
     def bad = MediaMeta(row.media_id, row.kind, nb, 0, 0, 0, 0, ok = false)
-    if (b == null || b.length < 12) bad
-    else if (b(0) == 'B' && b(1) == 'M')
-      MediaCodecs.parseBmp(b) match {
-        case Some(m) =>
-          MediaMeta(row.media_id, row.kind, nb, m.width, m.height, 1, 0, ok = true)
-        case None => bad
-      }
-    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
-      MediaCodecs.parseWav(b) match {
-        case Some(m) =>
-          MediaMeta(row.media_id, row.kind, nb, 0, 0, m.nFrames, m.sampleRate,
-            ok = true)
-        case None => bad
-      }
-    else if (b(0) == 'Y' && b(1) == 'U' && b(2) == 'V')
-      MediaCodecs.parseY4m(b) match {
-        case Some(m) =>
-          MediaMeta(row.media_id, row.kind, nb, m.width, m.height, m.nFrames,
-            m.fpsNum, ok = true)
-        case None => bad
-      }
-    else bad
+    sniffKind(b) match {
+      case "image" =>
+        MediaCodecs.parseBmp(b) match {
+          case Some(m) =>
+            MediaMeta(row.media_id, row.kind, nb, m.width, m.height, 1, 0,
+              ok = true)
+          case None => bad
+        }
+      case "audio" =>
+        MediaCodecs.parseWav(b) match {
+          case Some(m) =>
+            MediaMeta(row.media_id, row.kind, nb, 0, 0, m.nFrames,
+              m.sampleRate, ok = true)
+          case None => bad
+        }
+      case "video" =>
+        MediaCodecs.parseY4m(b) match {
+          case Some(m) =>
+            MediaMeta(row.media_id, row.kind, nb, m.width, m.height,
+              m.nFrames, m.fpsNum, ok = true)
+          case None => bad
+        }
+      case _ => bad
+    }
   }
 
   /** Partition-local decode: one initialization per partition (the shape a

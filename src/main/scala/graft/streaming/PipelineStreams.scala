@@ -549,6 +549,48 @@ object PipelineStreams {
       .select(col("media_id"), col("cid").as("candidate_of"),
         col("n_bits"), col("fp"))
 
+  /** At-ingest decode health — observability for the decode-stage
+    * poison-row rule (a malformed payload yields ok=false, never an
+    * exception): per (event-time window, container kind AS DETECTED from
+    * the bytes), arrivals vs clean decodes vs total payload bytes. A
+    * feed whose bad_milli series steps up just changed encoder or
+    * started truncating uploads — the media twin of funnelByWindow's
+    * drop accounting. Kind comes from the SHARED magic-sniffing
+    * [[graft.operators.Multimodal.decode]] (not the envelope label — a
+    * real ingest cannot trust upstream), with undetectable payloads
+    * reported under "unknown".
+    *
+    * Shape: decode is partition-local inside the scan (payload bytes
+    * never shuffle — only (ts, kind, ok, n_bytes) rows reach the one
+    * windowed aggregate); a single stateful stage, state one row per
+    * (window, kind) — kind is container-cardinality by construction.
+    */
+  def decodeHealthByWindow(media: DataFrame, tsCol: String,
+      window_ : String, delay: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val decoded = media
+      .select(col(tsCol), col("media_id"), col("kind"), col("payload"))
+      .as[(java.sql.Timestamp, Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (ts, id, kind, payload) =>
+          val m = graft.operators.Multimodal.decode(
+            graft.operators.Multimodal.MediaRow(id, kind, payload))
+          (ts, graft.operators.Multimodal.sniffKind(payload), m.ok, m.n_bytes)
+        }
+      }
+      .toDF(tsCol, "kind_detected", "ok", "n_bytes")
+    decoded
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), window_), col("kind_detected"))
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("window.start").as("window_start"), col("kind_detected"),
+        col("n_arrived"), col("n_ok"), col("n_bytes"),
+        expr("(1000 * (n_arrived - n_ok)) div n_arrived").as("bad_milli"))
+  }
+
   /** At-ingest audio NEAR-dup detector — [[audioDupDetector]]'s
     * "verify downstream" caveat resolved in-stream, the audio twin of
     * [[imageDupDetector]]: arriving clips fingerprint through the

@@ -83,6 +83,31 @@ class AudioClustersSpec extends AnyFunSuite with SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("pigeonhole property: every same-length pair within full-series " +
+    "Hamming 3 lands in one cluster (no probabilistic miss)") {
+    import graft.functions.MediaCodecs
+    // 40 equal-length LCG clips at 9 delta bits: ~25% of pairs fall
+    // within radius 3, so the recall claim is exercised densely
+    val media = (1L to 40L)
+      .map(i => Multimodal.MediaRow(i, "audio",
+        MediaCodecs.buildWav(8000, 50, i * 7 + 3)))
+      .toDS()
+    val bits = Multimodal.audioFullBits(media, windowFrames = 5)
+      .collect().map(b => b.media_id -> ((b.fa, b.fb))).toMap
+    val clusters = Multimodal.audioClusters(media, windowFrames = 5)
+      .select("media_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val within = for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+      ham = java.lang.Long.bitCount(bits(a)._1 ^ bits(b)._1) +
+        java.lang.Long.bitCount(bits(a)._2 ^ bits(b)._2)
+      if ham <= 3
+    } yield (a, b)
+    assert(within.nonEmpty, "vacuous fixture: no pair within radius 3")
+    for ((a, b) <- within)
+      assert(clusters(a) === clusters(b),
+        s"pair ($a, $b) within radius 3 split across clusters")
+  }
+
   test("fa matches the m10 print; fb carries the post-32 deltas") {
     val bits = Multimodal.audioFullBits(
       Seq(MediaRow(1L, "audio", clip(rising))).toDS(), windowFrames = 4).head()

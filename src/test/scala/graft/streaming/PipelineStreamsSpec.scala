@@ -908,6 +908,42 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("decode health monitor: per-(window, sniffed-kind) ok/bad rates, " +
+    "truncated payloads attribute to their container") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.MediaCodecs
+    val goodWav = MediaCodecs.buildWav(8000, 60, 5L)
+    val truncWav = goodWav.slice(0, 20) // RIFF magic intact, parse fails
+    val goodBmp = MediaCodecs.buildBmp(8, 8, 3L)
+    val junk = "not a container at all".getBytes("US-ASCII")
+    val t0 = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
+    val in = MemoryStream[(java.sql.Timestamp, Long, String, Array[Byte])]
+    val mon = PipelineStreams.decodeHealthByWindow(
+      in.toDF().toDF("ts", "media_id", "kind", "payload"),
+      "ts", "10 minutes", "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("dh")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (t0, 1L, "audio", goodWav),
+        (t0, 2L, "audio", truncWav), // poison row: counted, not thrown
+        (t0, 3L, "image", goodBmp),
+        (t0, 4L, "video", junk))
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"),
+        99L, "audio", goodWav))
+      q.processAllAvailable()
+      val got = spark.table("dh")
+        .filter(col("window_start") === t0)
+        .select("kind_detected", "n_arrived", "n_ok", "bad_milli")
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got === Seq(
+        ("audio", 2L, 1L, 500L),
+        ("image", 1L, 1L, 0L),
+        ("unknown", 1L, 0L, 1000L)))
+    } finally q.stop()
+  }
+
   test("leakage monitor: per-(window, source) contamination counts, " +
     "gram-less docs count as arrivals, t36-consistent flags") {
     implicit val sqlCtx = spark.sqlContext
