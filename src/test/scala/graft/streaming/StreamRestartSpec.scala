@@ -178,4 +178,42 @@ class StreamRestartSpec extends AnyFunSuite with SparkSpec {
         .count(_.getAs[String]("url") === "http://a/keepopen") === 0)
     } finally q.stop()
   }
+
+  test("leakageByWindow: both stacked aggregation states survive a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val benchSet = DedupOps.benchShingleSet(bench, "text", 3)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val mon = PipelineStreams.leakageByWindow(
+      in.toDF().toDF("doc_id", "ts", "source", "text"), benchSet,
+      "ts", "source", "doc_id", "text", "10 minutes", "5 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("lw-ckpt").toString
+    val buf = new scala.collection.concurrent.TrieMap[Long, Array[org.apache.spark.sql.Row]]
+
+    val q1 = collectingSink(mon, ckpt, buf).start()
+    try {
+      // a contaminated doc lands in the open window, no emission yet
+      in.addData((10L, ts("2021-01-16 17:00:00"), "web", "x a b c y"))
+      q1.processAllAvailable()
+      assert(buf.values.flatten.isEmpty)
+    } finally q1.stop()
+
+    // restart: the (window, source, doc) flag AND the (window, source)
+    // rollup state must both rehydrate — a clean doc joins the same
+    // window, then the watermark closes it with the COMBINED counts
+    val q2 = collectingSink(mon, ckpt, buf).start()
+    try {
+      in.addData((11L, ts("2021-01-16 17:01:00"), "web", "novel clean words"))
+      q2.processAllAvailable()
+      in.addData((99L, ts("2021-01-16 17:40:00"), "late", "x"))
+      q2.processAllAvailable()
+      val web = buf.values.flatten.toArray
+        .filter(_.getAs[String]("source") === "web")
+      assert(web.length === 1, "window state lost across restart")
+      assert(web.head.getAs[Long]("n_docs") === 2L)
+      assert(web.head.getAs[Long]("n_contaminated") === 1L)
+      assert(web.head.getAs[Long]("contam_milli") === 500L)
+    } finally q2.stop()
+  }
 }
