@@ -33,8 +33,15 @@ object Bench {
     * r3. Worst case falls from "99.999" to "99.9" — 2 B × registry size,
     * ~2 queries of budget per byte. */
   private[graft] def rq(v: Double): String =
-    if (v < 10) r3(v)
-    else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    if (v < 0) "-1"
+    else {
+      // branch on the ROUNDED value: v in [9.9995, 10) would otherwise
+      // render "10.000" — a 10-second value with 3dp, flapping against
+      // "10.0" across runs at the boundary
+      val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      if (r < 10) r.toString
+      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    }
 
   /** Abbreviated key per query name: id prefix + word initials
     * (`a04_counter_map` → `a04cm`); names whose abbreviation collides

@@ -50,11 +50,17 @@ object Multimodal {
     else if (b(0) == 'Y' && b(1) == 'U' && b(2) == 'V') "video"
     else "unknown"
 
-  def decode(row: MediaRow): MediaMeta = {
+  def decode(row: MediaRow): MediaMeta = decodeSniffed(row)._2
+
+  /** [[decode]] plus the sniffed container label from the SAME single
+    * magic probe — for consumers (the decode-health monitor) that need
+    * both without re-scanning the magic bytes. */
+  def decodeSniffed(row: MediaRow): (String, MediaMeta) = {
     val b = row.payload
     val nb = if (b == null) 0L else b.length.toLong
     def bad = MediaMeta(row.media_id, row.kind, nb, 0, 0, 0, 0, ok = false)
-    sniffKind(b) match {
+    val sniffed = sniffKind(b)
+    val meta = sniffed match {
       case "image" =>
         MediaCodecs.parseBmp(b) match {
           case Some(m) =>
@@ -78,6 +84,7 @@ object Multimodal {
         }
       case _ => bad
     }
+    (sniffed, meta)
   }
 
   /** Partition-local decode: one initialization per partition (the shape a
@@ -192,23 +199,12 @@ object Multimodal {
     */
   def audioFingerprint(media: Dataset[MediaRow],
       windowFrames: Int): Dataset[AudioFpRow] = {
-    require(windowFrames > 0, s"windowFrames=$windowFrames")
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.flatMap { row =>
-        val ws = audioWindowsOf(row.media_id, row.payload, windowFrames)
-        if (ws.isEmpty) None
-        else {
-          val bits = (1 until ws.length)
-            .map(i => if (ws(i).mean_abs_milli > ws(i - 1).mean_abs_milli)
-              1L else 0L)
-            .take(32)
-          val fp = bits.zipWithIndex
-            .foldLeft(0L) { case (acc, (b, i)) => acc | (b << i) }
-          Some(AudioFpRow(row.media_id, ws.length, bits.length, fp))
-        }
-      }
-    }
+    // the 32-bit print IS the full-series row's first word: ONE delta-fold
+    // definition ([[audioFullBits]]), projected — the two signatures
+    // cannot drift (the fa ≡ fp invariant by construction, not by test)
+    audioFullBits(media, windowFrames).map(b =>
+      AudioFpRow(b.media_id, b.n_windows, math.min(b.n_bits, 32), b.fa))
   }
 
   /** The pre-materialized audio-print index an ingest stream probes (the
@@ -263,14 +259,47 @@ object Multimodal {
     }
   }
 
-  /** 8-bit band decomposition of the 32-bit audio print (`fa`) — the m06
-    * 4-band pigeonhole carried to audio: two prints within Hamming
-    * distance 3 agree on at least one of the four bands, so the banded
-    * join finds EVERY pair at print-radius ≤ 3 with no probabilistic
-    * miss. `n_windows` rides in the key so clips of different length
-    * never pair (the audioPrintIndex prefix-collision rule). */
-  private[graft] def audioBitBands(bits: DataFrame): DataFrame =
-    audioBitBandsImpl(bits)
+  /** 4-band decomposition of the FULL delta-sign series — the m06
+    * pigeonhole carried to audio, over fair-split quarter-bands of the
+    * LIVE bits: band b covers bit range
+    * [⌊b·n_bits/4⌋, ⌊(b+1)·n_bits/4⌋), so every band is nonempty for
+    * n_bits ≥ 4 and two clips within full-series Hamming distance 3
+    * agree on at least one band (3 dirty bits cannot cover 4 bands) —
+    * the banded join finds EVERY pair at radius ≤ 3 with no
+    * probabilistic miss. Fair-split (not fixed 8-bit bands of `fa`)
+    * because a short print would leave fixed high bands structurally
+    * ZERO: an always-matching band degenerates candidate generation
+    * into same-length all-pairs blocking at corpus scale — exactly the
+    * blow-up the d09 rule exists to prevent. (A short print's bands
+    * still carry only n_bits/4 bits of entropy each — the fingerprint's
+    * information limit; `minBits` is the knob that bounds it.)
+    * `n_windows` rides in the key so clips of different length never
+    * pair (the audioPrintIndex prefix-collision rule), and it also
+    * fixes the band boundaries within every join group. Straddle
+    * extraction masks `fb` BEFORE shifting so no intermediate exceeds
+    * 2^48 (both engines' checked-shift envelopes). */
+  private[graft] def audioBitBands(bits: DataFrame): DataFrame = {
+    def bandKey(b: Int): String = {
+      val lo = s"CAST(($b * n_bits) div 4 AS INT)"
+      val hi = s"CAST((${b + 1} * n_bits) div 4 AS INT)"
+      val len = s"($hi - $lo)"
+      s"""CASE
+         |  WHEN $lo >= 32 THEN
+         |    shiftright(fb, $lo - 32) & (shiftleft(CAST(1 AS BIGINT), $len) - 1)
+         |  WHEN $lo + $len <= 32 THEN
+         |    shiftright(fa, $lo) & (shiftleft(CAST(1 AS BIGINT), $len) - 1)
+         |  ELSE
+         |    (shiftright(fa, $lo)
+         |       & (shiftleft(CAST(1 AS BIGINT), 32 - $lo) - 1))
+         |    | shiftleft(
+         |        fb & (shiftleft(CAST(1 AS BIGINT), $lo + $len - 32) - 1),
+         |        32 - $lo)
+         |END""".stripMargin
+    }
+    bits.select(col("media_id"), col("n_windows"), col("fa"), col("fb"),
+      posexplode(array((0 to 3).map(b => expr(bandKey(b))): _*))
+        .as(Seq("band", "band_key")))
+  }
 
   /** Probe-side rename of [[audioBitBands]] rows — ONE definition shared
     * by the [[audioBandIndex]] builder and [[audioClusters]]' join side,
@@ -290,21 +319,13 @@ object Multimodal {
     asAudioIndexRows(audioBitBands(audioFullBits(media, windowFrames)
       .toDF().filter(col("n_bits") >= minBits)))
 
-  private def audioBitBandsImpl(bits: DataFrame): DataFrame =
-    bits.select(col("media_id"), col("n_windows"), col("fa"), col("fb"),
-      posexplode(array(
-        col("fa").bitwiseAND(lit(0xFFL)),
-        shiftright(col("fa"), 8).bitwiseAND(lit(0xFFL)),
-        shiftright(col("fa"), 16).bitwiseAND(lit(0xFFL)),
-        shiftright(col("fa"), 24).bitwiseAND(lit(0xFFL))))
-        .as(Seq("band", "band_key")))
-
   /** m11: audio duplicate CLUSTERS — the audio d06/m09: fingerprint every
     * clip ([[audioFullBits]]), generate candidate pairs through the
-    * banded 32-bit print ([[audioBitBands]] — exact at print-Hamming ≤ 3
-    * by pigeonhole), then VERIFY on the full window-delta series (`fa`
-    * AND `fb` — the print is a coarse prefix, so two clips that happen to
-    * share 32 leading deltas but diverge later are rejected here), and
+    * fair-split banded full series ([[audioBitBands]] — exact at
+    * full-series Hamming ≤ 3 by pigeonhole), then VERIFY on the full
+    * window-delta series (`fa` AND `fb` — a band is a coarse slice, so
+    * two clips that happen to agree on one band but diverge elsewhere
+    * are rejected here), and
     * resolve the dup graph with the shared
     * [[graft.operators.DedupOps.connectedComponents]] min-label
     * propagation. One row per fingerprintable clip:

@@ -2158,7 +2158,7 @@ object PipelineQueries {
 
   /** m11's full audio-cluster recompute — the m10 LCG/window chain at
     * 5-frame windows over base + re-keyed copies, the fa/fb 64-delta
-    * packing, the 4×8-bit banded pair join with the full-series Hamming
+    * packing, the 4-way fair-split banded pair join with the full-series Hamming
     * verify, and the recursive min-label closure, ending at the `reach`
     * CTE. ONE constant shared by the m11 ledger oracle and m12's
     * histogram so the two figures can never cluster differently.
@@ -2210,12 +2210,22 @@ object PipelineQueries {
       |         coalesce(fp.fa, 0) AS fa, coalesce(fp.fb, 0) AS fb
       |       FROM nw LEFT JOIN fp USING (media_id)),
       |bd AS (SELECT media_id, n_windows, fa, fb, bb.band,
-      |         CASE bb.band WHEN 0 THEN fa & 255
-      |                      WHEN 1 THEN (fa >> 8) & 255
-      |                      WHEN 2 THEN (fa >> 16) & 255
-      |                      ELSE (fa >> 24) & 255 END AS band_key
-      |       FROM pr, (SELECT unnest([0, 1, 2, 3]) AS band) bb
-      |       WHERE n_bits >= 8),
+      |         CASE
+      |           WHEN lo >= 32 THEN
+      |             (fb >> (lo - 32)) & ((CAST(1 AS BIGINT) << len) - 1)
+      |           WHEN lo + len <= 32 THEN
+      |             (fa >> lo) & ((CAST(1 AS BIGINT) << len) - 1)
+      |           ELSE
+      |             ((fa >> lo) & ((CAST(1 AS BIGINT) << (32 - lo)) - 1))
+      |             | ((fb & ((CAST(1 AS BIGINT) << (lo + len - 32)) - 1))
+      |                << (32 - lo))
+      |         END AS band_key
+      |       FROM (SELECT *,
+      |               (bb0.band * n_bits) // 4 AS lo,
+      |               ((bb0.band + 1) * n_bits) // 4
+      |                 - (bb0.band * n_bits) // 4 AS len
+      |             FROM pr, (SELECT unnest([0, 1, 2, 3]) AS band) bb0
+      |             WHERE n_bits >= 8) bb),
       |e AS (SELECT DISTINCT l.media_id AS src, r.media_id AS dst
       |      FROM bd l JOIN bd r USING (n_windows, band, band_key)
       |      WHERE l.media_id < r.media_id
@@ -4801,7 +4811,7 @@ object PipelineQueries {
     // m11: m10's LCG/window chain at 5-frame windows for base + copy
     // clips (copies at +10M reuse the original seed — that is the
     // point), the full 64-delta packing split fa/fb at window 32, the
-    // 4x8-bit banded pair join on (n_windows, band, band_key) with the
+    // fair-split banded pair join on (n_windows, band, band_key) with the
     // full-series Hamming verify at radius 3, minBits 8, and the d06
     // recursive min-label closure. The chain through `reach` is the
     // shared audioClusterOraclePrologue (m12 composes from it).

@@ -574,9 +574,9 @@ object PipelineStreams {
       .as[(java.sql.Timestamp, Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (ts, id, kind, payload) =>
-          val m = graft.operators.Multimodal.decode(
+          val (sniffed, m) = graft.operators.Multimodal.decodeSniffed(
             graft.operators.Multimodal.MediaRow(id, kind, payload))
-          (ts, graft.operators.Multimodal.sniffKind(payload), m.ok, m.n_bytes)
+          (ts, sniffed, m.ok, m.n_bytes)
         }
       }
       .toDF(tsCol, "kind_detected", "ok", "n_bytes")
@@ -596,7 +596,7 @@ object PipelineStreams {
     * [[imageDupDetector]]: arriving clips fingerprint through the
     * SHARED full-series pass
     * ([[graft.operators.Multimodal.audioFullBits]] — stateless,
-    * zero-exchange), their 8-bit print bands probe the pre-materialized
+    * zero-exchange), their fair-split series bands probe the pre-materialized
     * [[graft.operators.Multimodal.audioBandIndex]] stream-static, and
     * candidates verify by full-series Hamming ON THE SPOT (the index
     * carries both verify words). Pigeonhole makes the radius exact at
@@ -899,9 +899,13 @@ object PipelineStreams {
       .groupBy(col("window"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("any_leak")).as("n_contaminated"),
-        sum(col("n_leaked")).as("n_leaked_grams"))
+        // NOT t36's distinct-gram count: per-doc state cannot dedup a
+        // gram leaked by several docs, so this sums per-doc distinct
+        // hits — a gram syndicated into k docs counts k times. Named
+        // accordingly; the batch t36 audit is the distinct-gram ledger.
+        sum(col("n_leaked")).as("n_doc_gram_hits"))
       .select(col("window.start").as("window_start"), col("source"),
-        col("n_docs"), col("n_contaminated"), col("n_leaked_grams"),
+        col("n_docs"), col("n_contaminated"), col("n_doc_gram_hits"),
         expr("(1000 * n_contaminated) div n_docs").as("contam_milli"))
 
   /** Ingest-duplication observability: per event-time window, how many

@@ -101,6 +101,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("relative per-query rendering: 3dp below 10 s, 1dp above") {
     assert(Bench.rq(1.23456) === "1.235")
     assert(Bench.rq(9.9994) === "9.999")
+    assert(Bench.rq(9.9996) === "10.0") // boundary: rounds INTO the 1dp tier
     assert(Bench.rq(10.0) === "10.0")
     assert(Bench.rq(99.987) === "100.0")
     assert(Bench.rq(-1.0) === "-1")

@@ -15,35 +15,7 @@ class AudioClustersSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
   import Multimodal.MediaRow
 
-  private def wav(samples: Seq[Int]): Array[Byte] = {
-    val dataSize = 2 * samples.length
-    val b = new Array[Byte](44 + dataSize)
-    def ascii(off: Int, s: String): Unit =
-      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
-    def le32(off: Int, v: Int): Unit =
-      (0 to 3).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-    def le16(off: Int, v: Int): Unit =
-      (0 to 1).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-    ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
-    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
-    le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
-    ascii(36, "data"); le32(40, dataSize)
-    samples.zipWithIndex.foreach { case (s, i) => le16(44 + 2 * i, s & 0xFFFF) }
-    b
-  }
-
-  /** windows of 4 frames at the given constant amplitudes */
-  private def clip(levels: Seq[Int]): Array[Byte] =
-    wav(levels.flatMap(l => Seq.fill(4)(l)))
-
-  // 40 windows -> 39 delta bits: fa = bits 0..31, fb = bits 32..38.
-  private val rising = (1 to 40).map(_ * 100) // all 39 bits 1
-  // identical first 33 windows (fa identical, bit 32 = 1), then falling:
-  // fb = 0x01 vs rising's 0x7F -> full-series Hamming 6 > 3
-  private val diverges = (1 to 34).map(_ * 100) ++ (1 to 6).map(i => 3400 - i * 100)
-  // rising with ONE late dip (window 36: 3500 between 3600 and 3800)
-  // -> bit 35 flips 1->0, all else equal: full-series Hamming 1
-  private val oneDip = rising.updated(36, 3500)
+  import graft.MediaTestBytes.{clip, rising, diverges, oneDip}
 
   test("print-equal but series-divergent clips do NOT cluster; radius-1 pair does") {
     val media = Seq(

@@ -11,26 +11,9 @@ class AudioFingerprintSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
   import Multimodal.MediaRow
 
-  private def wav(samples: Seq[Int]): Array[Byte] = {
-    val dataSize = 2 * samples.length
-    val b = new Array[Byte](44 + dataSize)
-    def ascii(off: Int, s: String): Unit =
-      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
-    def le32(off: Int, v: Int): Unit =
-      (0 to 3).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-    def le16(off: Int, v: Int): Unit =
-      (0 to 1).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-    ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
-    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
-    le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
-    ascii(36, "data"); le32(40, dataSize)
-    samples.zipWithIndex.foreach { case (s, i) => le16(44 + 2 * i, s & 0xFFFF) }
-    b
-  }
-
-  /** windows of 4 at the given constant amplitudes */
+  /** windows of 4 at the given constant amplitudes (shared bytes) */
   private def clip(levels: Int*): Array[Byte] =
-    wav(levels.flatMap(l => Seq.fill(4)(l)))
+    graft.MediaTestBytes.clip(levels)
 
   test("LSB-first bit order and copy invariance") {
     // windows 10, 300, 200, 500: deltas up, down, up -> bits 1,0,1 = 5

@@ -973,7 +973,7 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       val got = spark.table("lw")
         .select("window_start", "source", "n_docs", "n_contaminated",
-          "n_leaked_grams", "contam_milli")
+          "n_doc_gram_hits", "contam_milli")
         .as[(java.sql.Timestamp, String, Long, Long, Long, Long)]
         .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
       val w0 = java.sql.Timestamp.valueOf("2021-01-16 17:00:00")
@@ -989,28 +989,7 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     "and radius-1 flag, print-equal divergers and sub-minBits clips pass") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
-    def wav(samples: Seq[Int]): Array[Byte] = {
-      val dataSize = 2 * samples.length
-      val b = new Array[Byte](44 + dataSize)
-      def ascii(off: Int, s: String): Unit =
-        s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
-          b(off + i) = c }
-      def le32(off: Int, v: Int): Unit =
-        (0 to 3).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-      def le16(off: Int, v: Int): Unit =
-        (0 to 1).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-      ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
-      ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
-      le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 2 * 8)
-      ascii(36, "data"); le32(40, dataSize)
-      samples.zipWithIndex.foreach { case (s, i) => le16(44 + 2 * i, s & 0xFFFF) }
-      b
-    }
-    def clip(levels: Seq[Int]): Array[Byte] =
-      wav(levels.flatMap(l => Seq.fill(4)(l)))
-    val rising = (1 to 40).map(_ * 100)
-    val diverges = (1 to 34).map(_ * 100) ++ (1 to 6).map(i => 3400 - i * 100)
-    val oneDip = rising.updated(36, 3500)
+    import graft.MediaTestBytes.{clip, rising, diverges, oneDip}
     val short = Seq(10, 300, 200, 500, 400) // 4 bits < minBits
     val corpus = Seq(
       Multimodal.MediaRow(100L, "audio", clip(rising)),
