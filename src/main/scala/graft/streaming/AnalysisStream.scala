@@ -184,14 +184,20 @@ object AnalysisStream {
         n += 1
         if (e.event_ts != null) last = math.max(last, e.event_ts.getTime)
       }
-      lastSeen.update(last)
-      nEvents.update(n)
-      // invariant: state with lastSeen > 0 ⟺ one timer armed at
-      // lastSeen + idleMs; last == 0 (only null-ts events so far) means
-      // nothing to go idle from yet
-      if (last > prev) {
-        if (prev > 0L) getHandle.deleteTimer(prev + idleMs)
-        getHandle.registerTimer(last + idleMs)
+      // invariant: state exists ⟺ lastSeen > 0 ⟺ one timer armed at
+      // lastSeen + idleMs. A host whose events ALL carry null event_ts
+      // (last == prev == 0) gets NO state: with TTLConfig.NONE and the
+      // timer expiry as the only cleanup path, a stored epoch-0 row
+      // would leak forever — its null-ts records stay uncounted until
+      // the host produces a real event time (documented trade: bounded
+      // state over exact counts for timeline-less hosts)
+      if (last > 0L) {
+        lastSeen.update(last)
+        nEvents.update(n)
+        if (last > prev) {
+          if (prev > 0L) getHandle.deleteTimer(prev + idleMs)
+          getHandle.registerTimer(last + idleMs)
+        }
       }
       Iterator.empty
     }
@@ -317,13 +323,30 @@ object AnalysisStream {
     * (rename is atomic on POSIX). The snapshot is bounded (top-N hosts), so
     * a driver-side collect is by design, not a scalability leak.
     */
-  def writeSnapshotAtomic(snapshot: DataFrame, outPath: String): Unit = {
-    val rows = snapshot.toJSON.collect()
+  /** Snapshot ranking: recency DESC with host tiebreak, null last_ts
+    * LAST — via an explicit Ordering, NOT sortBy(-recency): negating the
+    * null sentinel Long.MinValue overflows back to Long.MinValue, which
+    * would rank never-timestamped hosts FIRST (the inverse of the seed
+    * read's nulls-last orderBy). Spec-pinned. */
+  private[streaming] val byRecencyDesc: Ordering[HostStatsRow] = {
+    def recency(r: HostStatsRow): Long =
+      if (r.last_ts == null) Long.MinValue else r.last_ts.getTime
+    Ordering.by[HostStatsRow, (Long, String)](r => (recency(r), r.host))(
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
+  }
+
+  def writeSnapshotAtomic(snapshot: DataFrame, outPath: String): Unit =
+    publishAtomic(outPath, snapshot.toJSON.collect().mkString("[", ",", "]"))
+
+  /** THE tmp-write + ATOMIC_MOVE publish sequence, shared by both
+    * snapshot writers so a future hardening (e.g. cleaning the orphaned
+    * .tmp on a failed move) lands once. */
+  private def publishAtomic(outPath: String, body: String): Unit = {
     val target = Paths.get(outPath)
     val dir = target.toAbsolutePath.getParent
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".snapshot", ".tmp")
-    Files.write(tmp, rows.mkString("[", ",", "]").getBytes("UTF-8"))
+    Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -348,14 +371,12 @@ object AnalysisStream {
       (implicit spark: SparkSession) = {
     import org.apache.spark.sql.streaming.Trigger
     val accumulated = scala.collection.mutable.Map[String, HostStatsRow]()
-    def recency(r: HostStatsRow): Long =
-      if (r.last_ts == null) Long.MinValue else r.last_ts.getTime
     if (rehydrate) {
       val seeded = rehydrateHostStats(spark, checkpoint)
         .orderBy(desc("last_ts"), col("host")).limit(topN).collect()
       if (seeded.nonEmpty) accumulated.synchronized {
         seeded.foreach(r => accumulated(r.host) = r)
-        val ordered = accumulated.values.toSeq.sortBy(r => (-recency(r), r.host))
+        val ordered = accumulated.values.toSeq.sorted(byRecencyDesc)
         writeSnapshotRowsAtomic(ordered, outPath)
       }
     }
@@ -372,12 +393,12 @@ object AnalysisStream {
           rows.foreach(r => accumulated(r.host) = r)
           if (accumulated.size > topN) {
             val keep = accumulated.values.toSeq
-              .sortBy(r => (-recency(r), r.host)).take(topN).map(_.host).toSet
+              .sorted(byRecencyDesc).take(topN).map(_.host).toSet
             accumulated.filterInPlace { case (h, _) => keep(h) }
           }
           // snapshot is driver-local and already bounded — serialize
           // directly, no Spark job on the publish hot path
-          val ordered = accumulated.values.toSeq.sortBy(r => (-recency(r), r.host))
+          val ordered = accumulated.values.toSeq.sorted(byRecencyDesc)
           writeSnapshotRowsAtomic(ordered, outPath)
         }
       }
@@ -422,12 +443,6 @@ object AnalysisStream {
         s""""viaHosts":${jsonMap(r.viaHosts)}"""))
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    val target = Paths.get(outPath)
-    val dir = target.toAbsolutePath.getParent
-    Files.createDirectories(dir)
-    val tmp = Files.createTempFile(dir, ".snapshot", ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    publishAtomic(outPath, body)
   }
 }

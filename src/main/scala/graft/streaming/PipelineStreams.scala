@@ -88,11 +88,18 @@ object PipelineStreams {
       .drop("in_old")
 
   def dedupAgainstCorpus(docs: DataFrame, corpusDigests: DataFrame,
-      textCol: String): DataFrame =
-    docs
-      .withColumn("digest", graft.operators.DedupOps.contentDigest(col(textCol)))
-      .join(corpusDigests.select(col("digest")).distinct(),
-        Seq("digest"), "left_anti")
+      textCol: String): DataFrame = {
+    // contract: a pre-existing `digest` column MUST be the shared
+    // contentDigest (the [[dedupByDigest]] output — the ingestChain hot
+    // path); reusing it avoids md5-hashing the full text a second time
+    // per surviving row
+    val withDigest =
+      if (docs.columns.contains("digest")) docs
+      else docs.withColumn("digest",
+        graft.operators.DedupOps.contentDigest(col(textCol)))
+    withDigest.join(corpusDigests.select(col("digest")).distinct(),
+      Seq("digest"), "left_anti")
+  }
 
   /** At-ingest NEAR-dup detection against the already-ingested corpus —
     * the streaming twin of batch d18 ([[graft.operators.DedupOps
@@ -845,6 +852,13 @@ object PipelineStreams {
           graft.functions.TextFns.qualityFeatures(col(textCol))
             .getField("keep")),
         textCol, "g_keep")
+      // null text evaluates both keep expressions to NULL, which would
+      // route the doc into NO bucket (when() treats null as false on
+      // every branch) and break the conservation equation — pin the
+      // flags to false: qualityGate itself drops null-text rows, so
+      // they are quality drops by definition
+      .withColumn("q_keep", coalesce(col("q_keep"), lit(false)))
+      .withColumn("g_keep", coalesce(col("g_keep"), lit(false)))
       .withColumn("digest",
         graft.operators.DedupOps.contentDigest(col(textCol)))
       .withWatermark(tsCol, watermark)

@@ -318,4 +318,22 @@ class AnalysisStreamSpec extends AnyFunSuite with SparkSpec {
       assert(second === Map("a.org" -> 3L, "b.org" -> 1L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
+
+  test("snapshot ranking: null last_ts sorts LAST, never first " +
+    "(-Long.MinValue overflow regression)") {
+    import AnalysisStream.HostStatsRow
+    def row(host: String, ts: String): HostStatsRow =
+      HostStatsRow(host,
+        null,
+        if (ts == null) null else java.sql.Timestamp.valueOf(ts),
+        1L, Map.empty, Map.empty, Map.empty)
+    val rows = Seq(
+      row("never.org", null), // all-null-ts host: the overflow victim
+      row("old.org", "2021-01-16 12:00:00"),
+      row("new.org", "2021-01-16 18:00:00"),
+      row("also-never.org", null))
+    val ordered = rows.sorted(AnalysisStream.byRecencyDesc).map(_.host)
+    assert(ordered === Seq(
+      "new.org", "old.org", "also-never.org", "never.org"))
+  }
 }

@@ -454,7 +454,8 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
         doc("2021-01-16 17:03:00", good2),
         doc("2021-01-16 17:04:00", "too short"),     // quality drop
         doc("2021-01-16 17:05:00", "1234567890 0987654321 #$%"), // quality
-        doc("2021-01-16 17:06:00", mk("gamma", 30))) // 30 words: gopher
+        doc("2021-01-16 17:06:00", mk("gamma", 30)), // 30 words: gopher
+        doc("2021-01-16 17:07:00", null))            // null text: quality
       q.processAllAvailable()
       in.addData(doc("2021-01-16 17:30:00", "watermark closer"))
       q.processAllAvailable()
@@ -462,8 +463,10 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
         .filter(col("window_start") === "2021-01-16 17:00:00").collect()
       assert(r.length === 1)
       val row = r.head
-      assert(row.getAs[Long]("n_arrived") === 7L)
-      assert(row.getAs[Long]("n_quality_drop") === 2L)
+      // the null-text doc MUST land in a bucket (quality — the gate
+      // drops null text), not vanish from the conservation equation
+      assert(row.getAs[Long]("n_arrived") === 8L)
+      assert(row.getAs[Long]("n_quality_drop") === 3L)
       assert(row.getAs[Long]("n_gopher_drop") === 1L)
       assert(row.getAs[Long]("n_dup_drop") === 2L)
       assert(row.getAs[Long]("n_kept") === 2L)
