@@ -58,7 +58,11 @@ object CrawlCols {
   /** P9: hour truncation of an ISO timestamp string (reference
     * streamer.py:104-110 slices the string; we truncate the parsed time).
     */
-  def hourOf(isoTs: Column): Column = date_trunc("hour", to_timestamp(isoTs))
+  def hourOf(isoTs: Column): Column =
+    // try_: under Spark 4's default ANSI mode a bare to_timestamp THROWS
+    // on one malformed row and kills the job — the null-on-malformed
+    // discipline splitStartTime already follows
+    date_trunc("hour", try_to_timestamp(isoTs))
 
   /** P10: `start_time_plus_duration` "yyyyMMddHHmmssSSS+<ms>" →
     * struct(start_time timestamp, duration_ms long); duration null when the
@@ -70,10 +74,15 @@ object CrawlCols {
     // Java-time patterns can't parse 17 contiguous digits (greedy yyyy), so
     // parse the 14-digit second part and add the millis arithmetically.
     val base = try_to_timestamp(substring(t, 1, 14), lit("yyyyMMddHHmmss"))
-    val ms = when(length(t) >= 17, substring(t, 15, 3).cast(LongType)).otherwise(lit(0L))
+    // try_cast throughout: ANSI CAST throws on non-digit millis or a
+    // malformed duration part, voiding the try_to_timestamp design above
+    // (null millis null the start_time — same value semantics as the
+    // pre-ANSI cast, minus the task kill)
+    val ms = when(length(t) >= 17, substring(t, 15, 3).try_cast(LongType))
+      .otherwise(lit(0L))
     struct(
       timestamp_millis(unix_millis(base) + ms).as("start_time"),
-      try_element_at(parts, lit(2)).cast(LongType).as("duration_ms"))
+      try_element_at(parts, lit(2)).try_cast(LongType).as("duration_ms"))
   }
 
   /** P12 (first half): tokenize the comma-separated `annotations` string →
@@ -97,7 +106,10 @@ object CrawlCols {
     */
   def retriesAnnotation(annotations: Column): Column = {
     val hits = filter(annotationsArr(annotations), a => a.rlike("^\\d+t$"))
-    when(size(hits) > 0, regexp_replace(hits.getItem(0), "t$", "").cast(LongType))
+    // try_cast: the regex admits >19-digit runs the ANSI cast would
+    // throw on; null is the right answer for an unrepresentable count
+    when(size(hits) > 0,
+      regexp_replace(hits.getItem(0), "t$", "").try_cast(LongType))
   }
 
   /** P16: crawler derivation — explicit `crawler` wins, else Heritrix iff
@@ -173,11 +185,8 @@ object CrawlCols {
       "shingle_minhash", exprs => ShingleMinHash(exprs.head,
         intLit(exprs(1), "shingle_minhash n"), intLit(exprs(2), "shingle_minhash k")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head, exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig k must be an integer literal, got $other")
-      }), "scala_udf")
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        intLit(exprs(1), "minhash_sig k")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head,
         intLit(exprs(1), "word_shingles n")), "scala_udf")

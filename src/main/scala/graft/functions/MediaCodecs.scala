@@ -94,6 +94,10 @@ object MediaCodecs {
     if (dibSize < 40) return None
     val width = le32(b, 18)
     val rawHeight = le32(b, 22)
+    // math.abs(Int.MinValue) IS Int.MinValue (two's complement): a crafted
+    // height field of 0x80000000 would pass every magnitude check below
+    // and crash the plane decode with a negative array size
+    if (rawHeight == Int.MinValue) return None
     val height = math.abs(rawHeight)
     val planes = le16(b, 26)
     val bpp = le16(b, 28)
@@ -168,14 +172,17 @@ object MediaCodecs {
     if (b == null || b.length < 12) return None
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
     if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    if (le32(b, 4) + 8 > b.length) return None
+    if (le32(b, 4).toLong + 8 > b.length) return None
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // rate, channels, bits, blockAlign
     var dataSize = -1
     while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // Long arithmetic: a crafted size near Int.MaxValue would overflow
+      // `off + 8 + size` negative and slip past the bounds check,
+      // violating the never-throw contract downstream
+      if (size < 0 || off.toLong + 8 + size > b.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -206,7 +213,7 @@ object MediaCodecs {
     if (b == null || b.length < 12) return None
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
     if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    if (le32(b, 4) + 8 > b.length) return None
+    if (le32(b, 4).toLong + 8 > b.length) return None
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = None
     var dataOff = -1
@@ -214,7 +221,7 @@ object MediaCodecs {
     while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      if (size < 0 || off.toLong + 8 + size > b.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -273,11 +280,14 @@ object MediaCodecs {
     b
   }
 
-  private def frameBytesFor(cs: String, w: Int, h: Int): Option[Int] = cs match {
-    case "420" | "420jpeg" | "420mpeg2" | "420paldv" => Some(w * h * 3 / 2)
-    case "422" => Some(w * h * 2)
-    case "444" => Some(w * h * 3)
-    case "mono" => Some(w * h)
+  /** Long-valued so a header-supplied w·h near 2^16×2^16 cannot overflow
+    * Int into a negative frame size (the caller bounds the result against
+    * the buffer length before narrowing). */
+  private def frameBytesFor(cs: String, w: Int, h: Int): Option[Long] = cs match {
+    case "420" | "420jpeg" | "420mpeg2" | "420paldv" => Some(w.toLong * h * 3 / 2)
+    case "422" => Some(w.toLong * h * 2)
+    case "444" => Some(w.toLong * h * 3)
+    case "mono" => Some(w.toLong * h)
     case _ => None
   }
 
@@ -326,9 +336,14 @@ object MediaCodecs {
       }
     } catch { case _: NumberFormatException => return None }
     if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    // bound frameBytes to Int BEFORE narrowing (header-supplied w·h near
+    // 2^16×2^16 overflows `w*h*3/2` negative, slipping past the per-frame
+    // fit check below); a ZERO-frame stream is valid, so fitting the
+    // buffer is checked per frame, not here — this bound only proves the
+    // narrowed frameBytes (and w·h for the luma copyOfRange) are sane Ints
     val frameBytes = frameBytesFor(cs, w, h) match {
-      case Some(fb) => fb
-      case None => return None
+      case Some(fb) if fb > 0 && fb <= Int.MaxValue - 16 => fb.toInt
+      case _ => return None
     }
     var off = nl + 1
     var frames = 0
@@ -344,7 +359,7 @@ object MediaCodecs {
       }
       var p = off + 5
       while (p < b.length && b(p) != '\n') p += 1
-      if (p >= b.length || p + 1 + frameBytes > b.length) return None
+      if (p >= b.length || p.toLong + 1 + frameBytes > b.length) return None
       if (collectLuma)
         lumas += java.util.Arrays.copyOfRange(b, p + 1, p + 1 + w * h)
       off = p + 1 + frameBytes

@@ -24,11 +24,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * local array. Per-k work is identical arithmetic in identical order, so
   * signatures (and therefore LSH bucketing) are unchanged.
   */
-object MinHashSigImpl {
+/** The permutation-family pieces BOTH minhash expressions share — one
+  * prime, one pmod, one (a, b) parameter cache. A single definition is
+  * load-bearing: [[ShingleMinHashImpl]]'s bit-identity contract with
+  * `minhash_sig(wordShingles(...))` (and therefore LSH-bucket
+  * compatibility across every signature in a corpus) holds only while
+  * the two expressions hash through literally the same parameters. */
+private[functions] object MinHashShared {
 
-  private val P = TextFns.MinhashPrime
+  val P: Long = TextFns.MinhashPrime
 
-  private def pmod(x: Long, p: Long): Long = {
+  def pmod(x: Long, p: Long): Long = {
     val r = x % p
     if (r < 0) r + p else r
   }
@@ -37,11 +43,15 @@ object MinHashSigImpl {
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
-  private def params(k: Int): (Array[Long], Array[Long]) =
+  def params(k: Int): (Array[Long], Array[Long]) =
     paramCache.computeIfAbsent(k, k2 => {
       val ps = TextFns.minhashParams(k2)
       (ps.map(_._1).toArray, ps.map(_._2).toArray)
     })
+}
+
+object MinHashSigImpl {
+  import MinHashShared.{P, pmod, params}
 
   def sig(arr: ArrayData, k: Int): GenericArrayData = {
     val n = arr.numElements()
@@ -78,22 +88,7 @@ object MinHashSigImpl {
   * registry once benches stopped letting count() prune it.
   */
 object ShingleMinHashImpl {
-
-  private val P = TextFns.MinhashPrime
-
-  private def pmod(x: Long, p: Long): Long = {
-    val r = x % p
-    if (r < 0) r + p else r
-  }
-
-  private val paramCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
-
-  private def params(k: Int): (Array[Long], Array[Long]) =
-    paramCache.computeIfAbsent(k, k2 => {
-      val ps = TextFns.minhashParams(k2)
-      (ps.map(_._1).toArray, ps.map(_._2).toArray)
-    })
+  import MinHashShared.{P, pmod, params}
 
   def sig(toks: ArrayData, n: Int, k: Int): GenericArrayData = {
     val cnt = toks.numElements() - n + 1

@@ -33,19 +33,28 @@ object TopKAgg {
   private def lt(a: Entry, b: Entry): Boolean =
     a.p < b.p || (a.p == b.p && a.id < b.id)
 
-  /** Insert preserving ascending (p, id) order; caller trims to k. */
-  private def insert(e: Entry, xs: List[Entry]): List[Entry] = xs match {
-    case h :: t if lt(h, e) => h :: insert(e, t)
-    case _ => e :: xs
+  /** Insert preserving ascending (p, id) order; caller trims to k.
+    * Iterative (a recursive cons walk is O(k) stack frames — a large
+    * per-group cap would overflow the executor stack mid-aggregate). */
+  private def insert(e: Entry, xs: List[Entry]): List[Entry] = {
+    val prefix = List.newBuilder[Entry]
+    var rest = xs
+    while (rest.nonEmpty && lt(rest.head, e)) {
+      prefix += rest.head
+      rest = rest.tail
+    }
+    prefix.result() ::: (e :: rest)
   }
 
-  private def mergeSorted(a: List[Entry], b: List[Entry]): List[Entry] =
-    (a, b) match {
-      case (Nil, _) => b
-      case (_, Nil) => a
-      case (x :: xs, y :: ys) =>
-        if (lt(y, x)) y :: mergeSorted(a, ys) else x :: mergeSorted(xs, b)
+  private def mergeSorted(a: List[Entry], b: List[Entry]): List[Entry] = {
+    val out = List.newBuilder[Entry]
+    var (x, y) = (a, b)
+    while (x.nonEmpty && y.nonEmpty) {
+      if (lt(y.head, x.head)) { out += y.head; y = y.tail }
+      else { out += x.head; x = x.tail }
     }
+    out.result() ::: (if (x.nonEmpty) x else y)
+  }
 
   /** The k smallest (p, id) entries per group; finish emits the kept ids
     * in ascending (p, id) order, so `posexplode` downstream recovers the

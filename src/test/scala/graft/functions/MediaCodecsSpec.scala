@@ -170,6 +170,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseY4m(Array.fill(300)('Y'.toByte)).isEmpty)
   }
 
+  test("crafted overflow payloads degrade to None, never throw " +
+    "(Int-overflow bounds-check regressions)") {
+    def le32At(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 to 3).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    // WAV whose data chunk declares a near-Int.MaxValue size: the naive
+    // `off + 8 + size > length` wraps negative and passes
+    val wavB = MediaCodecs.buildWav(8000, 20, 2L)
+    val hugeChunk = wavB.clone()
+    le32At(hugeChunk, 40, 0x7FFFFFF0) // data chunk size field
+    assert(MediaCodecs.parseWav(hugeChunk).isEmpty)
+    assert(MediaCodecs.parseWavData(hugeChunk).isEmpty)
+    // BMP with height 0x80000000: math.abs(Int.MinValue) == Int.MinValue
+    val bmp = MediaCodecs.buildBmp(8, 8, 2L)
+    val minHeight = bmp.clone()
+    le32At(minHeight, 22, Int.MinValue)
+    assert(MediaCodecs.parseBmp(minHeight).isEmpty)
+    // Y4M whose header dimensions overflow w*h*3/2 into a negative Int
+    val hdr = "YUV4MPEG2 W46341 H46341 F25:1 C420\nFRAME\n"
+    val y4m = hdr.getBytes("US-ASCII") ++ Array.fill(64)(0.toByte)
+    assert(MediaCodecs.parseY4m(y4m).isEmpty)
+    assert(MediaCodecs.parseY4mLuma(y4m).isEmpty)
+  }
+
   test("decode sniffs the container from bytes, not the kind label") {
     val mislabeled = Multimodal.MediaRow(7L, "audio", MediaCodecs.buildBmp(6, 4, 7L))
     val m = Multimodal.decode(mislabeled)

@@ -78,4 +78,22 @@ class GroupCapSpec extends AnyFunSuite with SparkSpec {
     assert(m.items.length === 3)
     assert(m.items.map(_.p) === List(0L, 1L, 1L))
   }
+
+  test("large cap: deep insert and full-buffer merge stay iterative " +
+    "(stack-overflow regression)") {
+    val k = 20000
+    val agg = graft.functions.TopKAgg.topK(k)
+    // ascending priorities: every insert walks the whole kept list (the
+    // worst case for a recursive cons walk) and merge interleaves two
+    // full k-buffers — the recursive forms overflowed the stack here
+    val a = (0L until k.toLong).map(i =>
+        graft.functions.TopKAgg.Entry(2 * i, i))
+      .foldLeft(agg.zero)(agg.reduce)
+    val b = (0L until k.toLong).map(i =>
+        graft.functions.TopKAgg.Entry(2 * i + 1, k + i))
+      .foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(a, b)
+    assert(m.items.length === k)
+    assert(m.items.map(_.p).take(6) === List(0L, 1L, 2L, 3L, 4L, 5L))
+  }
 }
