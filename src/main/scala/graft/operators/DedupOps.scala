@@ -277,14 +277,14 @@ object DedupOps {
   def exactDedupDrops(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.withColumn("digest", contentDigest(col(textCol)))
     val keep = exactDedup(docs, idCol, textCol)
-    d.join(broadcastIfSmall(keep), Seq("digest"))
+    // deliberately un-hinted: a broadcast only helps when the digest
+    // table fits; at full scale Catalyst/AQE picks SMJ — advisory, not
+    // load-bearing (a former broadcastIfSmall identity wrapper said the
+    // same thing while implying a hint it never applied)
+    d.join(keep, Seq("digest"))
       .filter(col(idCol) =!= col("keep_id"))
       .select(col(idCol), col("digest"), col("keep_id"))
   }
-
-  // Broadcast hint only helps when the digest table fits; at full scale
-  // Catalyst/AQE picks SMJ — the hint is advisory, not load-bearing.
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
   /** d17: incremental-ingestion dedup — classify every BATCH document
     * against an already-ingested CORPUS plus the batch itself, by content

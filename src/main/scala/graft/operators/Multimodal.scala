@@ -153,14 +153,33 @@ object Multimodal {
   private def audioWindowsOf(mediaId: Long, payload: Array[Byte],
       windowFrames: Int): Seq[AudioWindow] =
     MediaCodecs.parseWavData(payload) match {
-      case Some((_, samples)) =>
-        samples.indices.groupBy(_ / windowFrames).toSeq.sortBy(_._1)
-          .map { case (w, idx) =>
-            val abs = idx.map(i => math.abs(samples(i).toLong))
-            AudioWindow(mediaId, w, idx.length.toLong,
-              abs.max.toInt, 1000L * abs.sum / idx.length)
+      case Some((_, samples)) if samples.nonEmpty =>
+        // one allocation-free pass (the frameSadsOf discipline): this is
+        // THE per-sample loop of every audio operator — a groupBy/sortBy
+        // form boxed an Integer per sample on the decode hot path
+        val n = samples.length
+        val nw = (n + windowFrames - 1) / windowFrames
+        val out = new Array[AudioWindow](nw)
+        var w = 0
+        while (w < nw) {
+          val start = w * windowFrames
+          val end = math.min(start + windowFrames, n)
+          var i = start
+          var peak = 0L
+          var sum = 0L
+          while (i < end) {
+            val a = math.abs(samples(i).toLong)
+            if (a > peak) peak = a
+            sum += a
+            i += 1
           }
-      case None => Nil
+          val cnt = end - start
+          out(w) = AudioWindow(mediaId, w, cnt.toLong, peak.toInt,
+            1000L * sum / cnt)
+          w += 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      case _ => Nil
     }
 
   def audioProfile(media: Dataset[MediaRow],
@@ -315,9 +334,12 @@ object Multimodal {
     * words riding along. In production this is a parquet artifact
     * appended as clips ingest. */
   def audioBandIndex(media: Dataset[MediaRow], windowFrames: Int,
-      minBits: Int = 8): DataFrame =
+      minBits: Int = 8): DataFrame = {
+    require(minBits >= 4,
+      s"minBits=$minBits — fair-split bands need n_bits >= 4 (see audioClusters)")
     asAudioIndexRows(audioBitBands(audioFullBits(media, windowFrames)
       .toDF().filter(col("n_bits") >= minBits)))
+  }
 
   /** m11: audio duplicate CLUSTERS — the audio d06/m09: fingerprint every
     * clip ([[audioFullBits]]), generate candidate pairs through the
@@ -351,7 +373,10 @@ object Multimodal {
       maxHamming: Int = 3, minBits: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
-    require(minBits >= 1, s"minBits=$minBits")
+    require(minBits >= 4,
+      s"minBits=$minBits — fair-split bands are nonempty only for " +
+        "n_bits >= 4; below that an empty band matches everything and " +
+        "candidate generation degenerates to same-length all-pairs")
     val bits = audioFullBits(media, windowFrames).toDF()
     val bands = audioBitBands(bits.filter(col("n_bits") >= minBits))
     val edges = bands.join(asAudioIndexRows(bands),
@@ -675,7 +700,14 @@ object Multimodal {
     * per-row `sequence`, no UDTF needed.
     */
   def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
-    meta.filter(col("kind") === "video")
+    // n_frames > 0: sequence(0, -1, stride) THROWS (illegal boundaries),
+    // so a zero-frame stream (valid Y4M) or a malformed payload would
+    // kill the stage — the poison-row rule. width > 0 excludes a
+    // mislabeled AUDIO payload (decode sniffs bytes, so its meta carries
+    // PCM frame counts with no dimensions — exploding one row per
+    // sample, millions per clip, is not "frame sampling").
+    meta.filter(col("kind") === "video" && col("n_frames") > 0 &&
+        col("width") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(stride))).as("frame_idx"))
@@ -688,12 +720,16 @@ object Multimodal {
     * pure projection — no shuffle, runs inside the scan's codegen stage.
     */
   def resizePlan(meta: DataFrame, target: Int): DataFrame = {
+    // undecodable rows carry zeroed dimensions; 0/0 would be NaN and
+    // floor(NaN).cast(int) throws under ANSI — exclude them (a resize
+    // plan for an image that didn't decode is meaningless anyway)
+    val sized = meta.filter(col("width") > 0 && col("height") > 0)
     val longest = greatest(col("width"), col("height"))
     // floor() on exact small doubles == integer DIV on both engines; avoid
     // bare double→int casts (Spark truncates, DuckDB rounds)
     val outW = floor(col("width") * target / longest).cast("int")
     val outH = floor(col("height") * target / longest).cast("int")
-    meta.select(col("media_id"), col("width"), col("height"),
+    sized.select(col("media_id"), col("width"), col("height"),
       outW.as("out_w"), outH.as("out_h"),
       floor((lit(target) - outW) / 2).cast("int").as("pad_x"),
       floor((lit(target) - outH) / 2).cast("int").as("pad_y"))

@@ -621,6 +621,8 @@ object PipelineStreams {
       minBits: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
+    require(minBits >= 4,
+      s"minBits=$minBits — fair-split bands need n_bits >= 4 (see audioClusters)")
     graft.operators.Multimodal.audioBitBands(
         graft.operators.Multimodal.audioFullBits(media, windowFrames)
           .toDF().filter(col("n_bits") >= minBits))
