@@ -41,10 +41,16 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
-      else p
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        // zero part files (an empty write leaves only _SUCCESS): no
+        // footer to branch on — treat as non-nanos and let the normal
+        // read path handle the empty table, instead of an opaque
+        // empty.minBy crash
+        if (parts.isEmpty) return false
+        parts.minBy(_.getName)
+      } else p
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
     try {

@@ -28,12 +28,19 @@ object AnalysisMain {
     val Array(inputDir, snapshotPath, checkpointDir, rest @ _*) = args
     // positional optionals are numeric in declared order; anything else
     // must be a known flag
-    val unknown = rest.filterNot(a => a.forall(_.isDigit) || a == "--available-now")
+    // nonEmpty: "" passes forall(isDigit) vacuously, then toLong throws a
+    // stack trace instead of the usage contract; overflow is caught below
+    def numeric(a: String) = a.nonEmpty && a.forall(_.isDigit)
+    val unknown = rest.filterNot(a => numeric(a) || a == "--available-now")
     if (unknown.nonEmpty)
       JobSession.usageExit(usage, s"unrecognized arguments: ${unknown.mkString(" ")}")
-    val intervalMs = rest.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(10000L)
-    val topHosts = rest.filter(_.forall(_.isDigit)).drop(1).headOption
-      .map(_.toInt).getOrElse(500)
+    def parsed[T](a: Option[String], f: String => T, default: T): T =
+      try a.map(f).getOrElse(default)
+      catch { case _: NumberFormatException =>
+        JobSession.usageExit(usage, s"numeric argument out of range: ${a.get}")
+      }
+    val intervalMs = parsed(rest.find(numeric), _.toLong, 10000L)
+    val topHosts = parsed(rest.filter(numeric).drop(1).headOption, _.toInt, 500)
     val availableNow = rest.contains("--available-now")
 
     implicit val spark = JobSession.local("graft-analysis")
@@ -42,7 +49,9 @@ object AnalysisMain {
     val events = spark.readStream
       .schema(CrawlSchemas.crawlEventSchema)
       .json(inputDir)
-      .withColumn("event_ts", to_timestamp(col("timestamp")))
+      // try_: one malformed timestamp under default ANSI would crash
+      // the stream into a checkpoint-replay loop (null degrades)
+      .withColumn("event_ts", try_to_timestamp(col("timestamp")))
       .select(
         graft.functions.CrawlCols.hostOf(col("url")).as("host"),
         col("event_ts"),
@@ -58,6 +67,6 @@ object AnalysisMain {
     val q =
       if (availableNow) writer.trigger(Trigger.AvailableNow()).start()
       else writer.start()
-    if (availableNow) q.awaitTermination() else q.awaitTermination()
+    q.awaitTermination()
   }
 }

@@ -44,15 +44,20 @@ object ReportMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2 || args.length > 3) JobSession.usageExit(usage)
     val Array(input, format, rest @ _*) = args
+    // validate BEFORE the session: a typo'd format should cost the usage
+    // line and exit 2 (the JobSession contract), not a Spark startup and
+    // a stack trace
+    val formats = Set("raw", "crawl-log", "summary", "solr")
+    if (!formats(format))
+      JobSession.usageExit(usage,
+        s"unknown format: $format (expected ${formats.mkString("|")})")
     val spark = JobSession.local(s"graft-report-$format")
     val events = spark.read.schema(CrawlSchemas.crawlEventSchema).json(input)
     val out = format match {
       case "raw" => ReportJob.rawStream(events)
       case "crawl-log" => ReportJob.crawlLogStream(events)
       case "summary" => ReportJob.hostSummary(events)
-      case "solr" => ReportJob.solrDocs(events)
-      case other => sys.error(s"unknown format: $other " +
-        "(expected raw|crawl-log|summary|solr)")
+      case _ => ReportJob.solrDocs(events)
     }
     rest.headOption match {
       // an http(s) target with the solr format drives the real sink
@@ -147,7 +152,9 @@ object StreamerMain {
   /** `[startIso, endIso)` filter on the raw line's own `timestamp` field. */
   private[graft] def timeRange(raw: org.apache.spark.sql.DataFrame,
       startIso: String, endIso: String): org.apache.spark.sql.DataFrame = {
-    val ts = to_timestamp(get_json_object(col("value"), "$.timestamp"))
+    // try_: a raw-passthrough replay must skip a poison timestamp,
+    // not abort the bounded range under ANSI
+    val ts = try_to_timestamp(get_json_object(col("value"), "$.timestamp"))
     raw.filter(ts >= lit(startIso).cast("timestamp") &&
       ts < lit(endIso).cast("timestamp"))
   }
@@ -180,9 +187,7 @@ object StreamerMain {
     val StreamerArgs(input, startIso, endIso, limit, outDir) =
       parseArgs(args.toSeq) match {
         case Right(parsed) => parsed
-        case Left(err) =>
-          System.err.println(s"$err\n$usage"); sys.exit(2)
-          throw new IllegalStateException("unreachable")
+        case Left(err) => JobSession.usageExit(usage, err)
       }
     val spark = JobSession.local("graft-streamer")
     val ranged = timeRange(spark.read.text(input), startIso, endIso)

@@ -48,7 +48,8 @@ object ReportJob {
       .filter(col("url").startsWith("http")) // F2
       .withColumn("host", host)
       .withColumn("via_host", CrawlCols.hostOf(col("via")))
-      .withColumn("event_ts", to_timestamp(col("timestamp")))
+      // try_: one malformed timestamp must not kill the whole report
+      .withColumn("event_ts", try_to_timestamp(col("timestamp")))
       .groupBy(col("host"))
       .agg(
         count(lit(1)).as("tot"),

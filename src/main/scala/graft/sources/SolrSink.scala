@@ -23,10 +23,22 @@ object SolrSink {
     * invoke it. */
   type Transport = (String, String) => Int
 
+  /** One pooled client per (JVM, timeout): the transport closure must be
+    * serializable, but building an HttpClient (selector threads + pool)
+    * PER BATCH would discard connection reuse — a 1M-doc write at
+    * batchSize 100 is 10k clients. The lazy map lives object-side on
+    * each executor; closures capture only the timeout. */
+  @transient private lazy val clientCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.net.http.HttpClient]()
+
+  private def clientFor(timeoutMs: Int): java.net.http.HttpClient =
+    clientCache.computeIfAbsent(timeoutMs, t =>
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(t)).build())
+
   /** Default deployment transport: POST application/json. */
   def httpTransport(timeoutMs: Int = 30000): Transport = (url, body) => {
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val client = clientFor(timeoutMs)
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")

@@ -60,7 +60,9 @@ object CrawlStreams {
       .withColumn("malformed", col("event").isNull ||
         (col("event.url").isNull && col("event.status_code").isNull))
       .select(col("kafka_key"), col("json"), col("event.*"), col("malformed"))
-      .withColumn("event_ts", to_timestamp(col("timestamp")))
+      // try_: an at-ingest parse must degrade a malformed timestamp to
+      // null (the watermark predicate keeps null-ts rows), not crash
+      .withColumn("event_ts", try_to_timestamp(col("timestamp")))
 
   /** S8: keyed JSON producer frame — the murmur3 authority key (P19/ST11)
     * plus a JSON value column, ready for the kafka sink (`kafka.acks=all`
