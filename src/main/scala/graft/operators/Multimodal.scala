@@ -87,6 +87,50 @@ object Multimodal {
     (sniffed, meta)
   }
 
+  /** One decoded-signature row per payload — everything the composed
+    * at-ingest media chain needs from ONE pass over the bytes: the decode
+    * verdict (+ sniffed container) plus whichever dup signature the
+    * container supports (aHash words for images, full delta-sign series
+    * for audio). `is_image`/`is_audio` gate the band legs; both false
+    * with ok=true means "decodes fine, no dup signal" (video, palette
+    * BMPs, sub-2-window clips) — those rows pass the decode gate and
+    * ingest unbanded. */
+  case class MediaSigRow(media_id: Long, kind_detected: String, ok: Boolean,
+      is_image: Boolean, ha: Long, hb: Long,
+      is_audio: Boolean, n_windows: Int, n_bits: Int, fa: Long, fb: Long)
+
+  /** The composed chain's single decode dispatch: sniff + decode once,
+    * then compute the container's dup signature via the SAME per-payload
+    * folds the batch operators use ([[aHashOf]], [[audioBitsOf]]) — one
+    * bit definition, so chain decisions and batch ledgers cannot drift. */
+  def signatureOf(row: MediaRow, windowFrames: Int): MediaSigRow = {
+    val (sniffed, meta) = decodeSniffed(row)
+    def plain(ok: Boolean) = MediaSigRow(row.media_id, sniffed, ok,
+      is_image = false, 0L, 0L, is_audio = false, 0, 0, 0L, 0L)
+    if (!meta.ok) plain(ok = false)
+    else sniffed match {
+      case "image" =>
+        aHashOf(row.payload) match {
+          case Some((_, _, ha, hb, _)) =>
+            MediaSigRow(row.media_id, sniffed, ok = true,
+              is_image = true, ha, hb, is_audio = false, 0, 0, 0L, 0L)
+          // decodable container the hash doesn't cover (palette BMP):
+          // passes the decode gate, carries no dup signal — mirrors
+          // batch imageHash, which emits nothing for it
+          case None => plain(ok = true)
+        }
+      case "audio" =>
+        audioBitsOf(row.media_id, row.payload, windowFrames) match {
+          case Some(b) =>
+            MediaSigRow(row.media_id, sniffed, ok = true,
+              is_image = false, 0L, 0L,
+              is_audio = true, b.n_windows, b.n_bits, b.fa, b.fb)
+          case None => plain(ok = true) // zero windows: too short to print
+        }
+      case _ => plain(ok = true) // video: decode gate only (no m-dup op)
+    }
+  }
+
   /** Partition-local decode: one initialization per partition (the shape a
     * real codec needs), rows streamed through — the Scala analogue of
     * `mapInPandas` batch processing.
@@ -260,21 +304,28 @@ object Multimodal {
     require(windowFrames > 0, s"windowFrames=$windowFrames")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.flatMap { row =>
-        val ws = audioWindowsOf(row.media_id, row.payload, windowFrames)
-        if (ws.isEmpty) None
-        else {
-          val bits = (1 until ws.length)
-            .map(i => if (ws(i).mean_abs_milli > ws(i - 1).mean_abs_milli)
-              1L else 0L)
-            .take(64)
-          var fa = 0L; var fb = 0L
-          bits.zipWithIndex.foreach { case (b, i) =>
-            if (i < 32) fa |= b << i else fb |= b << (i - 32)
-          }
-          Some(AudioBitsRow(row.media_id, ws.length, bits.length, fa, fb))
-        }
+      rows.flatMap(row => audioBitsOf(row.media_id, row.payload, windowFrames))
+    }
+  }
+
+  /** THE per-payload full-series delta-sign fold — factored out of
+    * [[audioFullBits]] so the composed ingest chain's single decode pass
+    * ([[signatureOf]]) and the batch fingerprint use one bit definition.
+    * None when the payload yields no audio windows. */
+  private[graft] def audioBitsOf(mediaId: Long, payload: Array[Byte],
+      windowFrames: Int): Option[AudioBitsRow] = {
+    val ws = audioWindowsOf(mediaId, payload, windowFrames)
+    if (ws.isEmpty) None
+    else {
+      val bits = (1 until ws.length)
+        .map(i => if (ws(i).mean_abs_milli > ws(i - 1).mean_abs_milli)
+          1L else 0L)
+        .take(64)
+      var fa = 0L; var fb = 0L
+      bits.zipWithIndex.foreach { case (b, i) =>
+        if (i < 32) fa |= b << i else fb |= b << (i - 32)
       }
+      Some(AudioBitsRow(mediaId, ws.length, bits.length, fa, fb))
     }
   }
 
@@ -315,7 +366,9 @@ object Multimodal {
          |        32 - $lo)
          |END""".stripMargin
     }
-    bits.select(col("media_id"), col("n_windows"), col("fa"), col("fb"),
+    // col("*"): extra input columns (an event-time ts in the streaming
+    // chain) ride through unchanged — consumers select what they need
+    bits.select(col("*"),
       posexplode(array((0 to 3).map(b => expr(bandKey(b))): _*))
         .as(Seq("band", "band_key")))
   }
@@ -468,32 +521,39 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { row =>
-        MediaCodecs.parseBmpChannel0(row.payload) match {
-          case Some((w, h, px)) =>
-            val vals = new Array[Int](64)
-            var s = 0L
-            var idx = 0
-            while (idx < 64) {
-              val x = (idx % 8) * w / 8
-              val y = (idx / 8) * h / 8
-              val v = px(y * w + x) & 0xFF
-              vals(idx) = v; s += v; idx += 1
-            }
-            var ha = 0L; var hb = 0L
-            idx = 0
-            while (idx < 64) {
-              if (vals(idx) * 64L > s) {
-                if (idx < 32) ha |= 1L << idx else hb |= 1L << (idx - 32)
-              }
-              idx += 1
-            }
-            Some(ImageHashRow(row.media_id, w, h, ha, hb,
-              java.lang.Long.bitCount(ha) + java.lang.Long.bitCount(hb)))
-          case None => None
+        aHashOf(row.payload).map { case (w, h, ha, hb, nOnes) =>
+          ImageHashRow(row.media_id, w, h, ha, hb, nOnes)
         }
       }
     }
   }
+
+  /** THE per-payload aHash: (width, height, ha, hb, n_ones), None when
+    * the payload is not a decodable truecolor BMP. Factored out of
+    * [[imageHash]] so the composed ingest chain's single decode pass
+    * ([[signatureOf]]) and the batch hash use one bit definition. */
+  private[graft] def aHashOf(payload: Array[Byte]): Option[(Int, Int, Long, Long, Int)] =
+    MediaCodecs.parseBmpChannel0(payload).map { case (w, h, px) =>
+      val vals = new Array[Int](64)
+      var s = 0L
+      var idx = 0
+      while (idx < 64) {
+        val x = (idx % 8) * w / 8
+        val y = (idx / 8) * h / 8
+        val v = px(y * w + x) & 0xFF
+        vals(idx) = v; s += v; idx += 1
+      }
+      var ha = 0L; var hb = 0L
+      idx = 0
+      while (idx < 64) {
+        if (vals(idx) * 64L > s) {
+          if (idx < 32) ha |= 1L << idx else hb |= 1L << (idx - 32)
+        }
+        idx += 1
+      }
+      (w, h, ha, hb,
+        java.lang.Long.bitCount(ha) + java.lang.Long.bitCount(hb))
+    }
 
   /** 16-bit band decomposition of the 64-bit aHash — the d18 banding idea
     * carried to images, with an EXACT guarantee LSH lacks: by pigeonhole,
@@ -504,7 +564,9 @@ object Multimodal {
     * builder and the streaming detector so banding cannot drift.
     */
   private[graft] def imageHashBands(hashes: DataFrame): DataFrame =
-    hashes.select(col("media_id"), col("ha"), col("hb"),
+    // col("*"): extra input columns (an event-time ts in the streaming
+    // chain) ride through unchanged — consumers select what they need
+    hashes.select(col("*"),
       posexplode(array(
         col("ha").bitwiseAND(lit(0xFFFFL)),
         shiftright(col("ha"), 16).bitwiseAND(lit(0xFFFFL)),

@@ -636,6 +636,127 @@ object PipelineStreams {
         col("ham").cast("int").as("hamming"))
   }
 
+  /** The composed at-ingest MEDIA chain — the [[ingestChain]] idea for
+    * binary payloads, wiring the three media legs into one pass and one
+    * decision per clip: decode gate → visual dup probe → audio near-dup
+    * probe, cheap-to-expensive:
+    *
+    *   1. ONE partition-local decode
+    *      ([[graft.operators.Multimodal.signatureOf]] — the shared
+    *      per-payload folds, so chain bits ≡ batch bits): payload bytes
+    *      never shuffle; each clip leaves the scan as one ≤ 60-byte
+    *      signature row. Malformed payloads carry ok=false and generate
+    *      NO band rows — a poison row costs its self row, nothing more.
+    *   2. the two band legs explode through THE shared band builders
+    *      (imageHashBands / audioBitBands) and union-tag with the per-clip
+    *      self rows into one stream (null join keys on foreign-leg rows
+    *      never match — the ingestChain pattern, because detector outputs
+    *      cannot stream-stream self-join), then two stream-static LEFT
+    *      joins probe the pre-materialized corpus indexes
+    *      (imageBandIndex / audioBandIndex); full-Hamming verify is a
+    *      COLUMN, exact at radius ≤ 3 by the 4-band pigeonhole.
+    *   3. ONE stateful stage: groupBy(window, media_id) holds one
+    *      boolean-flags row per clip (multi-band duplicate hits collapse
+    *      here — the chain pays the window latency the stateless
+    *      detectors avoid, and buys back single-flag output), emitting at
+    *      watermark close one decision row:
+    *      drop_decode | drop_visual_dup | drop_audio_dup | ingest,
+    *      with the minimum matching corpus id per dup family.
+    *
+    * Input frame: (`tsCol`, media_id, kind, payload) — the
+    * [[decodeHealthByWindow]] shape. One watermark, set at the top (the
+    * r8 trap: the legs are inlined, not composed from the detectors,
+    * because a chain must not redefine a watermark mid-stream — here
+    * only the final rollup is stateful anyway).
+    */
+  def mediaIngestChain(media: DataFrame, imageIndex: DataFrame,
+      audioIndex: DataFrame, tsCol: String, windowFrames: Int,
+      window_ : String, delay: String, maxHamming: Int = 3,
+      minBits: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
+    require(minBits >= 4,
+      s"minBits=$minBits — fair-split bands need n_bits >= 4 (see audioClusters)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = media
+      .select(col(tsCol), col("media_id"), col("kind"), col("payload"))
+      .as[(java.sql.Timestamp, Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (ts, id, kind, payload) =>
+          (ts, graft.operators.Multimodal.signatureOf(
+            graft.operators.Multimodal.MediaRow(id, kind, payload),
+            windowFrames))
+        }
+      }
+      .select(col("_1").as(tsCol), col("_2.*"))
+      .withWatermark(tsCol, delay)
+    def nl(t: String)(names: String*) =
+      names.map(n => lit(null).cast(t).as(n))
+    val self = sigs.select(
+      Seq(col(tsCol), col("media_id"), lit("self").as("leg"), col("ok"),
+        col("kind_detected")) ++
+        nl("int")("iband") ++ nl("bigint")("iband_key", "ha", "hb") ++
+        nl("int")("n_windows", "aband") ++
+        nl("bigint")("aband_key", "fa", "fb"): _*)
+    val img = graft.operators.Multimodal.imageHashBands(
+        sigs.filter(col("ok") && col("is_image"))
+          .select(col(tsCol), col("media_id"), col("ha"), col("hb")))
+      .select(
+        Seq(col(tsCol), col("media_id"), lit("img").as("leg"),
+          lit(null).cast("boolean").as("ok")) ++
+          nl("string")("kind_detected") :+
+          col("band").as("iband") :+ col("band_key").as("iband_key") :+
+          col("ha") :+ col("hb") :++
+          nl("int")("n_windows", "aband") :++
+          nl("bigint")("aband_key", "fa", "fb"): _*)
+    val aud = graft.operators.Multimodal.audioBitBands(
+        sigs.filter(col("ok") && col("is_audio") &&
+            col("n_bits") >= minBits)
+          .select(col(tsCol), col("media_id"), col("n_windows"),
+            col("n_bits"), col("fa"), col("fb")))
+      .select(
+        Seq(col(tsCol), col("media_id"), lit("aud").as("leg"),
+          lit(null).cast("boolean").as("ok")) ++
+          nl("string")("kind_detected") :++
+          nl("int")("iband") :++ nl("bigint")("iband_key", "ha", "hb") :+
+          col("n_windows") :+ col("band").as("aband") :+
+          col("band_key").as("aband_key") :+ col("fa") :+ col("fb"): _*)
+    val iidx = imageIndex.select(col("band").as("iband"),
+      col("band_key").as("iband_key"), col("cid").as("icid"),
+      col("cha"), col("chb"))
+    val aidx = audioIndex.select(col("n_windows"),
+      col("band").as("aband"), col("band_key").as("aband_key"),
+      col("cid").as("acid"), col("cfa"), col("cfb"))
+    val imgDup = col("icid").isNotNull &&
+      col("icid") =!= col("media_id") &&
+      bit_count(col("ha").bitwiseXOR(col("cha"))) +
+        bit_count(col("hb").bitwiseXOR(col("chb"))) <= maxHamming
+    val audDup = col("acid").isNotNull &&
+      col("acid") =!= col("media_id") &&
+      bit_count(col("fa").bitwiseXOR(col("cfa"))) +
+        bit_count(col("fb").bitwiseXOR(col("cfb"))) <= maxHamming
+    self.unionByName(img).unionByName(aud)
+      .join(iidx, Seq("iband", "iband_key"), "left")
+      .join(aidx, Seq("n_windows", "aband", "aband_key"), "left")
+      .groupBy(window(col(tsCol), window_), col("media_id"))
+      .agg(
+        max(when(col("leg") === "self" && col("ok"), 1).otherwise(0))
+          .as("ok_flag"),
+        first(col("kind_detected"), ignoreNulls = true).as("kind_detected"),
+        max(when(imgDup, 1).otherwise(0)).as("img_dup"),
+        max(when(audDup, 1).otherwise(0)).as("aud_dup"),
+        min(when(imgDup, col("icid"))).as("visual_dup_of"),
+        min(when(audDup, col("acid"))).as("audio_dup_of"))
+      .select(col("window.start").as("window_start"), col("media_id"),
+        col("kind_detected"),
+        when(col("ok_flag") === 0, "drop_decode")
+          .when(col("img_dup") === 1, "drop_visual_dup")
+          .when(col("aud_dup") === 1, "drop_audio_dup")
+          .otherwise("ingest").as("decision"),
+        col("visual_dup_of"), col("audio_dup_of"))
+  }
+
   /** The full at-ingest curation chain, composed — what a production
     * ingest actually wires before the sink, in cheap-to-expensive order:
     *

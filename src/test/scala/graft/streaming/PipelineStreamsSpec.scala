@@ -1250,4 +1250,94 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(out === batch)
     } finally q.stop()
   }
+
+  test("composed media ingest chain: one decision per clip — decode gate, " +
+    "visual dup, audio near-dup with in-chain verify") {
+    import graft.MediaTestBytes
+    import graft.functions.MediaCodecs
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      MediaRow(1L, "image", MediaCodecs.buildBmp(16, 16, 5L)),
+      MediaRow(2L, "image", MediaCodecs.buildBmp(16, 16, 99L)),
+      MediaRow(3L, "audio", MediaTestBytes.clip(MediaTestBytes.rising)))
+    val iidx = Multimodal.imageBandIndex(
+      corpus.filter(_.kind == "image").toDS())
+    val aidx = Multimodal.audioBandIndex(
+      corpus.filter(_.kind == "audio").toDS(), windowFrames = 4)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String, Array[Byte])]
+    val decisions = PipelineStreams.mediaIngestChain(
+      in.toDF().toDF("ts", "media_id", "kind", "payload"), iidx, aidx,
+      "ts", windowFrames = 4, window_ = "10 minutes", delay = "10 minutes")
+    val q = decisions.writeStream.format("memory").queryName("mic")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // exact image re-upload of corpus 1 → visual dup
+        (ts("2021-01-16 17:00:00"), 10L, "image",
+          MediaCodecs.buildBmp(16, 16, 5L)),
+        // novel image → ingest
+        (ts("2021-01-16 17:00:01"), 11L, "image",
+          MediaCodecs.buildBmp(16, 16, 42L)),
+        // exact audio re-upload of corpus 3 → audio dup at Hamming 0
+        (ts("2021-01-16 17:00:02"), 12L, "audio",
+          MediaTestBytes.clip(MediaTestBytes.rising)),
+        // one-dip variant → audio near-dup at Hamming 1
+        (ts("2021-01-16 17:00:03"), 13L, "audio",
+          MediaTestBytes.clip(MediaTestBytes.oneDip)),
+        // print-equal but later-divergent (Hamming 6): bands collide,
+        // the in-chain full-series verify must REJECT → ingest
+        (ts("2021-01-16 17:00:04"), 14L, "audio",
+          MediaTestBytes.clip(MediaTestBytes.diverges)),
+        // garbage bytes → decode gate
+        (ts("2021-01-16 17:00:05"), 15L, "image",
+          Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)),
+        // clean video: decodes, no dup leg → ingest
+        (ts("2021-01-16 17:00:06"), 16L, "video",
+          MediaCodecs.buildY4m(8, 8, 3, 7L)),
+        // one-window audio: decodes, too short to print → ingest
+        (ts("2021-01-16 17:00:07"), 17L, "audio",
+          MediaTestBytes.clip(Seq(100))))
+      q.processAllAvailable()
+      in.addData((ts("2021-01-16 17:40:00"), 99L, "image",
+        Array[Byte](0))) // watermark sentinel past the arrival window
+      q.processAllAvailable()
+      val rows = spark.table("mic")
+        .select("media_id", "decision", "visual_dup_of", "audio_dup_of")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+      assert(rows.keySet === Set(10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L))
+      assert(rows(10L) === (("drop_visual_dup", Some(1L), None)))
+      assert(rows(11L) === (("ingest", None, None)))
+      assert(rows(12L) === (("drop_audio_dup", None, Some(3L))))
+      assert(rows(13L) === (("drop_audio_dup", None, Some(3L))))
+      assert(rows(14L) === (("ingest", None, None)))
+      assert(rows(15L) === (("drop_decode", None, None)))
+      assert(rows(16L) === (("ingest", None, None)))
+      assert(rows(17L) === (("ingest", None, None)))
+      // exactly ONE decision row per clip — the stateful rollup collapses
+      // multi-band duplicate hits the stateless detectors emit
+      assert(spark.table("mic").groupBy("media_id").count()
+        .filter(col("count") > 1).count() === 0L)
+      // leg agreement: the chain's dup flags equal the standalone
+      // detectors' flagged sets on the same arrivals + indexes
+      val arrivalRows = Seq(
+        MediaRow(10L, "image", MediaCodecs.buildBmp(16, 16, 5L)),
+        MediaRow(11L, "image", MediaCodecs.buildBmp(16, 16, 42L)),
+        MediaRow(12L, "audio", MediaTestBytes.clip(MediaTestBytes.rising)),
+        MediaRow(13L, "audio", MediaTestBytes.clip(MediaTestBytes.oneDip)),
+        MediaRow(14L, "audio", MediaTestBytes.clip(MediaTestBytes.diverges)))
+      val imgFlags = PipelineStreams
+        .imageDupDetector(arrivalRows.toDS(), iidx)
+        .select("media_id").as[Long].collect().toSet
+      val audFlags = PipelineStreams
+        .audioNearDupDetector(arrivalRows.toDS(), aidx, windowFrames = 4)
+        .select("media_id").as[Long].collect().toSet
+      assert(rows.filter(_._2._1 == "drop_visual_dup").keySet === imgFlags)
+      assert(rows.filter(_._2._1 == "drop_audio_dup").keySet === audFlags)
+    } finally q.stop()
+  }
 }
