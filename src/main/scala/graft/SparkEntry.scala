@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.defs ++ RelationalQueries.defs ++ CrawlParityQueries.defs ++
       LauncherQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs ++
-      CoverageQueries.defs
+      CoverageQueries.defs ++ GraphOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     EventQueries.oracles ++ RelationalQueries.oracles ++
       CrawlParityQueries.oracles ++ LauncherQueries.oracles ++
       PipelineQueries.oracles ++ ExtendedQueries.oracles ++
-      CoverageQueries.oracles
+      CoverageQueries.oracles ++ GraphOps.oracles
 }

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host-graph operators over observed crawl links — the frontier-
+  * prioritization signal a crawler derives from its own traffic (the idea
+  * behind Heritrix's precedence providers and OPIC-style cash schedulers:
+  * rank hosts by how much of the observed link mass flows into them, then
+  * spend politeness budget top-down). Reference behavior: the crawl-stream
+  * analyses in /root/reference/crawlstreams (report.py's per-host
+  * summaries); the rank itself is the classic public PageRank recurrence
+  * re-expressed Spark-first.
+  *
+  * Arithmetic discipline (the t11/t21 micro-nat rule carried to graphs):
+  * ranks live in integer MICRO-units and every per-edge contribution is
+  * computed with the two-term integer split
+  *
+  *   contrib = (rank div ow) * w  +  ((rank mod ow) * w) div ow
+  *
+  * — floor division only, no cross-row float reduction anywhere, so the
+  * iteration is order-independent and IEEE-free: engine and oracle agree
+  * bit-for-bit by construction. The split also sets the overflow envelope:
+  * `(rank div ow) * w <= rank` (w <= ow termwise) is bounded by total mass
+  * N·10^6, and `(rank mod ow) * w < ow^2`, so the math is int64-exact while
+  * the heaviest host's total out-weight stays below sqrt(2^63) ~ 3.0e9
+  * observed out-links — comfortably past any real host graph; past it,
+  * swap the two products to DECIMAL(38,0) (the t35 recipe).
+  */
+object GraphOps {
+
+  /** Initial per-node mass: 1.0 in micro-units. */
+  val RankInitMicro = 1000000L
+  /** Damping d = 85/100 as ONE shared rational (engine + oracle). */
+  val DampNum = 85L
+  val DampDen = 100L
+  /** Teleport term (1-d)·init, floored once — 150000 micro. */
+  val TeleportMicro: Long = (DampDen - DampNum) * RankInitMicro / DampDen
+
+  /** Weighted integer PageRank over an observed-link edge stream.
+    *
+    * Input: one row per observed link (src, dst) — multi-edges become
+    * weights. Self-loops are dropped (a link to the same host spends no
+    * frontier budget). Output: (host, rank_micro) for every host that
+    * appears on either side of an edge, ordered rank-desc then host.
+    *
+    * Semantics: fixed `iterations` of
+    *   rank'(v) = teleport + d · Σ_{(u,v)} rank(u)·w(u,v)/out(u)
+    * with the integer split above; dangling hosts (in-links only) keep
+    * teleport + nothing and their mass LEAKS by design — a relative
+    * priority signal does not need the stochastic-matrix patch, and
+    * skipping the dangling redistribution keeps the iteration one
+    * edges⋈ranks join instead of an extra global scalar pass. Fixed
+    * iteration count (the public convention for ranking use) keeps the
+    * loop plan-pinned and the oracle expressible as chained CTEs.
+    *
+    * Scale shape: the edge aggregate — the only corpus-sized shuffle —
+    * happens ONCE and is checkpointed for reuse; each iteration is two
+    * keyed shuffles (edges⋈ranks on src, contribution sum on dst) plus
+    * the node left-join, all on (host, long) rows — no text, no driver
+    * data, plans O(1) via localCheckpoint (the d06 loop discipline). The
+    * rank table is host-cardinality, orders of magnitude below the link
+    * count at 100 TB.
+    */
+  def hostRank(links: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations")
+    val edges = links
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("host"))
+      .unionByName(edges.select(col("dst").as("host")))
+      .distinct()
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank_micro", lit(RankInitMicro))
+    var i = 0
+    while (i < iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("host", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .groupBy(col("dst").as("host"))
+        .agg(sum(expr(
+          "(rank_micro div ow) * w + ((rank_micro % ow) * w) div ow"))
+          .as("c"))
+      ranks = nodes
+        .join(contrib, Seq("host"), "left")
+        .select(col("host"), expr(
+          s"CAST($TeleportMicro AS BIGINT) + " +
+            s"($DampNum * coalesce(c, CAST(0 AS BIGINT))) div $DampDen")
+          .as("rank_micro"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.orderBy(col("rank_micro").desc, col("host"))
+  }
+
+  /** The registry's synthesized host-link stream: every event is one
+    * observed link from the referring host (event_id-derived) to the
+    * landing host (user_id-derived) — 20 hosts, deterministic, and
+    * recomputable in ANSI SQL so the oracle rebuilds the identical graph. */
+  private def eventLinks(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d).select(
+      concat(lit("host"), col("event_id") % 20, lit(".example.org"))
+        .as("src"),
+      concat(lit("host"), col("user_id") % 20, lit(".example.org"))
+        .as("dst"))
+
+  val HostRankIters = 10
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_host_rank" -> ((s, d) =>
+      hostRank(eventLinks(s, d), HostRankIters)),
+
+    // The graph datasheet companion (the d28 idea for links): per-host
+    // degree/weight profile — what a politeness scheduler sizes its
+    // per-host queues from. One pass over the edge aggregate.
+    "g02_host_degrees" -> ((s, d) => {
+      val edges = eventLinks(s, d)
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val out = edges.groupBy(col("src").as("host"))
+        .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_weight"))
+      val in = edges.groupBy(col("dst").as("host"))
+        .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("in_weight"))
+      out.join(in, Seq("host"), "full_outer")
+        .select(col("host"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+        .orderBy(col("host"))
+    }))
+
+  /** Shared CTE prologue rebuilding the identical graph in DuckDB.
+    * Casts: count(*)/sum() land in HUGEINT — pin BIGINT at every
+    * aggregate (the standing check.py gotcha). */
+  private val graphCtes: String =
+    s"""ev AS (
+       |  SELECT 'host' || (event_id % 20) || '.example.org' AS src,
+       |         'host' || (user_id % 20) || '.example.org' AS dst
+       |  FROM events),
+       |edges AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM ev WHERE src <> dst GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+       |         FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS host FROM edges
+       |          UNION SELECT dst AS host FROM edges)""".stripMargin
+
+  /** The rank oracle: the SAME integer recurrence as [[hostRank]], one
+    * chained CTE per iteration (fixed iteration count is what makes the
+    * oracle a plain SQL expression — no recursive aggregate needed). */
+  private def hostRankSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.host,
+         |         CAST($TeleportMicro + ($DampNum * COALESCE(s.c, 0)) // $DampDen
+         |              AS BIGINT) AS rank_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS host,
+         |           CAST(sum((r.rank_micro // o.ow) * e.w
+         |                    + ((r.rank_micro % o.ow) * e.w) // o.ow)
+         |                AS BIGINT) AS c
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.host = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.host = n.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |r0 AS (SELECT host, CAST($RankInitMicro AS BIGINT) AS rank_micro
+       |       FROM nodes),
+       |$iters
+       |SELECT host, rank_micro FROM r$iterations
+       |ORDER BY rank_micro DESC, host""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "g01_host_rank" -> hostRankSql(HostRankIters),
+    "g02_host_degrees" ->
+      s"""WITH $graphCtes,
+         |o AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg,
+         |             CAST(sum(w) AS BIGINT) AS out_weight
+         |      FROM edges GROUP BY 1),
+         |i AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg,
+         |             CAST(sum(w) AS BIGINT) AS in_weight
+         |      FROM edges GROUP BY 1)
+         |SELECT n.host,
+         |       COALESCE(o.out_deg, 0) AS out_deg,
+         |       COALESCE(o.out_weight, 0) AS out_weight,
+         |       COALESCE(i.in_deg, 0) AS in_deg,
+         |       COALESCE(i.in_weight, 0) AS in_weight
+         |FROM nodes n
+         |LEFT JOIN o ON o.host = n.host
+         |LEFT JOIN i ON i.host = n.host
+         |ORDER BY n.host""".stripMargin)
+}
