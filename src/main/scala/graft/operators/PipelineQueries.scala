@@ -350,6 +350,115 @@ object PipelineQueries {
           .when(col("score_micro") >= midMicro, lit("medium"))
           .otherwise(lit("low")))
 
+  /** DuckDB twin of [[eduScoreMicro]] as a reusable CTE chain producing
+    * t(doc_id, source, n_tokens, score_micro) — ONE definition shared by
+    * the t34 and t39 oracles so probe scoring cannot drift between the
+    * grading and the selection it drives. */
+  private val eduScoreCtes: String =
+    """f AS (
+      |  SELECT doc_id, source,
+      |    round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+      |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+      |    round((len(text) - len(replace(text, ' ', '')))
+      |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
+      |    round(len(replace(text, ' ', ''))
+      |          / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+      |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |            AS DOUBLE), 1.0), 6) AS mean_token_len,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |      AS n_tokens
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(round(alpha_ratio * 4000000, 0) AS BIGINT)
+      |    + CAST(round(space_ratio * 2000000, 0) AS BIGINT)
+      |    - CAST(round(mean_token_len * 250000, 0) AS BIGINT)
+      |    + CAST(round(ln(1.0 + n_tokens) * 500000, 0) AS BIGINT)
+      |      AS score_micro
+      |  FROM f)""".stripMargin
+
+  /** THE t06 split assignment (first 4 md5-hex chars of the id, mod 10) —
+    * one definition shared by the split query and the t38 leakage audit,
+    * so audit and assignment cannot drift. */
+  private[graft] def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 4),
+      16, 10).cast("int") % 10
+
+  /** t38: cross-split contamination audit — the check a t06-style split
+    * needs before anyone trains on it: a duplicated document whose copies
+    * hash (by id) into DIFFERENT buckets puts eval text in the training
+    * split. Rolls the corpus up per content digest (how many distinct
+    * buckets does this content appear in?), then to the bounded datasheet
+    * by bucket-span: n_buckets=1 is the clean mass, every row above it is
+    * leaked content. Scale shape: text never shuffles (digest + bucket
+    * only), both levels partial-aggregate; output ≤ 10 rows.
+    */
+  private[graft] def splitLeakage(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(splitBucket(col(idCol)).as("bucket"),
+        DedupOps.contentDigest(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(countDistinct(col("bucket")).as("n_buckets"),
+        count(lit(1)).as("n_docs"))
+      .groupBy(col("n_buckets"))
+      .agg(count(lit(1)).as("n_digests"), sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("n_buckets"))
+
+  /** t39's token budget — ONE value, interpolated into both engines.
+    * 10k tokens keeps a strict subset of the driver corpus at every
+    * tested sf (27k corpus tokens at sf0.01, ~10× that at sf0.1), so
+    * the selection boundary is genuinely exercised. */
+  val SelectBudgetTokens = 10000L
+
+  /** t39: token-budget subset selection — the "take the best N tokens"
+    * release cut (FineWeb-style): order the corpus by the t34 probe
+    * score (rounded-integer key, doc_id tiebreak — no raw double ever
+    * decides a row), accumulate token counts along that order, keep
+    * docs while the running total stays inside the budget. A doc that
+    * would cross the line is dropped, as is everything after it.
+    *
+    * Scale shape: the global ordered prefix sum is the t13 two-level
+    * recipe applied along the SELECTION order instead of doc_id —
+    * chunk by score band (monotone in the sort key, so bands are
+    * contiguous slices of the order), per-band sums prefix over a
+    * band-cardinality offset table (one tiny single-partition window),
+    * then a per-band window for the in-band running sum. No
+    * whole-corpus single-partition window anywhere; `bandMicro` bounds
+    * the hot window at (docs in one score band) rows, the knob to
+    * shrink when a probe concentrates scores.
+    */
+  private[graft] def budgetSelect(docs: DataFrame, budgetTokens: Long,
+      bandMicro: Long = 100000L): DataFrame = {
+    require(budgetTokens > 0 && bandMicro > 0,
+      s"budgetTokens=$budgetTokens bandMicro=$bandMicro")
+    val base = docs
+      .select(col("doc_id"),
+        eduScoreMicro(col("text")).as("score_micro"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // trunc-vs-floor at negative scores is harmless: chunk only needs
+      // to be MONOTONE in (-score) for bands to slice the order
+      .withColumn("chunk", expr(s"(- score_micro) div $bandMicro"))
+    val wc = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_sum"))
+      .withColumn("chunk_before",
+        coalesce(sum(col("chunk_sum")).over(wc), lit(0L)))
+      .select(col("chunk"), col("chunk_before"))
+    val wr = Window.partitionBy(col("chunk"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(offsets, Seq("chunk"))
+      .withColumn("cum_tokens",
+        col("chunk_before") + sum(col("n_tokens")).over(wr))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("score_micro"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+  }
+
   /** t35: signal-correlation datasheet — per source, the Pearson
     * correlation between the cheap probe score (t34's [[eduScoreMicro]])
     * and the expensive LM cross-entropy (t23's interpolated bigram
@@ -561,6 +670,25 @@ object PipelineQueries {
         hiMicro = 4630000L, midMicro = 4370000L)
         .orderBy(col("doc_id"))),
 
+    // Cross-split contamination audit over a t06 id-hash split. Driver
+    // docs are all-unique (the d28 lesson: a naive registration would
+    // report one clean row forever), so the registration unions
+    // deterministic re-keyed slices — copies whose new ids hash into
+    // other buckets, making the leak rows genuinely arise.
+    "t38_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def slice(m: Int, off: Long) = docs.filter(col("doc_id") % m === 0)
+        .withColumn("doc_id", col("doc_id") + off)
+      splitLeakage(
+        docs.unionByName(slice(10, 1000000L)).unionByName(slice(100, 2000000L)),
+        "doc_id", "text")
+    }),
+
+    // Token-budget release cut: best-scored docs until the token budget
+    // fills. See [[budgetSelect]] for the two-level ordered prefix sum.
+    "t39_budget_select" -> ((s, d) =>
+      budgetSelect(Tables.documents(s, d), SelectBudgetTokens)),
+
     // Per-source probe-vs-LM correlation datasheet — decimal-exact
     // moments, one final fixed-parenthesization double step. See
     // signalCorrelation above.
@@ -613,9 +741,7 @@ object PipelineQueries {
     // docs arrive. The 10% sample keeps bucket 0.
     "t06_hash_split" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("bucket",
-          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
-            16, 10).cast("int") % 10)
+        .withColumn("bucket", splitBucket(col("doc_id")))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("bucket"))),
@@ -2394,33 +2520,46 @@ object PipelineQueries {
     // to integer micro-units before the sum (the ln term carries the
     // t09/t11 <=1-ulp caveat), integer bucket thresholds.
     "t34_edu_score" ->
-      """WITH f AS (
-        |  SELECT doc_id, source,
-        |    round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
-        |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
-        |    round((len(text) - len(replace(text, ' ', '')))
-        |          / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS space_ratio,
-        |    round(len(replace(text, ' ', ''))
-        |          / greatest(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-        |            AS DOUBLE), 1.0), 6) AS mean_token_len,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-        |      AS n_tokens
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, source,
-        |    CAST(round(alpha_ratio * 4000000, 0) AS BIGINT)
-        |    + CAST(round(space_ratio * 2000000, 0) AS BIGINT)
-        |    - CAST(round(mean_token_len * 250000, 0) AS BIGINT)
-        |    + CAST(round(ln(1.0 + n_tokens) * 500000, 0) AS BIGINT)
-        |      AS score_micro
-        |  FROM f)
-        |SELECT doc_id, source, score_micro,
-        |  CASE WHEN score_micro >= 4630000 THEN 'high'
-        |       WHEN score_micro >= 4370000 THEN 'medium'
-        |       ELSE 'low' END AS edu_bucket
-        |FROM t ORDER BY doc_id""".stripMargin,
+      (s"WITH $eduScoreCtes\n" +
+        """SELECT doc_id, source, score_micro,
+          |  CASE WHEN score_micro >= 4630000 THEN 'high'
+          |       WHEN score_micro >= 4370000 THEN 'medium'
+          |       ELSE 'low' END AS edu_bucket
+          |FROM t ORDER BY doc_id""".stripMargin),
+    // t38: the engine's duplicated-slice corpus rebuilt verbatim; digest
+    // rollup then bucket-span datasheet (same two levels).
+    "t38_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+        |    WHERE doc_id % 100 = 0),
+        |s AS (
+        |  SELECT md5(text) AS digest,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |         AS INTEGER) % 10 AS INT) AS bucket
+        |  FROM corpus),
+        |g AS (
+        |  SELECT digest, CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM s GROUP BY digest)
+        |SELECT n_buckets, count(*) AS n_digests,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM g GROUP BY n_buckets ORDER BY n_buckets""".stripMargin,
+    // t39: the oracle's prefix sum is one naive global window — provably
+    // the same values as the engine's two-level form (identical total
+    // order, integer sums).
+    "t39_budget_select" ->
+      (s"WITH $eduScoreCtes,\n" +
+        s"""c AS (
+           |  SELECT doc_id, score_micro, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |    CAST(sum(n_tokens) OVER (ORDER BY score_micro DESC, doc_id
+           |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM t)
+           |SELECT doc_id, score_micro, n_tokens, cum_tokens
+           |FROM c WHERE cum_tokens <= ${SelectBudgetTokens}
+           |ORDER BY score_micro DESC, doc_id""".stripMargin),
     "t02_quality_features" ->
       s"""SELECT doc_id,
          |  len(text) AS n_chars,
