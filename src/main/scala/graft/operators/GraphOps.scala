@@ -110,6 +110,51 @@ object GraphOps {
 
   val HostRankIters = 10
 
+  /** g03: mirror detection — sources (hosts/feeds) republishing the same
+    * content, resolved to mirror CLUSTERS: build (source, digest) pairs,
+    * drop boilerplate digests carried by more than `maxSources` sources
+    * (a digest on hundreds of hosts is a template, not a mirror — and the
+    * cap is what bounds the digest-keyed pair fan-out: without it one
+    * mega-digest makes the self-join quadratic, the d08/d09 blow-up),
+    * edge two sources when they share at least `minShared` distinct
+    * contents, then the shared
+    * [[graft.operators.DedupOps.connectedComponents]] closure. One row
+    * per source: (source, cluster_id, is_canonical).
+    *
+    * Scale shape: text never shuffles (digest + source only); the pair
+    * generator is digest-keyed and capped at C(maxSources,2) pairs per
+    * digest; the component loop iterates over edge endpoints only —
+    * source-cardinality rows, orders below the corpus.
+    */
+  private[graft] def mirrorSources(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minShared: Long,
+      maxSources: Int): DataFrame = {
+    require(minShared >= 1 && maxSources >= 2,
+      s"minShared=$minShared maxSources=$maxSources")
+    val dg = docs.select(col(srcCol).cast("string").as("source"),
+        DedupOps.contentDigest(col(textCol)).as("digest"))
+      .filter(col("digest").isNotNull) // null text is not shared content
+      .distinct()
+    val bounded = dg.join(
+      dg.groupBy(col("digest")).agg(count(lit(1)).as("n_src"))
+        .filter(col("n_src") <= maxSources)
+        .select(col("digest")),
+      Seq("digest"))
+    val edges = bounded
+      .join(bounded.select(col("digest"), col("source").as("source_b")),
+        Seq("digest"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("source").as("src"), col("source_b").as("dst"))
+    val nodes = docs.select(col(srcCol).cast("string").as("id")).distinct()
+    DedupOps.connectedComponents(nodes, edges)
+      .select(col("id").as("source"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_host_rank" -> ((s, d) =>
       hostRank(eventLinks(s, d), HostRankIters)),
@@ -133,6 +178,20 @@ object GraphOps {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"),
           coalesce(col("in_weight"), lit(0L)).as("in_weight"))
         .orderBy(col("host"))
+    }),
+
+    // Mirror clusters over a corpus with a deterministic re-sourced %3
+    // slice (driver docs are all-unique across sources — the d28 lesson:
+    // without the synthesized mirrors the edge set is empty forever).
+    // Each mirror.srcX shares its 8–9 copied digests with srcX → one
+    // 2-cluster per source pair at minShared 5.
+    "g03_mirror_sources" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", concat(lit("mirror."), col("source")))
+      mirrorSources(docs.unionByName(mirrored), "doc_id", "text",
+        "source", minShared = 5L, maxSources = 16)
     }))
 
   /** Shared CTE prologue rebuilding the identical graph in DuckDB.
@@ -180,6 +239,34 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "g01_host_rank" -> hostRankSql(HostRankIters),
+    // g03: same slice, digest bound, edge threshold; the closure is the
+    // d06 recursive-reach recipe over source names.
+    "g03_mirror_sources" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, 'mirror.' || source, text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dg AS (
+        |  SELECT DISTINCT source, md5(text) AS digest
+        |  FROM corpus WHERE text IS NOT NULL),
+        |keepd AS (
+        |  SELECT digest FROM dg GROUP BY digest HAVING count(*) <= 16),
+        |dgf AS (SELECT dg.source, dg.digest FROM dg
+        |        JOIN keepd ON keepd.digest = dg.digest),
+        |e AS (
+        |  SELECT a.source AS src, b.source AS dst
+        |  FROM dgf a JOIN dgf b
+        |    ON a.digest = b.digest AND a.source < b.source
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nodes AS (SELECT DISTINCT source FROM corpus),
+        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT source, source FROM nodes
+        |  UNION
+        |  SELECT eb.dst, r.label FROM reach r JOIN eb ON eb.src = r.id)
+        |SELECT id AS source, min(label) AS cluster_id,
+        |       (id = min(label)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY source""".stripMargin,
     "g02_host_degrees" ->
       s"""WITH $graphCtes,
          |o AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg,

@@ -69,6 +69,35 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(runRank(links, parts = 7) === runRank(links))
   }
 
+  test("mirror sources: shared-content edges cluster, sub-threshold and " +
+    "boilerplate-only overlap stay singleton, null text is ignored") {
+    val rows = scala.collection.mutable.Buffer[(Long, String, String)]()
+    var id = 0L
+    def add(src: String, text: String) = { rows += ((id, src, text)); id += 1 }
+    // A and B mirror 5 contents; C shares only 1 real doc with A
+    (1 to 5).foreach(i => { add("A", s"shared body $i"); add("B", s"shared body $i") })
+    add("A", "a-only doc"); add("C", "c-only doc")
+    add("A", "ac shared"); add("C", "ac shared")
+    // a boilerplate digest on EVERY source incl. D: capped out by
+    // maxSources, so D gets no edge despite 6 shared "contents"
+    (1 to 6).foreach { i =>
+      Seq("A", "B", "C", "D").foreach(s => add(s, s"boilerplate $i"))
+    }
+    val docs = rows.toSeq.toDF("doc_id", "source", "text")
+      .unionByName(Seq((999L, "E", null.asInstanceOf[String]))
+        .toDF("doc_id", "source", "text"))
+    val got = GraphOps.mirrorSources(docs, "doc_id", "text", "source",
+      minShared = 5L, maxSources = 3).as[(String, String, Boolean)]
+      .collect().toSet
+    assert(got === Set(("A", "A", true), ("B", "A", false),
+      ("C", "C", true), ("D", "D", true), ("E", "E", true)))
+    // raising the digest cap lets the boilerplate count: D now joins
+    val loose = GraphOps.mirrorSources(docs, "doc_id", "text", "source",
+      minShared = 5L, maxSources = 10).as[(String, String, Boolean)]
+      .collect().toSet
+    assert(loose.map(_._2).toSet === Set("A", "E"))
+  }
+
   test("iteration-1 closed form on a star: hub collects damped inflow " +
     "from every leaf") {
     val leaves = (1 to 5).map(i => s"l$i" -> "hub")
