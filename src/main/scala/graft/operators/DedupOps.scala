@@ -1115,6 +1115,23 @@ object DedupOps {
       .select(col("a.jid").as("src"), col("b.jid").as("dst"))
   }
 
+  /** Lineage pin for the iterative loops (connectedComponents, g01's
+    * hostRank): `localCheckpoint()` by default — fast, executor-resident,
+    * the right local/bench mode — or a reliable `checkpoint()` when
+    * `reliable`, because localCheckpoint blocks are NOT fault-tolerant:
+    * on a real cluster one executor loss mid-iteration kills the whole
+    * multi-hop job. A 100 TB run opts in after
+    * `SparkContext.setCheckpointDir` and pays one checkpoint-dir write
+    * per pinned state instead of the restart. Both calls are eager, so
+    * loop-side semantics (one materializing job per hop) are identical.
+    */
+  private[graft] def pin(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true requires SparkContext.setCheckpointDir(...) first")
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   /** Connected components over an undirected edge set by iterative min-label
     * propagation: every node's label converges to the smallest node id in
     * its component — the canonical representative for near-dup cluster
@@ -1126,19 +1143,24 @@ object DedupOps {
     * iteration (Σ labels, monotonically non-increasing; equal sums ⇒ fixed
     * point since labels only ever decrease element-wise). Iterations are
     * bounded by the component diameter — near-dup clusters are shallow
-    * (single-digit), unlike web graphs. `localCheckpoint` cuts the lineage
+    * (single-digit), unlike web graphs. The lineage pin cuts the lineage
     * each round so plan size stays O(1) across iterations.
+    *
+    * `reliable = true` swaps the per-hop lineage pin for a reliable
+    * `checkpoint()` (requires `SparkContext.setCheckpointDir`) — the
+    * cluster fault-tolerance mode; see [[pin]]. Output is identical in
+    * both modes (ReliableCheckpointSpec).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
     // No `distinct` on the symmetrized edges: min-label propagation is
     // idempotent under duplicate edges (the min-fold absorbs them), so a
     // dedup shuffle buys nothing — duplicates only re-deliver an identical
     // label. (Callers with pathologically duplicate-heavy edge sets can
     // pre-distinct; the near-dup pair generators here emit each pair once.)
-    val both = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val both = pin(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      reliable)
     // Only edge endpoints can ever change label — iterate over them alone;
     // singletons (the vast majority after blocking, at corpus scale) skip
     // the loop entirely and rejoin as their own cluster at the end.
@@ -1146,10 +1168,10 @@ object DedupOps {
     // yields min({id} ∪ neighbors) — computable directly from the edge list
     // with one groupBy, replacing both the endpoint-distinct shuffle and a
     // full join+agg hop.
-    var labels = both.groupBy(col("src").as("id"))
+    var labels = pin(both.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("label"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("__mn")).as("label")),
+      reliable)
     // The convergence check rides inside the hop output (`old` column on the
     // checkpointed rows) so each hop is ONE materializing job plus an
     // isEmpty scan of in-memory rows — no re-join against the previous
@@ -1160,7 +1182,7 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val step = ccHop(both, labels).localCheckpoint()
+      val step = pin(ccHop(both, labels), reliable)
       // Labels only ever decrease, so one unchanged hop IS the fixed point.
       converged = step.filter(col("label") =!= col("old")).isEmpty
       labels = step.select(col("id"), col("label"))

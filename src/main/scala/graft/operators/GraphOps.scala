@@ -58,43 +58,62 @@ object GraphOps {
     * happens ONCE and is checkpointed for reuse; each iteration is two
     * keyed shuffles (edges⋈ranks on src, contribution sum on dst) plus
     * the node left-join, all on (host, long) rows — no text, no driver
-    * data, plans O(1) via localCheckpoint (the d06 loop discipline). The
+    * data, plans O(1) via the lineage pin (the d06 loop discipline). The
     * rank table is host-cardinality, orders of magnitude below the link
     * count at 100 TB.
+    *
+    * `reliable = true` swaps every lineage pin for a reliable
+    * `checkpoint()` (requires `SparkContext.setCheckpointDir`): the
+    * default `localCheckpoint` keeps pinned blocks on executors, so on a
+    * real cluster ONE executor loss mid-iteration kills the whole
+    * multi-hop job — at the 100 TB envelope pay the checkpoint-dir write
+    * per iteration instead of the restart. Output is identical in both
+    * modes ([[graft.operators]] ReliableCheckpointSpec pins it).
     */
-  def hostRank(links: DataFrame, iterations: Int = 10): DataFrame = {
+  def hostRank(links: DataFrame, iterations: Int = 10,
+      reliable: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations")
-    val edges = links
+    val edges = DedupOps.pin(links
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("host"))
+      .agg(count(lit(1)).as("w")), reliable)
+    val outw = DedupOps.pin(
+      edges.groupBy(col("src")).agg(sum(col("w")).as("ow")), reliable)
+    val nodes = DedupOps.pin(edges.select(col("src").as("host"))
       .unionByName(edges.select(col("dst").as("host")))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), reliable)
     var ranks = nodes.withColumn("rank_micro", lit(RankInitMicro))
     var i = 0
     while (i < iterations) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("host", "src"), Seq("src"))
-        .join(outw, Seq("src"))
-        .groupBy(col("dst").as("host"))
-        .agg(sum(expr(
-          "(rank_micro div ow) * w + ((rank_micro % ow) * w) div ow"))
-          .as("c"))
-      ranks = nodes
-        .join(contrib, Seq("host"), "left")
-        .select(col("host"), expr(
-          s"CAST($TeleportMicro AS BIGINT) + " +
-            s"($DampNum * coalesce(c, CAST(0 AS BIGINT))) div $DampDen")
-          .as("rank_micro"))
-        .localCheckpoint()
+      ranks = DedupOps.pin(rankHop(edges, outw, nodes, ranks), reliable)
       i += 1
     }
     ranks.orderBy(col("rank_micro").desc, col("host"))
+  }
+
+  /** One rank iteration of [[hostRank]] — the fixed per-hop plan:
+    * edges⋈ranks on src, the outw divisor join on the same key, the
+    * contribution sum keyed by dst, and the node left-join that applies
+    * teleport + damping. Package-private so PlanShapeSpec pins the
+    * per-iteration exchange count — g01 is the bench ceiling, and at
+    * 100× scale one silent extra exchange per hop is 10 extra
+    * corpus-key shuffles per run.
+    */
+  private[graft] def rankHop(edges: DataFrame, outw: DataFrame,
+      nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(ranks.withColumnRenamed("host", "src"), Seq("src"))
+      .join(outw, Seq("src"))
+      .groupBy(col("dst").as("host"))
+      .agg(sum(expr(
+        "(rank_micro div ow) * w + ((rank_micro % ow) * w) div ow"))
+        .as("c"))
+    nodes
+      .join(contrib, Seq("host"), "left")
+      .select(col("host"), expr(
+        s"CAST($TeleportMicro AS BIGINT) + " +
+          s"($DampNum * coalesce(c, CAST(0 AS BIGINT))) div $DampDen")
+        .as("rank_micro"))
   }
 
   /** The registry's synthesized host-link stream: every event is one

@@ -187,6 +187,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rank hop (g01 loop body): 5 exchanges exactly, equi-join only") {
+    withoutAutoBroadcast {
+      val links = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"))
+        .toDF("src", "dst")
+      val edges = links.filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("host"))
+        .unionByName(edges.select(col("dst").as("host"))).distinct()
+        .localCheckpoint()
+      val ranks = nodes
+        .withColumn("rank_micro", lit(GraphOps.RankInitMicro))
+        .localCheckpoint()
+      val hop = GraphOps.rankHop(edges, outw, nodes, ranks)
+      val p = planOf(hop)
+      // edges⋈ranks on src (2 side exchanges) + the outw divisor side (1;
+      // the join output is already src-partitioned) + the dst-keyed
+      // contribution sum (1) + the nodes side of the left-join (1 — the
+      // contrib side arrives host-partitioned from its own aggregate,
+      // the dst→host alias propagates). A 6th exchange means a hop
+      // subtree stopped reusing its partitioning; every input must
+      // arrive as a checkpointed scan (LogicalRDD), never be recomputed
+      // per hop.
+      assert(shuffles(hop) === 5, p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("kmeans round (s12 loop body): refine 3 exchanges + broadcast, rebuild 1") {
     withoutAutoBroadcast {
       val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
