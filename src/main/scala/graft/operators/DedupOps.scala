@@ -400,8 +400,16 @@ object DedupOps {
     * caveat: a 2⁻⁶⁴ collision can only over-mark a position; the oracle
     * compares raw window strings).
     */
-  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int): DataFrame = {
+  /** The shared d19/d29 kernel: 0-based start positions (per doc) of every
+    * L-token window whose content occurs at least twice corpus-wide —
+    * (idCol, pos) rows. Window instances are (id, pos, hash64) rows (text
+    * never shuffles); the occurrence count partial-aggregates on the hash
+    * map-side; the join back is instance-sized keyed by the hash. One
+    * definition so the accounting (d19) and the cut (d29) can never
+    * disagree on what "repeated" means.
+    */
+  private[graft] def repeatedWindowStarts(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
     val L = windowTokens
     val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
     val inst = toks.filter(size(col("ts")) >= L)
@@ -411,9 +419,16 @@ object DedupOps {
         .as(Seq("pos", "h")))
     val rep = inst.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
+    inst.join(rep, Seq("h")).select(col(idCol), col("pos"))
+  }
+
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val L = windowTokens
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    val covered = inst.join(rep, Seq("h"))
+    val covered = repeatedWindowStarts(docs, idCol, textCol, L)
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("contrib", when(col("prev").isNull, lit(L))
         .otherwise(least(lit(L), col("pos") - col("prev"))))
@@ -424,6 +439,76 @@ object DedupOps {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         round(coalesce(col("n_covered"), lit(0L)).cast("double") /
           greatest(col("n_tokens"), lit(1L)), 6).as("covered_frac"))
+  }
+
+  /** d29: the CUT half of the Lee-et-al exact-substring pass — d19
+    * accounts, this one removes: every token position covered by some
+    * ≥L-token span occurring at least twice corpus-wide is cut, and the
+    * survivors are reassembled into the kept text (the d14-style
+    * keep/cut artifact a release pipeline actually ships). Same
+    * [[repeatedWindowStarts]] kernel as d19, so what gets cut is by
+    * construction exactly what d19 counts: n_kept = n_tokens − d19's
+    * n_covered, row for row (SubstringCutSpec pins the round-trip).
+    *
+    * The cut itself is two linear per-row folds over the doc-bounded
+    * start list — no token explosion, no per-doc window: sorted starts
+    * fold into disjoint covered intervals ([p, p+L) merged while
+    * overlapping), then the intervals fold over the token array cutting
+    * each covered slice (`slice` + running cursor), so per-row work is
+    * O(tokens + starts), not O(tokens × starts).
+    *
+    * Scale shape: the starts aggregate moves (id, int) rows only; the
+    * one place text moves is the id-keyed join of the token arrays onto
+    * the per-doc start lists (the d14/d17 single-text-shuffle
+    * precedent). Null text stays null (no windows, no cut); a fully
+    * covered doc keeps the empty string, not null — `kept_text` is
+    * always non-null where the input text was.
+    *
+    * Not idempotent by construction: cutting can butt two previously
+    * distant regions against each other, and the seam can form NEW
+    * repeated windows (Lee et al. accept the same artifact); a second
+    * pass only ever finds seam-made repeats, so coverage is
+    * non-increasing in practice but not provably zero — the spec pins
+    * the monotonicity, not a fixed point.
+    */
+  def substringCut(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val L = windowTokens
+    val starts = repeatedWindowStarts(docs, idCol, textCol, L)
+      .groupBy(col(idCol))
+      // 1-based starts: slice() below is 1-based, and posexplode's pos
+      // is the 0-based array index of the window start
+      .agg(sort_array(collect_list(col("pos") + 1)).as("ss"))
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("iv", aggregate(
+        coalesce(col("ss"), expr("CAST(array() AS ARRAY<INT>)")),
+        expr("CAST(array() AS ARRAY<STRUCT<a: INT, b: INT>>)"),
+        // starts ascend, so an overlapping/adjacent window (p ≤ last b)
+        // always extends the last interval's end to p + L
+        (acc, p) => when(
+          size(acc) > 0 && element_at(acc, -1)("b") >= p,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1)("a").as("a"),
+              (p + lit(L)).as("b")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("a"), (p + lit(L)).as("b")))))))
+      .withColumn("kept", aggregate(
+        col("iv"),
+        struct(expr("CAST(array() AS ARRAY<STRING>)").as("ks"),
+          lit(1).as("cur")),
+        (st, v) => struct(
+          concat(st("ks"),
+            slice(col("ts"), st("cur"), v("a") - st("cur"))).as("ks"),
+          v("b").as("cur")),
+        st => concat(st("ks"),
+          slice(col("ts"), st("cur"),
+            size(col("ts")) + lit(1) - st("cur")))))
+      .select(col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_covered"),
+        array_join(col("kept"), " ").as("kept_text"))
   }
 
   /** d18: incremental NEAR-dup at ingest — the MinHash/LSH twin of

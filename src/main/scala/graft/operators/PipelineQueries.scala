@@ -1390,6 +1390,13 @@ object PipelineQueries {
       DedupOps.substringDupStats(Tables.documents(s, d), "doc_id", "text", 8)
         .orderBy(col("doc_id"))),
 
+    // The cut half of the d19 pass: covered positions removed, survivors
+    // reassembled — the keep/cut artifact. Same repeatedWindowStarts
+    // kernel as d19, so n_kept = n_tokens - d19.n_covered row for row.
+    "d29_substring_cut" -> ((s, d) =>
+      DedupOps.substringCut(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
+
     // The near-dup twin of d17 at the same corpus/batch split: batch docs
     // whose banded MinHash signature collides with a corpus doc and whose
     // exact shingle Jaccard verifies at d10's 0.9 gate. Band-keyed join is
@@ -3576,6 +3583,57 @@ object PipelineQueries {
         |  round(coalesce(cov.n_covered, 0) / greatest(len(t), 1), 6)
         |    AS covered_frac
         |FROM tok LEFT JOIN cov USING (doc_id) ORDER BY tok.doc_id""".stripMargin,
+    // d29: d19's raw-window-string CTEs (same repeated-start set), then
+    // the cut done RELATIONALLY — a token at 1-based position i is
+    // covered iff some repeated window starts in [i-7, i], i.e. the
+    // windowed max of the start flag over the 7 preceding rows (dense
+    // positions, so ROWS == positions); the engine's interval-fold form
+    // is value-identical by the same union-of-[p,p+8) definition. A doc
+    // whose tokens are ALL cut keeps '' (string_agg over zero rows is
+    // NULL — coalesced under the not-null-text guard, the engine's
+    // array_join([]) = '').
+    "d29_substring_cut" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |    text IS NULL AS tnull
+        |  FROM documents),
+        |iw AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'sh': array_to_string(t[g:g+7], ' ')}
+        |            FOR g IN generate_series(1, len(t) - 7)]) AS p
+        |  FROM tok),
+        |inst AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM iw),
+        |rep AS (SELECT sh FROM inst GROUP BY sh HAVING count(*) >= 2),
+        |m AS (SELECT i.doc_id, i.pos FROM inst i JOIN rep USING (sh)),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'tk': t[g]}
+        |            FOR g IN generate_series(1, len(t))]) AS u
+        |  FROM tok),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tk),
+        |cv AS (
+        |  SELECT p.doc_id, p.pos, p.tk,
+        |    max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+        |  FROM pos p
+        |  LEFT JOIN m ON m.doc_id = p.doc_id AND m.pos = p.pos),
+        |ka AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS kt,
+        |              CAST(count(*) AS BIGINT) AS nk
+        |       FROM cv WHERE c = 0 GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  CASE WHEN tnull THEN NULL ELSE CAST(len(t) AS BIGINT) END
+        |    AS n_tokens,
+        |  CASE WHEN tnull THEN NULL ELSE CAST(coalesce(ka.nk, 0) AS BIGINT)
+        |    END AS n_kept,
+        |  CASE WHEN tnull THEN NULL
+        |    ELSE CAST(len(t) - coalesce(ka.nk, 0) AS BIGINT) END
+        |    AS n_covered,
+        |  CASE WHEN tnull THEN NULL ELSE coalesce(ka.kt, '') END
+        |    AS kept_text
+        |FROM tok LEFT JOIN ka USING (doc_id) ORDER BY tok.doc_id""".stripMargin,
     // d18 re-derives banding and pairing from the independent d04
     // signature VALUES (the d09/d16 recipe), restricted to batch→corpus
     // pairs; slice equality stands in for the engine's slice-hash band

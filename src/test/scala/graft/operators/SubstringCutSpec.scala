@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d29 substring cut: hand-computable fixtures at L=4 (exact kept text for
+  * isolated and merged covered intervals, boundary docs), null/empty text
+  * behavior, and the d19 round-trip on real data — the cut removes
+  * EXACTLY the positions d19 counts.
+  */
+class SubstringCutSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def cut(docs: DataFrame, L: Int = 4): Seq[(Long, Option[Long], Option[Long], Option[Long], Option[String])] =
+    DedupOps.substringCut(docs, "doc_id", "text", L)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+
+  test("isolated repeated span is cut from both docs, unique context kept") {
+    val span = "w1 w2 w3 w4"
+    val docs = Seq(
+      (1L, s"a b $span c d"),  // span at 1-based 3..6
+      (2L, s"$span x y z")     // span at 1..4
+    ).toDF("doc_id", "text")
+    // only the [w1 w2 w3 w4] window repeats (all others carry unique
+    // context), so the covered interval is exactly the span
+    assert(cut(docs) === Seq(
+      (1L, Some(8L), Some(4L), Some(4L), Some("a b c d")),
+      (2L, Some(7L), Some(3L), Some(4L), Some("x y z"))))
+  }
+
+  test("overlapping repeated windows merge into one interval; full coverage keeps ''") {
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    // shared prefix "p q r s t u": repeated window starts 1,2,3 in both
+    // docs union to [1,7) — doc 1 fully covered (empty string, NOT
+    // null), doc 2 keeps only its unique tail
+    assert(cut(docs) === Seq(
+      (1L, Some(6L), Some(0L), Some(6L), Some("")),
+      (2L, Some(7L), Some(1L), Some(6L), Some("v"))))
+  }
+
+  test("two disjoint repeated spans cut separately, gap kept") {
+    val a = "a1 a2 a3 a4"
+    val b = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"$a g1 g2 g3 g4 g5 $b"),   // spans at 1..4 and 10..13
+      (2L, s"$a x1 x2 x3 x4 x5 $b")
+    ).toDF("doc_id", "text")
+    // the gap middles differ, so windows bridging a span and the gap are
+    // unique; each doc cuts [1,5) and [10,14), keeping its own middle
+    assert(cut(docs) === Seq(
+      (1L, Some(13L), Some(5L), Some(8L), Some("g1 g2 g3 g4 g5")),
+      (2L, Some(13L), Some(5L), Some(8L), Some("x1 x2 x3 x4 x5"))))
+  }
+
+  test("no repeats, short docs, empty and null text pass through") {
+    val docs = Seq(
+      (1L, "all alone unique words here"),
+      (2L, "tiny"),          // below L: no windows
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    assert(cut(docs) === Seq(
+      (1L, Some(5L), Some(5L), Some(0L), Some("all alone unique words here")),
+      (2L, Some(1L), Some(1L), Some(0L), Some("tiny")),
+      (3L, Some(0L), Some(0L), Some(0L), Some("")),
+      (4L, None, None, None, None)))
+  }
+
+  test("round-trips d19's coverage accounting on real data; second pass non-increasing") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d29 = DedupOps.substringCut(docs, "doc_id", "text", 8)
+    val d19 = DedupOps.substringDupStats(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_covered").as("c19"))
+    val j = d29.join(d19, Seq("doc_id")).filter(col("n_tokens").isNotNull)
+    // the cut removes exactly what the accounting counts, row for row
+    assert(j.filter(col("n_covered") =!= col("c19")).isEmpty)
+    assert(j.filter(col("n_kept") =!= col("n_tokens") - col("c19")).isEmpty)
+    val firstTotal = j.agg(sum(col("n_covered"))).as[Long].head()
+    assert(firstTotal > 0L, "fixture should contain repeated spans")
+    // a second pass can only see seam-made repeats: total coverage must
+    // not grow (not provably zero — the documented Lee-et-al artifact)
+    val second = DedupOps.substringCut(
+      d29.select(col("doc_id"), col("kept_text").as("text")),
+      "doc_id", "text", 8)
+    val secondTotal = second
+      .agg(sum(coalesce(col("n_covered"), lit(0L)))).as[Long].head()
+    assert(secondTotal <= firstTotal)
+  }
+}
