@@ -565,6 +565,14 @@ object PipelineQueries {
   val QuadL3Num = 1
   val QuadL3Den = 8
 
+  /** t40's pinned merge-table size: the fixed round count keeps the
+    * training loop plan-pinned and the oracle a chain of per-round CTE
+    * blocks (the g01 fixed-iteration trade). Deep enough that merges
+    * built FROM earlier merges appear (multi-char symbols re-pair), small
+    * enough that the oracle's unrolled SQL stays tractable.
+    */
+  val BpeTrainRounds = 8
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -1107,6 +1115,14 @@ object PipelineQueries {
     "t30_bpe_apply" -> ((s, d) =>
       RelevanceOps.bpeApplyRound(Tables.documents(s, d), "text", 5)
         .orderBy(col("rank"))),
+
+    // The full iterated BPE training loop at the pinned round count:
+    // sequential merges, each recounted over the merged vocab — the
+    // merge table t28/t30 only approximate from round one. See
+    // RelevanceOps.bpeTrain for the fold/greedy-scan equivalence.
+    "t40_bpe_train" -> ((s, d) =>
+      RelevanceOps.bpeTrain(Tables.documents(s, d), "text",
+        BpeTrainRounds)),
 
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
@@ -2208,18 +2224,102 @@ object PipelineQueries {
     * merge is chosen from (t28) can never drift from the pair table the
     * merge is applied with (t30).
     */
-  private val bpeVocabCtes: String =
+  /** Shared t28/t30/t40 oracle tokenization → word-frequency vocab — one
+    * constant so the vocab a merge table is trained over (t40) is the
+    * vocab the single-round views (t28/t30) see.
+    */
+  private val bpeTokWfCtes: String =
     """tok AS (
       |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
       |  FROM documents),
       |wf AS (SELECT w, count(*) AS tf
-      |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+      |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w)""".stripMargin
+
+  private val bpeVocabCtes: String =
+    s"""$bpeTokWfCtes,
       |e AS (SELECT w, tf,
       |        unnest([i FOR i IN generate_series(1, length(w) - 1)]) AS i
       |      FROM wf WHERE length(w) >= 2),
       |p AS (SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, tf
       |      FROM e)""".stripMargin
+
+  /** t40 oracle: the SAME training loop unrolled as one CTE block per
+    * round (the g01 fixed-iteration recipe), over [[bpeTokWfCtes]]'s
+    * vocab with codepoint initial symbols. The greedy non-overlapping
+    * application is done RELATIONALLY: match positions are grouped into
+    * maximal consecutive runs (`i − row_number` constant within a run —
+    * consecutive matches only arise from repeated-symbol runs), and the
+    * odd-ranked position in each run is selected, which IS the
+    * left-to-right scan (a selected match at i consumes i+1, so the
+    * next selectable is i+2); selected positions emit the merged symbol
+    * and suppress their successor row.
+    *
+    * The state CTEs (s0/sK, bK, gK) are AS MATERIALIZED — the t24
+    * lesson, load-bearing here: DuckDB inlines CTEs by default, and
+    * with three consumers per round the inlined chain re-plans the
+    * whole prefix ~3^rounds times (observed as a file-handle blowup at
+    * 8 rounds before pinning).
+    */
+  private def bpeTrainSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT u.c1 AS c1, u.c2 AS c2, CAST(sum(tf) AS BIGINT) AS pc
+         |  FROM (SELECT tf,
+         |          unnest([{'c1': sy[i], 'c2': sy[i+1]}
+         |                  FOR i IN generate_series(1, len(sy) - 1)]) AS u
+         |        FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT c1, c2, pc FROM p$k
+         |        ORDER BY pc DESC, c1, c2 LIMIT 1),
+         |x$k AS (
+         |  SELECT s.w, unnest([i FOR i IN generate_series(1, len(sy) - 1)
+         |                      IF sy[i] = b.c1 AND sy[i+1] = b.c2]) AS i
+         |  FROM $prev s, b$k b),
+         |g$k AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT w, i, row_number() OVER (PARTITION BY w, i - rn
+         |                                    ORDER BY i) AS j
+         |    FROM (SELECT w, i,
+         |            row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+         |          FROM x$k))
+         |  WHERE j % 2 = 1),
+         |z$k AS (
+         |  SELECT w, tf, u.i AS i, u.sym AS sym FROM (
+         |    SELECT w, tf, unnest([{'i': i, 'sym': sy[i]}
+         |                          FOR i IN generate_series(1, len(sy))]) AS u
+         |    FROM $prev)),
+         |y$k AS (
+         |  SELECT z.w, z.tf, z.i,
+         |    CASE WHEN g.i IS NOT NULL THEN b.c1 || b.c2 ELSE z.sym END
+         |      AS sym,
+         |    gp.i IS NOT NULL AS skip
+         |  FROM z$k z
+         |  CROSS JOIN b$k b
+         |  LEFT JOIN g$k g ON g.w = z.w AND g.i = z.i
+         |  LEFT JOIN g$k gp ON gp.w = z.w AND gp.i = z.i - 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, tf, list(sym ORDER BY i) AS sy
+         |  FROM y$k WHERE NOT skip GROUP BY w, tf),
+         |r$k AS (
+         |  SELECT $k AS rank, b.c1, b.c2, b.pc AS pair_count,
+         |    (SELECT CAST(sum(tf * len(sy)) AS BIGINT) FROM s$k)
+         |      AS tokens_after
+         |  FROM b$k b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(k => s"SELECT * FROM r$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeTokWfCtes,
+       |s0 AS MATERIALIZED (SELECT w, tf,
+       |         [substr(w, i, 1) FOR i IN generate_series(1, length(w))]
+       |           AS sy
+       |       FROM wf WHERE length(w) >= 1),
+       |$blocks
+       |SELECT rank, c1, c2, pair_count, tokens_after FROM (
+       |$union)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Shared t23/t25 oracle CTEs: tokenization → bigram counts → per-
     * transition interpolated micro-nat cost (`per`) — one constant so the
@@ -3184,6 +3284,9 @@ object PipelineQueries {
           |  CAST(sum(chars) - sum(chars_after) AS BIGINT) AS n_merges
           |FROM ap GROUP BY rank, c1, c2, pair_count
           |ORDER BY rank""".stripMargin),
+    // t40: the full loop — one CTE block per round over the shared
+    // tok/wf vocab, relational greedy application (see bpeTrainSql)
+    "t40_bpe_train" -> bpeTrainSql(BpeTrainRounds),
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -774,4 +774,91 @@ object RelevanceOps {
         sum(col("chars_after")).as("tokens_after"))
       .withColumn("n_merges", col("tokens_before") - col("tokens_after"))
   }
+
+  /** t40: the FULL BPE training loop — t28 chooses one round's candidate
+    * merges and t30 prices them independently; this runs the actual
+    * algorithm (Sennrich et al. 2016, the public merge rules t28/t30
+    * already pin): `rounds` SEQUENTIAL merges, each round recounting
+    * adjacent symbol pairs over the CURRENT vocab representation
+    * (overlapping, tf-weighted — the t28 counting convention), taking
+    * the argmax under the engine-stable (count desc, c1, c2) total
+    * order, and applying it greedily left-to-right non-overlapping (the
+    * t30 application convention). Output: the merge TABLE — one row per
+    * round (rank, c1, c2, pair_count, tokens_after) — the artifact a
+    * tokenizer-apply stage (and t39's token budgeter) prices against.
+    *
+    * The greedy application is a linear fold over the symbol array: the
+    * merged symbol c1·c2 can never re-match as c1 (c2 is nonempty), so
+    * "last element = c1 ∧ next = c2 ⇒ replace last" IS the
+    * non-overlapping scan — "a a a" under (a,a) → [aa, a], never
+    * [a, aa]. Initial symbols are CODEPOINTS via substr (NOT split on
+    * "", which halves surrogate pairs — the t01 astral lesson), so both
+    * engines segment identically.
+    *
+    * Loop discipline (the d06/g01 recipe): state is the vocab table
+    * (word, tf, spaced symbol rep), lineage-pinned per round; the
+    * driver sees ONE argmax row and ONE Σ tf·|symbols| scalar per
+    * round, never vocab rows; the oracle is one chained CTE block per
+    * round (fixed round count, the g01 trade).
+    *
+    * Scale shape: the corpus is touched exactly once (the
+    * word-frequency aggregate); every round after that is VOCAB-sized
+    * (Heaps-law sublinear in the corpus) — the pair table collapses to
+    * distinct adjacent symbol pairs, the argmax is a heap, the fold is
+    * per-vocab-row string work.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val sp = docs.sparkSession
+    // leading/trailing non-space whitespace yields an EMPTY token (trim
+    // strips 0x20 only — the structured-fixture lesson); it carries zero
+    // symbols by definition and is excluded on BOTH sides, because
+    // sequence(1, 0) is the DESCENDING [1, 0] in Spark (two phantom
+    // empty symbols) while generate_series(1, 0) is empty in DuckDB
+    var st = DedupOps.pin(docs
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("tf"), expr(
+        "array_join(transform(sequence(1, length(w)), " +
+          "i -> substr(w, i, 1)), ' ')").as("rep")),
+      reliable = false)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var k = 1
+    while (k <= rounds) {
+      val best = st.select(col("tf"), split(col("rep"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(sy[i-1] AS c1, sy[i] AS c2))")).as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum(col("tf")).as("pc"))
+        .orderBy(desc("pc"), col("c1"), col("c2"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"no adjacent pairs left at round $k")
+      val c1 = best(0).getString(0)
+      val c2 = best(0).getString(1)
+      val pc = best(0).getLong(2)
+      st = DedupOps.pin(st
+        .select(col("tf"), aggregate(
+          split(col("rep"), " "),
+          expr("CAST(array() AS ARRAY<STRING>)"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(c1) &&
+              (x === lit(c2)),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(c1 + c2))))
+            .otherwise(concat(acc, array(x)))).as("sy"))
+        .select(col("tf"), size(col("sy")).as("n"),
+          array_join(col("sy"), " ").as("rep")),
+        reliable = false)
+      val after = st.agg(sum(col("tf") * col("n"))).head().getLong(0)
+      out += ((k, c1, c2, pc, after))
+      k += 1
+    }
+    import sp.implicits._
+    out.result()
+      .toDF("rank", "c1", "c2", "pair_count", "tokens_after")
+      .orderBy(col("rank"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t40 pinned against an independent driver-side reimplementation of the
+  * same public algorithm (plain Scala, no Spark), plus the exact cases
+  * where counting and application semantics diverge: overlapping pair
+  * counts vs non-overlapping greedy application on repeated-symbol runs,
+  * merges built from earlier merges, and the t28 round-1 agreement.
+  */
+class BpeTrainSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Sennrich-style BPE by hand: overlapping pair counts, argmax under
+    * (count desc, c1, c2), greedy left-to-right non-overlapping apply. */
+  private def trainByHand(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = {
+    var st: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, tf) => (w.map(_.toString).toVector, tf) }
+    (1 to rounds).map { k =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      st.foreach { case (sy, tf) =>
+        var i = 0
+        while (i + 1 < sy.length) { pc((sy(i), sy(i + 1))) += tf; i += 1 }
+      }
+      val ((c1, c2), best) =
+        pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      st = st.map { case (sy, tf) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == c1 && sy(i + 1) == c2) {
+            buf += (c1 + c2); i += 2
+          } else { buf += sy(i); i += 1 }
+        }
+        (buf.result(), tf)
+      }
+      val after = st.map { case (sy, tf) => tf * sy.length }.sum
+      (k, c1, c2, best, after)
+    }
+  }
+
+  private def trainSpark(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = {
+    // a doc per word repeated tf times reproduces the vocab exactly
+    val docs = words.toSeq.map { case (w, tf) =>
+      Seq.fill(tf.toInt)(w).mkString(" ")
+    }.toDF("text")
+    RelevanceOps.bpeTrain(docs, "text", rounds)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+  }
+
+  test("matches the hand fold over a mixed vocab for 6 rounds") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "lowest" -> 4L, "wide" -> 1L)
+    assert(trainSpark(words, 6) === trainByHand(words, 6))
+  }
+
+  test("repeated-symbol run: overlapping count, non-overlapping apply") {
+    // "aaaa": round 1 counts (a,a) 3 times (overlapping) but applies
+    // only twice -> [aa, aa]; round 2 merges (aa,aa) once -> [aaaa]
+    val words = Map("aaaa" -> 1L)
+    val got = trainSpark(words, 2)
+    assert(got === Seq(
+      (1, "a", "a", 3L, 2L),
+      (2, "aa", "aa", 1L, 1L)))
+    assert(got === trainByHand(words, 2))
+  }
+
+  test("odd run keeps the stranded tail symbol") {
+    // "aaa aaa": each word [a,a,a] -> greedy leaves [aa, a]; the (a,a)
+    // count is 4 (2 per word), tokens go 6 -> 4
+    val words = Map("aaa" -> 2L)
+    val got = trainSpark(words, 1)
+    assert(got === Seq((1, "a", "a", 4L, 4L)))
+    assert(got === trainByHand(words, 1))
+  }
+
+  test("leading newline's empty token carries zero symbols") {
+    // trim strips 0x20 only, so "\nab ab" tokenizes to ["", "ab", "ab"];
+    // the empty token must contribute NO symbols (Spark's sequence(1,0)
+    // is the descending [1,0] — unguarded it minted two phantom empty
+    // symbols and a constant tokens_after offset vs the oracle)
+    val docs = Seq("\nab ab").toDF("text")
+    val got = RelevanceOps.bpeTrain(docs, "text", 1)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 2L, 2L)))
+  }
+
+  test("round 1 equals t28's top pair on the same corpus") {
+    val docs = Seq("the quick brown fox", "the lazy dog the end")
+      .toDF("text")
+    val r1 = RelevanceOps.bpeTrain(docs, "text", 1)
+      .as[(Int, String, String, Long, Long)].head()
+    val top = RelevanceOps.bpePairStats(docs, "text", 1)
+      .as[(String, String, Long)].head()
+    assert((r1._2, r1._3, r1._4) === top)
+  }
+}
