@@ -161,6 +161,29 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
 
+    // Codec JIT warm-up: the m-family's hot loops (BMP/WAV/Y4M parse +
+    // per-clip folds) are plain-JVM byte loops that need more
+    // invocations than best-of-three to reach C2 on a cold JVM — the
+    // r10 driver-vs-local gap (m05 1.92 s driver vs 0.28 s local on
+    // identical code) was exactly this. Three passes of each decode
+    // family over a small fixed clip slice (all three containers via
+    // id % 3) compile the loops BEFORE any timed query.
+    {
+      import org.apache.spark.sql.functions.col
+      val clips = graft.operators.Multimodal
+        .mediaFromDocuments(spark, sfDir)
+        .filter(col("media_id") < 150)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      (1 to 3).foreach { _ =>
+        noop(graft.operators.Multimodal.extractMeta(clips).toDF())
+        noop(graft.operators.Multimodal.audioProfile(clips, 100).toDF())
+        noop(graft.operators.Multimodal.motionProfile(clips, 7).toDF())
+        noop(graft.operators.Multimodal.imageHash(clips).toDF())
+        noop(graft.operators.Multimodal.audioFullBits(clips, 5).toDF())
+      }
+    }
+
     // Environment audit, part 2: two fixed calibration probes, independent
     // of the registry, so any round-over-round inflation can be classified
     // from the artifact alone — a CPU/scheduler probe (fixed-size hash
