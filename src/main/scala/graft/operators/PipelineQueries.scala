@@ -1124,6 +1124,14 @@ object PipelineQueries {
       RelevanceOps.bpeTrain(Tables.documents(s, d), "text",
         BpeTrainRounds)),
 
+    // Corpus tokenization under t40's trained merge table — per-doc
+    // word/char/BPE-token counts through one word-keyed vocab join.
+    // See RelevanceOps.bpeTokenCounts for the vocab-level pricing shape.
+    "t41_bpe_tokenize" -> ((s, d) =>
+      RelevanceOps.bpeTokenCounts(Tables.documents(s, d), "doc_id",
+        "text", BpeTrainRounds)
+        .orderBy(col("doc_id"))),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -2261,8 +2269,19 @@ object PipelineQueries {
     * whole prefix ~3^rounds times (observed as a file-handle blowup at
     * 8 rounds before pinning).
     */
-  private def bpeTrainSql(rounds: Int): String = {
-    val blocks = (1 to rounds).map { k =>
+  /** The codepoint initial-symbol state — shared by the t40 and t41
+    * oracles so training and application segment identically. */
+  private val bpeS0Cte: String =
+    """s0 AS MATERIALIZED (SELECT w, tf,
+      |         [substr(w, i, 1) FOR i IN generate_series(1, length(w))]
+      |           AS sy
+      |       FROM wf WHERE length(w) >= 1)""".stripMargin
+
+  /** One chained CTE block per training round (s0 → s`rounds`); shared
+    * by [[bpeTrainSql]] (reads every rK) and the t41 tokenize oracle
+    * (reads only the final state). */
+  private def bpeRoundBlocks(rounds: Int): String =
+    (1 to rounds).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS (
          |  SELECT u.c1 AS c1, u.c2 AS c2, CAST(sum(tf) AS BIGINT) AS pc
@@ -2308,18 +2327,49 @@ object PipelineQueries {
          |      AS tokens_after
          |  FROM b$k b)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeTrainSql(rounds: Int): String = {
     val union = (1 to rounds).map(k => s"SELECT * FROM r$k")
       .mkString("\nUNION ALL ")
     s"""WITH $bpeTokWfCtes,
-       |s0 AS MATERIALIZED (SELECT w, tf,
-       |         [substr(w, i, 1) FOR i IN generate_series(1, length(w))]
-       |           AS sy
-       |       FROM wf WHERE length(w) >= 1),
-       |$blocks
+       |$bpeS0Cte,
+       |${bpeRoundBlocks(rounds)}
        |SELECT rank, c1, c2, pair_count, tokens_after FROM (
        |$union)
        |ORDER BY rank""".stripMargin
   }
+
+  /** t41 oracle: the identical unrolled training chain, but over a
+    * doc-level tokenization (tok carries doc_id; wf is the same
+    * multiset), consuming only the FINAL state — per-word symbol counts
+    * joined back onto token instances and summed per document. Null,
+    * empty, and all-empty-token docs coalesce to zeros (the budgeter
+    * semantics — see RelevanceOps.bpeTokenCounts).
+    */
+  private def bpeTokenizeSql(rounds: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |wf AS (SELECT w, count(*) AS tf
+       |       FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+       |$bpeS0Cte,
+       |${bpeRoundBlocks(rounds)},
+       |inst AS (SELECT doc_id, unnest(t) AS w FROM tok),
+       |j AS (
+       |  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(length(i.w)) AS BIGINT) AS n_chars,
+       |         CAST(sum(len(s.sy)) AS BIGINT) AS n_bpe_tokens
+       |  FROM inst i JOIN s$rounds s ON s.w = i.w
+       |  WHERE length(i.w) >= 1
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(j.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(j.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(j.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN j USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared t23/t25 oracle CTEs: tokenization → bigram counts → per-
     * transition interpolated micro-nat cost (`per`) — one constant so the
@@ -3287,6 +3337,8 @@ object PipelineQueries {
     // t40: the full loop — one CTE block per round over the shared
     // tok/wf vocab, relational greedy application (see bpeTrainSql)
     "t40_bpe_train" -> bpeTrainSql(BpeTrainRounds),
+    // t41: the same chain's final state applied per doc (bpeTokenizeSql)
+    "t41_bpe_tokenize" -> bpeTokenizeSql(BpeTrainRounds),
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -807,7 +807,18 @@ object RelevanceOps {
     * distinct adjacent symbol pairs, the argmax is a heap, the fold is
     * per-vocab-row string work.
     */
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeTrainState(docs, textCol, rounds)._1
+
+  /** The training loop's internals: returns BOTH the merge table (the
+    * t40 surface) and the final vocab state `(w, tf, n)` — per-word
+    * symbol count under all `rounds` merges — which is what corpus
+    * tokenization (t41) consumes. One loop, two surfaces, so the token
+    * counts a budgeter prices with can never drift from the merge table
+    * that produced them.
+    */
+  private[graft] def bpeTrainState(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds=$rounds")
     val sp = docs.sparkSession
     // leading/trailing non-space whitespace yields an EMPTY token (trim
@@ -819,7 +830,7 @@ object RelevanceOps {
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("tf"))
-      .select(col("tf"), expr(
+      .select(col("w"), col("tf"), length(col("w")).as("n"), expr(
         "array_join(transform(sequence(1, length(w)), " +
           "i -> substr(w, i, 1)), ' ')").as("rep")),
       reliable = false)
@@ -840,7 +851,7 @@ object RelevanceOps {
       val c2 = best(0).getString(1)
       val pc = best(0).getLong(2)
       st = DedupOps.pin(st
-        .select(col("tf"), aggregate(
+        .select(col("w"), col("tf"), aggregate(
           split(col("rep"), " "),
           expr("CAST(array() AS ARRAY<STRING>)"),
           (acc, x) => when(
@@ -849,7 +860,7 @@ object RelevanceOps {
             concat(slice(acc, lit(1), size(acc) - 1),
               array(lit(c1 + c2))))
             .otherwise(concat(acc, array(x)))).as("sy"))
-        .select(col("tf"), size(col("sy")).as("n"),
+        .select(col("w"), col("tf"), size(col("sy")).as("n"),
           array_join(col("sy"), " ").as("rep")),
         reliable = false)
       val after = st.agg(sum(col("tf") * col("n"))).head().getLong(0)
@@ -857,8 +868,46 @@ object RelevanceOps {
       k += 1
     }
     import sp.implicits._
-    out.result()
+    val table = out.result()
       .toDF("rank", "c1", "c2", "pair_count", "tokens_after")
       .orderBy(col("rank"))
+    (table, st.select(col("w"), col("tf"), col("n")))
+  }
+
+  /** t41: corpus tokenization under the TRAINED merge table — the
+    * tokenizer-apply rung a token-budget pipeline (t39) prices against:
+    * per document, the word count, the codepoint count, and the BPE
+    * token count after all `rounds` trained merges. Pricing happens at
+    * the VOCAB level (each distinct word's symbol count is computed once
+    * by the training loop) and reaches documents through one word-keyed
+    * join of token instances onto the (word, n) table — the classic
+    * count-table shape: un-hinted (the t22 rule — the vocab side is
+    * Heaps-law small and AQE broadcasts it at any realistic scale),
+    * never a per-document re-segmentation.
+    *
+    * Empty/whitespace docs report zeros (no instances survive the
+    * empty-token filter); docs whose every token is empty ditto. Null
+    * text reports zeros too — the doc HAS no payable tokens, which is a
+    * statement the budgeter can act on (unlike d19/d29, where null text
+    * means "nothing to measure" and stays null).
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val perWord = bpeTrainState(docs, textCol, rounds)._2
+      .select(col("w"), col("n"))
+    val agg = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(perWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n").cast("long")).as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 }

@@ -13,21 +13,22 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   /** Sennrich-style BPE by hand: overlapping pair counts, argmax under
-    * (count desc, c1, c2), greedy left-to-right non-overlapping apply. */
-  private def trainByHand(words: Map[String, Long], rounds: Int)
-      : Seq[(Int, String, String, Long, Long)] = {
-    var st: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, tf) => (w.map(_.toString).toVector, tf) }
-    (1 to rounds).map { k =>
+    * (count desc, c1, c2), greedy left-to-right non-overlapping apply.
+    * Returns the merge table and the final per-word symbol counts. */
+  private def trainByHandFull(words: Map[String, Long], rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], Map[String, Int]) = {
+    var st: Seq[(String, Vector[String], Long)] =
+      words.toSeq.map { case (w, tf) => (w, w.map(_.toString).toVector, tf) }
+    val rows = (1 to rounds).map { k =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
-      st.foreach { case (sy, tf) =>
+      st.foreach { case (_, sy, tf) =>
         var i = 0
         while (i + 1 < sy.length) { pc((sy(i), sy(i + 1))) += tf; i += 1 }
       }
       val ((c1, c2), best) =
         pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-      st = st.map { case (sy, tf) =>
+      st = st.map { case (w, sy, tf) =>
         val buf = Vector.newBuilder[String]
         var i = 0
         while (i < sy.length) {
@@ -35,12 +36,17 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
             buf += (c1 + c2); i += 2
           } else { buf += sy(i); i += 1 }
         }
-        (buf.result(), tf)
+        (w, buf.result(), tf)
       }
-      val after = st.map { case (sy, tf) => tf * sy.length }.sum
+      val after = st.map { case (_, sy, tf) => tf * sy.length }.sum
       (k, c1, c2, best, after)
     }
+    (rows, st.map { case (w, sy, _) => w -> sy.length }.toMap)
   }
+
+  private def trainByHand(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] =
+    trainByHandFull(words, rounds)._1
 
   private def trainSpark(words: Map[String, Long], rounds: Int)
       : Seq[(Int, String, String, Long, Long)] = {
@@ -87,6 +93,38 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     val got = RelevanceOps.bpeTrain(docs, "text", 1)
       .as[(Int, String, String, Long, Long)].collect().toSeq
     assert(got === Seq((1, "a", "b", 2L, 2L)))
+  }
+
+  test("tokenize: per-doc counts follow the trained merge table") {
+    val docs = Seq(
+      (1L, "low lower low"),
+      (2L, "newest wide lowest"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "low low low low")
+    ).toDF("doc_id", "text")
+    val words = Seq("low", "lower", "low", "newest", "wide", "lowest",
+      "low", "low", "low", "low")
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val (_, lens) = trainByHandFull(words, 4)
+    val got = RelevanceOps.bpeTokenCounts(docs, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def doc(ws: String*): (Long, Long, Long) =
+      (ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => lens(w).toLong).sum)
+    val e1 = doc("low", "lower", "low")
+    val e2 = doc("newest", "wide", "lowest")
+    val e5 = doc("low", "low", "low", "low")
+    assert(got === Seq(
+      (1L, e1._1, e1._2, e1._3),
+      (2L, e2._1, e2._2, e2._3),
+      (3L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L),
+      (5L, e5._1, e5._2, e5._3)))
+    // the merge table visibly compresses: "low" must have merged below
+    // its character length by round 4 on this vocab
+    assert(lens("low") < 3)
   }
 
   test("round 1 equals t28's top pair on the same corpus") {
