@@ -212,6 +212,121 @@ object TextFns {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(MinhashPrime)),
         lit(MinhashPrime)))
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every token k-gram, slide a window of `w` consecutive
+    * gram hashes, and in each window select the RIGHTMOST minimal hash; the
+    * distinct selected `(pos, fp)` pairs are the document's fingerprint
+    * set. Unlike [[rollingFingerprint]] (one hash per doc — exact identity)
+    * this yields a position-anchored SUB-document sketch with the winnowing
+    * guarantee: any token run of length ≥ w + k − 1 shared by two documents
+    * produces at least one shared fingerprint, so a fingerprint-key join
+    * finds every long-enough copy. Density is ~2/(w+1) of the gram count.
+    *
+    * The gram hash is the repo's cross-engine md5 recipe (hex chars 1–6 →
+    * [0, 2²⁴), [[graft.operators.PipelineQueries.draw24]] over gram text)
+    * so a DuckDB oracle recomputes the selection exactly. Per-row array
+    * algebra only — no explode before selection, no shuffle; at 100 TB the
+    * O(grams × w) fold runs where the row lives and only the selected
+    * ~2m/(w+1) fingerprints ever become rows. Fewer grams than w (but ≥ 1)
+    * → one window over all grams; fewer than k tokens → empty set.
+    *
+    * Returns `array<struct<pos:int, fp:bigint>>` (pos is the 1-based gram
+    * position; at most one fp per pos, so (doc, pos) is a total key).
+    *
+    * PERFORMANCE: this composed form inlines the gram-hash array into the
+    * selection lambda — fine for tests/short texts, O(m²·w) md5s per doc
+    * on real corpora. Query paths stage [[gramHashes]] as its own
+    * projection and apply [[winnowSelect]] to the staged column (see
+    * [[graft.operators.DedupOps.winnowFps]]).
+    */
+  def winnowing(text: Column, k: Int, w: Int): Column =
+    winnowSelect(gramHashes(text, k), w)
+
+  /** The gram-hash half of [[winnowing]]: one md5-draw hash per token
+    * k-gram, `array<bigint>` of length `tokens − k + 1` (empty below k
+    * tokens). MUST be staged as its OWN projection (`.select(...as "hs")`
+    * then consume `col("hs")` in the next select) before [[winnowSelect]]
+    * in any query path: inlined into the selection lambda, every
+    * `element_at` re-evaluates the whole O(m) md5 array — O(m²·w) md5s
+    * per doc instead of O(m). The two-projection form is safe because
+    * CollapseProject never inlines a non-cheap alias referenced more than
+    * once. [[winnowing]] is the inlined composition — tests and one-off
+    * short texts only.
+    */
+  def gramHashes(text: Column, k: Int): Column = {
+    require(k >= 1, s"k=$k")
+    val toks = tokens(text)
+    val m = size(toks) - (k - 1) // gram count
+    val hs = transform(sequence(lit(1), m), i =>
+      conv(substring(md5(concat_ws(" ", slice(toks, i, lit(k)))
+        .cast("binary")), 1, 6), 16, 10).cast("long"))
+    when(m >= 1, hs).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** The window-selection half of [[winnowing]] over a staged
+    * [[gramHashes]] column: O(m·w) `element_at` probes of an attribute-
+    * bound array — the fold runs where the row lives, zero shuffle.
+    */
+  def winnowSelect(hs: Column, w: Int): Column = {
+    require(w >= 1, s"w=$w")
+    val m = size(hs)
+    val sel = transform(sequence(lit(1), greatest(lit(1), m - (w - 1))), j =>
+      aggregate(sequence(j, least(j + (w - 1), m)),
+        struct(lit(0).as("pos"), lit(Long.MaxValue).as("fp")),
+        (acc, p) => {
+          val h = element_at(hs, p)
+          // <= keeps the RIGHTMOST minimum (robust winnowing's tie rule)
+          when(h <= acc.getField("fp"),
+            struct(p.as("pos"), h.as("fp"))).otherwise(acc)
+        }))
+    when(m >= 1, array_distinct(sel))
+      .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
+  }
+
+  /** Fixed-size token-window chunking with stride (the context-prep /
+    * RAG-embedding cut): chunk j covers tokens [j·stride + 1,
+    * min(j·stride + size, n)], chunks are emitted while they add unseen
+    * tokens — i.e. `1 + ceil((n − size)/stride)` chunks for n > size, one
+    * chunk for 1 ≤ n ≤ size, none for empty/null text. Consecutive chunks
+    * overlap by `size − stride` tokens. Complements [[graft.operators
+    * .PipelineQueries]]'s t13 sequence packing (many short docs → one
+    * window); chunking is the other direction (one long doc → many
+    * windows). Pure per-row array algebra — zero shuffle at any scale; the
+    * output is a transform of the corpus, ~size/stride × its token mass.
+    *
+    * Returns `array<struct<chunk_id:int, start_pos:int, n_tokens:int,
+    * chunk_text:string>>`, chunk_id 0-based.
+    */
+  def chunkWindows(text: Column, chunk: Int, stride: Int): Column =
+    chunkWindowsOver(tokens(text), chunk, stride)
+
+  /** [[chunkWindows]] over a pre-staged token-array column. Query paths
+    * stage `tokens(text)` as its OWN projection and pass the attribute:
+    * inlined, the lambda's `slice(toks, …)` re-splits the text per chunk
+    * — O(n²/stride) per doc instead of O(n·chunks/stride) slice work.
+    * (CollapseProject keeps the staging: non-cheap alias, multi-ref.)
+    */
+  def chunkWindowsOver(toks: Column, chunk: Int, stride: Int): Column = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"chunk=$chunk stride=$stride")
+    val n = size(toks)
+    // 1 + ceil((n-chunk)/stride) via floor((n - chunk + stride - 1)/stride);
+    // values are token counts (≪ 2^31), exact in double
+    val nc = when(n >= 1,
+      when(n <= chunk, lit(1)).otherwise(
+        lit(1) + floor((n - lit(chunk - stride + 1)) / lit(stride)).cast("int")))
+      .otherwise(lit(0))
+    val chunks = transform(sequence(lit(0), nc - 1), j => {
+      val len = least(lit(chunk), n - j * stride)
+      struct(j.as("chunk_id"),
+        (j * stride + 1).as("start_pos"),
+        len.as("n_tokens"),
+        concat_ws(" ", slice(toks, j * stride + 1, len)).as("chunk_text"))
+    })
+    when(nc >= 1, chunks).otherwise(array().cast(
+      "array<struct<chunk_id:int,start_pos:int,n_tokens:int,chunk_text:string>>"))
+  }
+
   // ----------------------------------------------------------------- minhash
 
   /** Deterministic MinHash parameter set (k permutations) — public

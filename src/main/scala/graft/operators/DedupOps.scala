@@ -1335,6 +1335,95 @@ object DedupOps {
         col("cap_rank").isNotNull.as("kept"))
   }
 
+  /** d30: MOSS-style copy-pair detection over winnowing fingerprints
+    * ([[graft.functions.TextFns.winnowing]]): per-doc DISTINCT selected
+    * fingerprints (per-row array algebra — the dedup happens before
+    * anything becomes a row), fingerprints carried by more than
+    * `maxDocsPerFp` docs dropped (template/boilerplate runs — and the cap
+    * that bounds the fp-keyed self-join at C(maxDocsPerFp,2) pairs per
+    * fingerprint, the same structural bound as g03's maxSources), then
+    * pairs counted on shared fingerprints and thresholded at `minShared`.
+    * By the winnowing guarantee every shared token run of length
+    * ≥ w + k − 1 contributes a shared fingerprint, so long copies cannot
+    * be missed; unlike MinHash-LSH (d09/d10) the evidence is
+    * position-anchored substrings, not whole-doc similarity.
+    *
+    * Scale shape: text never shuffles — the fold runs where each row
+    * lives and only (doc, fp) pairs at ~2/(w+1) gram density move; the
+    * hot-fp cap and pair generator reuse ONE hash(fp) partitioning
+    * (ReusedExchange bridges the two consumers, the s14/probeTopK
+    * lesson); output is pair-cardinality, bounded per fp by the cap.
+    */
+  /** Staged winnowing fingerprints per doc: (doc_id, sel) with `sel` =
+    * `array<struct<pos:int,fp:bigint>>`. The gram-hash array is its OWN
+    * projection so the selection fold probes an attribute (O(m) md5 +
+    * O(m·w) probes per doc); the composed [[graft.functions.TextFns
+    * .winnowing]] form would re-evaluate the md5 array per probe —
+    * O(m²·w). CollapseProject can't undo the staging (non-cheap alias,
+    * multiple references). Shared by t42 and d30.
+    */
+  private[graft] def winnowFps(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextFns.gramHashes(col(textCol), k).as("hs"))
+      .select(col("doc_id"), TextFns.winnowSelect(col("hs"), w).as("sel"))
+
+  /** The winnowing sibling of [[bandIndex]]: distinct (cid, fp) rows over
+    * [[winnowFps]] — the pre-materialized corpus artifact the at-ingest
+    * copy detector ([[graft.streaming.PipelineStreams.winnowCopyDetect]])
+    * probes. `maxDocsPerFp` drops template fingerprints at build time
+    * (the same cap, same value, as [[winnowPairs]] — one definition so
+    * stream probe and batch ledger can never disagree on what counts).
+    */
+  private[graft] def winnowFpIndex(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, maxDocsPerFp: Int,
+      outId: String = "cid"): DataFrame = {
+    val fp = winnowFps(docs, idCol, textCol, k, w)
+      .select(col("doc_id").as(outId), array_distinct(
+        transform(col("sel"), s => s.getField("fp"))).as("fps"))
+      .select(col(outId), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+    fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))
+        .filter(col("n_doc") <= maxDocsPerFp)
+        .select(col("fp")),
+      Seq("fp"))
+      .select(col(outId), col("fp"))
+  }
+
+  private[graft] def winnowPairs(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Long,
+      maxDocsPerFp: Int): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2,
+      s"minShared=$minShared maxDocsPerFp=$maxDocsPerFp")
+    // explode_outer + null filter (not explode): InferFiltersFromGenerate
+    // would otherwise push a `size(fps) > 0` filter below the staged
+    // projections with the whole winnow expression inlined — the O(m²·w)
+    // re-evaluation winnowFps stages against. fps elements are never
+    // null, so the filter is exactly the empty-array drop.
+    val perDoc = winnowFps(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), array_distinct(
+        transform(col("sel"), s => s.getField("fp"))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+    val bounded = perDoc.join(
+      perDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))
+        .filter(col("n_doc") <= maxDocsPerFp)
+        .select(col("fp")),
+      Seq("fp"))
+    bounded
+      .join(bounded.select(col("fp"), col("doc_id").as("id_b"),
+        col("n_fp").as("nb")), Seq("fp"))
+      .filter(col("doc_id") < col("id_b"))
+      .groupBy(col("doc_id").as("id_a"), col("id_b"))
+      .agg(max(col("n_fp")).as("n_fp_a"), max(col("nb")).as("n_fp_b"),
+        count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_fp_a"), col("n_fp_b"),
+        col("shared_fp"))
+  }
+
   private[operators] def ccHop(both: DataFrame, cur: DataFrame): DataFrame = {
     val nbr = both.join(cur, both("src") === cur("id"))
       .select(both("dst").as("id"), col("label"),

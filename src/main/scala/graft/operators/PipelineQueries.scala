@@ -573,6 +573,32 @@ object PipelineQueries {
     */
   val BpeTrainRounds = 8
 
+  /** t42's winnowing parameters: token-3-gram hashes, window 4 — guarantee
+    * threshold w + k − 1 = 6 shared tokens, fingerprint density ~2/(w+1).
+    * ONE pair of values interpolated into engine and oracle (PackBudget
+    * rule).
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** d30's copy-pair thresholds: fingerprints carried by more than
+    * `WinnowMaxDocsPerFp` docs are template noise and are dropped — the
+    * cap is also the structural bound on the fp-keyed pair join
+    * (C(cap,2) pairs per fingerprint, the g03 maxSources discipline);
+    * pairs survive at ≥ `WinnowMinShared` shared fingerprints. ONE pair
+    * of values on both sides (PackBudget rule).
+    */
+  val WinnowMaxDocsPerFp = 8
+  val WinnowMinShared = 2L
+
+  /** t43's chunk geometry: 64-token windows, stride 48 (16-token overlap) —
+    * small enough that sf0.01's synthetic docs produce multi-chunk tails,
+    * shaped like the 512/384 production cut. ONE pair of values on both
+    * sides (PackBudget rule).
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -1131,6 +1157,54 @@ object PipelineQueries {
       RelevanceOps.bpeTokenCounts(Tables.documents(s, d), "doc_id",
         "text", BpeTrainRounds)
         .orderBy(col("doc_id"))),
+
+    // MOSS winnowing fingerprints: position-anchored sub-document sketch
+    // with the shared-run guarantee (any ≥ WinnowW+WinnowK−1-token copy
+    // shares a fingerprint). Zero shuffle before the output sort — the
+    // staged gram-hash projection keeps the selection at O(m) md5 +
+    // O(m·w) probes per doc (DedupOps.winnowFps), and only the
+    // ~2/(w+1)-density selections become rows.
+    // explode_OUTER + post-generate null filter, NOT explode: a plain
+    // explode makes InferFiltersFromGenerate infer `size(sel) > 0`,
+    // which pushes below the staged projections with the WHOLE winnow
+    // expression inlined — the O(m²·w) blow-up per row the staging
+    // exists to prevent (measured 169 s → 4.6 s at sf0.01).
+    "t42_winnowing" -> ((s, d) =>
+      DedupOps.winnowFps(Tables.documents(s, d), "doc_id", "text",
+        WinnowK, WinnowW)
+        .select(col("doc_id"), explode_outer(col("sel")).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // MOSS copy-pair detection over the t42 fingerprints: distinct fps
+    // per doc (per-row), hot-fp cap (boilerplate + the C(cap,2) pair
+    // bound), fp-keyed pair join, shared-count threshold. Position-
+    // anchored substring evidence — complements d09/d10's whole-doc
+    // MinHash. See DedupOps.winnowPairs.
+    "d30_winnow_pairs" -> ((s, d) =>
+      DedupOps.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Token-window chunking with stride — the context-prep cut feeding an
+    // embedder/encoder (t13 packs many short docs into one window; this
+    // cuts one long doc into many). Pure per-row transform, zero shuffle.
+    // tokens staged as their own projection (the lambda otherwise
+    // re-splits the text per chunk) and explode_OUTER + null filter
+    // (InferFiltersFromGenerate would inline the chunk build into a
+    // pushed-down size() filter — the t42 lesson).
+    "t43_chunk_windows" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode_outer(TextFns.chunkWindowsOver(col("toks"),
+            ChunkTokens, ChunkStride)).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.start_pos").as("start_pos"), col("c.n_tokens").as("n_tokens"),
+          col("c.chunk_text").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
@@ -2328,6 +2402,41 @@ object PipelineQueries {
          |  FROM b$k b)""".stripMargin
     }.mkString(",\n")
 
+  /** Shared oracle prefix for t42/d30: the winnowing selection re-derived
+    * relationally — gram md5-draw hashes as a per-doc list, positions and
+    * windows as rows, per-window min, rightmost position achieving it
+    * (max(pos) at fp = min — the engine fold's <= tie rule). Ends at
+    * `pick(doc_id, pos, fp)` (one row per (doc, window); DISTINCT is the
+    * consumer's job).
+    */
+  private def winnowPickSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    [CAST(CAST('0x' || substr(md5(
+       |        array_to_string(t[i:i+${WinnowK - 1}], ' ')), 1, 6)
+       |      AS INTEGER) AS BIGINT)
+       |     FOR i IN generate_series(1, len(t) - ${WinnowK - 1})] AS h
+       |  FROM tok WHERE len(t) >= $WinnowK),
+       |hrow0 AS (SELECT doc_id, h, len(h) AS m,
+       |                 unnest(generate_series(1, len(h))) AS pos FROM hs),
+       |hrow AS (SELECT doc_id, m, pos, h[pos] AS fp FROM hrow0),
+       |wins AS (SELECT doc_id,
+       |           unnest(generate_series(1, greatest(1, len(h) - ${WinnowW - 1})))
+       |             AS j
+       |         FROM hs),
+       |pairs AS (SELECT h.doc_id, w.j, h.pos, h.fp
+       |          FROM hrow h JOIN wins w ON w.doc_id = h.doc_id
+       |           AND h.pos BETWEEN w.j AND least(w.j + ${WinnowW - 1}, h.m)),
+       |mn AS (SELECT doc_id, j, min(fp) AS mn FROM pairs GROUP BY 1, 2),
+       |pick AS (SELECT p.doc_id, max(p.pos) AS pos, m.mn AS fp
+       |         FROM pairs p JOIN mn m ON m.doc_id = p.doc_id AND m.j = p.j
+       |         WHERE p.fp = m.mn GROUP BY p.doc_id, p.j, m.mn)""".stripMargin
+
   private def bpeTrainSql(rounds: Int): String = {
     val union = (1 to rounds).map(k => s"SELECT * FROM r$k")
       .mkString("\nUNION ALL ")
@@ -3339,6 +3448,59 @@ object PipelineQueries {
     "t40_bpe_train" -> bpeTrainSql(BpeTrainRounds),
     // t41: the same chain's final state applied per doc (bpeTokenizeSql)
     "t41_bpe_tokenize" -> bpeTokenizeSql(BpeTrainRounds),
+    // t42: winnowing re-derived relationally — gram hashes as rows, a
+    // window table, per-window min, rightmost position achieving it
+    // (max(pos) FILTER fp = min — the engine fold's <= tie rule), distinct.
+    "t42_winnowing" -> (winnowPickSql +
+      "\nSELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp\n" +
+      "FROM pick ORDER BY doc_id, pos"),
+    // d30: copy pairs over the same pick chain — distinct (doc, fp),
+    // hot-fp cap, fp-keyed pair join, shared-count threshold
+    "d30_winnow_pairs" -> (winnowPickSql +
+      s""",
+         |docfp AS (SELECT DISTINCT doc_id, fp FROM pick),
+         |tot AS (SELECT doc_id, count(*) AS n_fp FROM docfp GROUP BY 1),
+         |bounded AS (
+         |  SELECT d.doc_id, d.fp FROM docfp d
+         |  JOIN (SELECT fp FROM docfp GROUP BY fp
+         |        HAVING count(*) <= $WinnowMaxDocsPerFp) h USING (fp)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         count(*) AS shared_fp
+         |       FROM bounded a JOIN bounded b
+         |         ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT pr.id_a, pr.id_b,
+         |  CAST(ta.n_fp AS BIGINT) AS n_fp_a,
+         |  CAST(tb.n_fp AS BIGINT) AS n_fp_b,
+         |  CAST(pr.shared_fp AS BIGINT) AS shared_fp
+         |FROM pr
+         |JOIN tot ta ON ta.doc_id = pr.id_a
+         |JOIN tot tb ON tb.doc_id = pr.id_b
+         |WHERE pr.shared_fp >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin),
+    // t43: chunk count closed-form (1 + ceil((n-chunk)/stride) by integer
+    // division), lateral chunk ids, inclusive list slice per chunk
+    "t43_chunk_windows" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |        CASE WHEN len(t) = 0 THEN 0
+         |             WHEN len(t) <= $ChunkTokens THEN 1
+         |             ELSE 1 + (len(t) - ${ChunkTokens - ChunkStride + 1})
+         |                      // $ChunkStride END AS nc
+         |      FROM tok),
+         |j0 AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS j
+         |       FROM c WHERE nc >= 1)
+         |SELECT doc_id, CAST(j AS INT) AS chunk_id,
+         |  CAST(j * $ChunkStride + 1 AS INT) AS start_pos,
+         |  CAST(least($ChunkTokens, n - j * $ChunkStride) AS INT) AS n_tokens,
+         |  array_to_string(t[(j * $ChunkStride + 1):
+         |    (j * $ChunkStride + least($ChunkTokens, n - j * $ChunkStride))], ' ')
+         |    AS chunk_text
+         |FROM j0 ORDER BY doc_id, chunk_id""".stripMargin,
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -1057,6 +1057,52 @@ object PipelineStreams {
     * counting WITHOUT unbounded state: the first aggregate is the
     * distinct set, but windowed and watermark-expired.
     */
+  /** At-ingest copy detection — d30's monitoring twin: per (event-time
+    * window, arriving doc), the corpus docs it shares ≥ `minShared`
+    * winnowing fingerprints with, against the pre-materialized
+    * [[graft.operators.DedupOps.winnowFpIndex]] artifact (the SAME
+    * gramHashes/winnowSelect/cap definitions batch d30 pairs on, so the
+    * stream probe and the batch ledger can never fingerprint
+    * differently). By the winnowing guarantee an arriving doc that
+    * copies ≥ w + k − 1 consecutive tokens from an indexed doc MUST
+    * share a fingerprint — a syndicated or plagiarised feed is caught
+    * inside the watermark horizon with position-anchored evidence, where
+    * digest dedup (exact only) and MinHash (whole-doc) both miss partial
+    * copies.
+    *
+    * Shape: per-row staged gram-hash → selection (explode_outer + null
+    * filter — the InferFiltersFromGenerate lesson), fingerprints die
+    * against the stream-static index join BEFORE any state; two stacked
+    * streaming aggregations (the dupRateByWindow shape): (window, doc,
+    * corpus doc) shared counts, watermark-bounded, thresholded, then the
+    * (window, doc) rollup. State is one row per surviving (doc, corpus
+    * candidate) pair in the horizon — winnow-few by design.
+    */
+  def winnowCopyDetect(docs: DataFrame, corpusFps: DataFrame,
+      tsCol: String, idCol: String, textCol: String, k: Int, w: Int,
+      minShared: Long, window_ : String, delay: String): DataFrame = {
+    import graft.functions.TextFns
+    docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol),
+        TextFns.gramHashes(col(textCol), k).as("hs"))
+      .select(col(tsCol), col(idCol), array_distinct(
+        transform(TextFns.winnowSelect(col("hs"), w),
+          s => s.getField("fp"))).as("fps"))
+      .select(col(tsCol), col(idCol), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .join(corpusFps, Seq("fp"))
+      .groupBy(window(col(tsCol), window_), col(idCol), col("cid"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .groupBy(col("window"), col(idCol))
+      .agg(min(col("cid")).as("copy_of"),
+        max(col("shared_fp")).as("max_shared"),
+        count(lit(1)).as("n_sources"))
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("copy_of"), col("max_shared"), col("n_sources"))
+  }
+
   def dupRateByWindow(docs: DataFrame, tsCol: String, textCol: String,
       window_ : String, watermark: String): DataFrame =
     docs

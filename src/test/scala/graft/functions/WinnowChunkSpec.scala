@@ -1,0 +1,175 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.security.MessageDigest
+import scala.util.Random
+
+/** Behavioral + differential tests for TextFns.winnowing (MOSS fingerprint
+  * selection) and TextFns.chunkWindows (strided token chunking): edge
+  * geometry, the winnowing shared-run guarantee, and bit-exact agreement
+  * with an independent driver-side re-implementation on random corpora.
+  */
+class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+  private val W = 4
+
+  // -- driver-side reference implementations (independent of the Column form)
+
+  private def gramHash(toks: Seq[String]): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(toks.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val toks = text.trim match {
+      case "" => Seq.empty[String]
+      case t  => t.split("\\s+").toSeq
+    }
+    val m = toks.length - (k - 1)
+    if (m < 1) return Set.empty
+    val hs = (1 to m).map(i => gramHash(toks.slice(i - 1, i - 1 + k)))
+    (1 to math.max(1, m - (w - 1))).map { j =>
+      var pos = 0; var fp = Long.MaxValue
+      (j to math.min(j + (w - 1), m)).foreach { p =>
+        if (hs(p - 1) <= fp) { pos = p; fp = hs(p - 1) } // rightmost min
+      }
+      (pos, fp)
+    }.toSet
+  }
+
+  private def refChunks(text: String, chunk: Int, stride: Int)
+      : Seq[(Int, Int, Int, String)] = {
+    val toks = text.trim match {
+      case "" => Seq.empty[String]
+      case t  => t.split("\\s+").toSeq
+    }
+    val n = toks.length
+    val nc = if (n == 0) 0
+             else if (n <= chunk) 1
+             else 1 + (n - (chunk - stride + 1)) / stride
+    (0 until nc).map { j =>
+      val len = math.min(chunk, n - j * stride)
+      (j, j * stride + 1, len,
+        toks.slice(j * stride, j * stride + len).mkString(" "))
+    }
+  }
+
+  private def runWinnow(texts: Seq[(Long, String)], k: Int = K, w: Int = W)
+      : Map[Long, Set[(Int, Long)]] =
+    texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextFns.winnowing(col("text"), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.fp"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet
+      }
+
+  test("winnowing: edge geometry — empty, <k tokens, exactly k, m<w") {
+    val out = texts2map(Seq(
+      (0L, ""), (1L, "  "), (2L, "one two"),        // < k tokens → no grams
+      (3L, "one two three"),                          // exactly one gram
+      (4L, "a b c d")))                               // m=2 < w → one window
+    assert(out.getOrElse(0L, Set.empty).isEmpty)
+    assert(out.getOrElse(1L, Set.empty).isEmpty)
+    assert(out.getOrElse(2L, Set.empty).isEmpty)
+    assert(out(3L) === refWinnow("one two three", K, W))
+    assert(out(3L).size === 1 && out(3L).head._1 === 1)
+    assert(out(4L) === refWinnow("a b c d", K, W))
+    assert(out(4L).size === 1) // single window → single selection
+  }
+
+  private def texts2map(ts: Seq[(Long, String)]) = runWinnow(ts)
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    val run = "omega kappa sigma delta theta lambda" // w+k-1 = 6 tokens
+    val a = s"alpha beta $run gamma epsilon zeta"
+    val b = s"one two three four $run five six"
+    val out = runWinnow(Seq((0L, a), (1L, b)))
+    val shared = out(0L).map(_._2) intersect out(1L).map(_._2)
+    assert(shared.nonEmpty, "winnowing guarantee violated on planted run")
+  }
+
+  test("winnowing: differential vs driver reference on random corpora") {
+    val rnd = new Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(20) // 0..19 tokens spans every geometry
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = runWinnow(docs)
+    docs.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) === refWinnow(t, K, W),
+        s"doc $id text='$t'")
+    }
+    // (doc, pos) is a total key: one fp per selected position
+    got.values.foreach(s => assert(s.size === s.map(_._1).size))
+  }
+
+  test("winnowPairs: planted copy found, boilerplate fps capped away, strangers unpaired") {
+    import graft.operators.DedupOps
+    val run = "omega kappa sigma delta theta lambda rho" // > w+k-1 tokens
+    val boiler = "terms of service apply to every visitor here"
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma epsilon zeta"),
+      (1L, s"uno dos tres quatro $run cinco seis"),
+      // 6 docs > cap sharing only the boilerplate run, unique tails
+      (2L, s"$boiler aa2 bb2 cc2 dd2"), (3L, s"$boiler aa3 bb3 cc3 dd3"),
+      (4L, s"$boiler aa4 bb4 cc4 dd4"), (5L, s"$boiler aa5 bb5 cc5 dd5"),
+      (6L, s"$boiler aa6 bb6 cc6 dd6"), (7L, s"$boiler aa7 bb7 cc7 dd7"),
+      (8L, "entirely unrelated content speaking about something else wholly")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.winnowPairs(docs, "doc_id", "text", K, W,
+        minShared = 1L, maxDocsPerFp = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), "planted copy pair missed")
+    // every boilerplate fp is carried by 6 > 4 docs → capped → no pairs
+    // among 2..7, and doc 8 pairs with nobody
+    assert(got === Set((0L, 1L)), s"unexpected pairs: $got")
+  }
+
+  test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
+    val chunk = 5; val stride = 3
+    val rnd = new Random(7)
+    val docs = (0L until 40L).map { i =>
+      val n = rnd.nextInt(18)
+      (i, (1 to n).map(j => s"w$j").mkString(" "))
+    } ++ Seq((100L, ""), (101L, "solo"), (102L, (1 to 5).map("t" + _).mkString(" ")))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextFns.chunkWindows(col("text"), chunk, stride)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.start_pos"),
+        col("c.n_tokens"), col("c.chunk_text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1))
+          .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSeq
+      }
+    docs.foreach { case (id, t) =>
+      val ref = refChunks(t, chunk, stride)
+      assert(got.getOrElse(id, Seq.empty) === ref, s"doc $id text='$t'")
+      val n = if (t.trim.isEmpty) 0 else t.trim.split("\\s+").length
+      if (ref.nonEmpty) {
+        // full coverage: last chunk reaches token n; every consecutive pair
+        // overlaps by chunk - stride (or less only at the tail)
+        assert(ref.last._2 + ref.last._3 - 1 === n)
+        ref.sliding(2).foreach {
+          case Seq((_, s1, l1, _), (_, s2, _, _)) =>
+            assert(s2 - s1 === stride)
+            assert(s2 <= s1 + l1, "gap between consecutive chunks")
+          case _ =>
+        }
+      } else assert(n === 0)
+    }
+  }
+}

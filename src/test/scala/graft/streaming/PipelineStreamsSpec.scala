@@ -1340,4 +1340,53 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(rows.filter(_._2._1 == "drop_audio_dup").keySet === audFlags)
     } finally q.stop()
   }
+
+  test("winnow copy detector: partial copy flagged against the corpus index, equals batch d30") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    // 10-token run shared verbatim → ≥ 2 guaranteed shared fingerprints
+    // (5 windows fully inside the 8 shared grams; one min dominates ≤ w)
+    val run = "omega kappa sigma delta theta lambda rho mu nu xi"
+    val corpusDocs = Seq(
+      (100L, s"corpus prefix words here $run corpus suffix words there"),
+      (101L, "completely unrelated corpus text about brokers topics and " +
+        "offsets and consumer group rebalancing"))
+      .toDF("doc_id", "text")
+    val idx = DedupOps.winnowFpIndex(corpusDocs, "doc_id", "text",
+      k = 3, w = 4, maxDocsPerFp = 8)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val arrivedCopy = s"fresh intro $run fresh outro closing words"
+    val det = PipelineStreams.winnowCopyDetect(
+      in.toDF().toDF("ts", "doc_id", "text"), idx, "ts", "doc_id", "text",
+      k = 3, w = 4, minShared = 2L, "10 minutes", "5 minutes")
+    val q = det.writeStream.format("memory").queryName("wcd")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (java.sql.Timestamp.valueOf("2021-01-16 17:00:00"), 0L, arrivedCopy),
+        (java.sql.Timestamp.valueOf("2021-01-16 17:01:00"), 1L,
+          "entirely new material sharing nothing with anything stored"))
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:30:00"), 2L,
+        "watermark closer row far past the arrival window"))
+      q.processAllAvailable()
+      val rows = spark.table("wcd").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(0L))
+      assert(rows.head.getAs[Long]("copy_of") === 100L)
+      assert(rows.head.getAs[Long]("n_sources") === 1L)
+      // batch identity: d30 over corpus + arrivals pairs (0, 100) at the
+      // SAME shared-fingerprint count the stream probe saw
+      val batch = corpusDocs.union(Seq(
+        (0L, arrivedCopy),
+        (1L, "entirely new material sharing nothing with anything stored"))
+        .toDF("doc_id", "text"))
+      val pairs = DedupOps.winnowPairs(batch, "doc_id", "text",
+          k = 3, w = 4, minShared = 2L, maxDocsPerFp = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("shared_fp"))
+        .toMap
+      assert(pairs.keySet === Set((0L, 100L)))
+      assert(pairs((0L, 100L)) === rows.head.getAs[Long]("max_shared"))
+    } finally q.stop()
+  }
 }

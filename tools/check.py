@@ -69,6 +69,10 @@ def main():
             results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
         elif len(g) != len(e):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(e)}"
+        elif len(g) == 0:
+            # two empty frames are value-equal (the driver hashes values;
+            # empty == empty) even when pandas dtypes differ
+            results[name] = "OK"
         elif not g.equals(e):
             diff = (g != e).any(axis=1)
             i = diff.idxmax()
