@@ -1424,6 +1424,74 @@ object DedupOps {
         col("shared_fp"))
   }
 
+  /** d31: the matched-REGION report completing [[winnowPairs]] the way
+    * d29 completes d19 — for every surviving copy pair, each side's
+    * union of k-token gram intervals anchored at shared fingerprints:
+    * how many tokens of each doc the evidence covers and in how many
+    * contiguous spans (the MOSS match display, as data). A shared
+    * fingerprint selected at gram position p witnesses a verbatim
+    * k-token match covering tokens [p, p+k); overlapping/adjacent
+    * witness intervals merge into one span (the d29 interval-fold,
+    * applied per pair side instead of per doc).
+    *
+    * Scale shape: everything [[winnowPairs]] promises, plus — anchor
+    * positions ride the same fp-keyed rows (ints, not text), the pair
+    * rollup collects each side's DISTINCT positions (winnow-few by the
+    * ~2/(w+1) density and the maxDocsPerFp cap), and the interval
+    * union is a per-row O(anchors) fold over that sorted list. Text is
+    * never touched at all — the spans are reported in token
+    * coordinates; a viewer that wants the actual text slices them from
+    * the source doc by position.
+    */
+  private[graft] def winnowMatchSpans(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Long,
+      maxDocsPerFp: Int): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2,
+      s"minShared=$minShared maxDocsPerFp=$maxDocsPerFp")
+    val posRows = winnowFps(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode_outer(col("sel")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    // the SAME docs-per-fp cap as winnowPairs (counted on distinct
+    // (doc, fp), so a fingerprint recurring inside one doc doesn't
+    // inflate its doc count)
+    val capped = posRows.join(
+      posRows.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))
+        .filter(col("n_doc") <= maxDocsPerFp)
+        .select(col("fp")),
+      Seq("fp"))
+    val anchors = capped
+      .join(capped.select(col("fp"), col("doc_id").as("id_b"),
+        col("pos").as("pos_b")), Seq("fp"))
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"), col("fp"),
+        col("pos").as("pos_a"), col("pos_b"))
+    // fold state: (covered tokens, span count, exclusive end of the open
+    // span); a position p < end overlaps, p == end abuts — both merge,
+    // adding p + k − end new tokens; p > end opens a new span
+    def spanStats(ps: Column): Column = aggregate(ps,
+      struct(lit(0L).as("tok"), lit(0L).as("ns"), lit(0).as("end")),
+      (st, p) => when(p <= st("end"),
+        struct((st("tok") + (p + lit(k) - st("end")).cast("long")).as("tok"),
+          st("ns").as("ns"), (p + lit(k)).as("end")))
+        .otherwise(struct((st("tok") + lit(k.toLong)).as("tok"),
+          (st("ns") + lit(1L)).as("ns"), (p + lit(k)).as("end"))))
+    anchors
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(size(collect_set(col("fp"))).cast("long").as("shared_fp"),
+        sort_array(collect_set(col("pos_a"))).as("ps_a"),
+        sort_array(collect_set(col("pos_b"))).as("ps_b"))
+      .filter(col("shared_fp") >= minShared)
+      .withColumn("st_a", spanStats(col("ps_a")))
+      .withColumn("st_b", spanStats(col("ps_b")))
+      .select(col("id_a"), col("id_b"), col("shared_fp"),
+        col("st_a")("tok").as("matched_tokens_a"),
+        col("st_a")("ns").as("n_spans_a"),
+        col("st_b")("tok").as("matched_tokens_b"),
+        col("st_b")("ns").as("n_spans_b"))
+  }
+
   private[operators] def ccHop(both: DataFrame, cur: DataFrame): DataFrame = {
     val nbr = both.join(cur, both("src") === cur("id"))
       .select(both("dst").as("id"), col("label"),

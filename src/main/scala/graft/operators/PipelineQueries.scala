@@ -1187,6 +1187,16 @@ object PipelineQueries {
         WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The matched-region report over d30's pairs (the MOSS match display
+    // as data): per pair and side, the union of k-token intervals
+    // anchored at shared fingerprints — how much of each doc the copy
+    // evidence covers and in how many contiguous spans. Token
+    // coordinates only; text never moves. See DedupOps.winnowMatchSpans.
+    "d31_winnow_match_spans" -> ((s, d) =>
+      DedupOps.winnowMatchSpans(Tables.documents(s, d), "doc_id", "text",
+        WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Token-window chunking with stride — the context-prep cut feeding an
     // embedder/encoder (t13 packs many short docs into one window; this
     // cuts one long doc into many). Pure per-row transform, zero shuffle.
@@ -3478,6 +3488,46 @@ object PipelineQueries {
          |JOIN tot tb ON tb.doc_id = pr.id_b
          |WHERE pr.shared_fp >= $WinnowMinShared
          |ORDER BY id_a, id_b""".stripMargin),
+    // d31: gaps-and-islands over the same pick chain — anchor positions
+    // per pair side, islands merged while pos <= prev_max + k (interval
+    // [pos, pos+k) overlap/abut), island tokens = max - min + k
+    "d31_winnow_match_spans" -> (winnowPickSql +
+      s""",
+         |sel AS (SELECT DISTINCT doc_id, pos, fp FROM pick),
+         |cap AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel)
+         |        GROUP BY fp HAVING count(*) <= $WinnowMaxDocsPerFp),
+         |c AS (SELECT s.* FROM sel s JOIN cap USING (fp)),
+         |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+         |           a.pos AS pos_a, b.pos AS pos_b
+         |         FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |prs AS (SELECT id_a, id_b, count(DISTINCT fp) AS shared_fp
+         |        FROM anch GROUP BY 1, 2
+         |        HAVING count(DISTINCT fp) >= $WinnowMinShared),
+         |sides AS (SELECT DISTINCT id_a, id_b, 'a' AS side, pos_a AS pos FROM anch
+         |          UNION ALL
+         |          SELECT DISTINCT id_a, id_b, 'b' AS side, pos_b AS pos FROM anch),
+         |sid AS (SELECT s.* FROM sides s JOIN prs USING (id_a, id_b)),
+         |isl AS (SELECT id_a, id_b, side, pos,
+         |          CASE WHEN pos <= coalesce(max(pos) OVER (
+         |                 PARTITION BY id_a, id_b, side ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               -$WinnowK) + $WinnowK THEN 0 ELSE 1 END AS brk
+         |        FROM sid),
+         |grp AS (SELECT *, sum(brk) OVER (
+         |          PARTITION BY id_a, id_b, side ORDER BY pos) AS g FROM isl),
+         |seg AS (SELECT id_a, id_b, side, g,
+         |          max(pos) + $WinnowK - min(pos) AS tok
+         |        FROM grp GROUP BY 1, 2, 3, 4),
+         |agg AS (SELECT id_a, id_b, side, CAST(sum(tok) AS BIGINT) AS toks,
+         |          CAST(count(*) AS BIGINT) AS ns
+         |        FROM seg GROUP BY 1, 2, 3)
+         |SELECT p.id_a, p.id_b, CAST(p.shared_fp AS BIGINT) AS shared_fp,
+         |  a.toks AS matched_tokens_a, a.ns AS n_spans_a,
+         |  b.toks AS matched_tokens_b, b.ns AS n_spans_b
+         |FROM prs p
+         |JOIN agg a ON a.id_a = p.id_a AND a.id_b = p.id_b AND a.side = 'a'
+         |JOIN agg b ON b.id_a = p.id_a AND b.id_b = p.id_b AND b.side = 'b'
+         |ORDER BY p.id_a, p.id_b""".stripMargin),
     // t43: chunk count closed-form (1 + ceil((n-chunk)/stride) by integer
     // division), lateral chunk ids, inclusive list slice per chunk
     "t43_chunk_windows" ->

@@ -137,6 +137,57 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set((0L, 1L)), s"unexpected pairs: $got")
   }
 
+  test("winnowMatchSpans: pair set == d30, span stats match a driver reference") {
+    import graft.operators.DedupOps
+    val run = "omega kappa sigma delta theta lambda rho mu nu xi"
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma epsilon zeta"),
+      (1L, s"uno dos tres quatro $run cinco seis"),
+      (2L, "entirely unrelated content speaking about something else wholly"),
+      (3L, s"alpha beta $run gamma epsilon zeta") // exact copy of 0
+    )
+    val df = docs.toDF("doc_id", "text")
+    val (minShared, cap) = (1L, 8)
+    val spans = DedupOps.winnowMatchSpans(df, "doc_id", "text", K, W,
+        minShared, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val pairs = DedupOps.winnowPairs(df, "doc_id", "text", K, W,
+        minShared, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("shared_fp"))
+      .toMap
+    assert(spans.keySet === pairs.keySet)
+    spans.foreach { case (k2, v) => assert(v._1 === pairs(k2)) }
+
+    // driver reference: same cap, anchors, interval union
+    val sel = docs.map { case (id, t) => id -> refWinnow(t, K, W) }.toMap
+    val docFp = sel.toSeq.flatMap { case (id, s) => s.map(_._2).toSet.map((f: Long) => (id, f)) }
+    val okFp = docFp.groupBy(_._2).filter(_._2.size <= cap).keySet
+    def union(ps: Seq[Int]): (Long, Long) = {
+      var tok = 0L; var ns = 0L; var end = 0
+      ps.sorted.foreach { p =>
+        if (p <= end) { tok += p + K - end; end = p + K }
+        else { tok += K; ns += 1; end = p + K }
+      }
+      (tok, ns)
+    }
+    for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+      val fa = sel(a).filter(x => okFp(x._2)); val fb = sel(b).filter(x => okFp(x._2))
+      val shared = fa.map(_._2) intersect fb.map(_._2)
+      if (shared.size >= minShared) {
+        val pa = fa.filter(x => shared(x._2)).map(_._1).toSeq.distinct
+        val pb = fb.filter(x => shared(x._2)).map(_._1).toSeq.distinct
+        val (ta, na) = union(pa); val (tb, nb) = union(pb)
+        assert(spans((a, b)) === ((shared.size.toLong, ta, na, tb, nb)),
+          s"pair ($a,$b)")
+      } else assert(!spans.contains((a, b)), s"pair ($a,$b) should be absent")
+    }
+    // the exact-copy pair covers identical token mass on both sides
+    val full = spans((0L, 3L))
+    assert(full._2 === full._4 && full._3 === full._5)
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)
