@@ -192,5 +192,9 @@ object CrawlCols {
         intLit(exprs(1), "word_shingles n")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_stats", exprs => RepetitionStats(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", exprs => WinnowFpsExpr(exprs.head,
+        intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps w")),
+      "scala_udf")
   }
 }

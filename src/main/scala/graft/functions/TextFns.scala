@@ -242,6 +242,18 @@ object TextFns {
   def winnowing(text: Column, k: Int, w: Int): Column =
     winnowSelect(gramHashes(text, k), w)
 
+  /** [[winnowing]] as the single fused native expression
+    * ([[WinnowFpsExpr]]) — what every query/stream path uses; the
+    * composed form above is the executable spec it is property-pinned
+    * against (WinnowFpsParitySpec). One byte loop per row, no staged
+    * intermediate arrays, codegen-friendly, never null (empty array for
+    * null/token-less text).
+    */
+  def winnowingFast(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(text), k, w))
+  }
+
   /** The gram-hash half of [[winnowing]]: one md5-draw hash per token
     * k-gram, `array<bigint>` of length `tokens − k + 1` (empty below k
     * tokens). MUST be staged as its OWN projection (`.select(...as "hs")`

@@ -1354,19 +1354,17 @@ object DedupOps {
     * (ReusedExchange bridges the two consumers, the s14/probeTopK
     * lesson); output is pair-cardinality, bounded per fp by the cap.
     */
-  /** Staged winnowing fingerprints per doc: (doc_id, sel) with `sel` =
-    * `array<struct<pos:int,fp:bigint>>`. The gram-hash array is its OWN
-    * projection so the selection fold probes an attribute (O(m) md5 +
-    * O(m·w) probes per doc); the composed [[graft.functions.TextFns
-    * .winnowing]] form would re-evaluate the md5 array per probe —
-    * O(m²·w). CollapseProject can't undo the staging (non-cheap alias,
-    * multiple references). Shared by t42 and d30.
+  /** Winnowing fingerprints per doc: (doc_id, sel) with `sel` =
+    * `array<struct<pos:int,fp:bigint>>`, via the fused native expression
+    * ([[graft.functions.WinnowFpsExpr]] — one byte loop per row,
+    * property-pinned bit-identical to the composed
+    * gramHashes→winnowSelect chain). Shared by t42, d30, d31 and the
+    * streaming copy detector.
     */
   private[graft] def winnowFps(docs: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        TextFns.gramHashes(col(textCol), k).as("hs"))
-      .select(col("doc_id"), TextFns.winnowSelect(col("hs"), w).as("sel"))
+      TextFns.winnowingFast(col(textCol), k, w).as("sel"))
 
   /** The winnowing sibling of [[bandIndex]]: distinct (cid, fp) rows over
     * [[winnowFps]] — the pre-materialized corpus artifact the at-ingest

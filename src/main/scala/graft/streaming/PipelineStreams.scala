@@ -1070,8 +1070,8 @@ object PipelineStreams {
     * digest dedup (exact only) and MinHash (whole-doc) both miss partial
     * copies.
     *
-    * Shape: per-row staged gram-hash → selection (explode_outer + null
-    * filter — the InferFiltersFromGenerate lesson), fingerprints die
+    * Shape: per-row fused fingerprinting (explode_outer + null filter —
+    * the InferFiltersFromGenerate lesson), fingerprints die
     * against the stream-static index join BEFORE any state; two stacked
     * streaming aggregations (the dupRateByWindow shape): (window, doc,
     * corpus doc) shared counts, watermark-bounded, thresholded, then the
@@ -1084,10 +1084,8 @@ object PipelineStreams {
     import graft.functions.TextFns
     docs
       .withWatermark(tsCol, delay)
-      .select(col(tsCol), col(idCol),
-        TextFns.gramHashes(col(textCol), k).as("hs"))
       .select(col(tsCol), col(idCol), array_distinct(
-        transform(TextFns.winnowSelect(col("hs"), w),
+        transform(TextFns.winnowingFast(col(textCol), k, w),
           s => s.getField("fp"))).as("fps"))
       .select(col(tsCol), col(idCol), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)

@@ -217,4 +217,26 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
       assert(native === composed)
     }
   }
+
+  test("property: winnow_fps native == composed gramHashes->winnowSelect on generated texts") {
+    val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(60,
+      Gen.listOf(token).map(_.mkString(" "))), s)) ++
+      Seq("", " ", "\t \n", "a", "a b", "a b c", "a b c d", "a a a a a a a",
+        "x y z x y z x y z x y z", "não éos 日本語 a b c d e f", null)
+    for ((k, w) <- Seq((3, 4), (2, 2), (1, 1), (4, 7))) {
+      val rows = texts.toDF("text").select(
+        TextFns.winnowingFast(col("text"), k, w).as("fast"),
+        TextFns.winnowing(col("text"), k, w).as("slow"),
+        col("text")).collect()
+      rows.foreach { r =>
+        val clue = s"k=$k w=$w text=<${if (r.isNullAt(2)) null else r.getString(2)}>"
+        // composed form is never null (when/otherwise both yield arrays)
+        val f = r.getSeq[org.apache.spark.sql.Row](0)
+          .map(x => (x.getInt(0), x.getLong(1)))
+        val s = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getLong(1)))
+        assert(f === s, clue)
+      }
+    }
+  }
 }

@@ -563,19 +563,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     spark.read.parquet(dir)
   }
 
-  test("winnowing (t42/d30): gram hashes evaluated at exactly one plan site, zero exchanges") {
-    // The selection fold probes the staged hs attribute; if CollapseProject
-    // ever inlines it, or InferFiltersFromGenerate pushes a size() filter
-    // below the staging (the plain-explode regression: measured 169 s vs
-    // 4.6 s at sf0.01), md5 shows up at >1 site in the plan text.
+  test("winnowing (t42/d30): fingerprint expression at exactly one plan site, zero exchanges") {
+    // Fused winnow_fps expression, consumed via explode_outer + null
+    // filter: a bare explode would let InferFiltersFromGenerate push a
+    // size() filter below the projection that re-evaluates the expression
+    // per row (under the pre-native staged form that regression measured
+    // 169 s vs 4.6 s at sf0.01 — same trap, same pin).
     val t42ish = DedupOps.winnowFps(fileDocs, "doc_id", "text", 3, 4)
       .select(col("doc_id"), explode_outer(col("sel")).as("s"))
       .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     val p = planOf(t42ish)
     assert(shuffles(t42ish) === 0)
-    assert("md5".r.findAllIn(p).size === 1,
-      s"gram-hash array evaluated at more than one plan site:\n$p")
+    assert("winnow_fps".r.findAllIn(p).size === 1,
+      s"fingerprint expression evaluated at more than one plan site:\n$p")
   }
 
   test("winnow pairs (d30): fp rows are the only exchanges, one per aggregate role") {
@@ -583,10 +584,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       val df = DedupOps.winnowPairs(fileDocs, "doc_id", "text", 3, 4,
         minShared = 1L, maxDocsPerFp = 8)
       val p = planOf(df)
-      // gram hashes once per consumer subtree (cap count + probe + pair
-      // side), never inside a pushed-down filter: one md5 site per Project
-      // that builds hs, and no Filter node containing md5
-      assert(!"Filter [^\\n]*md5".r.findFirstIn(p).isDefined,
+      // fingerprints computed once per consumer subtree (cap count +
+      // probe + pair side), never inside a pushed-down filter
+      assert(!"Filter [^\\n]*winnow_fps".r.findFirstIn(p).isDefined,
         s"winnow expression inlined into a filter:\n$p")
       // exchanges carry (doc_id, n_fp, fp)-shaped rows only — the text
       // column must die before every exchange
