@@ -196,5 +196,8 @@ object CrawlCols {
       "winnow_fps", exprs => WinnowFpsExpr(exprs.head,
         intLit(exprs(1), "winnow_fps k"), intLit(exprs(2), "winnow_fps w")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_bow", exprs => HashedBowExpr(exprs.head,
+        intLit(exprs(1), "hashed_bow dim")), "scala_udf")
   }
 }

@@ -254,6 +254,34 @@ object TextFns {
     ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(text), k, w))
   }
 
+  /** Hashing-trick signed bag-of-words vector (`array<long>` of length
+    * dim) — the native [[HashedBowExpr]]; see [[HashedBowImpl]] for the
+    * draw/sign contract and [[hashedBowComposed]] for the executable
+    * built-ins spec it is property-pinned against. Never null (zero
+    * vector for null/token-less text).
+    */
+  def hashedBow(text: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HashedBowExpr(ColumnBridge.expression(text), dim))
+  }
+
+  /** The composed built-ins reference for [[hashedBow]]: per bucket, the
+    * signed count of tokens drawing it — O(dim × tokens) lambda folds,
+    * tests only.
+    */
+  def hashedBowComposed(text: Column, dim: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), lit(dim - 1)), b =>
+      coalesce(aggregate(toks, lit(0L), (acc, t) => {
+        val draw = conv(substring(md5(t.cast("binary")), 1, 6), 16, 10)
+          .cast("long")
+        val sign = when(conv(substring(md5(t.cast("binary")), 7, 1), 16, 10)
+          .cast("long") < 8, lit(1L)).otherwise(lit(-1L))
+        acc + when(pmod(draw, lit(dim.toLong)) === b.cast("long"), sign)
+          .otherwise(lit(0L))
+      }), lit(0L)))
+  }
+
   /** The gram-hash half of [[winnowing]]: one md5-draw hash per token
     * k-gram, `array<bigint>` of length `tokens − k + 1` (empty below k
     * tokens). MUST be staged as its OWN projection (`.select(...as "hs")`

@@ -599,6 +599,14 @@ object PipelineQueries {
   val ChunkTokens = 64
   val ChunkStride = 48
 
+  /** s28's retrieval geometry: 16-bucket hashing-trick embeddings, every
+    * 97th doc queries, top-3 chunks. ONE set of values on both sides
+    * (PackBudget rule).
+    */
+  val BowDim = 16
+  val ChunkQueryMod = 97
+  val ChunkTopK = 3
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -1215,6 +1223,17 @@ object PipelineQueries {
           col("c.start_pos").as("start_pos"), col("c.n_tokens").as("n_tokens"),
           col("c.chunk_text").as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Chunk-level retrieval: the t43 chunk cut + hashing-trick embedding
+    // + brute-force cosine top-k — the full RAG "index and query"
+    // composition as one oracled query. Corpus never shuffles (chunk +
+    // embed are per-row); queries broadcast; integer-exact vectors make
+    // the cosine the same IEEE double in both engines. See
+    // SimilarityOps.chunkRetrieval.
+    "s28_chunk_retrieval" -> ((s, d) =>
+      SimilarityOps.chunkRetrieval(Tables.documents(s, d), "doc_id", "text",
+        ChunkTokens, ChunkStride, BowDim, ChunkQueryMod, ChunkTopK)
+        .orderBy(col("query_id"), col("rank"))),
 
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
@@ -2447,6 +2466,25 @@ object PipelineQueries {
        |         FROM pairs p JOIN mn m ON m.doc_id = p.doc_id AND m.j = p.j
        |         WHERE p.fp = m.mn GROUP BY p.doc_id, p.j, m.mn)""".stripMargin
 
+  /** Shared oracle prefix for t43/s28: the strided chunk chain — token
+    * arrays, closed-form chunk count, one row per (doc, chunk j) with the
+    * token array and counts still attached (`j0(doc_id, t, n, j)`).
+    */
+  private def chunkChainSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |c AS (SELECT doc_id, t, len(t) AS n,
+       |        CASE WHEN len(t) = 0 THEN 0
+       |             WHEN len(t) <= $ChunkTokens THEN 1
+       |             ELSE 1 + (len(t) - ${ChunkTokens - ChunkStride + 1})
+       |                      // $ChunkStride END AS nc
+       |      FROM tok),
+       |j0 AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS j
+       |       FROM c WHERE nc >= 1)""".stripMargin
+
   private def bpeTrainSql(rounds: Int): String = {
     val union = (1 to rounds).map(k => s"SELECT * FROM r$k")
       .mkString("\nUNION ALL ")
@@ -3530,27 +3568,75 @@ object PipelineQueries {
          |ORDER BY p.id_a, p.id_b""".stripMargin),
     // t43: chunk count closed-form (1 + ceil((n-chunk)/stride) by integer
     // division), lateral chunk ids, inclusive list slice per chunk
-    "t43_chunk_windows" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-         |  FROM documents),
-         |c AS (SELECT doc_id, t, len(t) AS n,
-         |        CASE WHEN len(t) = 0 THEN 0
-         |             WHEN len(t) <= $ChunkTokens THEN 1
-         |             ELSE 1 + (len(t) - ${ChunkTokens - ChunkStride + 1})
-         |                      // $ChunkStride END AS nc
-         |      FROM tok),
-         |j0 AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS j
-         |       FROM c WHERE nc >= 1)
+    "t43_chunk_windows" -> (chunkChainSql +
+      s"""
          |SELECT doc_id, CAST(j AS INT) AS chunk_id,
          |  CAST(j * $ChunkStride + 1 AS INT) AS start_pos,
          |  CAST(least($ChunkTokens, n - j * $ChunkStride) AS INT) AS n_tokens,
          |  array_to_string(t[(j * $ChunkStride + 1):
          |    (j * $ChunkStride + least($ChunkTokens, n - j * $ChunkStride))], ' ')
          |    AS chunk_text
-         |FROM j0 ORDER BY doc_id, chunk_id""".stripMargin,
+         |FROM j0 ORDER BY doc_id, chunk_id""".stripMargin),
+    // s28: the chunk chain → hashing-trick embeddings → cosine top-k.
+    // Per-chunk/per-query (bucket, weight) rows re-derive hashed_bow
+    // relationally; dot products join on the bucket; norms² and dots are
+    // integer-valued so the cosine divides the same IEEE doubles the
+    // engine divides (√·√ mirrored), and ranking can't disagree.
+    "s28_chunk_retrieval" -> (chunkChainSql +
+      s""",
+         |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_id,
+         |    array_to_string(t[(j * $ChunkStride + 1):
+         |      (j * $ChunkStride + least($ChunkTokens, n - j * $ChunkStride))],
+         |      ' ') AS chunk_text
+         |  FROM j0),
+         |ctok AS (SELECT doc_id, chunk_id,
+         |    unnest(CASE WHEN len(trim(chunk_text)) = 0 THEN CAST([] AS VARCHAR[])
+         |           ELSE regexp_split_to_array(trim(chunk_text), '\\s+') END) AS tk
+         |  FROM chunks),
+         |cw AS (SELECT doc_id, chunk_id,
+         |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
+         |      % $BowDim AS b,
+         |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
+         |        THEN 1 ELSE -1 END) AS w
+         |  FROM ctok GROUP BY 1, 2, 3),
+         |cn2 AS (SELECT doc_id, chunk_id, sum(w * w) AS n2 FROM cw GROUP BY 1, 2),
+         |q AS (SELECT doc_id AS query_id, text FROM documents
+         |      WHERE doc_id % $ChunkQueryMod = 0),
+         |qtok AS (SELECT query_id,
+         |    unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |           ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk
+         |  FROM q),
+         |qw AS (SELECT query_id,
+         |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
+         |      % $BowDim AS b,
+         |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
+         |        THEN 1 ELSE -1 END) AS w
+         |  FROM qtok GROUP BY 1, 2),
+         |qn2 AS (SELECT query_id, sum(w * w) AS n2 FROM qw GROUP BY 1),
+         |dots AS (SELECT qw.query_id, cw.doc_id, cw.chunk_id,
+         |    sum(qw.w * cw.w) AS dt
+         |  FROM qw JOIN cw USING (b) GROUP BY 1, 2, 3),
+         |base AS (SELECT q.query_id, ch.doc_id AS corpus_id, ch.chunk_id
+         |  FROM q, chunks ch WHERE ch.doc_id <> q.query_id),
+         |scored AS (SELECT p.query_id, p.corpus_id, p.chunk_id,
+         |    CASE WHEN coalesce(c2.n2, 0) = 0 OR coalesce(q2.n2, 0) = 0
+         |         THEN 0.0
+         |         ELSE coalesce(d.dt, 0) / (sqrt(q2.n2) * sqrt(c2.n2)) END
+         |      AS sim
+         |  FROM base p
+         |  LEFT JOIN cn2 c2 ON c2.doc_id = p.corpus_id
+         |    AND c2.chunk_id = p.chunk_id
+         |  LEFT JOIN qn2 q2 ON q2.query_id = p.query_id
+         |  LEFT JOIN dots d ON d.query_id = p.query_id
+         |    AND d.doc_id = p.corpus_id AND d.chunk_id = p.chunk_id),
+         |ranked AS (SELECT query_id, corpus_id, chunk_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= $ChunkTopK
+         |ORDER BY query_id, rank""".stripMargin),
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

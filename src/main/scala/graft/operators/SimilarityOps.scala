@@ -1254,4 +1254,58 @@ object SimilarityOps {
         array_sort(collect_list(struct(col("dim"), col("mean_val")))),
         s => s.getField("mean_val")).as(vecCol))
       .withColumnRenamed("centroid_id", idCol)
+
+  /** s28: chunk-level retrieval over text — the full "RAG index + query"
+    * composition: the corpus is cut into strided token windows
+    * ([[graft.functions.TextFns.chunkWindowsOver]], the t43 definition),
+    * each chunk is embedded train-free by the hashing trick
+    * ([[graft.functions.TextFns.hashedBow]] — signed feature-hashed
+    * token counts, exactly reproducible cross-engine), and every query
+    * doc (the deterministic `id % queryMod == 0` slice, embedded whole)
+    * retrieves its cosine top-k chunks from OTHER docs. The baseline a
+    * production system would back with the IVF/PQ stack above; here the
+    * brute-force exact form, the [[bruteForceTopK]] discipline applied
+    * to text-derived vectors.
+    *
+    * Determinism: vectors are integer counts; dots and squared norms
+    * are integer-valued doubles (exact), so `dot / (√qn² · √cn²)` is
+    * the same IEEE value in any engine — ranking (full-precision sim,
+    * then id tie-breaks) can never disagree; round(6) only at output.
+    * Scale shape: chunking + embedding are one per-row projection (the
+    * corpus never shuffles), queries broadcast into the scoring join,
+    * and ranking is the per-query window over pair rows.
+    */
+  def chunkRetrieval(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int, dim: Int, queryMod: Int, k: Int): DataFrame = {
+    import graft.functions.TextFns
+    require(dim >= 1 && queryMod >= 1 && k >= 1,
+      s"dim=$dim queryMod=$queryMod k=$k")
+    val chunks = docs
+      .select(col(idCol).as("corpus_id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("corpus_id"),
+        explode_outer(TextFns.chunkWindowsOver(col("toks"), chunk, stride))
+          .as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("corpus_id"), col("c.chunk_id").as("chunk_id"),
+        TextFns.hashedBow(col("c.chunk_text"), dim).cast("array<double>")
+          .as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val queries = docs
+      .filter(pmod(col(idCol), lit(queryMod.toLong)) === 0)
+      .select(col(idCol).as("query_id"),
+        TextFns.hashedBow(col(textCol), dim).cast("array<double>").as("qv"))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
+    chunks.crossJoin(broadcast(queries))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -218,6 +218,22 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: hashed_bow native == composed on generated texts") {
+    val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(60,
+      Gen.listOf(token).map(_.mkString(" "))), s)) ++
+      Seq("", " ", "\t \n", "a", "a a b", "não 日本語 emoji🙂end", null)
+    for (dim <- Seq(16, 8, 1)) {
+      val rows = texts.toDF("text").select(
+        TextFns.hashedBow(col("text"), dim).as("fast"),
+        TextFns.hashedBowComposed(col("text"), dim).as("slow"),
+        col("text")).collect()
+      rows.foreach { r =>
+        val clue = s"dim=$dim text=<${if (r.isNullAt(2)) null else r.getString(2)}>"
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), clue)
+      }
+    }
+  }
+
   test("property: winnow_fps native == composed gramHashes->winnowSelect on generated texts") {
     val texts = (1 to 4).flatMap(s => sample(Gen.listOfN(60,
       Gen.listOf(token).map(_.mkString(" "))), s)) ++

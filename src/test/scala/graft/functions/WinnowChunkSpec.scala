@@ -188,6 +188,30 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(full._2 === full._4 && full._3 === full._5)
   }
 
+  test("chunkRetrieval: verbatim copy ranks first at sim 1, self excluded") {
+    import graft.operators.SimilarityOps
+    val q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, q),                                    // query (0 % 97 == 0)
+      (5L, q),                                    // verbatim copy
+      (6L, "one two three four five six seven eight nine ten"),
+      (7L, s"prefix words $q suffix words end")   // contains the query
+    ).toDF("doc_id", "text")
+    val got = SimilarityOps.chunkRetrieval(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3)
+      .collect()
+      .map(r => (r.getInt(3), r.getLong(1), r.getInt(2), r.getDouble(4)))
+      .sortBy(_._1)
+    // rank 1: the verbatim copy's single chunk at cosine exactly 1
+    assert(got.head === ((1, 5L, 0, 1.0)))
+    // the query doc's own chunks never appear
+    assert(!got.exists(_._2 == 0L))
+    // the containing doc outranks the unrelated doc
+    val r7 = got.find(_._2 == 7L).map(_._1)
+    val r6 = got.find(_._2 == 6L).map(_._1)
+    assert(r7.isDefined && (r6.isEmpty || r7.get < r6.get))
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)
