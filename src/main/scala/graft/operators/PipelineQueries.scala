@@ -1235,6 +1235,18 @@ object PipelineQueries {
         ChunkTokens, ChunkStride, BowDim, ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // The s28 scale path audited: sign-pattern LSH buckets (chunk and
+    // query key on the sign bits of their hashed vector — at 100 TB the
+    // all-pairs cross becomes an equi-join and the query side stops
+    // broadcasting), with per-query candidate counts and exact-top-k
+    // milli-recall. All-integer outputs. See
+    // SimilarityOps.chunkRetrievalLshRecall.
+    "s29_chunk_lsh_recall" -> ((s, d) =>
+      SimilarityOps.chunkRetrievalLshRecall(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkQueryMod,
+        ChunkTopK)
+        .orderBy(col("query_id"))),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -2485,6 +2497,63 @@ object PipelineQueries {
        |j0 AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS j
        |       FROM c WHERE nc >= 1)""".stripMargin
 
+  /** Shared oracle prefix for s28/s29: the chunk chain + hashed-BoW
+    * bucket weights (cw/qw) + norms + dots + cosine scoring, through
+    * `ranked(query_id, corpus_id, chunk_id, sim, rank)`; `chunks`, `q`,
+    * `cw`, `qw` stay visible for consumers needing the raw weights.
+    */
+  private def chunkRetrievalCoreSql: String = chunkChainSql +
+    (s""",
+         |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_id,
+         |    array_to_string(t[(j * $ChunkStride + 1):
+         |      (j * $ChunkStride + least($ChunkTokens, n - j * $ChunkStride))],
+         |      ' ') AS chunk_text
+         |  FROM j0),
+         |ctok AS (SELECT doc_id, chunk_id,
+         |    unnest(CASE WHEN len(trim(chunk_text)) = 0 THEN CAST([] AS VARCHAR[])
+         |           ELSE regexp_split_to_array(trim(chunk_text), '\\s+') END) AS tk
+         |  FROM chunks),
+         |cw AS (SELECT doc_id, chunk_id,
+         |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
+         |      % $BowDim AS b,
+         |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
+         |        THEN 1 ELSE -1 END) AS w
+         |  FROM ctok GROUP BY 1, 2, 3),
+         |cn2 AS (SELECT doc_id, chunk_id, sum(w * w) AS n2 FROM cw GROUP BY 1, 2),
+         |q AS (SELECT doc_id AS query_id, text FROM documents
+         |      WHERE doc_id % $ChunkQueryMod = 0),
+         |qtok AS (SELECT query_id,
+         |    unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |           ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk
+         |  FROM q),
+         |qw AS (SELECT query_id,
+         |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
+         |      % $BowDim AS b,
+         |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
+         |        THEN 1 ELSE -1 END) AS w
+         |  FROM qtok GROUP BY 1, 2),
+         |qn2 AS (SELECT query_id, sum(w * w) AS n2 FROM qw GROUP BY 1),
+         |dots AS (SELECT qw.query_id, cw.doc_id, cw.chunk_id,
+         |    sum(qw.w * cw.w) AS dt
+         |  FROM qw JOIN cw USING (b) GROUP BY 1, 2, 3),
+         |base AS (SELECT q.query_id, ch.doc_id AS corpus_id, ch.chunk_id
+         |  FROM q, chunks ch WHERE ch.doc_id <> q.query_id),
+         |scored AS (SELECT p.query_id, p.corpus_id, p.chunk_id,
+         |    CASE WHEN coalesce(c2.n2, 0) = 0 OR coalesce(q2.n2, 0) = 0
+         |         THEN 0.0
+         |         ELSE coalesce(d.dt, 0) / (sqrt(q2.n2) * sqrt(c2.n2)) END
+         |      AS sim
+         |  FROM base p
+         |  LEFT JOIN cn2 c2 ON c2.doc_id = p.corpus_id
+         |    AND c2.chunk_id = p.chunk_id
+         |  LEFT JOIN qn2 q2 ON q2.query_id = p.query_id
+         |  LEFT JOIN dots d ON d.query_id = p.query_id
+         |    AND d.doc_id = p.corpus_id AND d.chunk_id = p.chunk_id),
+         |ranked AS (SELECT query_id, corpus_id, chunk_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
+         |  FROM scored)""".stripMargin)
+
   private def bpeTrainSql(rounds: Int): String = {
     val union = (1 to rounds).map(k => s"SELECT * FROM r$k")
       .mkString("\nUNION ALL ")
@@ -3582,61 +3651,50 @@ object PipelineQueries {
     // relationally; dot products join on the bucket; norms² and dots are
     // integer-valued so the cosine divides the same IEEE doubles the
     // engine divides (√·√ mirrored), and ranking can't disagree.
-    "s28_chunk_retrieval" -> (chunkChainSql +
-      s""",
-         |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_id,
-         |    array_to_string(t[(j * $ChunkStride + 1):
-         |      (j * $ChunkStride + least($ChunkTokens, n - j * $ChunkStride))],
-         |      ' ') AS chunk_text
-         |  FROM j0),
-         |ctok AS (SELECT doc_id, chunk_id,
-         |    unnest(CASE WHEN len(trim(chunk_text)) = 0 THEN CAST([] AS VARCHAR[])
-         |           ELSE regexp_split_to_array(trim(chunk_text), '\\s+') END) AS tk
-         |  FROM chunks),
-         |cw AS (SELECT doc_id, chunk_id,
-         |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
-         |      % $BowDim AS b,
-         |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
-         |        THEN 1 ELSE -1 END) AS w
-         |  FROM ctok GROUP BY 1, 2, 3),
-         |cn2 AS (SELECT doc_id, chunk_id, sum(w * w) AS n2 FROM cw GROUP BY 1, 2),
-         |q AS (SELECT doc_id AS query_id, text FROM documents
-         |      WHERE doc_id % $ChunkQueryMod = 0),
-         |qtok AS (SELECT query_id,
-         |    unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |           ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk
-         |  FROM q),
-         |qw AS (SELECT query_id,
-         |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
-         |      % $BowDim AS b,
-         |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
-         |        THEN 1 ELSE -1 END) AS w
-         |  FROM qtok GROUP BY 1, 2),
-         |qn2 AS (SELECT query_id, sum(w * w) AS n2 FROM qw GROUP BY 1),
-         |dots AS (SELECT qw.query_id, cw.doc_id, cw.chunk_id,
-         |    sum(qw.w * cw.w) AS dt
-         |  FROM qw JOIN cw USING (b) GROUP BY 1, 2, 3),
-         |base AS (SELECT q.query_id, ch.doc_id AS corpus_id, ch.chunk_id
-         |  FROM q, chunks ch WHERE ch.doc_id <> q.query_id),
-         |scored AS (SELECT p.query_id, p.corpus_id, p.chunk_id,
-         |    CASE WHEN coalesce(c2.n2, 0) = 0 OR coalesce(q2.n2, 0) = 0
-         |         THEN 0.0
-         |         ELSE coalesce(d.dt, 0) / (sqrt(q2.n2) * sqrt(c2.n2)) END
-         |      AS sim
-         |  FROM base p
-         |  LEFT JOIN cn2 c2 ON c2.doc_id = p.corpus_id
-         |    AND c2.chunk_id = p.chunk_id
-         |  LEFT JOIN qn2 q2 ON q2.query_id = p.query_id
-         |  LEFT JOIN dots d ON d.query_id = p.query_id
-         |    AND d.doc_id = p.corpus_id AND d.chunk_id = p.chunk_id),
-         |ranked AS (SELECT query_id, corpus_id, chunk_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
-         |  FROM scored)
+    "s28_chunk_retrieval" -> (chunkRetrievalCoreSql +
+      s"""
          |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
          |  round(sim, 6) AS sim
          |FROM ranked WHERE rank <= $ChunkTopK
          |ORDER BY query_id, rank""".stripMargin),
+    // s29: the sign-pattern LSH audit over the same core — per chunk and
+    // query, sig = sum of 1<<bucket over positive weights (a missing
+    // (bucket, weight) row is weight 0, matching the engine's zero
+    // vector slots), candidates join on sig, and every query reports its
+    // candidate count + exact-top-k hits + milli-recall
+    "s29_chunk_lsh_recall" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cand AS (SELECT qs.query_id, cs.doc_id AS corpus_id, cs.chunk_id
+         |  FROM csig cs JOIN qsig qs ON cs.sig = qs.sig
+         |    AND cs.doc_id <> qs.query_id),
+         |ncand AS (SELECT query_id, count(*) AS n FROM cand GROUP BY 1),
+         |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
+         |       WHERE rank <= $ChunkTopK),
+         |nhit AS (SELECT e.query_id, count(*) AS n
+         |  FROM ex e JOIN cand c USING (query_id, corpus_id, chunk_id)
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(ncand.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(nhit.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(nhit.n, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli
+         |FROM q
+         |LEFT JOIN ncand ON ncand.query_id = q.query_id
+         |LEFT JOIN nhit ON nhit.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin),
     "t10_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -1277,10 +1277,19 @@ object SimilarityOps {
     */
   def chunkRetrieval(docs: DataFrame, idCol: String, textCol: String,
       chunk: Int, stride: Int, dim: Int, queryMod: Int, k: Int): DataFrame = {
-    import graft.functions.TextFns
     require(dim >= 1 && queryMod >= 1 && k >= 1,
       s"dim=$dim queryMod=$queryMod k=$k")
-    val chunks = docs
+    chunkTopK(chunkVecs(docs, idCol, textCol, chunk, stride, dim),
+      queryVecs(docs, idCol, textCol, dim, queryMod), k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** (corpus_id, chunk_id, cv, cn²) — one per-row projection. */
+  private def chunkVecs(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int, dim: Int): DataFrame = {
+    import graft.functions.TextFns
+    docs
       .select(col(idCol).as("corpus_id"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("corpus_id"),
         explode_outer(TextFns.chunkWindowsOver(col("toks"), chunk, stride))
@@ -1290,11 +1299,24 @@ object SimilarityOps {
         TextFns.hashedBow(col("c.chunk_text"), dim).cast("array<double>")
           .as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val queries = docs
+  }
+
+  /** (query_id, qv, qn²) for the deterministic `id % queryMod` slice. */
+  private def queryVecs(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, queryMod: Int): DataFrame = {
+    import graft.functions.TextFns
+    docs
       .filter(pmod(col(idCol), lit(queryMod.toLong)) === 0)
       .select(col(idCol).as("query_id"),
         TextFns.hashedBow(col(textCol), dim).cast("array<double>").as("qv"))
       .withColumn("qn2", dot(col("qv"), col("qv")))
+  }
+
+  /** Exact per-query cosine top-k over (chunks × broadcast queries);
+    * full-precision sim retained (callers round at output).
+    */
+  private def chunkTopK(chunks: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
     chunks.crossJoin(broadcast(queries))
@@ -1305,7 +1327,58 @@ object SimilarityOps {
             (sqrt(col("qn2")) * sqrt(col("cn2")))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
-        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** The sign bits of a vector as one integer — the hyperplane-free LSH
+    * key for hashed-BoW vectors (coordinate signs ARE random hyperplane
+    * sides, the feature-hash draw being the randomness). Buckets with no
+    * token (v=0) contribute 0, exactly like a missing (bucket, weight)
+    * row on the oracle side.
+    */
+  private def signKey(vec: Column, dim: Int): Column =
+    aggregate(zip_with(vec, array((0 until dim).map(i => lit(1L << i)): _*),
+      (x, p) => when(x > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** s29: the SCALE path for [[chunkRetrieval]] and its own audit — the
+    * s20/s14 discipline applied to chunk retrieval. Chunks and queries
+    * key on their sign pattern ([[signKey]]); a query only scores the
+    * chunks in ITS bucket (an equi-join — at 100 TB the all-pairs cross
+    * of s28 becomes a hash join on a 2^dim-ary key, and the query side
+    * no longer needs to broadcast), and the output is the per-query
+    * audit against the exact top-k: candidate count, how many of the
+    * exact top-k live in the bucket, and the milli-recall. All-integer
+    * outputs (the m04 discipline); every query reports a row, including
+    * bucket-miss queries at recall 0.
+    */
+  def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(dim >= 1 && dim <= 62 && queryMod >= 1 && k >= 1,
+      s"dim=$dim queryMod=$queryMod k=$k")
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val cand = chunks
+      .select(col("sig"), col("corpus_id"), col("chunk_id"))
+      .join(broadcast(queries.select(col("sig"), col("query_id"))), Seq("sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+    val exact = chunkTopK(chunks, queries, k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nHit = exact.join(cand, Seq("query_id", "corpus_id", "chunk_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 1000 / lit(k.toLong))
+          .cast("long").as("recall_milli"))
   }
 }

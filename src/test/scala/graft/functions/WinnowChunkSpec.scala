@@ -212,6 +212,24 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(r7.isDefined && (r6.isEmpty || r7.get < r6.get))
   }
 
+  test("chunkRetrievalLshRecall: verbatim copy shares the sign bucket and counts as a hit") {
+    import graft.operators.SimilarityOps
+    val q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, q),                                    // query (0 % 97 == 0)
+      (5L, q),                                    // verbatim copy: same vector, same sig
+      (6L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val rows = SimilarityOps.chunkRetrievalLshRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(0L)) // every query reports exactly one row
+    val (cand, hits, recall) = rows(0L)
+    assert(cand >= 1L, "identical vector must share the sign bucket")
+    assert(hits >= 1L && recall >= 333L)
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)
