@@ -25,22 +25,28 @@ object Bench {
     if (v < 0) "-1"
     else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** RELATIVE-precision per-query rendering: 3dp below 10 s, 1dp at and
-    * above — the next rung of the line-budget ladder (the keys are
-    * already at their floor: registry prefixes are unique). A ≥ 10 s
-    * query's run-to-run noise is two orders above a millisecond, so the
-    * dropped digits carry no comparison signal; totals/medians keep full
-    * r3. Worst case falls from "99.999" to "99.9" — 2 B × registry size,
-    * ~2 queries of budget per byte. */
+  /** RELATIVE-precision per-query rendering: 3dp below 1 s, 2dp from 1
+    * to 10 s, whole seconds at and above — the line-budget ladder (the
+    * keys are already at their floor: registry prefixes are unique).
+    * Run-to-run noise grows with the value (calib evidence: tens of ms
+    * on second-scale queries, seconds on ten-second ones), so each
+    * dropped digit carries no comparison signal at its tier;
+    * totals/medians keep full r3, and BENCH_FULL.json records every
+    * query at full r3. The ≥ 10 s tier is what bounds the WORST-CASE
+    * line ("100" vs "99.999" is 3 B × registry size) and keeps a
+    * 188-query registry well under the driver's ~2.9 KB tail capture. */
   private[graft] def rq(v: Double): String =
     if (v < 0) "-1"
     else {
       // branch on the ROUNDED value: v in [9.9995, 10) would otherwise
       // render "10.000" — a 10-second value with 3dp, flapping against
-      // "10.0" across runs at the boundary
+      // "10" across runs at the boundary
       val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-      if (r < 10) r.toString
-      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      if (r >= 10)
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
+      else if (r >= 1)
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      else r.toString
     }
 
   /** Abbreviated key per query name: id prefix + word initials

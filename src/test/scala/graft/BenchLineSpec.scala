@@ -98,12 +98,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.r3(-1.0) === "-1")
   }
 
-  test("relative per-query rendering: 3dp below 10 s, 1dp above") {
-    assert(Bench.rq(1.23456) === "1.235")
-    assert(Bench.rq(9.9994) === "9.999")
-    assert(Bench.rq(9.9996) === "10.0") // boundary: rounds INTO the 1dp tier
-    assert(Bench.rq(10.0) === "10.0")
-    assert(Bench.rq(99.987) === "100.0")
+  test("relative per-query rendering: 3dp under 1 s, 2dp to 10 s, whole seconds above") {
+    assert(Bench.rq(0.12345) === "0.123")
+    assert(Bench.rq(0.9994) === "0.999")
+    assert(Bench.rq(0.9996) === "1.00") // boundary: rounds INTO the 2dp tier
+    assert(Bench.rq(1.23456) === "1.23")
+    assert(Bench.rq(9.9994) === "10.00") // 3dp-round keeps it in tier two
+    assert(Bench.rq(9.9996) === "10") // boundary: rounds INTO the 0dp tier
+    assert(Bench.rq(10.0) === "10")
+    assert(Bench.rq(99.987) === "100")
     assert(Bench.rq(-1.0) === "-1")
   }
 }
