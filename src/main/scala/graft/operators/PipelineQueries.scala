@@ -1247,6 +1247,16 @@ object PipelineQueries {
         ChunkTopK)
         .orderBy(col("query_id"))),
 
+    // Multi-probe for the sign-bucket scheme: each query also probes its
+    // dim single-bit-flip neighbor buckets; ONE pass reports both probe
+    // budgets as columns (probes=1 ≡ s29, spec-pinned). See
+    // SimilarityOps.chunkMultiProbeRecall.
+    "s30_chunk_multiprobe" -> ((s, d) =>
+      SimilarityOps.chunkMultiProbeRecall(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkQueryMod,
+        ChunkTopK)
+        .orderBy(col("query_id"))),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -3662,6 +3672,56 @@ object PipelineQueries {
     // (bucket, weight) row is weight 0, matching the engine's zero
     // vector slots), candidates join on sig, and every query reports its
     // candidate count + exact-top-k hits + milli-recall
+    // s30: same sig CTEs as s29 plus the bit-flip probe table; min(nflip)
+    // nests the budgets; FILTER splits the per-budget aggregates
+    "s30_chunk_multiprobe" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |probes AS (SELECT query_id, sig AS key, 0 AS nflip FROM qsig
+         |  UNION ALL
+         |  SELECT query_id,
+         |    xor(sig, CAST(1 AS BIGINT) << CAST(i AS INT)) AS key, 1 AS nflip
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${BowDim - 1})) AS i FROM qsig)),
+         |cand AS (SELECT p.query_id, cs.doc_id AS corpus_id, cs.chunk_id,
+         |    min(p.nflip) AS nflip
+         |  FROM csig cs JOIN probes p ON cs.sig = p.key
+         |    AND cs.doc_id <> p.query_id
+         |  GROUP BY 1, 2, 3),
+         |ncand AS (SELECT query_id,
+         |    count(*) FILTER (WHERE nflip = 0) AS n1, count(*) AS nmp
+         |  FROM cand GROUP BY 1),
+         |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
+         |       WHERE rank <= $ChunkTopK),
+         |nhit AS (SELECT e.query_id,
+         |    count(*) FILTER (WHERE c.nflip = 0) AS n1, count(*) AS nmp
+         |  FROM ex e JOIN cand c USING (query_id, corpus_id, chunk_id)
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(ncand.n1, 0) AS BIGINT) AS n_cand_1,
+         |  CAST(coalesce(nhit.n1, 0) AS BIGINT) AS n_hits_1,
+         |  CAST(coalesce(nhit.n1, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_1,
+         |  CAST(coalesce(ncand.nmp, 0) AS BIGINT) AS n_cand_mp,
+         |  CAST(coalesce(nhit.nmp, 0) AS BIGINT) AS n_hits_mp,
+         |  CAST(coalesce(nhit.nmp, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_mp
+         |FROM q
+         |LEFT JOIN ncand ON ncand.query_id = q.query_id
+         |LEFT JOIN nhit ON nhit.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin),
     "s29_chunk_lsh_recall" -> (chunkRetrievalCoreSql +
       s""",
          |csig0 AS (SELECT doc_id, chunk_id,

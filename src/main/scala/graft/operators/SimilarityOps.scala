@@ -1351,6 +1351,65 @@ object SimilarityOps {
     * outputs (the m04 discipline); every query reports a row, including
     * bucket-miss queries at recall 0.
     */
+  /** s30: multi-probe for the sign-pattern bucket scheme — each query
+    * probes its own bucket AND the dim single-bit-flip neighbors (the
+    * standard multi-probe LSH recall/cost dial, one XOR per probe). ONE
+    * pass reports both probe budgets as columns (the s14/d16 sweep
+    * discipline — a second budget must not mean a second corpus scan):
+    * per query, candidates/hits/milli-recall at probes=1 (exactly s29's
+    * numbers, spec-pinned) and at probes=1+dim. All-integer outputs;
+    * every query reports.
+    *
+    * Scale shape: the probe table is queries × (dim+1) keyed rows — the
+    * query side grows by a constant factor and the candidate generator
+    * stays an equi-join; the corpus side is untouched.
+    */
+  def chunkMultiProbeRecall(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(dim >= 1 && dim <= 62 && queryMod >= 1 && k >= 1,
+      s"dim=$dim queryMod=$queryMod k=$k")
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val masks = 0L +: (0 until dim).map(1L << _)
+    val probes = queries.select(col("query_id"),
+        explode_outer(array(masks.map(m =>
+          struct(col("sig").bitwiseXOR(lit(m)).as("sig"),
+            lit(if (m == 0L) 0 else 1).as("nflip"))): _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("query_id"), col("p.sig").as("sig"), col("p.nflip").as("nflip"))
+    // min(nflip): a chunk found by the exact bucket is not re-counted as
+    // a flip candidate — the budgets nest
+    val cand = chunks.select(col("sig"), col("corpus_id"), col("chunk_id"))
+      .join(broadcast(probes), Seq("sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("corpus_id"), col("chunk_id"))
+      .agg(min(col("nflip")).as("nflip"))
+    val exact = chunkTopK(chunks, queries, k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(when(col("nflip") === 0, 1)).as("n_cand_1"),
+        count(lit(1)).as("n_cand_mp"))
+    val nHit = exact.join(cand, Seq("query_id", "corpus_id", "chunk_id"))
+      .groupBy(col("query_id"))
+      .agg(count(when(col("nflip") === 0, 1)).as("n_hits_1"),
+        count(lit(1)).as("n_hits_mp"))
+    queries.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cand_1"), lit(0L)).as("n_cand_1"),
+        coalesce(col("n_hits_1"), lit(0L)).as("n_hits_1"),
+        (coalesce(col("n_hits_1"), lit(0L)) * 1000 / lit(k.toLong))
+          .cast("long").as("recall_milli_1"),
+        coalesce(col("n_cand_mp"), lit(0L)).as("n_cand_mp"),
+        coalesce(col("n_hits_mp"), lit(0L)).as("n_hits_mp"),
+        (coalesce(col("n_hits_mp"), lit(0L)) * 1000 / lit(k.toLong))
+          .cast("long").as("recall_milli_mp"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

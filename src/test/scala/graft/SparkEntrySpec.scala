@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 188)
+    assert(SparkEntry.queries.size === 189)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -34,9 +34,9 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // full-series verify + CC), t36 per-source leakage attribution, s27 IVF-PQ-with-refine recall, t37 4-gram LM, m12 audio dup histogram — oracled on arrival
     // r11: d29 substring cut, t40 full BPE train, t41 BPE tokenize,
     // t42 winnowing fingerprints, t43 strided chunk windows, d30 MOSS
-    // winnow copy pairs, d31 winnow match spans, s28 chunk retrieval, s29 LSH recall —
+    // winnow copy pairs, d31 winnow match spans, s28 chunk retrieval, s29 LSH recall, s30 multi-probe —
     // all oracled + fixture-gated on arrival
-    assert(SparkEntry.oracleSql.size === 188)
+    assert(SparkEntry.oracleSql.size === 189)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }

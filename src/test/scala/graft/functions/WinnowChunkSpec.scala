@@ -230,6 +230,29 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(hits >= 1L && recall >= 333L)
   }
 
+  test("chunkMultiProbeRecall: budgets nest, probes=1 column equals s29, recall only rises") {
+    import graft.operators.SimilarityOps
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val mp = SimilarityOps.chunkMultiProbeRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val s29 = SimilarityOps.chunkRetrievalLshRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(mp.keySet === s29.keySet)
+    mp.foreach { case (q, (c1, h1, r1, cmp, hmp, rmp)) =>
+      // the probes=1 columns ARE s29
+      assert((c1, h1, r1) === s29(q), s"query $q")
+      // multi-probe only adds: candidates, hits, recall all nest
+      assert(cmp >= c1 && hmp >= h1 && rmp >= r1, s"query $q")
+    }
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)
