@@ -40,13 +40,21 @@ object Bench {
     else {
       // branch on the ROUNDED value: v in [9.9995, 10) would otherwise
       // render "10.000" — a 10-second value with 3dp, flapping against
-      // "10" across runs at the boundary
+      // "10" across runs at the boundary. Same hazard one tier down:
+      // v in [9.995, 9.9995) passes the 3dp tier check (r < 10) but its
+      // 2dp rendering is "10.00" — so RE-CHECK the tier after the 2dp
+      // round and fall to whole seconds when it crossed. Display digits
+      // always round the RAW value (no double-rounding: 1.23456 must
+      // stay "1.23", not 3dp→1.235→2dp→"1.24").
       val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       if (r >= 10)
         BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
-      else if (r >= 1)
-        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-      else r.toString
+      else if (r >= 1) {
+        val r2 = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        if (r2 >= 10)
+          BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
+        else r2.toString
+      } else r.toString
     }
 
   /** Abbreviated key per query name: id prefix + word initials
@@ -182,11 +190,21 @@ object Bench {
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       (1 to 3).foreach { _ =>
-        noop(graft.operators.Multimodal.extractMeta(clips).toDF())
+        val meta = graft.operators.Multimodal.extractMeta(clips).toDF()
+        noop(meta)
         noop(graft.operators.Multimodal.audioProfile(clips, 100).toDF())
         noop(graft.operators.Multimodal.motionProfile(clips, 7).toDF())
         noop(graft.operators.Multimodal.imageHash(clips).toDF())
         noop(graft.operators.Multimodal.audioFullBits(clips, 5).toDF())
+        // m02/m03's post-decode consumers (sequence explode, resize
+        // projection): the r11 driver bench read m01–m03 5× over their
+        // solo numbers while every warmed m-query stayed flat — these
+        // two were the only m-family entry points the loop skipped, so
+        // their first timed execution still paid generator/projection
+        // JIT. Warm them like the decode loops.
+        noop(graft.operators.Multimodal.sampleFrames(meta, 5))
+        noop(graft.operators.Multimodal.resizePlan(
+          meta.filter(col("kind") === "image"), 224))
       }
     }
 

@@ -1209,6 +1209,18 @@ object DedupOps {
     * `SparkContext.setCheckpointDir` and pays one checkpoint-dir write
     * per pinned state instead of the restart. Both calls are eager, so
     * loop-side semantics (one materializing job per hop) are identical.
+    *
+    * Storage cost of `reliable = true`: Spark never deletes checkpoint
+    * RDD directories on its own (only with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, default
+    * false, and even then only once the RDD is GC'd), so a long run
+    * accumulates one full state snapshot per pinned hop — up to ~25
+    * per connectedComponents call, one per hostRank iteration plus its
+    * setup pins, one per BPE training round — for the life of the app.
+    * A 100 TB deployment should set that conf, or clean superseded
+    * `ReliableRDDCheckpointData` dirs after each hop materializes; the
+    * dir itself must be sized for at least two live snapshots (the hop
+    * being written still reads the previous one).
     */
   private[graft] def pin(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) {

@@ -1063,7 +1063,15 @@ object PipelineStreams {
     * [[graft.operators.DedupOps.winnowFpIndex]] artifact (the SAME
     * gramHashes/winnowSelect/cap definitions batch d30 pairs on, so the
     * stream probe and the batch ledger can never fingerprint
-    * differently). By the winnowing guarantee an arriving doc that
+    * differently — same DEFINITION, but note the cap is computed over
+    * the corpus POPULATION only: a fingerprint at exactly
+    * `maxDocsPerFp` corpus docs that ALSO appears in arrivals is kept
+    * by this probe yet dropped by a batch [[graft.operators.DedupOps
+    * .winnowPairs]] run over corpus+arrivals, whose cap counts both
+    * sides. A known, bounded divergence window on borderline template
+    * fingerprints, not an identity violation; the identity the spec
+    * pins is probe hits ≡ batch candidates against the same corpus
+    * index). By the winnowing guarantee an arriving doc that
     * copies ≥ w + k − 1 consecutive tokens from an indexed doc MUST
     * share a fingerprint — a syndicated or plagiarised feed is caught
     * inside the watermark horizon with position-anchored evidence, where

@@ -102,8 +102,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.rq(0.12345) === "0.123")
     assert(Bench.rq(0.9994) === "0.999")
     assert(Bench.rq(0.9996) === "1.00") // boundary: rounds INTO the 2dp tier
-    assert(Bench.rq(1.23456) === "1.23")
-    assert(Bench.rq(9.9994) === "10.00") // 3dp-round keeps it in tier two
+    assert(Bench.rq(1.23456) === "1.23") // raw-value rounding, no 3dp→2dp double-round to "1.24"
+    assert(Bench.rq(9.9946) === "9.99") // last value that stays in tier two
+    assert(Bench.rq(9.9951) === "10") // 2dp would render "10.00": re-checked into the 0dp tier
+    assert(Bench.rq(9.9994) === "10") // ditto — [9.995, 9.9995) no longer flaps as "10.00"
     assert(Bench.rq(9.9996) === "10") // boundary: rounds INTO the 0dp tier
     assert(Bench.rq(10.0) === "10")
     assert(Bench.rq(99.987) === "100")
