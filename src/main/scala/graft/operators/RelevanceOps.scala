@@ -806,9 +806,18 @@ object RelevanceOps {
     * (Heaps-law sublinear in the corpus) — the pair table collapses to
     * distinct adjacent symbol pairs, the argmax is a heap, the fold is
     * per-vocab-row string work.
+    *
+    * A corpus that exhausts its adjacent pairs before `rounds` returns
+    * the TRUNCATED merge table (BpeTrainSpec), matching the
+    * chained-CTE oracle's degradation. `reliable = true` swaps the
+    * per-round lineage pin for a fault-tolerant `checkpoint()` — the
+    * same cluster mode as connectedComponents/hostRank (see
+    * [[graft.operators.DedupOps.pin]]); identical output both modes
+    * (ReliableCheckpointSpec).
     */
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
-    bpeTrainState(docs, textCol, rounds)._1
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
+      reliable: Boolean = false): DataFrame =
+    bpeTrainState(docs, textCol, rounds, reliable)._1
 
   /** The training loop's internals: returns BOTH the merge table (the
     * t40 surface) and the final vocab state `(w, tf, n)` — per-word
@@ -818,7 +827,7 @@ object RelevanceOps {
     * that produced them.
     */
   private[graft] def bpeTrainState(docs: DataFrame, textCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int, reliable: Boolean = false): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds=$rounds")
     val sp = docs.sparkSession
     // leading/trailing non-space whitespace yields an EMPTY token (trim
@@ -833,7 +842,7 @@ object RelevanceOps {
       .select(col("w"), col("tf"), length(col("w")).as("n"), expr(
         "array_join(transform(sequence(1, length(w)), " +
           "i -> substr(w, i, 1)), ' ')").as("rep")),
-      reliable = false)
+      reliable)
     val out = Seq.newBuilder[(Int, String, String, Long, Long)]
     var k = 1
     while (k <= rounds) {
@@ -846,7 +855,15 @@ object RelevanceOps {
         .agg(sum(col("tf")).as("pc"))
         .orderBy(desc("pc"), col("c1"), col("c2"))
         .limit(1).collect()
-      require(best.nonEmpty, s"no adjacent pairs left at round $k")
+      // A corpus can run out of adjacent pairs before `rounds` (every
+      // word fully merged to one symbol — e.g. all single-codepoint
+      // words). Return the TRUNCATED merge table rather than throw:
+      // the chained-CTE oracle degrades the same way (an empty argmax
+      // CTE cascades, later rounds emit zero rows), so the two engines
+      // agree on the short table; pinned by BpeTrainSpec
+      // ("degenerate corpus").
+      if (best.isEmpty) k = rounds + 1
+      else {
       val c1 = best(0).getString(0)
       val c2 = best(0).getString(1)
       val pc = best(0).getLong(2)
@@ -862,10 +879,11 @@ object RelevanceOps {
             .otherwise(concat(acc, array(x)))).as("sy"))
         .select(col("w"), col("tf"), size(col("sy")).as("n"),
           array_join(col("sy"), " ").as("rep")),
-        reliable = false)
+        reliable)
       val after = st.agg(sum(col("tf") * col("n"))).head().getLong(0)
       out += ((k, c1, c2, pc, after))
       k += 1
+      }
     }
     import sp.implicits._
     val table = out.result()
@@ -892,8 +910,8 @@ object RelevanceOps {
     * means "nothing to measure" and stays null).
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val perWord = bpeTrainState(docs, textCol, rounds)._2
+      rounds: Int, reliable: Boolean = false): DataFrame = {
+    val perWord = bpeTrainState(docs, textCol, rounds, reliable)._2
       .select(col("w"), col("n"))
     val agg = docs
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))

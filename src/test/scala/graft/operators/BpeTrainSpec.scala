@@ -136,4 +136,27 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
       .as[(String, String, Long)].head()
     assert((r1._2, r1._3, r1._4) === top)
   }
+
+  // ADVICE r11: the trainer used to throw when the corpus ran out of
+  // adjacent pairs before `rounds`, while the chained-CTE oracle
+  // degrades silently (an empty argmax CTE cascades and later rounds
+  // emit zero rows). Pinned behavior: return the TRUNCATED merge table,
+  // matching the oracle's short table.
+  test("degenerate corpus: truncated merge table, never a throw") {
+    // all single-codepoint words — zero adjacent pairs at round 1
+    val flat = Seq((0L, "a b c a b"), (1L, "c a")).toDF("doc_id", "text")
+    assert(RelevanceOps.bpeTrain(flat, "text", 3).count() === 0L)
+    // t41's surface still prices under the (unchanged) final state
+    val priced = RelevanceOps.bpeTokenCounts(flat, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(priced === Seq((0L, 5L, 5L, 5L), (1L, 2L, 2L, 2L)))
+
+    // pairs exhaust after exactly two merges: (a,b)→ab, (ab,?)… "ab ab"
+    // has one pair per word instance; after merging (a,b) every word is
+    // one symbol — 1 row out of rounds=4
+    val short = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val table = RelevanceOps.bpeTrain(short, "text", 4)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(table === Seq((1, "a", "b", 3L, 3L)))
+  }
 }

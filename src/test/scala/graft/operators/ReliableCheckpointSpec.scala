@@ -56,4 +56,22 @@ class ReliableCheckpointSpec extends AnyFunSuite with SparkSpec {
         .as[(String, Long)].collect().toSeq
     assert(run(reliable = true) === run(reliable = false))
   }
+
+  test("bpeTrain: identical merge table and token counts in both pin modes") {
+    withCkptDir()
+    // enough repetition for 4 distinct merges, plus a word the trained
+    // vocab prices at several symbols — exercises every loop round and
+    // the final-state surface (t41's input) under both pin modes
+    val docs = Seq((0L, "aaab aaab aaab cd"), (1L, "aaab cd cd xyz"))
+      .toDF("doc_id", "text")
+    def train(reliable: Boolean): Seq[(Int, String, String, Long, Long)] =
+      RelevanceOps.bpeTrain(docs, "text", rounds = 4, reliable = reliable)
+        .as[(Int, String, String, Long, Long)].collect().toSeq
+    def price(reliable: Boolean): Seq[(Long, Long, Long, Long)] =
+      RelevanceOps.bpeTokenCounts(docs, "doc_id", "text", rounds = 4,
+          reliable = reliable)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(train(reliable = true) === train(reliable = false))
+    assert(price(reliable = true) === price(reliable = false))
+  }
 }
