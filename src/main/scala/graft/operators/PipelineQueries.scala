@@ -1257,6 +1257,16 @@ object PipelineQueries {
         ChunkTopK)
         .orderBy(col("query_id"))),
 
+    // The flip-2 rung of the multi-probe dial: s30 extended to the
+    // C(dim,2) two-bit-flip neighbor buckets, ONE pass reporting all
+    // three probe budgets as nested columns (probes=1 ≡ s29 and
+    // 1+dim ≡ s30, spec-pinned). See SimilarityOps.chunkMultiProbe2Recall.
+    "s31_chunk_multiprobe2" -> ((s, d) =>
+      SimilarityOps.chunkMultiProbe2Recall(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkQueryMod,
+        ChunkTopK)
+        .orderBy(col("query_id"))),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -3718,6 +3728,73 @@ object PipelineQueries {
          |  CAST(coalesce(nhit.nmp, 0) AS BIGINT) AS n_hits_mp,
          |  CAST(coalesce(nhit.nmp, 0) * 1000 // $ChunkTopK AS BIGINT)
          |    AS recall_milli_mp
+         |FROM q
+         |LEFT JOIN ncand ON ncand.query_id = q.query_id
+         |LEFT JOIN nhit ON nhit.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin),
+    // s31: s30's CTEs with the C(dim,2) two-flip probe tier appended;
+    // min(nflip) still nests the budgets, FILTER splits all three
+    "s31_chunk_multiprobe2" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |probes AS (SELECT query_id, sig AS key, 0 AS nflip FROM qsig
+         |  UNION ALL
+         |  SELECT query_id,
+         |    xor(sig, CAST(1 AS BIGINT) << CAST(i AS INT)) AS key, 1 AS nflip
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${BowDim - 1})) AS i FROM qsig)
+         |  UNION ALL
+         |  SELECT query_id,
+         |    xor(sig, (CAST(1 AS BIGINT) << CAST(i AS INT)) |
+         |             (CAST(1 AS BIGINT) << CAST(j AS INT))) AS key,
+         |    2 AS nflip
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${BowDim - 1})) AS i FROM qsig),
+         |       generate_series(0, ${BowDim - 1}) g(j)
+         |  WHERE j > i),
+         |cand AS (SELECT p.query_id, cs.doc_id AS corpus_id, cs.chunk_id,
+         |    min(p.nflip) AS nflip
+         |  FROM csig cs JOIN probes p ON cs.sig = p.key
+         |    AND cs.doc_id <> p.query_id
+         |  GROUP BY 1, 2, 3),
+         |ncand AS (SELECT query_id,
+         |    count(*) FILTER (WHERE nflip = 0) AS n1,
+         |    count(*) FILTER (WHERE nflip <= 1) AS nmp,
+         |    count(*) AS nmp2
+         |  FROM cand GROUP BY 1),
+         |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
+         |       WHERE rank <= $ChunkTopK),
+         |nhit AS (SELECT e.query_id,
+         |    count(*) FILTER (WHERE c.nflip = 0) AS n1,
+         |    count(*) FILTER (WHERE c.nflip <= 1) AS nmp,
+         |    count(*) AS nmp2
+         |  FROM ex e JOIN cand c USING (query_id, corpus_id, chunk_id)
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(ncand.n1, 0) AS BIGINT) AS n_cand_1,
+         |  CAST(coalesce(nhit.n1, 0) AS BIGINT) AS n_hits_1,
+         |  CAST(coalesce(nhit.n1, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_1,
+         |  CAST(coalesce(ncand.nmp, 0) AS BIGINT) AS n_cand_mp,
+         |  CAST(coalesce(nhit.nmp, 0) AS BIGINT) AS n_hits_mp,
+         |  CAST(coalesce(nhit.nmp, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_mp,
+         |  CAST(coalesce(ncand.nmp2, 0) AS BIGINT) AS n_cand_mp2,
+         |  CAST(coalesce(nhit.nmp2, 0) AS BIGINT) AS n_hits_mp2,
+         |  CAST(coalesce(nhit.nmp2, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_mp2
          |FROM q
          |LEFT JOIN ncand ON ncand.query_id = q.query_id
          |LEFT JOIN nhit ON nhit.query_id = q.query_id

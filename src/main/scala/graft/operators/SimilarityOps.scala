@@ -1410,6 +1410,78 @@ object SimilarityOps {
           .cast("long").as("recall_milli_mp"))
   }
 
+  /** s31: the flip-2 rung of the multi-probe dial — [[chunkMultiProbeRecall]]
+    * extended to the C(dim,2) two-bit-flip neighbor buckets, because at
+    * dim=16 single-flip tops out well short of full recall (measured
+    * 333–1000 milli-recall at sf0.01) and the dial needs its next stop
+    * priced. ONE pass reports all THREE probe budgets as columns via the
+    * same min(nflip) nesting (probes=1 ≡ s29 and probes=1+dim ≡ s30,
+    * both spec-pinned — the budgets NEST, so the cheaper columns are
+    * bit-equal to the cheaper queries): per query,
+    * candidates/hits/milli-recall at nflip ≤ 0, ≤ 1, and ≤ 2.
+    *
+    * Scale shape: the probe table grows to queries × (1 + dim +
+    * C(dim,2)) keyed int rows — still query-side-only constant fan-out
+    * (137 at dim=16), the candidate generator stays ONE equi-join on
+    * the sign key, and the corpus side is untouched; no second corpus
+    * scan for the extra budgets.
+    */
+  def chunkMultiProbe2Recall(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(dim >= 2 && dim <= 62 && queryMod >= 1 && k >= 1,
+      s"dim=$dim queryMod=$queryMod k=$k")
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val masks: Seq[(Long, Int)] =
+      (0L, 0) +:
+        (0 until dim).map(i => (1L << i, 1)) ++:
+        (for (i <- 0 until dim; j <- i + 1 until dim)
+          yield ((1L << i) | (1L << j), 2))
+    val probes = queries.select(col("query_id"),
+        explode_outer(array(masks.map { case (m, nf) =>
+          struct(col("sig").bitwiseXOR(lit(m)).as("sig"),
+            lit(nf).as("nflip"))
+        }: _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("query_id"), col("p.sig").as("sig"),
+        col("p.nflip").as("nflip"))
+    // min(nflip): budgets nest — a chunk found by a cheaper probe is
+    // never re-counted at a costlier one
+    val cand = chunks.select(col("sig"), col("corpus_id"), col("chunk_id"))
+      .join(broadcast(probes), Seq("sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("corpus_id"), col("chunk_id"))
+      .agg(min(col("nflip")).as("nflip"))
+    val exact = chunkTopK(chunks, queries, k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(when(col("nflip") === 0, 1)).as("n_cand_1"),
+        count(when(col("nflip") <= 1, 1)).as("n_cand_mp"),
+        count(lit(1)).as("n_cand_mp2"))
+    val nHit = exact.join(cand, Seq("query_id", "corpus_id", "chunk_id"))
+      .groupBy(col("query_id"))
+      .agg(count(when(col("nflip") === 0, 1)).as("n_hits_1"),
+        count(when(col("nflip") <= 1, 1)).as("n_hits_mp"),
+        count(lit(1)).as("n_hits_mp2"))
+    def milli(c: Column): Column = (c * 1000 / lit(k.toLong)).cast("long")
+    queries.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_cand_1"), lit(0L)).as("n_cand_1"),
+        coalesce(col("n_hits_1"), lit(0L)).as("n_hits_1"),
+        milli(coalesce(col("n_hits_1"), lit(0L))).as("recall_milli_1"),
+        coalesce(col("n_cand_mp"), lit(0L)).as("n_cand_mp"),
+        coalesce(col("n_hits_mp"), lit(0L)).as("n_hits_mp"),
+        milli(coalesce(col("n_hits_mp"), lit(0L))).as("recall_milli_mp"),
+        coalesce(col("n_cand_mp2"), lit(0L)).as("n_cand_mp2"),
+        coalesce(col("n_hits_mp2"), lit(0L)).as("n_hits_mp2"),
+        milli(coalesce(col("n_hits_mp2"), lit(0L))).as("recall_milli_mp2"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

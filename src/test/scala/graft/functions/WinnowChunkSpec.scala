@@ -253,6 +253,35 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunkMultiProbe2Recall: flip-1/flip-0 columns equal s30 bit-for-bit, flip-2 nests on top") {
+    import graft.operators.SimilarityOps
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val mp2 = SimilarityOps.chunkMultiProbe2Recall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)),
+          (r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    val s30 = SimilarityOps.chunkMultiProbeRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(mp2.keySet === s30.keySet)
+    mp2.foreach { case (q, (lower, (c2, h2, r2))) =>
+      // the nflip <= 1 budget columns ARE s30 (which itself pins ≡ s29
+      // at probes=1 above) — three rungs of ONE dial, never re-scored
+      assert(lower === s30(q), s"query $q")
+      val (_, _, _, cmp, hmp, rmp) = lower
+      assert(c2 >= cmp && h2 >= hmp && r2 >= rmp, s"query $q")
+    }
+    // the rung must actually widen somewhere on this corpus, or the
+    // test proves nothing about the flip-2 tier
+    assert(mp2.exists { case (q, (lower, (c2, _, _))) => c2 > lower._4 })
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)
