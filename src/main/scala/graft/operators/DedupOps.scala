@@ -1502,6 +1502,81 @@ object DedupOps {
         col("st_b")("ns").as("n_spans_b"))
   }
 
+  /** d32: the matched slices themselves — [[winnowMatchSpans]] joined
+    * back to source text, the MOSS match display WITH strings (what a
+    * human adjudicating a copy pair actually reads). One row per
+    * (pair, side, contiguous span): its token coordinates and the
+    * actual text slice, in token space (the slice is the doc's tokens
+    * [start, end) joined by single spaces — the same canonical view the
+    * fingerprints were computed over, so slice token counts equal d31's
+    * matched_tokens per pair side row-for-row, spec-pinned).
+    *
+    * Scale shape: identical to [[winnowMatchSpans]] until spans exist as
+    * int rows; text enters ONLY through the final id-keyed join of span
+    * rows onto per-doc token arrays (the d14/d17 rebuild precedent) —
+    * the join output is evidence-sized (spans × ≤ doc tokens), each doc's
+    * text moves at most once per pair side it witnesses, and the corpus
+    * docs that witness no pair are filtered by the join itself.
+    */
+  private[graft] def winnowMatchSlices(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Long,
+      maxDocsPerFp: Int): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2,
+      s"minShared=$minShared maxDocsPerFp=$maxDocsPerFp")
+    val posRows = winnowFps(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode_outer(col("sel")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    val capped = posRows.join(
+      posRows.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))
+        .filter(col("n_doc") <= maxDocsPerFp)
+        .select(col("fp")),
+      Seq("fp"))
+    val anchors = capped
+      .join(capped.select(col("fp"), col("doc_id").as("id_b"),
+        col("pos").as("pos_b")), Seq("fp"))
+      .filter(col("doc_id") < col("id_b"))
+      .select(col("doc_id").as("id_a"), col("id_b"), col("fp"),
+        col("pos").as("pos_a"), col("pos_b"))
+    // the d29/d31 interval fold, but KEEPING the merged spans: a sorted
+    // anchor p < end of the open span overlaps, p == end abuts — both
+    // extend it to p + k; p > end opens a new span
+    def spans(ps: Column): Column = aggregate(ps,
+      expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)"),
+      (acc, p) => when(
+        size(acc) > 0 && p <= element_at(acc, -1)("e"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1)("s").as("s"),
+            (p + lit(k)).cast("int").as("e")))))
+        .otherwise(concat(acc, array(struct(p.cast("int").as("s"),
+          (p + lit(k)).cast("int").as("e"))))))
+    val paired = anchors
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fp")).as("shared_fp"),
+        sort_array(collect_set(col("pos_a"))).as("ps_a"),
+        sort_array(collect_set(col("pos_b"))).as("ps_b"))
+      .filter(col("shared_fp") >= minShared)
+      .select(col("id_a"), col("id_b"),
+        spans(col("ps_a")).as("sp_a"), spans(col("ps_b")).as("sp_b"))
+    def side(name: String, spansCol: String, docOf: Column): DataFrame =
+      paired.select(col("id_a"), col("id_b"), lit(name).as("side"),
+          docOf.as("doc_key"), posexplode(col(spansCol)).as(Seq("i", "sp")))
+        .select(col("id_a"), col("id_b"), col("side"), col("doc_key"),
+          (col("i") + 1).cast("int").as("span_idx"),
+          col("sp.s").as("s"), col("sp.e").as("e"))
+    val spanRows = side("a", "sp_a", col("id_a"))
+      .unionByName(side("b", "sp_b", col("id_b")))
+    val toks = docs.select(col(idCol).as("doc_key"),
+      graft.functions.TextFns.tokens(col(textCol)).as("toks"))
+    spanRows.join(toks, Seq("doc_key"))
+      .select(col("id_a"), col("id_b"), col("side"), col("span_idx"),
+        col("s").as("start_pos"),
+        (col("e") - col("s")).cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("s"), col("e") - col("s")), " ")
+          .as("slice_text"))
+  }
+
   private[operators] def ccHop(both: DataFrame, cur: DataFrame): DataFrame = {
     val nbr = both.join(cur, both("src") === cur("id"))
       .select(both("dst").as("id"), col("label"),

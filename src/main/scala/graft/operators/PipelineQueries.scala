@@ -1205,6 +1205,17 @@ object PipelineQueries {
         WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The matched slices with STRINGS — d31's spans joined back to source
+    // text (one id-keyed join of evidence-sized span rows onto per-doc
+    // token arrays), one row per (pair, side, contiguous span): what a
+    // human adjudicating a copy pair reads. Slice token counts equal
+    // d31's matched_tokens per pair side (spec-pinned). See
+    // DedupOps.winnowMatchSlices.
+    "d32_winnow_match_slices" -> ((s, d) =>
+      DedupOps.winnowMatchSlices(Tables.documents(s, d), "doc_id", "text",
+        WinnowK, WinnowW, WinnowMinShared, WinnowMaxDocsPerFp)
+        .orderBy(col("id_a"), col("id_b"), col("side"), col("span_idx"))),
+
     // Token-window chunking with stride — the context-prep cut feeding an
     // embedder/encoder (t13 packs many short docs into one window; this
     // cuts one long doc into many). Pure per-row transform, zero shuffle.
@@ -3655,6 +3666,46 @@ object PipelineQueries {
          |JOIN agg a ON a.id_a = p.id_a AND a.id_b = p.id_b AND a.side = 'a'
          |JOIN agg b ON b.id_a = p.id_a AND b.id_b = p.id_b AND b.side = 'b'
          |ORDER BY p.id_a, p.id_b""".stripMargin),
+    // d32: d31's island chain kept through the per-span rows, then each
+    // span sliced out of the side's token array (DuckDB list slice is
+    // 1-based inclusive: [s : e-1] is tokens [s, e)) and joined by
+    // single spaces — the same canonical token view the engine slices
+    "d32_winnow_match_slices" -> (winnowPickSql +
+      s""",
+         |sel AS (SELECT DISTINCT doc_id, pos, fp FROM pick),
+         |cap AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel)
+         |        GROUP BY fp HAVING count(*) <= $WinnowMaxDocsPerFp),
+         |c AS (SELECT s.* FROM sel s JOIN cap USING (fp)),
+         |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+         |           a.pos AS pos_a, b.pos AS pos_b
+         |         FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |prs AS (SELECT id_a, id_b FROM anch GROUP BY 1, 2
+         |        HAVING count(DISTINCT fp) >= $WinnowMinShared),
+         |sides AS (SELECT DISTINCT id_a, id_b, 'a' AS side, pos_a AS pos FROM anch
+         |          UNION ALL
+         |          SELECT DISTINCT id_a, id_b, 'b' AS side, pos_b AS pos FROM anch),
+         |sid AS (SELECT s.* FROM sides s JOIN prs USING (id_a, id_b)),
+         |isl AS (SELECT id_a, id_b, side, pos,
+         |          CASE WHEN pos <= coalesce(max(pos) OVER (
+         |                 PARTITION BY id_a, id_b, side ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               -$WinnowK) + $WinnowK THEN 0 ELSE 1 END AS brk
+         |        FROM sid),
+         |grp AS (SELECT *, sum(brk) OVER (
+         |          PARTITION BY id_a, id_b, side ORDER BY pos) AS g FROM isl),
+         |seg AS (SELECT id_a, id_b, side, g, min(pos) AS s,
+         |          max(pos) + $WinnowK AS e
+         |        FROM grp GROUP BY 1, 2, 3, 4),
+         |idx AS (SELECT *, row_number() OVER (
+         |          PARTITION BY id_a, id_b, side ORDER BY s) AS span_idx
+         |        FROM seg)
+         |SELECT i.id_a, i.id_b, i.side, CAST(i.span_idx AS INT) AS span_idx,
+         |  CAST(i.s AS INT) AS start_pos,
+         |  CAST(i.e - i.s AS BIGINT) AS n_tokens,
+         |  array_to_string(t.t[i.s : i.e - 1], ' ') AS slice_text
+         |FROM idx i JOIN tok t
+         |  ON t.doc_id = CASE WHEN i.side = 'a' THEN i.id_a ELSE i.id_b END
+         |ORDER BY id_a, id_b, side, span_idx""".stripMargin),
     // t43: chunk count closed-form (1 + ceil((n-chunk)/stride) by integer
     // division), lateral chunk ids, inclusive list slice per chunk
     "t43_chunk_windows" -> (chunkChainSql +

@@ -188,6 +188,56 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(full._2 === full._4 && full._3 === full._5)
   }
 
+  test("winnowMatchSlices: reconciles with d31 row-for-row, slices are the docs' own tokens") {
+    import graft.operators.DedupOps
+    val run = "omega kappa sigma delta theta lambda rho mu nu xi"
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma epsilon zeta"),
+      (1L, s"uno dos tres quatro $run cinco seis"),
+      (2L, "entirely unrelated content speaking about something else wholly"),
+      (3L, s"alpha beta $run gamma epsilon zeta")
+    )
+    val df = docs.toDF("doc_id", "text")
+    val (minShared, cap) = (1L, 8)
+    val slices = DedupOps.winnowMatchSlices(df, "doc_id", "text", K, W,
+        minShared, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getString(6)))
+    val spans = DedupOps.winnowMatchSpans(df, "doc_id", "text", K, W,
+        minShared, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    // per pair side: slice count == n_spans, Σ n_tokens == matched_tokens
+    val bySide = slices.groupBy(s => (s._1, s._2, s._3))
+    assert(bySide.keySet.map(k => (k._1, k._2)) === spans.keySet)
+    bySide.foreach { case ((a, b, side), rs) =>
+      val (ta, na, tb, nb) = spans((a, b))
+      val (toks, ns) = if (side == "a") (ta, na) else (tb, nb)
+      assert(rs.length.toLong === ns, s"($a,$b,$side) span count")
+      assert(rs.map(_._6).sum === toks, s"($a,$b,$side) token mass")
+      // span_idx is 1..n in start order, spans don't touch (else merged)
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to rs.length))
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._5 + x._6 < y._5, "spans must be disjoint, non-abutting")
+        case _ =>
+      }
+    }
+    // every slice is literally the doc's tokens [start, start+n) joined
+    val tokOf = docs.toMap.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    slices.foreach { case (a, b, side, _, start, n, text) =>
+      val doc = if (side == "a") a else b
+      assert(text === tokOf(doc).slice(start - 1, start - 1 + n.toInt)
+        .mkString(" "), s"($a,$b,$side) slice at $start")
+    }
+    // exact-copy pair: both sides present the identical evidence text
+    val copy = slices.filter(s => s._1 == 0L && s._2 == 3L)
+    assert(copy.nonEmpty)
+    assert(copy.filter(_._3 == "a").map(s => (s._4, s._5, s._7)).toSet ===
+      copy.filter(_._3 == "b").map(s => (s._4, s._5, s._7)).toSet)
+  }
+
   test("chunkRetrieval: verbatim copy ranks first at sim 1, self excluded") {
     import graft.operators.SimilarityOps
     val q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
