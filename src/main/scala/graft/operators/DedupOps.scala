@@ -1381,9 +1381,13 @@ object DedupOps {
   /** The winnowing sibling of [[bandIndex]]: distinct (cid, fp) rows over
     * [[winnowFps]] — the pre-materialized corpus artifact the at-ingest
     * copy detector ([[graft.streaming.PipelineStreams.winnowCopyDetect]])
-    * probes. `maxDocsPerFp` drops template fingerprints at build time
-    * (the same cap, same value, as [[winnowPairs]] — one definition so
-    * stream probe and batch ledger can never disagree on what counts).
+    * probes. `maxDocsPerFp` drops template fingerprints at build time —
+    * the same cap DEFINITION and value as [[winnowPairs]], but counted
+    * over the corpus population only: a fingerprint at exactly the cap
+    * in the corpus that also recurs in arrivals survives here while a
+    * batch winnowPairs over corpus+arrivals would drop it (its count
+    * includes both sides). A bounded borderline-template divergence
+    * window, documented at the probe site too.
     */
   private[graft] def winnowFpIndex(docs: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int, maxDocsPerFp: Int,

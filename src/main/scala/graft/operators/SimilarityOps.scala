@@ -1340,6 +1340,27 @@ object SimilarityOps {
       (x, p) => when(x > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
 
+  /** The pre-materialized chunk LSH index artifact — (sig, corpus_id,
+    * chunk_id) over the SHARED [[chunkVecs]]/[[signKey]] definitions, so
+    * the at-ingest retrieval probe
+    * ([[graft.streaming.PipelineStreams.chunkRetrievalProbe]]) and the
+    * batch s29 candidate generator can never key differently. At 100 TB
+    * this is written once per corpus release (ints only, no vectors)
+    * and every arriving query probes it stream-static.
+    */
+  private[graft] def chunkSignIndex(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int): DataFrame =
+    chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+      .select(col("sig"), col("corpus_id"), col("chunk_id"))
+
+  /** A whole-doc query's sign key — the same hashed-BoW cast and
+    * [[signKey]] the batch query side uses ([[queryVecs]] + callers). */
+  private[graft] def docSig(text: Column, dim: Int): Column = {
+    import graft.functions.TextFns
+    signKey(TextFns.hashedBow(text, dim).cast("array<double>"), dim)
+  }
+
   /** s29: the SCALE path for [[chunkRetrieval]] and its own audit — the
     * s20/s14 discipline applied to chunk retrieval. Chunks and queries
     * key on their sign pattern ([[signKey]]); a query only scores the

@@ -1086,6 +1086,35 @@ object PipelineStreams {
     * (window, doc) rollup. State is one row per surviving (doc, corpus
     * candidate) pair in the horizon — winnow-few by design.
     */
+  /** At-ingest chunk retrieval — the winnowCopyDetect pattern applied to
+    * the RAG index, completing the retrieval story at the door: every
+    * arriving document embeds in-stream (the SHARED hashed-BoW cast +
+    * sign key, [[graft.operators.SimilarityOps.docSig]]) and probes the
+    * pre-materialized chunk LSH index
+    * ([[graft.operators.SimilarityOps.chunkSignIndex]], built by the
+    * same chunkVecs/signKey definitions batch s29 keys on), emitting one
+    * row per candidate chunk — the bounded set a downstream reranker
+    * scores exactly (batch s28's cosine on candidate-few rows), never
+    * the corpus.
+    *
+    * Shape: stateless and schema-narrow end-to-end — the embedding is
+    * one per-row scan-side expression, the probe is ONE stream-static
+    * equi-join on the sign key (the index side is int rows only), and
+    * self-matches drop by id. No state, no watermark required: a
+    * candidate row is final the moment it is emitted (append mode).
+    * Spec-pinned: probe hits equal batch s29's candidate set against
+    * the same corpus index (PipelineStreamsSpec).
+    */
+  def chunkRetrievalProbe(docs: DataFrame, chunkIndex: DataFrame,
+      tsCol: String, idCol: String, textCol: String, dim: Int): DataFrame =
+    docs
+      .select(col(tsCol), col(idCol),
+        graft.operators.SimilarityOps.docSig(col(textCol), dim).as("sig"))
+      .join(chunkIndex, Seq("sig"))
+      .filter(col("corpus_id") =!= col(idCol))
+      .select(col(tsCol), col(idCol).as("query_id"), col("corpus_id"),
+        col("chunk_id"))
+
   def winnowCopyDetect(docs: DataFrame, corpusFps: DataFrame,
       tsCol: String, idCol: String, textCol: String, k: Int, w: Int,
       minShared: Long, window_ : String, delay: String): DataFrame = {

@@ -1389,4 +1389,63 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(pairs((0L, 100L)) === rows.head.getAs[Long]("max_shared"))
     } finally q.stop()
   }
+
+  test("chunk retrieval probe: stream candidates equal batch s29 per arrival") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    val copiedText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // corpus ids are all non-multiples of 97, so in the per-arrival batch
+    // twin (union of corpus + ONE arrival, queryMod = 97) the arrival is
+    // exactly the query slice
+    val corpusDocs = Seq(
+      (1L, copiedText),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "entirely different material about nothing shared at all"),
+      (4L, "alpha beta gamma unrelated tail words here now then done")
+    ).toDF("doc_id", "text")
+    val idx = SimilarityOps.chunkSignIndex(corpusDocs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 16)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val probe = PipelineStreams.chunkRetrievalProbe(
+      in.toDF().toDF("ts", "doc_id", "text"), idx, "ts", "doc_id", "text",
+      dim = 16)
+    val q = probe.writeStream.format("memory").queryName("crp")
+      .outputMode("append").start()
+    val arrivals = Seq(
+      (0L, copiedText), // verbatim copy of corpus doc 1: same vector, same bucket
+      (97L, "wholly novel arrival speaking about fresh topics only"))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      val got = spark.table("crp").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Int]("chunk_id")))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+      // the copy's single chunk shares doc 1's bucket
+      assert(got.getOrElse(0L, Set.empty[(Long, Int)]).contains((1L, 0)))
+      // per arrival, the candidate COUNT equals the batch s29 audit run
+      // on corpus + that arrival (the arrival is the only query-mod id)
+      arrivals.foreach { case (id, t) =>
+        val batch = SimilarityOps.chunkRetrievalLshRecall(
+            corpusDocs.union(Seq((id, t)).toDF("doc_id", "text")),
+            "doc_id", "text", chunk = 64, stride = 48, dim = 16,
+            queryMod = 97, k = 3)
+          .filter(col("query_id") === id).collect()
+        assert(batch.length === 1)
+        val nCand = batch.head.getAs[Long]("n_candidates")
+        assert(got.getOrElse(id, Set.empty[(Long, Int)]).size.toLong === nCand,
+          s"arrival $id")
+      }
+      // and the copy arrival is a HIT in the batch audit, so the stream
+      // probe handed the reranker a candidate set containing the answer
+      val hit = SimilarityOps.chunkRetrievalLshRecall(
+          corpusDocs.union(Seq(arrivals.head).toDF("doc_id", "text")),
+          "doc_id", "text", 64, 48, 16, 97, 3)
+        .filter(col("query_id") === 0L).head()
+      assert(hit.getAs[Long]("n_hits") >= 1L)
+    } finally q.stop()
+  }
 }
