@@ -573,6 +573,13 @@ object PipelineQueries {
     */
   val BpeTrainRounds = 8
 
+  /** t44's deeper cut of the same trainer: enough rounds that the
+    * incremental pair-recount's cost story is visible in the bench
+    * (per-round work must NOT grow 4× when rounds do — a real tokenizer
+    * is thousands of merges), while keeping the unrolled 32-block
+    * oracle inside the sf0.01 gate's budget. */
+  val BpeTrainRoundsDeep = 32
+
   /** t42's winnowing parameters: token-3-gram hashes, window 4 — guarantee
     * threshold w + k − 1 = 6 shared tokens, fingerprint density ~2/(w+1).
     * ONE pair of values interpolated into engine and oracle (PackBudget
@@ -1157,6 +1164,14 @@ object PipelineQueries {
     "t40_bpe_train" -> ((s, d) =>
       RelevanceOps.bpeTrain(Tables.documents(s, d), "text",
         BpeTrainRounds)),
+
+    // The same trainer 4× deeper — the t44/t40 bench ratio IS the
+    // incremental recount's cost pin: per-round work must stay flat as
+    // rounds grow (only affected words recount; the full vocab pair
+    // explode runs once at setup). See RelevanceOps.bpeTrain.
+    "t44_bpe_train_deep" -> ((s, d) =>
+      RelevanceOps.bpeTrain(Tables.documents(s, d), "text",
+        BpeTrainRoundsDeep)),
 
     // Corpus tokenization under t40's trained merge table — per-doc
     // word/char/BPE-token counts through one word-keyed vocab join.
@@ -3594,6 +3609,7 @@ object PipelineQueries {
     // t40: the full loop — one CTE block per round over the shared
     // tok/wf vocab, relational greedy application (see bpeTrainSql)
     "t40_bpe_train" -> bpeTrainSql(BpeTrainRounds),
+    "t44_bpe_train_deep" -> bpeTrainSql(BpeTrainRoundsDeep),
     // t41: the same chain's final state applied per doc (bpeTokenizeSql)
     "t41_bpe_tokenize" -> bpeTokenizeSql(BpeTrainRounds),
     // t42: winnowing re-derived relationally — gram hashes as rows, a

@@ -64,6 +64,24 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(trainSpark(words, 6) === trainByHand(words, 6))
   }
 
+  test("incremental recount: matches the hand fold at rounds 8 AND 32") {
+    // the engine maintains the pair-count table incrementally (only
+    // affected words recounted per round); this differential pins exact
+    // identity with the naive full recount (the hand fold) deep enough
+    // that delta bookkeeping errors cannot hide — a vocab rich enough
+    // for 32 distinct merges, with tf weights, shared prefixes/suffixes,
+    // and repeated-symbol runs (the greedy-vs-overlap divergence)
+    val words = Map(
+      "low" -> 5L, "lower" -> 2L, "lowest" -> 4L, "newest" -> 6L,
+      "widest" -> 3L, "wide" -> 1L, "newer" -> 7L, "news" -> 2L,
+      "aaaa" -> 3L, "aaab" -> 2L, "banana" -> 5L, "bandana" -> 1L,
+      "antidisestablishment" -> 1L, "establishment" -> 2L,
+      "mississippi" -> 4L, "missive" -> 1L, "repetition" -> 3L,
+      "repetitive" -> 2L, "tokenizer" -> 6L, "tokens" -> 8L)
+    assert(trainSpark(words, 8) === trainByHand(words, 8))
+    assert(trainSpark(words, 32) === trainByHand(words, 32))
+  }
+
   test("repeated-symbol run: overlapping count, non-overlapping apply") {
     // "aaaa": round 1 counts (a,a) 3 times (overlapping) but applies
     // only twice -> [aa, aa]; round 2 merges (aa,aa) once -> [aaaa]
