@@ -1283,6 +1283,16 @@ object PipelineQueries {
         ChunkTopK)
         .orderBy(col("query_id"))),
 
+    // The index path EXECUTED: sign-bucket candidates exactly re-ranked,
+    // s28's cross never runs — the plan one deploys at 100 TB, with
+    // s29–s31 as its sampled recall audit. Bucket-miss queries emit no
+    // rows (the honest index answer). See SimilarityOps.chunkRetrievalLshTopK.
+    "s32_chunk_retrieval_lsh" -> ((s, d) =>
+      SimilarityOps.chunkRetrievalLshTopK(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkQueryMod,
+        ChunkTopK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // The flip-2 rung of the multi-probe dial: s30 extended to the
     // C(dim,2) two-bit-flip neighbor buckets, ONE pass reporting all
     // three probe budgets as nested columns (probes=1 ≡ s29 and
@@ -3799,6 +3809,39 @@ object PipelineQueries {
          |LEFT JOIN ncand ON ncand.query_id = q.query_id
          |LEFT JOIN nhit ON nhit.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin),
+    // s32: s29's sig/candidate CTEs restricted onto the core's per-pair
+    // sims, then re-ranked WITHIN the candidate set — the rerank the
+    // engine runs on candidate-few rows, recomputed here over all pairs
+    // (oracle-side cost, not the plan under test)
+    "s32_chunk_retrieval_lsh" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cand AS (SELECT qs.query_id, cs.doc_id AS corpus_id, cs.chunk_id
+         |  FROM csig cs JOIN qsig qs ON cs.sig = qs.sig
+         |    AND cs.doc_id <> qs.query_id),
+         |cscored AS (SELECT s.query_id, s.corpus_id, s.chunk_id, s.sim
+         |  FROM scored s JOIN cand c ON c.query_id = s.query_id
+         |    AND c.corpus_id = s.corpus_id AND c.chunk_id = s.chunk_id),
+         |cranked AS (SELECT query_id, corpus_id, chunk_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
+         |  FROM cscored)
+         |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM cranked WHERE rank <= $ChunkTopK
+         |ORDER BY query_id, rank""".stripMargin),
     // s31: s30's CTEs with the C(dim,2) two-flip probe tier appended;
     // min(nflip) still nests the budgets, FILTER splits all three
     "s31_chunk_multiprobe2" -> (chunkRetrievalCoreSql +

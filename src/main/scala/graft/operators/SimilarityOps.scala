@@ -1503,6 +1503,46 @@ object SimilarityOps {
         milli(coalesce(col("n_hits_mp2"), lit(0L))).as("recall_milli_mp2"))
   }
 
+  /** s32: the production RAG retrieval composition — the index path
+    * EXECUTED, not just audited. s29/s30/s31 price the sign-bucket
+    * index by recall; this query actually retrieves with it: each
+    * query's candidates come from the sign-key equi-join (the s29
+    * generator) and ONLY those are exactly re-ranked by full-precision
+    * cosine — s28's brute-force cross never runs. At 100 TB this is
+    * the plan one deploys: candidate generation is a hash join against
+    * the pre-materialized index, the rerank touches candidate-few
+    * rows, and the recall audits (s29–s31) run on a sample to pick the
+    * probe budget. A query whose bucket holds no foreign chunk emits
+    * NO rows (the honest index answer — s28's always-k contract needs
+    * the cross; the s30/s31 probe dial is how one buys rows back).
+    *
+    * Determinism: the integer-exact cosine and (sim desc, id, chunk)
+    * total order of [[chunkRetrieval]], ranked WITHIN the candidate
+    * set; round(6) at output only.
+    */
+  def chunkRetrievalLshTopK(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(dim >= 1 && dim <= 62 && queryMod >= 1 && k >= 1,
+      s"dim=$dim queryMod=$queryMod k=$k")
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
+    chunks.join(queries, Seq("sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

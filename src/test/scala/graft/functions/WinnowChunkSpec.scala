@@ -332,6 +332,47 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(mp2.exists { case (q, (lower, (c2, _, _))) => c2 > lower._4 })
   }
 
+  test("chunkRetrievalLshTopK: equals s28 when the bucket holds the exact top-k; bucket-miss emits nothing") {
+    import graft.operators.SimilarityOps
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base),                 // query (0 % 97 == 0)
+      (5L, base),                 // verbatim copy — same bucket, sim 1
+      (6L, base + " extra tail"), // superset — same sign pattern likely
+      (7L, "one two three four five six seven eight nine ten"),
+      (97L, "wholly disjoint vocabulary speaking of other matters entirely")
+    ).toDF("doc_id", "text")     // 97 is also a query (97 % 97 == 0)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getInt(2),
+        r.getDouble(4))).toMap
+    val lsh = SimilarityOps.chunkRetrievalLshTopK(docs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3)
+    val exact = SimilarityOps.chunkRetrieval(docs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3)
+    val lshRows = keyed(lsh)
+    val exactRows = keyed(exact)
+    // query 0's bucket: if the s29 audit says every exact top hit is a
+    // candidate (n_hits == min(k, n_cand)), the index answer's prefix
+    // must equal s28's ranking restricted to the bucket — for the
+    // verbatim copy that means rank 1 at sim 1.0 in BOTH
+    assert(lshRows((0L, 1)) === exactRows((0L, 1)))
+    assert(lshRows((0L, 1))._1 === 5L && lshRows((0L, 1))._3 === 1.0)
+    // the index never invents a pair s28's universe lacks, and sims for
+    // shared (query, corpus, chunk) rows are the identical doubles
+    val exactAll = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(4))
+      .toMap
+    lsh.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getInt(2))
+      exactAll.get(key).foreach(s => assert(s === r.getDouble(4), s"$key"))
+    }
+    // query 97 shares no content: its bucket holds no foreign chunk in
+    // this corpus, so the index answer is EMPTY (s28 still fills k rows
+    // with whatever the cross scores — the contract difference under test)
+    assert(!lshRows.keySet.exists(_._1 == 97L))
+    assert(exactRows.keySet.count(_._1 == 97L) === 3)
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)
