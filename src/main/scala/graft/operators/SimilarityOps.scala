@@ -1361,6 +1361,25 @@ object SimilarityOps {
     signKey(TextFns.hashedBow(text, dim).cast("array<double>"), dim)
   }
 
+  /** [[signKey]] for callers outside this file that already hold the
+    * vector (the at-ingest rerank computes qv once and keys it — calling
+    * [[docSig]] would re-evaluate the embedding). */
+  private[graft] def sigOf(vec: Column, dim: Int): Column = signKey(vec, dim)
+
+  /** The vector-carrying index artifact for the at-ingest RERANK leg —
+    * [[chunkSignIndex]] plus each chunk's vector and squared norm, so an
+    * arriving query can score its bucket candidates exactly without a
+    * second lookup. At 100 TB this is the chunk index one actually
+    * serves retrieval from (ints + dim floats per chunk); the
+    * vector-free [[chunkSignIndex]] is the candidate-only footprint.
+    */
+  private[graft] def chunkVecIndex(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int): DataFrame =
+    chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+      .select(col("sig"), col("corpus_id"), col("chunk_id"), col("cv"),
+        col("cn2"))
+
   /** s29: the SCALE path for [[chunkRetrieval]] and its own audit — the
     * s20/s14 discipline applied to chunk retrieval. Chunks and queries
     * key on their sign pattern ([[signKey]]); a query only scores the

@@ -1115,6 +1115,56 @@ object PipelineStreams {
       .select(col(tsCol), col(idCol).as("query_id"), col("corpus_id"),
         col("chunk_id"))
 
+  /** At-ingest retrieval COMPLETED — [[chunkRetrievalProbe]] plus the
+    * exact rerank, so the stream emits each arriving query's top-k
+    * directly (batch s32's answer, at the door): the arriving doc
+    * embeds once (shared hashed-BoW cast), keys on its sign pattern,
+    * scores ONLY its bucket candidates from the vector-carrying index
+    * ([[graft.operators.SimilarityOps.chunkVecIndex]] — the same
+    * chunkVecs/signKey definitions as every batch rung), and a
+    * watermark-bounded windowed rollup keeps the k best per query.
+    *
+    * Shape: embedding + scoring are per-row scan-side (the index join
+    * is the one stream-static equi-join; the index carries ints + dim
+    * floats per chunk); the ONE stateful stage is the (window, query)
+    * top-k rollup whose state is bucket-candidate-sized per query —
+    * never corpus-sized. Ranking is the batch total order (sim desc,
+    * corpus_id, chunk_id) applied to the same IEEE sim doubles, so the
+    * emitted rows equal batch s32's for the same corpus+arrival
+    * (spec-pinned); bucket-miss arrivals emit nothing, the honest
+    * index answer.
+    */
+  def chunkRetrieveTopK(docs: DataFrame, vecIndex: DataFrame,
+      tsCol: String, idCol: String, textCol: String, dim: Int, k: Int,
+      window_ : String, delay: String): DataFrame = {
+    import graft.operators.SimilarityOps
+    import graft.functions.TextFns
+    val scored = docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol),
+        TextFns.hashedBow(col(textCol), dim).cast("array<double>").as("qv"))
+      .withColumn("qn2", SimilarityOps.dot(col("qv"), col("qv")))
+      .withColumn("sig", SimilarityOps.sigOf(col("qv"), dim))
+      .join(vecIndex, Seq("sig"))
+      .filter(col("corpus_id") =!= col(idCol))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(SimilarityOps.dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+    scored
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("sim")).as("ns"), col("corpus_id"), col("chunk_id"),
+        col("sim")))), 1, k).as("top"))
+      .select(col("window.start").as("window_start"), col(idCol),
+        posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("window_start"), col(idCol).as("query_id"),
+        (col("r") + 1).cast("int").as("rank"),
+        col("t.corpus_id").as("corpus_id"),
+        col("t.chunk_id").as("chunk_id"),
+        round(col("t.sim"), 6).as("sim"))
+  }
+
   def winnowCopyDetect(docs: DataFrame, corpusFps: DataFrame,
       tsCol: String, idCol: String, textCol: String, k: Int, w: Int,
       minShared: Long, window_ : String, delay: String): DataFrame = {

@@ -1448,4 +1448,58 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(hit.getAs[Long]("n_hits") >= 1L)
     } finally q.stop()
   }
+
+  test("chunk retrieve top-k: at-ingest answers equal batch s32 per arrival") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    val copiedText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusDocs = Seq(
+      (1L, copiedText),
+      (2L, copiedText + " with a different tail appended here"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "entirely different material about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val idx = SimilarityOps.chunkVecIndex(corpusDocs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 16)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val top = PipelineStreams.chunkRetrieveTopK(
+      in.toDF().toDF("ts", "doc_id", "text"), idx, "ts", "doc_id", "text",
+      dim = 16, k = 3, "10 minutes", "5 minutes")
+    val q = top.writeStream.format("memory").queryName("crt")
+      .outputMode("append").start()
+    val arrivals = Seq(
+      (0L, copiedText),
+      (97L, "wholly novel arrival speaking about fresh topics only"))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      // close the window so the append-mode rollup emits
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 300L,
+        "window closer far past the arrivals"))
+      q.processAllAvailable()
+      val got = spark.table("crt").collect()
+        .filter(_.getAs[Long]("query_id") != 300L)
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // batch s32 twin per arrival (the arrival as the only query-mod id)
+      arrivals.foreach { case (id, t) =>
+        val batch = SimilarityOps.chunkRetrievalLshTopK(
+            corpusDocs.union(Seq((id, t)).toDF("doc_id", "text")),
+            "doc_id", "text", chunk = 64, stride = 48, dim = 16,
+            queryMod = 97, k = 3)
+          .collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim"))).toSet
+        assert(got.getOrElse(id,
+          Set.empty[(Int, Long, Int, Double)]) === batch, s"arrival $id")
+      }
+      // the verbatim copy's top answer is its source at sim 1.0
+      assert(got(0L).exists { case (r, c, _, s) => r == 1 && c == 1L && s == 1.0 })
+    } finally q.stop()
+  }
 }
