@@ -472,9 +472,55 @@ object DedupOps {
     * the monotonicity, not a fixed point.
     */
   def substringCut(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int): DataFrame = {
+      windowTokens: Int): DataFrame =
+    cutByStarts(docs, idCol, textCol,
+      repeatedWindowStarts(docs, idCol, textCol, windowTokens),
+      windowTokens)
+
+  /** d33: the keep-ONE-copy refinement of [[substringCut]] — Lee et
+    * al.'s actual release semantics: of a span repeated corpus-wide,
+    * the globally FIRST occurrence (min (doc id, position), a total
+    * order) survives and every other occurrence is cut; d29 cuts them
+    * all (the "no repeated span ships at all" reading). Window-anchored
+    * like d19/d29: an occurrence is cut iff one of the L-windows
+    * covering it is a non-canonical instance of a repeated window hash.
+    *
+    * Scale shape: [[substringCut]]'s, plus the canonical choice — a
+    * hash-keyed min(struct(id, pos)) AGGREGATE (map-side partials, the
+    * d08 aggregate-not-window rule; never a per-hash window over
+    * instance rows), joined back to instances on the hash; everything
+    * that moves before the one id-keyed text join is (id, int, hash)
+    * rows. The cut kernel is the SHARED [[cutByStarts]] fold, so
+    * keep-one and cut-all can never disagree on interval algebra.
+    */
+  def substringCutKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
     val L = windowTokens
-    val starts = repeatedWindowStarts(docs, idCol, textCol, L)
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+    val inst = toks.filter(size(col("ts")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${L - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(ts, i, $L))))"))
+        .as(Seq("pos", "h")))
+    val perHash = inst.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col(idCol), col("pos"))).as("c"))
+      .filter(col("cnt") >= 2)
+    val cutStarts = inst.join(perHash, Seq("h"))
+      .filter(!(col(idCol) === col("c").getField(idCol) &&
+        col("pos") === col("c").getField("pos")))
+      .select(col(idCol), col("pos"))
+    cutByStarts(docs, idCol, textCol, cutStarts, L)
+  }
+
+  /** The shared cut kernel: given per-doc 0-based window-start rows to
+    * cut, fold them into disjoint intervals and rebuild each doc's kept
+    * text — the d29 interval algebra, callable with any start policy
+    * (all repeats → d29; non-canonical repeats → d33). */
+  private def cutByStarts(docs: DataFrame, idCol: String, textCol: String,
+      startRows: DataFrame, windowTokens: Int): DataFrame = {
+    val L = windowTokens
+    val starts = startRows
       .groupBy(col(idCol))
       // 1-based starts: slice() below is 1-based, and posexplode's pos
       // is the 0-based array index of the window start

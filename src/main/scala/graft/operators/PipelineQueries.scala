@@ -1592,6 +1592,16 @@ object PipelineQueries {
       DedupOps.substringCut(Tables.documents(s, d), "doc_id", "text", 8)
         .orderBy(col("doc_id"))),
 
+    // Lee et al.'s actual release semantics: the globally FIRST
+    // occurrence of a repeated span survives (min (doc, pos) canonical,
+    // a hash-keyed aggregate), every other occurrence is cut — d29 cuts
+    // all copies. Shared cutByStarts kernel, so the two policies cannot
+    // disagree on interval algebra. See DedupOps.substringCutKeepFirst.
+    "d33_substring_cut_keep1" -> ((s, d) =>
+      DedupOps.substringCutKeepFirst(Tables.documents(s, d), "doc_id",
+        "text", 8)
+        .orderBy(col("doc_id"))),
+
     // The near-dup twin of d17 at the same corpus/batch split: batch docs
     // whose banded MinHash signature collides with a corpus doc and whose
     // exact shingle Jaccard verifies at d10's 0.9 gate. Band-keyed join is
@@ -4365,6 +4375,54 @@ object PipelineQueries {
         |inst AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM iw),
         |rep AS (SELECT sh FROM inst GROUP BY sh HAVING count(*) >= 2),
         |m AS (SELECT i.doc_id, i.pos FROM inst i JOIN rep USING (sh)),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'tk': t[g]}
+        |            FOR g IN generate_series(1, len(t))]) AS u
+        |  FROM tok),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tk),
+        |cv AS (
+        |  SELECT p.doc_id, p.pos, p.tk,
+        |    max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+        |  FROM pos p
+        |  LEFT JOIN m ON m.doc_id = p.doc_id AND m.pos = p.pos),
+        |ka AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS kt,
+        |              CAST(count(*) AS BIGINT) AS nk
+        |       FROM cv WHERE c = 0 GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  CASE WHEN tnull THEN NULL ELSE CAST(len(t) AS BIGINT) END
+        |    AS n_tokens,
+        |  CASE WHEN tnull THEN NULL ELSE CAST(coalesce(ka.nk, 0) AS BIGINT)
+        |    END AS n_kept,
+        |  CASE WHEN tnull THEN NULL
+        |    ELSE CAST(len(t) - coalesce(ka.nk, 0) AS BIGINT) END
+        |    AS n_covered,
+        |  CASE WHEN tnull THEN NULL ELSE coalesce(ka.kt, '') END
+        |    AS kept_text
+        |FROM tok LEFT JOIN ka USING (doc_id) ORDER BY tok.doc_id""".stripMargin,
+    // d33: d29's chain with the canonical exclusion — instances of a
+    // repeated window rank by (doc_id, pos) and only rn >= 2 marks cut
+    "d33_substring_cut_keep1" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |    text IS NULL AS tnull
+        |  FROM documents),
+        |iw AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'sh': array_to_string(t[g:g+7], ' ')}
+        |            FOR g IN generate_series(1, len(t) - 7)]) AS p
+        |  FROM tok),
+        |inst AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM iw),
+        |rep AS (SELECT sh FROM inst GROUP BY sh HAVING count(*) >= 2),
+        |rk AS (SELECT i.doc_id, i.pos,
+        |         row_number() OVER (PARTITION BY i.sh
+        |           ORDER BY i.doc_id, i.pos) AS rn
+        |       FROM inst i JOIN rep USING (sh)),
+        |m AS (SELECT doc_id, pos FROM rk WHERE rn >= 2),
         |tk AS (
         |  SELECT doc_id,
         |    unnest([{'pos': g, 'tk': t[g]}

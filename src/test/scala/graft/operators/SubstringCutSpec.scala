@@ -93,4 +93,54 @@ class SubstringCutSpec extends AnyFunSuite with SparkSpec {
       .agg(sum(coalesce(col("n_covered"), lit(0L)))).as[Long].head()
     assert(secondTotal <= firstTotal)
   }
+
+  private def cutK1(docs: DataFrame, L: Int = 4): Seq[(Long, Option[Long], Option[Long], Option[Long], Option[String])] =
+    DedupOps.substringCutKeepFirst(docs, "doc_id", "text", L)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+
+  test("keep-one: the globally first occurrence survives, later copies are cut") {
+    val span = "w1 w2 w3 w4"
+    val docs = Seq(
+      (1L, s"a b $span c d"),  // first occurrence by (doc_id, pos): KEPT
+      (2L, s"$span x y z"),    // later copy: cut
+      (3L, s"m n o $span")     // later copy: cut
+    ).toDF("doc_id", "text")
+    assert(cutK1(docs) === Seq(
+      (1L, Some(8L), Some(8L), Some(0L), Some(s"a b $span c d")),
+      (2L, Some(7L), Some(3L), Some(4L), Some("x y z")),
+      (3L, Some(7L), Some(3L), Some(4L), Some("m n o"))))
+    // d29 cuts ALL copies of the same corpus
+    assert(cut(docs).map(_._4) === Seq(Some(4L), Some(4L), Some(4L)))
+  }
+
+  test("keep-one: within-doc repeat keeps the earlier position") {
+    val docs = Seq(
+      (1L, "r1 r2 r3 r4 gap1 gap2 gap3 r1 r2 r3 r4")
+    ).toDF("doc_id", "text")
+    // the window repeats at 1-based starts 1 and 8; canonical = pos 1,
+    // so only [8, 12) is cut
+    assert(cutK1(docs) === Seq(
+      (1L, Some(11L), Some(7L), Some(4L),
+        Some("r1 r2 r3 r4 gap1 gap2 gap3"))))
+  }
+
+  test("keep-one is bounded by cut-all and agrees with it where no doc holds a canonical") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = DedupOps.substringCut(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_covered").as("ca"))
+    val one = DedupOps.substringCutKeepFirst(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_covered").as("co"),
+        col("n_tokens"), col("n_kept"))
+    val j = one.join(all, Seq("doc_id")).filter(col("n_tokens").isNotNull)
+    // keep-one can only cut a subset of cut-all's positions, per doc
+    assert(j.filter(col("co") > col("ca")).isEmpty)
+    assert(j.filter(col("n_kept") =!= col("n_tokens") - col("co")).isEmpty)
+    // and the corpus-wide keep-one total is strictly smaller when any
+    // repeats exist (some doc holds the canonical copy)
+    val (ta, to) = (j.agg(sum(col("ca"))).as[Long].head(),
+      j.agg(sum(col("co"))).as[Long].head())
+    assert(ta > 0L && to < ta)
+  }
 }
