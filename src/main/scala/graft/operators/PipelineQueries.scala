@@ -1173,6 +1173,16 @@ object PipelineQueries {
       RelevanceOps.bpeTrain(Tables.documents(s, d), "text",
         BpeTrainRoundsDeep)),
 
+    // The train/apply SPLIT a production tokenizer lives by: merges
+    // train on the doc_id % 2 == 0 slice and tokenize the HELD-OUT
+    // slice (unseen words), applied in rank order by the SAME
+    // greedyMerge fold the trainer used. See
+    // RelevanceOps.bpeTokenCountsHeldOut.
+    "t45_bpe_apply_heldout" -> ((s, d) =>
+      RelevanceOps.bpeTokenCountsHeldOut(Tables.documents(s, d),
+        "doc_id", "text", BpeTrainRounds, trainMod = 2)
+        .orderBy(col("doc_id"))),
+
     // Corpus tokenization under t40's trained merge table — per-doc
     // word/char/BPE-token counts through one word-keyed vocab join.
     // See RelevanceOps.bpeTokenCounts for the vocab-level pricing shape.
@@ -2509,6 +2519,86 @@ object PipelineQueries {
          |  FROM b$k b)""".stripMargin
     }.mkString(",\n")
 
+  /** t45's apply-side blocks: each trained pick b$k applied in rank
+    * order to the HELD-OUT vocab h0 → h`rounds`, the same x/g/z/y
+    * greedy-run machinery as [[bpeRoundBlocks]] but with no pair
+    * recount (the merge table is foreign — that is the point). */
+  private def bpeApplyBlocks(rounds: Int): String =
+    (1 to rounds).map { k =>
+      val prev = s"h${k - 1}"
+      s"""hx$k AS (
+         |  SELECT h.w, unnest([i FOR i IN generate_series(1, len(sy) - 1)
+         |                      IF sy[i] = b.c1 AND sy[i+1] = b.c2]) AS i
+         |  FROM $prev h, b$k b),
+         |hg$k AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT w, i, row_number() OVER (PARTITION BY w, i - rn
+         |                                    ORDER BY i) AS j
+         |    FROM (SELECT w, i,
+         |            row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+         |          FROM hx$k))
+         |  WHERE j % 2 = 1),
+         |hz$k AS (
+         |  SELECT w, u.i AS i, u.sym AS sym FROM (
+         |    SELECT w, unnest([{'i': i, 'sym': sy[i]}
+         |                      FOR i IN generate_series(1, len(sy))]) AS u
+         |    FROM $prev)),
+         |hy$k AS (
+         |  SELECT z.w, z.i,
+         |    CASE WHEN g.i IS NOT NULL THEN b.c1 || b.c2 ELSE z.sym END
+         |      AS sym,
+         |    gp.i IS NOT NULL AS skip
+         |  FROM hz$k z
+         |  CROSS JOIN b$k b
+         |  LEFT JOIN hg$k g ON g.w = z.w AND g.i = z.i
+         |  LEFT JOIN hg$k gp ON gp.w = z.w AND gp.i = z.i - 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT w, list(sym ORDER BY i) AS sy
+         |  FROM hy$k WHERE NOT skip GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+
+  /** t45 oracle: train on the doc_id % `trainMod` == 0 slice (the SAME
+    * unrolled chain as t40, seeded from the split's word frequencies),
+    * then apply b1..b`rounds` to the held-out DISTINCT vocab and price
+    * held-out docs through the word join — the t41 consumption shape on
+    * a foreign merge table. */
+  private def bpeApplyHeldOutSql(rounds: Int, trainMod: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |wf AS (SELECT w, count(*) AS tf
+       |       FROM (SELECT unnest(t) AS w FROM tok
+       |             WHERE doc_id % $trainMod = 0) GROUP BY w),
+       |$bpeS0Cte,
+       |${bpeRoundBlocks(rounds)},
+       |hv AS (SELECT DISTINCT w
+       |       FROM (SELECT unnest(t) AS w FROM tok
+       |             WHERE doc_id % $trainMod <> 0)
+       |       WHERE length(w) >= 1),
+       |h0 AS MATERIALIZED (
+       |  SELECT w, [substr(w, i, 1) FOR i IN generate_series(1, length(w))]
+       |           AS sy
+       |  FROM hv),
+       |${bpeApplyBlocks(rounds)},
+       |inst AS (SELECT doc_id, unnest(t) AS w FROM tok
+       |         WHERE doc_id % $trainMod <> 0),
+       |j AS (
+       |  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(length(i.w)) AS BIGINT) AS n_chars,
+       |         CAST(sum(len(h.sy)) AS BIGINT) AS n_bpe_tokens
+       |  FROM inst i JOIN h$rounds h ON h.w = i.w
+       |  WHERE length(i.w) >= 1
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(j.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(j.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(j.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $trainMod <> 0) d
+       |LEFT JOIN j USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared oracle prefix for t42/d30: the winnowing selection re-derived
     * relationally — gram md5-draw hashes as a per-doc list, positions and
     * windows as rows, per-window min, rightmost position achieving it
@@ -3630,6 +3720,7 @@ object PipelineQueries {
     // tok/wf vocab, relational greedy application (see bpeTrainSql)
     "t40_bpe_train" -> bpeTrainSql(BpeTrainRounds),
     "t44_bpe_train_deep" -> bpeTrainSql(BpeTrainRoundsDeep),
+    "t45_bpe_apply_heldout" -> bpeApplyHeldOutSql(BpeTrainRounds, 2),
     // t41: the same chain's final state applied per doc (bpeTokenizeSql)
     "t41_bpe_tokenize" -> bpeTokenizeSql(BpeTrainRounds),
     // t42: winnowing re-derived relationally — gram hashes as rows, a

@@ -831,6 +831,22 @@ object RelevanceOps {
     * counts a budgeter prices with can never drift from the merge table
     * that produced them.
     */
+  /** ONE greedy non-overlapping application of merge (c1, c2) over a
+    * symbol array — the linear left-to-right fold shared by the trainer
+    * and the held-out apply path (t45), so training and application can
+    * never scan differently: the merged symbol c1·c2 can never re-match
+    * as c1 (c2 is nonempty), so "last element = c1 ∧ next = c2 ⇒
+    * replace last" IS BPE's non-overlapping scan. */
+  private def greedyMerge(sy: Column, c1: String, c2: String): Column =
+    aggregate(sy,
+      expr("CAST(array() AS ARRAY<STRING>)"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(c1) &&
+          (x === lit(c2)),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(c1 + c2))))
+        .otherwise(concat(acc, array(x))))
+
   private[graft] def bpeTrainState(docs: DataFrame, textCol: String,
       rounds: Int, reliable: Boolean = false): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds=$rounds")
@@ -902,15 +918,8 @@ object RelevanceOps {
         .contains(" " + c1 + " " + c2 + " ")
       val affected = st.filter(adj)
       val rew = DedupOps.pin(affected
-        .select(col("w"), col("tf"), col("n").as("n0"), aggregate(
-          split(col("rep"), " "),
-          expr("CAST(array() AS ARRAY<STRING>)"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(c1) &&
-              (x === lit(c2)),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(lit(c1 + c2))))
-            .otherwise(concat(acc, array(x)))).as("sy"))
+        .select(col("w"), col("tf"), col("n").as("n0"),
+          greedyMerge(split(col("rep"), " "), c1, c2).as("sy"))
         .select(col("w"), col("tf"), col("n0"), size(col("sy")).as("n"),
           array_join(col("sy"), " ").as("rep")),
         reliable)
@@ -974,6 +983,59 @@ object RelevanceOps {
         sum(length(col("w")).cast("long")).as("n_chars"),
         sum(col("n").cast("long")).as("n_bpe_tokens"))
     docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** t45: the train/apply SPLIT — what a production tokenizer actually
+    * does, which t41 (trained and applied on the same corpus, priced
+    * from the trainer's own state) cannot show: merges train on the
+    * `id % trainMod == 0` slice, then tokenize the HELD-OUT slice —
+    * unseen words, unseen pair contexts, merges applied in RANK order
+    * by the SAME [[greedyMerge]] fold the trainer used (one shared
+    * scan definition, so training and application can never disagree).
+    * Output: per held-out doc, word/char/BPE-token counts under the
+    * foreign merge table.
+    *
+    * Scale shape: the merge table is `rounds` rows — collected to the
+    * driver (the bounded-collect class of the trainer's own argmax) and
+    * unrolled into ONE projection of chained folds over the held-out
+    * DISTINCT vocab (no per-merge jobs, no joins between merges); docs
+    * price through the same un-hinted word-keyed join as t41. The
+    * held-out corpus is touched twice (vocab aggregate + instance
+    * explode), the train corpus by the trainer's one pass.
+    */
+  def bpeTokenCountsHeldOut(docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int, trainMod: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(trainMod >= 2, s"trainMod=$trainMod")
+    val isTrain = pmod(col(idCol), lit(trainMod.toLong)) === 0
+    val merges = bpeTrain(docs.filter(isTrain), textCol, rounds, reliable)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val held = docs.filter(!isTrain)
+    val sy0 = expr(
+      "transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    val syN = merges.foldLeft(sy0) { case (c, (c1, c2)) =>
+      greedyMerge(c, c1, c2)
+    }
+    val perWord = held
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .select(col("w"), size(syN).as("n"))
+    val agg = held
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(perWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n").cast("long")).as("n_bpe_tokens"))
+    held.select(col(idCol))
       .join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

@@ -155,6 +155,55 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert((r1._2, r1._3, r1._4) === top)
   }
 
+  test("held-out apply: trains on the even split, prices the odd split by the hand fold") {
+    val docs = Seq(
+      (0L, "low lower low newest"),        // train
+      (2L, "newest widest lowest newest"), // train
+      (4L, "low low wide lowest"),         // train
+      (1L, "low lowest unseen lower"),     // held out: mixed seen words
+      (3L, "zebra quux"),                  // held out: fully OOV words
+      (5L, ""),                            // held out: empty
+      (7L, null.asInstanceOf[String])      // held out: null
+    ).toDF("doc_id", "text")
+    val trainWords = Seq("low", "lower", "low", "newest", "newest",
+      "widest", "lowest", "newest", "low", "low", "wide", "lowest")
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val (merges, _) = trainByHandFull(trainWords, 4)
+    // hand-apply the trained merges in rank order to a held-out word
+    def applyByHand(w: String): Int = {
+      var sy = w.map(_.toString).toVector
+      merges.foreach { case (_, c1, c2, _, _) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == c1 && sy(i + 1) == c2) {
+            buf += (c1 + c2); i += 2
+          } else { buf += sy(i); i += 1 }
+        }
+        sy = buf.result()
+      }
+      sy.length
+    }
+    val got = RelevanceOps.bpeTokenCountsHeldOut(docs, "doc_id", "text",
+        rounds = 4, trainMod = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    def doc(ws: String*): (Long, Long, Long) =
+      (ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => applyByHand(w).toLong).sum)
+    val e1 = doc("low", "lowest", "unseen", "lower")
+    val e3 = doc("zebra", "quux")
+    assert(got === Seq(
+      (1L, e1._1, e1._2, e1._3),
+      (3L, e3._1, e3._2, e3._3),
+      (5L, 0L, 0L, 0L),
+      (7L, 0L, 0L, 0L)))
+    // fully OOV words pay full character length (no merge applies)
+    assert(applyByHand("zebra") === 5 && applyByHand("quux") === 4)
+    // and at least one held-out word actually compressed under the
+    // foreign table, or the test shows nothing about transfer
+    assert(e1._3 < e1._2)
+  }
+
   // ADVICE r11: the trainer used to throw when the corpus ran out of
   // adjacent pairs before `rounds`, while the chained-CTE oracle
   // degrades silently (an empty argmax CTE cascades and later rounds
