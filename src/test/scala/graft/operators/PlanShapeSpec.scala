@@ -593,4 +593,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined, p)
     }
   }
+
+  test("executed index path (s32): sign-key equi-join only, never the s28 cross") {
+    withoutAutoBroadcast {
+      val df = SimilarityOps.chunkRetrievalLshTopK(fileDocs, "doc_id",
+        "text", chunk = 8, stride = 6, dim = 16, queryMod = 2, k = 3)
+      val p = planOf(df)
+      // the whole point of s32 vs s28: candidate generation must be a
+      // hash join on the sign key — any nested-loop/cartesian means the
+      // brute-force cross crept back into the deployed path
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("keep-one cut (d33): canonical pick is an aggregate, no per-hash window, no text on exchanges") {
+    withoutAutoBroadcast {
+      val df = DedupOps.substringCutKeepFirst(fileDocs, "doc_id", "text", 4)
+      val p = planOf(df)
+      // the canonical (min (doc, pos) per hash) must stay a hash-keyed
+      // partial aggregate — a Window over instance rows keyed by h is
+      // the skew hazard the d08 rule exists for
+      assert(!"Window [^\\n]*\\[h".r.findFirstIn(p).isDefined,
+        s"per-hash window crept into the canonical pick:\n$p")
+      // everything before the one id-keyed text join moves int/hash rows
+      val textExchanges = "Exchange [^\\n]*text".r.findAllIn(p).size
+      assert(textExchanges <= 1, s"text on $textExchanges exchanges:\n$p")
+    }
+  }
 }
