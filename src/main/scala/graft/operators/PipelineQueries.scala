@@ -1303,6 +1303,16 @@ object PipelineQueries {
         ChunkTopK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // The probe dial EXECUTED: s32 at s30's probe budget (own bucket +
+    // dim bit-flip neighbors) — the knob turned when the recall audit
+    // says exact-bucket is too thin; still an equi-join, never a cross.
+    // See SimilarityOps.chunkMultiProbeTopK.
+    "s33_chunk_multiprobe_topk" -> ((s, d) =>
+      SimilarityOps.chunkMultiProbeTopK(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkQueryMod,
+        ChunkTopK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // The flip-2 rung of the multi-probe dial: s30 extended to the
     // C(dim,2) two-bit-flip neighbor buckets, ONE pass reporting all
     // three probe budgets as nested columns (probes=1 ≡ s29 and
@@ -3932,6 +3942,45 @@ object PipelineQueries {
          |cand AS (SELECT qs.query_id, cs.doc_id AS corpus_id, cs.chunk_id
          |  FROM csig cs JOIN qsig qs ON cs.sig = qs.sig
          |    AND cs.doc_id <> qs.query_id),
+         |cscored AS (SELECT s.query_id, s.corpus_id, s.chunk_id, s.sim
+         |  FROM scored s JOIN cand c ON c.query_id = s.query_id
+         |    AND c.corpus_id = s.corpus_id AND c.chunk_id = s.chunk_id),
+         |cranked AS (SELECT query_id, corpus_id, chunk_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
+         |  FROM cscored)
+         |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM cranked WHERE rank <= $ChunkTopK
+         |ORDER BY query_id, rank""".stripMargin),
+    // s33: s30's probe CTEs (flip-0 + flip-1, nflip dropped), DISTINCT
+    // candidates restricted onto the core's per-pair sims, re-ranked
+    // within — s32's consumption shape at the wider budget
+    "s33_chunk_multiprobe_topk" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |probes AS (SELECT query_id, sig AS key FROM qsig
+         |  UNION ALL
+         |  SELECT query_id,
+         |    xor(sig, CAST(1 AS BIGINT) << CAST(i AS INT)) AS key
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${BowDim - 1})) AS i FROM qsig)),
+         |cand AS (SELECT DISTINCT p.query_id, cs.doc_id AS corpus_id,
+         |    cs.chunk_id
+         |  FROM csig cs JOIN probes p ON cs.sig = p.key
+         |    AND cs.doc_id <> p.query_id),
          |cscored AS (SELECT s.query_id, s.corpus_id, s.chunk_id, s.sim
          |  FROM scored s JOIN cand c ON c.query_id = s.query_id
          |    AND c.corpus_id = s.corpus_id AND c.chunk_id = s.chunk_id),

@@ -1562,6 +1562,46 @@ object SimilarityOps {
         col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** s33: the probe DIAL executed — [[chunkRetrievalLshTopK]] with
+    * s30's probe budget (own bucket + dim single-bit-flip neighbors),
+    * the knob a deployment turns when s29's recall audit says the
+    * exact-bucket answer is too thin: candidates come from the
+    * queries×(dim+1) probe table's equi-join (still never a cross) and
+    * only distinct candidates are exactly re-ranked. The s32 answer is
+    * recoverable from this plan by dropping the flip probes; more
+    * probes can only add candidates, so per-query hit quality is
+    * monotone in the budget (spec-pinned against s32 and s28).
+    */
+  def chunkMultiProbeTopK(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(dim >= 1 && dim <= 62 && queryMod >= 1 && k >= 1,
+      s"dim=$dim queryMod=$queryMod k=$k")
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val masks = 0L +: (0 until dim).map(1L << _)
+    val probes = queries.select(col("query_id"), col("qv"), col("qn2"),
+        explode_outer(array(masks.map(m =>
+          col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
+    chunks.join(probes, Seq("sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      // a chunk reachable through several probes scores once
+      .dropDuplicates("query_id", "corpus_id", "chunk_id")
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

@@ -371,6 +371,26 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     // with whatever the cross scores — the contract difference under test)
     assert(!lshRows.keySet.exists(_._1 == 97L))
     assert(exactRows.keySet.count(_._1 == 97L) === 3)
+
+    // s33 — the dial executed: every candidate s32 ranked is still in
+    // the wider probe pool, so per-rank sims can only improve, and a
+    // recall-1000 query's answer is IDENTICAL at every budget incl. s28
+    val mp = keyed(SimilarityOps.chunkMultiProbeTopK(docs, "doc_id",
+      "text", chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3))
+    assert(mp((0L, 1)) === lshRows((0L, 1)))
+    lshRows.foreach { case ((qid, r), (_, _, s)) =>
+      assert(mp.contains((qid, r)) && mp((qid, r))._3 >= s,
+        s"rank $r of query $qid degraded under more probes")
+    }
+    // the s29 audit for query 0 is full recall here, so all three
+    // rungs (s32, s33, s28) agree exactly on its answer
+    val rec = SimilarityOps.chunkRetrievalLshRecall(docs, "doc_id",
+        "text", 64, 48, 16, 97, 3)
+      .filter(col("query_id") === 0L).head()
+    if (rec.getAs[Long]("recall_milli") == 1000L)
+      (1 to 3).foreach { r =>
+        assert(mp.get((0L, r)) === exactRows.get((0L, r)), s"rank $r")
+      }
   }
 
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
