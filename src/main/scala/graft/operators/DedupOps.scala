@@ -408,15 +408,41 @@ object DedupOps {
     * definition so the accounting (d19) and the cut (d29) can never
     * disagree on what "repeated" means.
     */
-  private[graft] def repeatedWindowStarts(docs: DataFrame, idCol: String,
+  /** (id, pos, h) rows — every L-token window instance, 0-based start,
+    * xxhash64 of the space-joined window. ONE definition shared by the
+    * d19/d29 accounting, the d33 canonical aggregate, and the
+    * [[windowHashIndex]] artifact, so no consumer can window-hash
+    * differently. */
+  private[graft] def windowInstances(docs: DataFrame, idCol: String,
       textCol: String, windowTokens: Int): DataFrame = {
     val L = windowTokens
-    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
-    val inst = toks.filter(size(col("ts")) >= L)
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= L)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(1, size(ts) - ${L - 1}), " +
           s"i -> xxhash64(concat_ws(' ', slice(ts, i, $L))))"))
         .as(Seq("pos", "h")))
+  }
+
+  /** The corpus window-hash index artifact — the DISTINCT window hashes
+    * of an already-released corpus, (h) rows only: what the at-ingest
+    * keep-first substring cut
+    * ([[graft.streaming.PipelineStreams.substringCutAgainstCorpus]])
+    * probes stream-static, the d01-digest-index pattern one granularity
+    * below whole documents. Built from [[windowInstances]] (the shared
+    * d19/d29/d33 definition); ALL corpus hashes, not just repeated ones
+    * — a single corpus occurrence already canonicalizes over any later
+    * arrival. At 100 TB this is written once per corpus release and is
+    * (long)-rows-only.
+    */
+  def windowHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    windowInstances(docs, idCol, textCol, windowTokens)
+      .select(col("h")).distinct()
+
+  private[graft] def repeatedWindowStarts(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
+    val inst = windowInstances(docs, idCol, textCol, windowTokens)
     val rep = inst.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     inst.join(rep, Seq("h")).select(col(idCol), col("pos"))
@@ -496,12 +522,7 @@ object DedupOps {
   def substringCutKeepFirst(docs: DataFrame, idCol: String,
       textCol: String, windowTokens: Int): DataFrame = {
     val L = windowTokens
-    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
-    val inst = toks.filter(size(col("ts")) >= L)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, size(ts) - ${L - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(ts, i, $L))))"))
-        .as(Seq("pos", "h")))
+    val inst = windowInstances(docs, idCol, textCol, windowTokens)
     val perHash = inst.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col(idCol), col("pos"))).as("c"))
@@ -517,6 +538,41 @@ object DedupOps {
     * cut, fold them into disjoint intervals and rebuild each doc's kept
     * text — the d29 interval algebra, callable with any start policy
     * (all repeats → d29; non-canonical repeats → d33). */
+  /** The interval half of the cut kernel: sorted 1-based window starts
+    * folded into disjoint covered intervals — starts ascend, so an
+    * overlapping/adjacent window (p ≤ last b) always extends the last
+    * interval's end to p + L. Shared by [[cutByStarts]] (d29/d33) and
+    * the at-ingest leg ([[graft.streaming.PipelineStreams
+    * .substringCutAgainstCorpus]]), so batch and stream can never
+    * disagree on interval algebra. */
+  private[graft] def coveredIntervalsExpr(ss: Column, L: Int): Column =
+    aggregate(
+      coalesce(ss, expr("CAST(array() AS ARRAY<INT>)")),
+      expr("CAST(array() AS ARRAY<STRUCT<a: INT, b: INT>>)"),
+      (acc, p) => when(
+        size(acc) > 0 && element_at(acc, -1)("b") >= p,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1)("a").as("a"),
+            (p + lit(L)).as("b")))))
+        .otherwise(concat(acc,
+          array(struct(p.as("a"), (p + lit(L)).as("b"))))))
+
+  /** The rebuild half of the cut kernel: the token array with every
+    * covered interval sliced out (running cursor, O(tokens +
+    * intervals)). Shared with the at-ingest leg like
+    * [[coveredIntervalsExpr]]. */
+  private[graft] def keptTokensExpr(ts: Column, iv: Column): Column =
+    aggregate(
+      iv,
+      struct(expr("CAST(array() AS ARRAY<STRING>)").as("ks"),
+        lit(1).as("cur")),
+      (st, v) => struct(
+        concat(st("ks"),
+          slice(ts, st("cur"), v("a") - st("cur"))).as("ks"),
+        v("b").as("cur")),
+      st => concat(st("ks"),
+        slice(ts, st("cur"), size(ts) + lit(1) - st("cur"))))
+
   private def cutByStarts(docs: DataFrame, idCol: String, textCol: String,
       startRows: DataFrame, windowTokens: Int): DataFrame = {
     val L = windowTokens
@@ -527,29 +583,8 @@ object DedupOps {
       .agg(sort_array(collect_list(col("pos") + 1)).as("ss"))
     val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
     toks.join(starts, Seq(idCol), "left")
-      .withColumn("iv", aggregate(
-        coalesce(col("ss"), expr("CAST(array() AS ARRAY<INT>)")),
-        expr("CAST(array() AS ARRAY<STRUCT<a: INT, b: INT>>)"),
-        // starts ascend, so an overlapping/adjacent window (p ≤ last b)
-        // always extends the last interval's end to p + L
-        (acc, p) => when(
-          size(acc) > 0 && element_at(acc, -1)("b") >= p,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1)("a").as("a"),
-              (p + lit(L)).as("b")))))
-          .otherwise(concat(acc,
-            array(struct(p.as("a"), (p + lit(L)).as("b")))))))
-      .withColumn("kept", aggregate(
-        col("iv"),
-        struct(expr("CAST(array() AS ARRAY<STRING>)").as("ks"),
-          lit(1).as("cur")),
-        (st, v) => struct(
-          concat(st("ks"),
-            slice(col("ts"), st("cur"), v("a") - st("cur"))).as("ks"),
-          v("b").as("cur")),
-        st => concat(st("ks"),
-          slice(col("ts"), st("cur"),
-            size(col("ts")) + lit(1) - st("cur")))))
+      .withColumn("iv", coveredIntervalsExpr(col("ss"), L))
+      .withColumn("kept", keptTokensExpr(col("ts"), col("iv")))
       .select(col(idCol),
         size(col("ts")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),

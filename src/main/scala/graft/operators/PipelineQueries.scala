@@ -614,6 +614,14 @@ object PipelineQueries {
   val ChunkQueryMod = 97
   val ChunkTopK = 3
 
+  /** s34's band count: 4 bands of BowDim/4 = 4 sign bits. By pigeonhole
+    * the OR-construction over 4 bands reaches every chunk within Hamming
+    * distance 3 of the query's sign pattern — a strict superset of s31's
+    * flip-2 ball — at a query-side fan-out of ×4 keyed rows instead of
+    * s31's ×137 probe table. ONE value on both sides (PackBudget rule).
+    */
+  val ChunkBands = 4
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -1183,6 +1191,18 @@ object PipelineQueries {
         "doc_id", "text", BpeTrainRounds, trainMod = 2)
         .orderBy(col("doc_id"))),
 
+    // The apply path at the TRAINER's depth: t45's unrolled fold dies
+    // long before a real 32k-merge vocabulary (linear expression
+    // growth), so merges apply in blocks of 8 — fold a block into one
+    // vocab projection, pin, repeat (the trainer's own loop
+    // discipline). 32 trained rounds, identical semantics to the
+    // unrolled fold (spec-pinned). See
+    // RelevanceOps.bpeTokenCountsHeldOutBlocked.
+    "t46_bpe_apply_blocked" -> ((s, d) =>
+      RelevanceOps.bpeTokenCountsHeldOutBlocked(Tables.documents(s, d),
+        "doc_id", "text", BpeTrainRoundsDeep, trainMod = 2, blockSize = 8)
+        .orderBy(col("doc_id"))),
+
     // Corpus tokenization under t40's trained merge table — per-doc
     // word/char/BPE-token counts through one word-keyed vocab join.
     // See RelevanceOps.bpeTokenCounts for the vocab-level pricing shape.
@@ -1321,6 +1341,19 @@ object PipelineQueries {
       SimilarityOps.chunkMultiProbe2Recall(Tables.documents(s, d),
         "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkQueryMod,
         ChunkTopK)
+        .orderBy(col("query_id"))),
+
+    // The banded OR-construction for chunk retrieval: 4 independent
+    // 4-bit sign bands, candidate on ANY whole-band agreement — reaches
+    // the whole Hamming<=3 ball by pigeonhole (superset of s31's flip-2
+    // set, so recall dominates rung for rung, spec-pinned) at x4
+    // query-side fan-out instead of the x137 probe table. Corpus side is
+    // the pre-materialized band index artifact. See
+    // SimilarityOps.chunkBandRecall.
+    "s34_chunk_band_recall" -> ((s, d) =>
+      SimilarityOps.chunkBandRecall(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkBands,
+        ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"))),
 
     // Top-30 PMI collocations at min count 5 — phrase mining over the
@@ -2521,7 +2554,10 @@ object PipelineQueries {
          |  LEFT JOIN g$k gp ON gp.w = z.w AND gp.i = z.i - 1),
          |s$k AS MATERIALIZED (
          |  SELECT w, tf, list(sym ORDER BY i) AS sy
-         |  FROM y$k WHERE NOT skip GROUP BY w, tf),
+         |  FROM y$k WHERE NOT skip GROUP BY w, tf
+         |  UNION ALL
+         |  SELECT w, tf, sy FROM $prev
+         |  WHERE (SELECT count(*) FROM b$k) = 0),
          |r$k AS (
          |  SELECT $k AS rank, b.c1, b.c2, b.pc AS pair_count,
          |    (SELECT CAST(sum(tf * len(sy)) AS BIGINT) FROM s$k)
@@ -2532,7 +2568,12 @@ object PipelineQueries {
   /** t45's apply-side blocks: each trained pick b$k applied in rank
     * order to the HELD-OUT vocab h0 → h`rounds`, the same x/g/z/y
     * greedy-run machinery as [[bpeRoundBlocks]] but with no pair
-    * recount (the merge table is foreign — that is the point). */
+    * recount (the merge table is foreign — that is the point). Both
+    * this chain and [[bpeRoundBlocks]]'s state chain pass the previous
+    * state through UNCHANGED when a round's pick b$k is empty (the
+    * train slice ran out of pairs) — the engine's truncated-merge-table
+    * semantics, so a degenerate train corpus can't zero the held-out
+    * counts. */
   private def bpeApplyBlocks(rounds: Int): String =
     (1 to rounds).map { k =>
       val prev = s"h${k - 1}"
@@ -2564,7 +2605,10 @@ object PipelineQueries {
          |  LEFT JOIN hg$k gp ON gp.w = z.w AND gp.i = z.i - 1),
          |h$k AS MATERIALIZED (
          |  SELECT w, list(sym ORDER BY i) AS sy
-         |  FROM hy$k WHERE NOT skip GROUP BY w)""".stripMargin
+         |  FROM hy$k WHERE NOT skip GROUP BY w
+         |  UNION ALL
+         |  SELECT w, sy FROM $prev
+         |  WHERE (SELECT count(*) FROM b$k) = 0)""".stripMargin
     }.mkString(",\n")
 
   /** t45 oracle: train on the doc_id % `trainMod` == 0 slice (the SAME
@@ -3731,6 +3775,10 @@ object PipelineQueries {
     "t40_bpe_train" -> bpeTrainSql(BpeTrainRounds),
     "t44_bpe_train_deep" -> bpeTrainSql(BpeTrainRoundsDeep),
     "t45_bpe_apply_heldout" -> bpeApplyHeldOutSql(BpeTrainRounds, 2),
+    // t46: the SAME oracle chain as t45 at the deep round count — the
+    // blocked engine path owes the identical answer to the unrolled
+    // relational apply
+    "t46_bpe_apply_blocked" -> bpeApplyHeldOutSql(BpeTrainRoundsDeep, 2),
     // t41: the same chain's final state applied per doc (bpeTokenizeSql)
     "t41_bpe_tokenize" -> bpeTokenizeSql(BpeTrainRounds),
     // t42: winnowing re-derived relationally — gram hashes as rows, a
@@ -4077,6 +4125,56 @@ object PipelineQueries {
          |cand AS (SELECT qs.query_id, cs.doc_id AS corpus_id, cs.chunk_id
          |  FROM csig cs JOIN qsig qs ON cs.sig = qs.sig
          |    AND cs.doc_id <> qs.query_id),
+         |ncand AS (SELECT query_id, count(*) AS n FROM cand GROUP BY 1),
+         |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
+         |       WHERE rank <= $ChunkTopK),
+         |nhit AS (SELECT e.query_id, count(*) AS n
+         |  FROM ex e JOIN cand c USING (query_id, corpus_id, chunk_id)
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(ncand.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(nhit.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(nhit.n, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli
+         |FROM q
+         |LEFT JOIN ncand ON ncand.query_id = q.query_id
+         |LEFT JOIN nhit ON nhit.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin),
+    // s34: s29's sig CTEs split into ChunkBands disjoint bit-slices on
+    // BOTH sides; DISTINCT candidates on any whole-band agreement; the
+    // same audit tail as s29
+    "s34_chunk_band_recall" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cband AS (SELECT doc_id, chunk_id, band,
+         |    (sig >> (band * ${BowDim / ChunkBands})) &
+         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT doc_id, chunk_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
+         |        FROM csig)),
+         |qband AS (SELECT query_id, band,
+         |    (sig >> (band * ${BowDim / ChunkBands})) &
+         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
+         |        FROM qsig)),
+         |cand AS (SELECT DISTINCT qb.query_id, cb.doc_id AS corpus_id,
+         |    cb.chunk_id
+         |  FROM cband cb JOIN qband qb
+         |    ON cb.band = qb.band AND cb.key = qb.key
+         |    AND cb.doc_id <> qb.query_id),
          |ncand AS (SELECT query_id, count(*) AS n FROM cand GROUP BY 1),
          |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
          |       WHERE rank <= $ChunkTopK),

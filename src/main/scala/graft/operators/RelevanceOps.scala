@@ -892,8 +892,12 @@ object RelevanceOps {
     // before each pin; coalesce is a partition-list merge, no shuffle
     val nPart = st.rdd.getNumPartitions
     // running Σ tf·|symbols|, updated from the per-round merged count —
-    // the full-vocab aggregate also runs once, not once per round
-    var after = st.agg(sum(col("tf") * col("n"))).head().getLong(0)
+    // the full-vocab aggregate also runs once, not once per round.
+    // sum() over ZERO rows is null (an all-empty/whitespace/null-text
+    // corpus has no vocab at all) — that corpus owes the same truncated
+    // merge table as the ran-out-of-pairs case below, not an NPE
+    var after = Option(st.agg(sum(col("tf") * col("n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val out = Seq.newBuilder[(Int, String, String, Long, Long)]
     var k = 1
     while (k <= rounds) {
@@ -1027,6 +1031,15 @@ object RelevanceOps {
       .filter(length(col("w")) > 0)
       .distinct()
       .select(col("w"), size(syN).as("n"))
+    heldOutCounts(held, idCol, textCol, perWord)
+  }
+
+  /** The shared held-out pricing tail: token instances join the
+    * (word, symbol count) table and roll up per doc — one definition so
+    * the unrolled (t45) and blocked (t46) apply paths can only ever
+    * differ in how `perWord` was produced. */
+  private def heldOutCounts(held: DataFrame, idCol: String,
+      textCol: String, perWord: DataFrame): DataFrame = {
     val agg = held
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
@@ -1041,5 +1054,52 @@ object RelevanceOps {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** t46: [[bpeTokenCountsHeldOut]] past the unrolled fold — the apply
+    * path that survives a production merge table. t45 chains `rounds`
+    * [[greedyMerge]] folds into ONE projection, whose expression tree
+    * grows linearly in merges (fine at 8, a codegen/analyzer killer at
+    * a real tokenizer's 32k). This variant applies merges in BLOCKS of
+    * `blockSize`: fold `blockSize` merges into one projection over the
+    * held-out vocab state (w, sy), pin/materialize, repeat — the
+    * trainer's own loop discipline, now on the apply side. Expression
+    * depth is bounded by the block, per-block cost is flat (each block
+    * is one vocab-sized projection, no joins between blocks, no unions
+    * — so no partition-doubling trap), and total cost is linear in
+    * `rounds / blockSize` pinned stages.
+    *
+    * Identity with the unrolled form is exact — the SAME greedyMerge
+    * fold in the SAME rank order over the same initial state, merely
+    * materialized every `blockSize` merges (BpeTrainSpec differentials
+    * at 8 and 32 rounds, and across block sizes).
+    */
+  def bpeTokenCountsHeldOutBlocked(docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int, trainMod: Int, blockSize: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(trainMod >= 2 && blockSize >= 1,
+      s"trainMod=$trainMod blockSize=$blockSize")
+    val isTrain = pmod(col(idCol), lit(trainMod.toLong)) === 0
+    val merges = bpeTrain(docs.filter(isTrain), textCol, rounds, reliable)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val held = docs.filter(!isTrain)
+    var vocab = DedupOps.pin(held
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .select(col("w"), expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+        .as("sy")),
+      reliable)
+    merges.grouped(blockSize).foreach { blk =>
+      vocab = DedupOps.pin(vocab.select(col("w"),
+        blk.foldLeft(col("sy")) { case (c, (c1, c2)) =>
+          greedyMerge(c, c1, c2)
+        }.as("sy")),
+        reliable)
+    }
+    heldOutCounts(held, idCol, textCol,
+      vocab.select(col("w"), size(col("sy")).as("n")))
   }
 }

@@ -1602,6 +1602,107 @@ object SimilarityOps {
         col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** One band's key: bits [band·b, (band+1)·b) of the sign pattern —
+    * pure long arithmetic over the staged `sig` attribute, shared by the
+    * index artifact and the query side so the two can never slice
+    * differently. */
+  private def bandKey(sig: Column, band: Int, bitsPerBand: Int): Column =
+    shiftright(sig, band * bitsPerBand)
+      .bitwiseAND(lit((1L << bitsPerBand) - 1))
+
+  /** The BANDED chunk LSH index artifact — [[chunkSignIndex]]'s sig
+    * split into `bands` disjoint bit-slices, one (band, key, corpus_id,
+    * chunk_id) row per slice: the OR-construction's corpus side (a
+    * chunk is a candidate for any query agreeing on ≥ 1 whole band),
+    * exactly how the MinHash side already banding-buckets (d09/d10).
+    * Same artifact pattern as [[chunkSignIndex]]: written once per
+    * corpus release, int rows only, `bands`× the row count in exchange
+    * for recall without the flip-k probe blow-up. Built FROM the shared
+    * [[chunkVecs]]/[[signKey]] definitions, so every retrieval rung
+    * keys the same vectors.
+    */
+  private[graft] def chunkBandIndex(docs: DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int, dim: Int,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && dim % bands == 0, s"dim=$dim bands=$bands")
+    val b = dim / bands
+    chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+      // sig is a staged long attribute, so the band array is cheap —
+      // the explode_outer + null-filter is the standing generate rule
+      .select(col("corpus_id"), col("chunk_id"),
+        explode_outer(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            bandKey(col("sig"), i, b).as("key"))): _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("corpus_id"), col("chunk_id"))
+  }
+
+  /** s34: the banded (multi-table) OR-construction for chunk retrieval
+    * — L independent bands of dim/L sign bits each, a candidate on ANY
+    * whole-band agreement — audited per query like s29: candidate
+    * count, exact-top-k hits, milli-recall. The recall lever the flip-k
+    * dial (s30/s31) cannot reach cheaply: at dim=16 the flip-2 rung is
+    * already a ×137 probe table per query reaching only the Hamming≤2
+    * ball, while L=4 bands of 4 bits reach the whole Hamming≤3 ball BY
+    * PIGEONHOLE (d ≤ L−1 flips leave some band untouched) plus
+    * probabilistic mass beyond it, with the query side expanding only
+    * ×L and the candidate generator staying ONE equi-join on
+    * (band, key). Per-query candidates are therefore a SUPERSET of
+    * s31's flip-2 set, so hits and recall dominate s31's rung for
+    * rung (spec-pinned).
+    *
+    * Scale shape: the corpus side is the pre-materialized
+    * [[chunkBandIndex]] artifact (bands× int rows, no vectors); the
+    * query side is queries × L keyed rows; candidates dedup on
+    * (query, corpus, chunk) before any scoring — the exact top-k
+    * (s28's cross) appears here only as the audit oracle, exactly as
+    * in s29–s31.
+    */
+  def chunkBandRecall(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int, dim: Int, bands: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(bands >= 1 && dim % bands == 0 && queryMod >= 1 && k >= 1,
+      s"dim=$dim bands=$bands queryMod=$queryMod k=$k")
+    val b = dim / bands
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val cBands = chunkBandIndex(docs, idCol, textCol, chunk, stride, dim,
+      bands)
+    val qBands = queries
+      .select(col("query_id"),
+        explode_outer(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            bandKey(col("sig"), i, b).as("key"))): _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("query_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    // a chunk agreeing on several bands is ONE candidate — the dedup
+    // runs on (id, id, int) rows, never vectors
+    val cand = cBands.join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+      .distinct()
+    val exact = chunkTopK(chunks, queries, k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nHit = exact.join(cand, Seq("query_id", "corpus_id", "chunk_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 1000 / lit(k.toLong))
+          .cast("long").as("recall_milli"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

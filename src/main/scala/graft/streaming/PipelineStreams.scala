@@ -1133,6 +1133,16 @@ object PipelineStreams {
     * emitted rows equal batch s32's for the same corpus+arrival
     * (spec-pinned); bucket-miss arrivals emit nothing, the honest
     * index answer.
+    *
+    * Contract notes: the rollup keys on (window, `idCol`), so a doc id
+    * must arrive at most once per window — two same-id arrivals in one
+    * window would blend their candidate sets into a single top-k that
+    * matches no batch answer (at-ingest ids are unique by construction;
+    * re-ingests land in later windows). State bound: the collect_list
+    * holds one arrival's BUCKET candidates before the slice-k — sized
+    * by the hottest sign bucket, not the corpus; if a production corpus
+    * develops a degenerate hot bucket (e.g. the all-zeros key), cap it
+    * index-side at materialization time.
     */
   def chunkRetrieveTopK(docs: DataFrame, vecIndex: DataFrame,
       tsCol: String, idCol: String, textCol: String, dim: Int, k: Int,
@@ -1163,6 +1173,149 @@ object PipelineStreams {
         col("t.corpus_id").as("corpus_id"),
         col("t.chunk_id").as("chunk_id"),
         round(col("t.sim"), 6).as("sim"))
+  }
+
+  /** At-ingest retrieval at the PROBE-DIAL budget — [[chunkRetrieveTopK]]
+    * widened to batch s33's flip-1 probes: the arriving query embeds
+    * once, then probes its own sign bucket AND the dim single-bit-flip
+    * neighbor buckets (the queries×(dim+1) probe expansion, built
+    * scan-side by XOR over the staged sig long — the same masks as
+    * [[graft.operators.SimilarityOps.chunkMultiProbeTopK]]), scores the
+    * candidate union exactly, and the windowed rollup keeps the k best.
+    * A chunk reachable through several probes scores identically each
+    * time, so the sorted candidate list dedups by adjacency
+    * (array_distinct AFTER sort_array — order-preserving on a sorted
+    * array) before the slice-k: the dedup-before-rerank of batch s33,
+    * restated for a streaming aggregate.
+    *
+    * Emitted top-k is spec-pinned equal to batch s33 per arrival;
+    * arrivals missing every probed bucket still emit nothing — the
+    * honest index answer at the wider budget. Same contract notes as
+    * [[chunkRetrieveTopK]]: one arrival per (window, id); state is
+    * probed-bucket-candidate-sized per query, never corpus-sized (the
+    * scan side carries ×(dim+1) probe rows per arrival — query-side
+    * constant fan-out, the corpus index untouched).
+    */
+  def chunkRetrieveTopKProbed(docs: DataFrame, vecIndex: DataFrame,
+      tsCol: String, idCol: String, textCol: String, dim: Int, k: Int,
+      window_ : String, delay: String): DataFrame = {
+    import graft.operators.SimilarityOps
+    import graft.functions.TextFns
+    val masks = 0L +: (0 until dim).map(1L << _)
+    val scored = docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol),
+        TextFns.hashedBow(col(textCol), dim).cast("array<double>").as("qv"))
+      .withColumn("qn2", SimilarityOps.dot(col("qv"), col("qv")))
+      .withColumn("sig0", SimilarityOps.sigOf(col("qv"), dim))
+      // sig0 is a staged long attribute, so the probe array is cheap —
+      // explode_outer + null filter is the standing generate rule
+      .select(col(tsCol), col(idCol), col("qv"), col("qn2"),
+        explode_outer(array(masks.map(m =>
+          col("sig0").bitwiseXOR(lit(m))): _*)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .join(vecIndex, Seq("sig"))
+      .filter(col("corpus_id") =!= col(idCol))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(SimilarityOps.dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+    scored
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(slice(array_distinct(sort_array(collect_list(struct(
+        (-col("sim")).as("ns"), col("corpus_id"), col("chunk_id"),
+        col("sim"))))), 1, k).as("top"))
+      .select(col("window.start").as("window_start"), col(idCol),
+        posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("window_start"), col(idCol).as("query_id"),
+        (col("r") + 1).cast("int").as("rank"),
+        col("t.corpus_id").as("corpus_id"),
+        col("t.chunk_id").as("chunk_id"),
+        round(col("t.sim"), 6).as("sim"))
+  }
+
+  /** At-ingest keep-first substring cut — batch d33's release semantics
+    * at the door: every L-token window of an arriving document is cut
+    * iff its content already shipped (the window hash probes the
+    * pre-materialized [[graft.operators.DedupOps.windowHashIndex]]
+    * corpus artifact stream-static — a released corpus occurrence is
+    * ALWAYS canonical over a later arrival, ingest order being d33's
+    * (id, pos) total order) or repeats EARLIER IN THE SAME DOCUMENT
+    * (the within-doc half of d33's min-(id,pos) canonical, computed
+    * scan-side — first occurrence per hash survives). The surviving
+    * tokens reassemble through the SHARED cut kernel
+    * ([[graft.operators.DedupOps.coveredIntervalsExpr]] /
+    * [[graft.operators.DedupOps.keptTokensExpr]] — the d29/d33 interval
+    * algebra, one definition both modes).
+    *
+    * Batch identity (spec-pinned): for arrivals with ids above every
+    * corpus id, the emitted rows equal batch
+    * [[graft.operators.DedupOps.substringCutKeepFirst]] over
+    * corpus ∪ arrivals restricted to the arrival rows. The one bounded
+    * divergence: two DIFFERENT arrivals sharing a window that the
+    * corpus lacks adjudicate independently here (each keeps its copy)
+    * while a joint batch run would cut the later one — the
+    * winnowCopyDetect-class at-ingest trade; the periodic batch pass is
+    * the backstop, exactly as for d18/d24.
+    *
+    * Shape: tokenize + window-hash + within-doc-dup flags are per-row
+    * scan-side (the hash array is a staged attribute; the dup flag's
+    * array_position probe is O(windows²) per row worst case — document-
+    * bounded, never corpus-bounded); the hash rows that meet the corpus
+    * are (ts, id, pos, h) ints via ONE stream-static left join; text
+    * moves ONCE, id-keyed, as the anchor leg of a self-union into the
+    * single stateful (window, id) rollup (the d14/d17 one-text-shuffle
+    * discipline), whose state per doc is its token array + cut starts,
+    * watermark-bounded. Same one-arrival-per-(window, id) contract as
+    * [[chunkRetrieveTopK]].
+    */
+  def substringCutAgainstCorpus(docs: DataFrame, corpusWins: DataFrame,
+      tsCol: String, idCol: String, textCol: String, windowTokens: Int,
+      window_ : String, delay: String): DataFrame = {
+    import graft.functions.TextFns
+    import graft.operators.DedupOps
+    val L = windowTokens
+    val base = docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      // guard BEFORE sequence: sequence(1, 0) is the DESCENDING [1, 0]
+      // in Spark (the bpeTrainState lesson) — short docs get the empty
+      // array, null text stays null and anchors a null-text row
+      .withColumn("hs", when(size(col("toks")) >= L, expr(
+        s"transform(sequence(1, size(toks) - ${L - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $L))))"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+    // narrow leg: (ts, id, pos, h, within-doc-dup) int rows — text does
+    // NOT ride the explode; dup = an earlier position holds the same
+    // hash (array_position is the 1-based FIRST index)
+    val hits = base
+      .select(col(tsCol), col(idCol), posexplode_outer(expr(
+        "transform(hs, (h, i) -> " +
+          "struct(h AS h, array_position(hs, h) < i + 1 AS dup))"))
+        .as(Seq("pos", "p")))
+      .select(col(tsCol), col(idCol), col("pos"),
+        col("p.h").as("h"), col("p.dup").as("dup"))
+      .join(corpusWins.select(col("h"), lit(true).as("hit")), Seq("h"),
+        "left")
+      .select(col(tsCol), col(idCol),
+        lit(null).cast("array<string>").as("toks"),
+        when(col("dup") || coalesce(col("hit"), lit(false)), col("pos"))
+          .as("cut"))
+    // anchor leg: ONE text-carrying row per arrival
+    val anchors = base.select(col(tsCol), col(idCol), col("toks"),
+      lit(null).cast("int").as("cut"))
+    anchors.unionByName(hits)
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(first(col("toks"), ignoreNulls = true).as("toks"),
+        // cut is the 0-based window start; the kernel wants 1-based
+        sort_array(collect_list(col("cut") + 1)).as("ss"))
+      .withColumn("iv", DedupOps.coveredIntervalsExpr(col("ss"), L))
+      .withColumn("kept", DedupOps.keptTokensExpr(col("toks"), col("iv")))
+      .select(col("window.start").as("window_start"), col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_covered"),
+        array_join(col("kept"), " ").as("kept_text"))
   }
 
   def winnowCopyDetect(docs: DataFrame, corpusFps: DataFrame,

@@ -332,6 +332,50 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(mp2.exists { case (q, (lower, (c2, _, _))) => c2 > lower._4 })
   }
 
+  test("chunkBandRecall: candidates are a superset of s31's flip-2 set — hits and recall dominate rung for rung") {
+    import graft.operators.SimilarityOps
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = SimilarityOps.chunkBandRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, bands = 4, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val mp2 = SimilarityOps.chunkMultiProbe2Recall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    assert(banded.keySet === mp2.keySet) // every query reports in both
+    banded.foreach { case (q, (cB, hB, rB)) =>
+      val (c2, h2, r2) = mp2(q)
+      // pigeonhole: any chunk within Hamming<=3 of the query's sign
+      // pattern agrees on some whole 4-bit band, so the banded candidate
+      // set contains s31's entire flip-2 (Hamming<=2) set — counts,
+      // hits, and recall can only dominate
+      assert(cB >= c2 && hB >= h2 && rB >= r2, s"query $q")
+    }
+    // the OR-construction must actually reach BEYOND the flip-2 ball
+    // somewhere on this corpus, or the test proves nothing about it
+    assert(banded.exists { case (q, (cB, _, _)) => cB > mp2(q)._1 })
+  }
+
+  test("chunkBandRecall: verbatim copy is always a banded hit; disjoint-band strangers are not candidates") {
+    import graft.operators.SimilarityOps
+    val q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, q),                                    // query (0 % 97 == 0)
+      (5L, q),                                    // verbatim copy: identical sig, all bands agree
+      (6L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val rows = SimilarityOps.chunkBandRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, bands = 4, queryMod = 97, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(0L))
+    val (cand, hits, recall) = rows(0L)
+    assert(cand >= 1L && hits >= 1L && recall >= 333L)
+  }
+
   test("chunkRetrievalLshTopK: equals s28 when the bucket holds the exact top-k; bucket-miss emits nothing") {
     import graft.operators.SimilarityOps
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -226,4 +226,77 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
       .as[(Int, String, String, Long, Long)].collect().toSeq
     assert(table === Seq((1, "a", "b", 3L, 3L)))
   }
+
+  // ADVICE r12: the setup aggregate's sum() over ZERO vocab rows is
+  // null — an all-empty/whitespace/null-text corpus must yield the
+  // truncated (empty) merge table, not an NPE; reachable through the
+  // held-out split when the TRAIN slice has no tokens at all.
+  test("empty-vocab corpus: empty merge table, held-out prices at full char length") {
+    val docs = Seq(
+      (0L, ""),                            // train: empty
+      (2L, "   "),                         // train: whitespace only
+      (4L, null.asInstanceOf[String]),     // train: null
+      (1L, "ab ab cd")                     // held out
+    ).toDF("doc_id", "text")
+    assert(RelevanceOps.bpeTrain(docs.filter($"doc_id" % 2 === 0),
+      "text", 4).count() === 0L)
+    // no trained merges → every held-out word pays full character length
+    val got = RelevanceOps.bpeTokenCountsHeldOut(docs, "doc_id", "text",
+        rounds = 4, trainMod = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 6L, 6L)))
+    // and the blocked apply path agrees on the same degenerate table
+    val blocked = RelevanceOps.bpeTokenCountsHeldOutBlocked(docs,
+        "doc_id", "text", rounds = 4, trainMod = 2, blockSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(blocked === got)
+  }
+
+  // t46: the blocked apply is DEFINITIONALLY the unrolled fold, merely
+  // materialized every blockSize merges — identical output at any
+  // block size, including blocks that don't divide the round count.
+  test("blocked apply: equals the unrolled fold at rounds 8, any block size") {
+    val docs = Seq(
+      (0L, "low lower low newest newest widest"),
+      (2L, "newest widest lowest newest low low"),
+      (4L, "low low wide lowest lower widest"),
+      (1L, "low lowest unseen lower lowest"),
+      (3L, "zebra quux newest"),
+      (5L, ""),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val unrolled = RelevanceOps.bpeTokenCountsHeldOut(docs, "doc_id",
+        "text", rounds = 8, trainMod = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    Seq(1, 3, 8).foreach { bs =>
+      val blocked = RelevanceOps.bpeTokenCountsHeldOutBlocked(docs,
+          "doc_id", "text", rounds = 8, trainMod = 2, blockSize = bs)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(blocked === unrolled, s"blockSize=$bs")
+    }
+  }
+
+  // t46 at the trainer's deep round count: block-size invariance at 32
+  // rounds (8-merge blocks vs one 32-merge block), on a corpus rich
+  // enough that all 32 rounds actually pick merges — the depth t45's
+  // single unrolled projection is being retired from.
+  test("blocked apply: block-size invariant at 32 rounds") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 24L).map { i =>
+      (i, (0 until 30).map(_ => s"w${rnd.nextInt(40)}x${rnd.nextInt(5)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    // enough distinct adjacent pairs that 32 rounds never truncate
+    assert(RelevanceOps.bpeTrain(docs.filter($"doc_id" % 2 === 0),
+      "text", 32).count() === 32L)
+    val b8 = RelevanceOps.bpeTokenCountsHeldOutBlocked(docs, "doc_id",
+        "text", rounds = 32, trainMod = 2, blockSize = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val b32 = RelevanceOps.bpeTokenCountsHeldOutBlocked(docs, "doc_id",
+        "text", rounds = 32, trainMod = 2, blockSize = 32)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(b8 === b32)
+    // at least one held-out word compressed under the foreign table
+    assert(b8.exists { case (_, _, ch, bpe) => bpe < ch })
+  }
 }

@@ -1502,4 +1502,124 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got(0L).exists { case (r, c, _, s) => r == 1 && c == 1L && s == 1.0 })
     } finally q.stop()
   }
+
+  test("chunk retrieve top-k probed: at-ingest answers equal batch s33 per arrival, flips widen past s32") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    // pseudo-random corpus + arrivals from the same token family, so
+    // sign patterns land near (but not always in) each other's buckets —
+    // the flip-1 tier has real work to do
+    def txt(seed: Long): String =
+      (0 until 12).map(j => s"w${(seed * 7 + j * 3) % 25}").mkString(" ")
+    val corpusDocs = (1L until 30L).map(i => (i, txt(i)))
+      .toDF("doc_id", "text")
+    val idx = SimilarityOps.chunkVecIndex(corpusDocs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 16)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val top = PipelineStreams.chunkRetrieveTopKProbed(
+      in.toDF().toDF("ts", "doc_id", "text"), idx, "ts", "doc_id", "text",
+      dim = 16, k = 3, "10 minutes", "5 minutes")
+    val q = top.writeStream.format("memory").queryName("crtp")
+      .outputMode("append").start()
+    // arrival ids are multiples of 97 (the batch twin's query slice);
+    // their texts reuse corpus seeds so buckets collide or near-miss
+    val arrivals = Seq((0L, txt(3L)), (97L, txt(40L)), (194L, txt(17L)))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 3 * 97L,
+        "window closer far past the arrivals"))
+      q.processAllAvailable()
+      val got = spark.table("crtp").collect()
+        .filter(_.getAs[Long]("query_id") != 3 * 97L)
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var widened = false
+      arrivals.foreach { case (id, t) =>
+        val joint = corpusDocs.union(Seq((id, t)).toDF("doc_id", "text"))
+        val s33 = SimilarityOps.chunkMultiProbeTopK(joint, "doc_id",
+            "text", chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3)
+          .filter(col("query_id") === id).collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim"))).toSet
+        assert(got.getOrElse(id,
+          Set.empty[(Int, Long, Int, Double)]) === s33, s"arrival $id")
+        val s32 = SimilarityOps.chunkRetrievalLshTopK(joint, "doc_id",
+            "text", chunk = 64, stride = 48, dim = 16, queryMod = 97, k = 3)
+          .filter(col("query_id") === id).count()
+        if (s33.size > s32) widened = true
+      }
+      // somewhere on this corpus the flip tier must add answers beyond
+      // the exact bucket, or the test shows nothing about the dial
+      assert(widened)
+    } finally q.stop()
+  }
+
+  test("substring cut against corpus: at-ingest rows equal batch d33 per arrival") {
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val L = 3
+    val run = "one two three four five six"
+    val corpusDocs = Seq(
+      (1L, s"intro words then $run closing remark"),
+      (2L, s"different head but $run and a tail"),
+      (3L, "wholly unrelated corpus content sits here quietly")
+    ).toDF("doc_id", "text")
+    val idx = DedupOps.windowHashIndex(corpusDocs, "doc_id", "text", L)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cut = PipelineStreams.substringCutAgainstCorpus(
+      in.toDF().toDF("ts", "doc_id", "text"), idx, "ts", "doc_id", "text",
+      windowTokens = L, "10 minutes", "5 minutes")
+    val q = cut.writeStream.format("memory").queryName("scc")
+      .outputMode("append").start()
+    val arrivals = Seq(
+      // copies a corpus run -> those windows cut, fresh frame kept
+      (100L, s"fresh frame $run fresh tail words"),
+      // repeats ITSELF (no corpus hit): first occurrence survives,
+      // the later one is cut — the within-doc half of min-(id, pos)
+      (101L, "pq rs tu vw pq rs tu vw"),
+      // wholly fresh: nothing cut
+      (102L, "completely novel arrival text nothing shared anywhere"),
+      // short (< L tokens) and empty: no windows at all
+      (103L, "tiny doc"),
+      (104L, ""))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 300L,
+        "window closer far past the arrivals sits here"))
+      q.processAllAvailable()
+      val got = spark.table("scc").collect()
+        .filter(_.getAs[Long]("doc_id") != 300L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_covered"), r.getAs[String]("kept_text")))
+        .toMap
+      assert(got.keySet === arrivals.map(_._1).toSet)
+      // batch twin: d33 over corpus ∪ arrivals (arrival ids above every
+      // corpus id, no cross-arrival shared windows), arrival rows only
+      val joint = corpusDocs.union(arrivals.toDF("doc_id", "text"))
+      val batch = DedupOps.substringCutKeepFirst(joint, "doc_id", "text", L)
+        .filter(col("doc_id") >= 100L).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_covered"), r.getAs[String]("kept_text")))
+        .toMap
+      assert(got === batch)
+      // and the fixture actually exercises both cut sources
+      assert(got(100L)._3 > 0L, "corpus-hit windows must cut")
+      assert(got(101L)._3 > 0L, "within-doc repeats must cut")
+      assert(got(101L)._4.startsWith("pq rs tu vw"),
+        "the FIRST within-doc occurrence survives")
+      assert(got(102L)._3 === 0L && got(103L)._3 === 0L)
+    } finally q.stop()
+  }
 }
