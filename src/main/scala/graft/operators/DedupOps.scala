@@ -1364,6 +1364,19 @@ object DedupOps {
       // Labels only ever decrease, so one unchanged hop IS the fixed point.
       converged = step.filter(col("label") =!= col("old")).isEmpty
       labels = step.select(col("id"), col("label"))
+      // Pointer-halving (the r13 10× lesson): one propagation hop moves a
+      // label ONE edge, so plain min-label propagation needs diameter
+      // hops — the 10× rehearsal corpus built a phash chain deeper than
+      // the hop budget. Following the label's own label each round
+      // (label ← label(label), the classic path-halving step of
+      // pointer-jumping CC — see also large-star/small-star) makes label
+      // depth halve per round on top of the hop's one-edge advance:
+      // convergence in O(log diameter) rounds for one extra equi-join
+      // per round. Safe by monotonicity: label(x) ≤ x always, so jumped
+      // labels still only decrease and never leave the component.
+      // Skipped on the converged round — the fixed point is already
+      // component-constant, a jump would be the identity.
+      if (!converged) labels = pin(ccJump(labels), reliable)
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter hops")
@@ -1672,4 +1685,16 @@ object DedupOps {
       .agg(min(col("label")).as("label"), min(col("old")).as("old"))
       .select(col("id"), col("old"), col("label"))
   }
+
+  /** The path-halving step of [[connectedComponents]]: label ←
+    * label(label), one self-equi-join of the label table (every label
+    * value IS an endpoint id — the min over endpoint ids — so the left
+    * join's miss arm is vestigial safety). Package-private so
+    * PlanShapeSpec can pin its exchange count like [[ccHop]]'s. */
+  private[operators] def ccJump(cur: DataFrame): DataFrame =
+    cur.join(
+        cur.select(col("id").as("label"), col("label").as("__gl")),
+        Seq("label"), "left")
+      .select(col("id"),
+        coalesce(col("__gl"), col("label")).as("label"))
 }

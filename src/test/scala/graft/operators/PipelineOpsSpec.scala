@@ -319,6 +319,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(labels === Set(0L))
   }
 
+  test("connected components: diameter far beyond maxIter converges (pointer-halving)") {
+    // a 4000-edge path — plain one-edge-per-hop propagation would need
+    // 4000 hops and die on the 25-round guard (the r13 10× rehearsal
+    // failure, in miniature); path-halving closes it in O(log d) rounds
+    val n = 4001L
+    val path = (0L until n).toDF("id")
+    val pathEdges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = DedupOps.connectedComponents(path, pathEdges)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(labels === Set(0L))
+  }
+
   test("property: connected components == driver union-find on random graphs") {
     val rnd = new scala.util.Random(0xC0FFEE)
     for (_ <- 1 to 6) {

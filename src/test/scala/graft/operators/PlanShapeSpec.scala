@@ -187,6 +187,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cc jump (pointer-halving step): 2 exchanges exactly, equi-join only") {
+    withoutAutoBroadcast {
+      val labels = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 2L))
+        .toDF("id", "label").localCheckpoint()
+      val jump = DedupOps.ccJump(labels)
+      val p = planOf(jump)
+      // one side hashed on `label`, the other on the renamed `id` —
+      // no aggregate, no third exchange
+      assert(shuffles(jump) === 2, p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("rank hop (g01 loop body): 5 exchanges exactly, equi-join only") {
     withoutAutoBroadcast {
       val links = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"))
