@@ -1356,6 +1356,18 @@ object PipelineQueries {
         ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"))),
 
+    // The banded index EXECUTED: candidates from the int-only band
+    // index's (band, key) equi-join, vectors fetched by ONE id-keyed
+    // evidence-sized join for the exact rerank — the retrieval plan the
+    // s34 audit prices. Candidates contain s33's flip-1 set
+    // (pigeonhole), so per-rank sims dominate s33's (spec-pinned). See
+    // SimilarityOps.chunkBandTopK.
+    "s35_chunk_band_topk" -> ((s, d) =>
+      SimilarityOps.chunkBandTopK(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkBands,
+        ChunkQueryMod, ChunkTopK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -4140,6 +4152,52 @@ object PipelineQueries {
          |LEFT JOIN ncand ON ncand.query_id = q.query_id
          |LEFT JOIN nhit ON nhit.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin),
+    // s35: s34's band CTEs, DISTINCT candidates restricted onto the
+    // core's per-pair sims, re-ranked within — s32/s33's consumption
+    // shape at the banded budget
+    "s35_chunk_band_topk" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cband AS (SELECT doc_id, chunk_id, band,
+         |    (sig >> (band * ${BowDim / ChunkBands})) &
+         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT doc_id, chunk_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
+         |        FROM csig)),
+         |qband AS (SELECT query_id, band,
+         |    (sig >> (band * ${BowDim / ChunkBands})) &
+         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
+         |        FROM qsig)),
+         |cand AS (SELECT DISTINCT qb.query_id, cb.doc_id AS corpus_id,
+         |    cb.chunk_id
+         |  FROM cband cb JOIN qband qb
+         |    ON cb.band = qb.band AND cb.key = qb.key
+         |    AND cb.doc_id <> qb.query_id),
+         |cscored AS (SELECT s.query_id, s.corpus_id, s.chunk_id, s.sim
+         |  FROM scored s JOIN cand c ON c.query_id = s.query_id
+         |    AND c.corpus_id = s.corpus_id AND c.chunk_id = s.chunk_id),
+         |cranked AS (SELECT query_id, corpus_id, chunk_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
+         |  FROM cscored)
+         |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM cranked WHERE rank <= $ChunkTopK
+         |ORDER BY query_id, rank""".stripMargin),
     // s34: s29's sig CTEs split into ChunkBands disjoint bit-slices on
     // BOTH sides; DISTINCT candidates on any whole-band agreement; the
     // same audit tail as s29

@@ -1703,6 +1703,64 @@ object SimilarityOps {
           .cast("long").as("recall_milli"))
   }
 
+  /** s35: the banded index EXECUTED — [[chunkBandRecall]]'s
+    * OR-construction actually retrieving, the way s32/s33 execute the
+    * bucket/probe dial: candidates come from the (band, key) equi-join
+    * against the int-only [[chunkBandIndex]] artifact, dedup on
+    * (query, corpus, chunk), and ONLY the candidates fetch their
+    * vectors through one id-keyed evidence-sized join (the d32
+    * text-join discipline applied to vectors — the band index never
+    * carries floats, unlike the sig-keyed [[chunkVecIndex]] whose
+    * single-bucket key makes carrying them free) before the exact
+    * rerank. Candidates contain s33's flip-1 set (pigeonhole, via the
+    * Hamming≤3 ball), so per-rank sims dominate s33's and a
+    * full-recall query's answer equals s28's (spec-pinned).
+    *
+    * Scale shape: corpus side is the pre-materialized band index
+    * (bands× int rows); the rerank's vector join moves candidate-few
+    * (id-keyed) rows; per-query top-k windows over candidate rows
+    * bounded by the band-collision volume — the recall/candidate trade
+    * s34 audits.
+    */
+  def chunkBandTopK(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int, dim: Int, bands: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(bands >= 1 && dim % bands == 0 && queryMod >= 1 && k >= 1,
+      s"dim=$dim bands=$bands queryMod=$queryMod k=$k")
+    val b = dim / bands
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val qBands = queries
+      .select(col("query_id"),
+        explode_outer(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            bandKey(col("sig"), i, b).as("key"))): _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("query_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = chunkBandIndex(docs, idCol, textCol, chunk, stride, dim,
+        bands)
+      .join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
+    cand
+      .join(chunks, Seq("corpus_id", "chunk_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"),
+        col("qn2"))), Seq("query_id"))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

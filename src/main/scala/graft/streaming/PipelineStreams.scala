@@ -1234,6 +1234,70 @@ object PipelineStreams {
         round(col("t.sim"), 6).as("sim"))
   }
 
+  /** At-ingest retrieval over the BANDED index — batch s35's twin, the
+    * OR-construction at the door: the arriving query embeds once, its
+    * sign pattern splits into `bands` (band, key) slices scan-side, the
+    * int-only [[graft.operators.SimilarityOps.chunkBandIndex]] artifact
+    * is probed by ONE stream-static equi-join on (band, key), and only
+    * the candidates fetch vectors through the second stream-static join
+    * (id-keyed, evidence-sized — the band index never carries floats)
+    * before the exact in-stream rerank. A chunk agreeing on several
+    * bands scores identically each time, so the sorted candidate list
+    * dedups by adjacency before the slice-k (the s35 DISTINCT, restated
+    * for a streaming aggregate, exactly as [[chunkRetrieveTopKProbed]]
+    * does for multi-probe duplicates).
+    *
+    * Emitted top-k is spec-pinned equal to batch s35 per arrival. Same
+    * contract notes as [[chunkRetrieveTopK]]: one arrival per
+    * (window, id); state is band-candidate-sized per query. `vecIndex`
+    * is the same [[graft.operators.SimilarityOps.chunkVecIndex]]
+    * artifact the single-bucket leg serves from — consumed here by
+    * (corpus_id, chunk_id), its sig column unused.
+    */
+  def chunkRetrieveTopKBanded(docs: DataFrame, bandIndex: DataFrame,
+      vecIndex: DataFrame, tsCol: String, idCol: String, textCol: String,
+      dim: Int, bands: Int, k: Int, window_ : String,
+      delay: String): DataFrame = {
+    import graft.operators.SimilarityOps
+    import graft.functions.TextFns
+    require(bands >= 1 && dim % bands == 0, s"dim=$dim bands=$bands")
+    val b = dim / bands
+    val scored = docs
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol),
+        TextFns.hashedBow(col(textCol), dim).cast("array<double>").as("qv"))
+      .withColumn("qn2", SimilarityOps.dot(col("qv"), col("qv")))
+      .withColumn("sig", SimilarityOps.sigOf(col("qv"), dim))
+      .select(col(tsCol), col(idCol), col("qv"), col("qn2"),
+        explode_outer(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("sig"), i * b)
+              .bitwiseAND(lit((1L << b) - 1)).as("key"))): _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col(tsCol), col(idCol), col("qv"), col("qn2"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(bandIndex, Seq("band", "key"))
+      .filter(col("corpus_id") =!= col(idCol))
+      .join(vecIndex.select(col("corpus_id"), col("chunk_id"), col("cv"),
+        col("cn2")), Seq("corpus_id", "chunk_id"))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(SimilarityOps.dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))))
+    scored
+      .groupBy(window(col(tsCol), window_), col(idCol))
+      .agg(slice(array_distinct(sort_array(collect_list(struct(
+        (-col("sim")).as("ns"), col("corpus_id"), col("chunk_id"),
+        col("sim"))))), 1, k).as("top"))
+      .select(col("window.start").as("window_start"), col(idCol),
+        posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("window_start"), col(idCol).as("query_id"),
+        (col("r") + 1).cast("int").as("rank"),
+        col("t.corpus_id").as("corpus_id"),
+        col("t.chunk_id").as("chunk_id"),
+        round(col("t.sim"), 6).as("sim"))
+  }
+
   /** At-ingest keep-first substring cut — batch d33's release semantics
     * at the door: every L-token window of an arriving document is cut
     * iff its content already shipped (the window hash probes the

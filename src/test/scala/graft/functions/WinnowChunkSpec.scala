@@ -435,6 +435,23 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
       (1 to 3).foreach { r =>
         assert(mp.get((0L, r)) === exactRows.get((0L, r)), s"rank $r")
       }
+
+    // s35 — the banded index executed: its candidates contain s33's
+    // flip-1 set (pigeonhole via the Hamming<=3 ball), so per-rank sims
+    // dominate s33's rung for rung, and the verbatim copy still leads
+    val banded = keyed(SimilarityOps.chunkBandTopK(docs, "doc_id",
+      "text", chunk = 64, stride = 48, dim = 16, bands = 4,
+      queryMod = 97, k = 3))
+    assert(banded((0L, 1)) === lshRows((0L, 1)))
+    mp.foreach { case ((qid, r), (_, _, s)) =>
+      assert(banded.contains((qid, r)) && banded((qid, r))._3 >= s,
+        s"rank $r of query $qid degraded under the banded index")
+    }
+    // full-recall query: banded answer equals s28's exactly too
+    if (rec.getAs[Long]("recall_milli") == 1000L)
+      (1 to 3).foreach { r =>
+        assert(banded.get((0L, r)) === exactRows.get((0L, r)), s"rank $r")
+      }
   }
 
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {

@@ -1560,6 +1560,60 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("chunk retrieve top-k banded: at-ingest answers equal batch s35 per arrival") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    def txt(seed: Long): String =
+      (0 until 12).map(j => s"w${(seed * 7 + j * 3) % 25}").mkString(" ")
+    val corpusDocs = (1L until 30L).map(i => (i, txt(i)))
+      .toDF("doc_id", "text")
+    val bandIdx = SimilarityOps.chunkBandIndex(corpusDocs, "doc_id",
+      "text", chunk = 64, stride = 48, dim = 16, bands = 4)
+    val vecIdx = SimilarityOps.chunkVecIndex(corpusDocs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 16)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val top = PipelineStreams.chunkRetrieveTopKBanded(
+      in.toDF().toDF("ts", "doc_id", "text"), bandIdx, vecIdx, "ts",
+      "doc_id", "text", dim = 16, bands = 4, k = 3, "10 minutes",
+      "5 minutes")
+    val q = top.writeStream.format("memory").queryName("crtb")
+      .outputMode("append").start()
+    val arrivals = Seq((0L, txt(3L)), (97L, txt(40L)), (194L, txt(17L)))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 3 * 97L,
+        "window closer far past the arrivals"))
+      q.processAllAvailable()
+      val got = spark.table("crtb").collect()
+        .filter(_.getAs[Long]("query_id") != 3 * 97L)
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      arrivals.foreach { case (id, t) =>
+        val joint = corpusDocs.union(Seq((id, t)).toDF("doc_id", "text"))
+        val s35 = SimilarityOps.chunkBandTopK(joint, "doc_id", "text",
+            chunk = 64, stride = 48, dim = 16, bands = 4, queryMod = 97,
+            k = 3)
+          .filter(col("query_id") === id).collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim"))).toSet
+        assert(got.getOrElse(id,
+          Set.empty[(Int, Long, Int, Double)]) === s35, s"arrival $id")
+        // and the banded answer set is at least the flip-1 answer set
+        // in size for the same arrival (candidate superset)
+        val s33n = SimilarityOps.chunkMultiProbeTopK(joint, "doc_id",
+            "text", 64, 48, 16, 97, 3)
+          .filter(col("query_id") === id).count()
+        assert(s35.size >= s33n, s"arrival $id")
+      }
+    } finally q.stop()
+  }
+
   test("substring cut against corpus: at-ingest rows equal batch d33 per arrival") {
     import graft.operators.DedupOps
     implicit val sqlCtx = spark.sqlContext
