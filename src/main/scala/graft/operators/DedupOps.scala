@@ -534,6 +534,37 @@ object DedupOps {
     cutByStarts(docs, idCol, textCol, cutStarts, L)
   }
 
+  /** t47: benchmark DECONTAMINATION cut — the GPT-3/PaLM-style n-gram
+    * decontamination pass, done at span granularity: every token
+    * position of a CORPUS doc covered by an L-token window whose
+    * content appears anywhere in the BENCHMARK set is cut and the
+    * survivors reassemble (t33 flags which eval items leaked; this
+    * removes the leak from the training text instead of dropping whole
+    * documents — the surgical form public pipelines converged on).
+    * Same [[windowInstances]] hashing and [[cutByStarts]] interval
+    * kernel as d19/d29/d33, so "contaminated span" can never mean
+    * something different from "repeated span".
+    *
+    * Scale shape: the benchmark window index ([[windowHashIndex]] over
+    * the bench set) is benchmark-sized and broadcast at the probe (the
+    * t33 rule); corpus windows die against it in a left-semi join as
+    * (id, int, hash) rows; text moves only in [[cutByStarts]]'s one
+    * id-keyed join. The AT-INGEST form needs no new code:
+    * [[graft.streaming.PipelineStreams.substringCutAgainstCorpus]] fed
+    * the benchmark's windowHashIndex IS streaming decontamination —
+    * with the one semantic note that the streaming leg also cuts
+    * within-doc repeats (d33's other half), a superset cut.
+    */
+  def decontaminateCut(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int): DataFrame =
+    cutByStarts(corpus, idCol, textCol,
+      windowInstances(corpus, idCol, textCol, windowTokens)
+        .join(broadcast(
+          windowHashIndex(benchmark, idCol, textCol, windowTokens)),
+          Seq("h"), "left_semi")
+        .select(col(idCol), col("pos")),
+      windowTokens)
+
   /** The shared cut kernel: given per-doc 0-based window-start rows to
     * cut, fold them into disjoint intervals and rebuild each doc's kept
     * text — the d29 interval algebra, callable with any start policy

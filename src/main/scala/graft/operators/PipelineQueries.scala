@@ -1356,6 +1356,19 @@ object PipelineQueries {
         ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"))),
 
+    // The bits-per-band dial priced from ONE pass (the d16/s31 sweep
+    // discipline): 4x4-bit vs 2x8-bit band geometries as per-query
+    // column pairs; coarse bands align on fine boundaries so the
+    // coarse candidate set NESTS inside the fine one — recall and
+    // candidate volume both monotone in band width, the trade a
+    // deployment prices when sizing its index. Fine columns are
+    // spec-pinned bit-equal to s34. See SimilarityOps.chunkBandSweep.
+    "s36_chunk_band_sweep" -> ((s, d) =>
+      SimilarityOps.chunkBandSweep(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkBands,
+        ChunkBands / 2, ChunkQueryMod, ChunkTopK)
+        .orderBy(col("query_id"))),
+
     // The banded index EXECUTED: candidates from the int-only band
     // index's (band, key) equi-join, vectors fetched by ONE id-keyed
     // evidence-sized join for the exact rerank — the retrieval plan the
@@ -1666,6 +1679,22 @@ object PipelineQueries {
       DedupOps.substringCutKeepFirst(Tables.documents(s, d), "doc_id",
         "text", 8)
         .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination at span granularity (t33's cut half,
+    // the GPT-3-style n-gram decontamination done surgically): every
+    // corpus token covered by an 8-token window that appears in the
+    // benchmark slice is cut, survivors reassembled — the same t33
+    // bench/corpus split (doc_id % 50), the d19/d29/d33 window hashing
+    // and interval kernel, bench window index broadcast at the probe.
+    // See DedupOps.decontaminateCut.
+    "t47_decontaminate_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateCut(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    }),
 
     // The near-dup twin of d17 at the same corpus/batch split: batch docs
     // whose banded MinHash signature collides with a corpus doc and whose
@@ -4198,6 +4227,81 @@ object PipelineQueries {
          |  round(sim, 6) AS sim
          |FROM cranked WHERE rank <= $ChunkTopK
          |ORDER BY query_id, rank""".stripMargin),
+    // s36: both band geometries' keyed rows unioned with a geom tag,
+    // ONE join, per-pair coarse flag via max(); every joined row is a
+    // fine candidate (coarse agreement implies both fine halves agree)
+    "s36_chunk_band_sweep" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cband AS (
+         |  SELECT doc_id, chunk_id, $ChunkBands AS geom, band,
+         |    (sig >> (band * ${BowDim / ChunkBands})) &
+         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT doc_id, chunk_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
+         |        FROM csig)
+         |  UNION ALL
+         |  SELECT doc_id, chunk_id, ${ChunkBands / 2} AS geom, band,
+         |    (sig >> (band * ${2 * BowDim / ChunkBands})) &
+         |      ${(1L << (2 * BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT doc_id, chunk_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands / 2 - 1})) AS band
+         |        FROM csig)),
+         |qband AS (
+         |  SELECT query_id, $ChunkBands AS geom, band,
+         |    (sig >> (band * ${BowDim / ChunkBands})) &
+         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
+         |        FROM qsig)
+         |  UNION ALL
+         |  SELECT query_id, ${ChunkBands / 2} AS geom, band,
+         |    (sig >> (band * ${2 * BowDim / ChunkBands})) &
+         |      ${(1L << (2 * BowDim / ChunkBands)) - 1} AS key
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${ChunkBands / 2 - 1})) AS band
+         |        FROM qsig)),
+         |cand AS (SELECT qb.query_id, cb.doc_id AS corpus_id, cb.chunk_id,
+         |    max(CASE WHEN cb.geom = ${ChunkBands / 2} THEN 1 ELSE 0 END)
+         |      AS mc
+         |  FROM cband cb JOIN qband qb
+         |    ON cb.geom = qb.geom AND cb.band = qb.band AND cb.key = qb.key
+         |    AND cb.doc_id <> qb.query_id
+         |  GROUP BY 1, 2, 3),
+         |ncand AS (SELECT query_id, count(*) AS cf,
+         |    count(*) FILTER (WHERE mc = 1) AS cc
+         |  FROM cand GROUP BY 1),
+         |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
+         |       WHERE rank <= $ChunkTopK),
+         |nhit AS (SELECT e.query_id, count(*) AS hf,
+         |    count(*) FILTER (WHERE c.mc = 1) AS hc
+         |  FROM ex e JOIN cand c USING (query_id, corpus_id, chunk_id)
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(ncand.cf, 0) AS BIGINT) AS n_cand_fine,
+         |  CAST(coalesce(nhit.hf, 0) AS BIGINT) AS n_hits_fine,
+         |  CAST(coalesce(nhit.hf, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_fine,
+         |  CAST(coalesce(ncand.cc, 0) AS BIGINT) AS n_cand_coarse,
+         |  CAST(coalesce(nhit.hc, 0) AS BIGINT) AS n_hits_coarse,
+         |  CAST(coalesce(nhit.hc, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli_coarse
+         |FROM q
+         |LEFT JOIN ncand ON ncand.query_id = q.query_id
+         |LEFT JOIN nhit ON nhit.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin),
     // s34: s29's sig CTEs split into ChunkBands disjoint bit-slices on
     // BOTH sides; DISTINCT candidates on any whole-band agreement; the
     // same audit tail as s29
@@ -4671,6 +4775,60 @@ object PipelineQueries {
         |inst AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM iw),
         |rep AS (SELECT sh FROM inst GROUP BY sh HAVING count(*) >= 2),
         |m AS (SELECT i.doc_id, i.pos FROM inst i JOIN rep USING (sh)),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'tk': t[g]}
+        |            FOR g IN generate_series(1, len(t))]) AS u
+        |  FROM tok),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tk),
+        |cv AS (
+        |  SELECT p.doc_id, p.pos, p.tk,
+        |    max(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY p.doc_id ORDER BY p.pos
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+        |  FROM pos p
+        |  LEFT JOIN m ON m.doc_id = p.doc_id AND m.pos = p.pos),
+        |ka AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS kt,
+        |              CAST(count(*) AS BIGINT) AS nk
+        |       FROM cv WHERE c = 0 GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  CASE WHEN tnull THEN NULL ELSE CAST(len(t) AS BIGINT) END
+        |    AS n_tokens,
+        |  CASE WHEN tnull THEN NULL ELSE CAST(coalesce(ka.nk, 0) AS BIGINT)
+        |    END AS n_kept,
+        |  CASE WHEN tnull THEN NULL
+        |    ELSE CAST(len(t) - coalesce(ka.nk, 0) AS BIGINT) END
+        |    AS n_covered,
+        |  CASE WHEN tnull THEN NULL ELSE coalesce(ka.kt, '') END
+        |    AS kept_text
+        |FROM tok LEFT JOIN ka USING (doc_id) ORDER BY tok.doc_id""".stripMargin,
+    // t47: d29's raw-window-string chain with the repeated-set swapped
+    // for the BENCH window-string set (doc_id % 50 = 0 slice) and rows
+    // restricted to the corpus side — a corpus token is cut iff some
+    // window starting in [i-7, i] appears verbatim in the benchmark
+    "t47_decontaminate_cut" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |    text IS NULL AS tnull
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |btok AS (
+        |  SELECT CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bw AS (
+        |  SELECT DISTINCT
+        |    unnest([array_to_string(t[g:g+7], ' ')
+        |            FOR g IN generate_series(1, len(t) - 7)]) AS sh
+        |  FROM btok),
+        |iw AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': g, 'sh': array_to_string(t[g:g+7], ' ')}
+        |            FOR g IN generate_series(1, len(t) - 7)]) AS p
+        |  FROM tok),
+        |inst AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM iw),
+        |m AS (SELECT i.doc_id, i.pos FROM inst i JOIN bw USING (sh)),
         |tk AS (
         |  SELECT doc_id,
         |    unnest([{'pos': g, 'tk': t[g]}

@@ -1703,6 +1703,90 @@ object SimilarityOps {
           .cast("long").as("recall_milli"))
   }
 
+  /** s36: the bits-per-band DIAL priced — [[chunkBandRecall]]'s two
+    * geometries audited from ONE pass (the s14/d16/s31 sweep
+    * discipline: a second configuration must not mean a second corpus
+    * scan): the fine geometry (`bandsFine` bands of dim/bandsFine bits
+    * — s34's 4×4 at dim=16) and the coarse one (`bandsCoarse` bands of
+    * dim/bandsCoarse bits — 2×8), reported as per-query
+    * candidates/hits/milli-recall column pairs. Because the coarse
+    * bands align on fine-band boundaries (`bandsFine % bandsCoarse ==
+    * 0` required), agreement on a coarse band implies agreement on
+    * each of its fine halves — so the coarse candidate set NESTS
+    * inside the fine one (every join row is a fine candidate; the
+    * aggregate only flags which are also coarse), recall can only drop
+    * with wider bands, and candidate volume can only drop with them
+    * too: THE trade a deployment prices when choosing its band
+    * geometry (NOTES r13 — at production dims the coarse end is where
+    * the random-collision term collapses).
+    *
+    * Scale shape: keyed int rows tagged by geometry on both sides
+    * (query fan-out ×(bandsFine+bandsCoarse)), ONE equi-join on
+    * (geom, band, key), per-(query, corpus, chunk) flag aggregate; the
+    * exact top-k cross appears only as the audit oracle, as in
+    * s29–s31/s34.
+    */
+  def chunkBandSweep(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int, dim: Int, bandsFine: Int,
+      bandsCoarse: Int, queryMod: Int, k: Int): DataFrame = {
+    require(bandsCoarse >= 1 && bandsFine > bandsCoarse &&
+      dim % bandsFine == 0 && dim % bandsCoarse == 0 &&
+      bandsFine % bandsCoarse == 0 && queryMod >= 1 && k >= 1,
+      s"dim=$dim bandsFine=$bandsFine bandsCoarse=$bandsCoarse")
+    val bF = dim / bandsFine
+    val bC = dim / bandsCoarse
+    val chunks = chunkVecs(docs, idCol, textCol, chunk, stride, dim)
+      .withColumn("sig", signKey(col("cv"), dim))
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    // both geometries' keyed rows from the one staged sig — geom is the
+    // band count (distinct across the two by the > requirement)
+    val structs =
+      (0 until bandsFine).map(i => struct(lit(bandsFine).as("geom"),
+        lit(i).as("band"), bandKey(col("sig"), i, bF).as("key"))) ++
+      (0 until bandsCoarse).map(i => struct(lit(bandsCoarse).as("geom"),
+        lit(i).as("band"), bandKey(col("sig"), i, bC).as("key")))
+    val cRows = chunks
+      .select(col("corpus_id"), col("chunk_id"),
+        explode_outer(array(structs: _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("bk.geom").as("geom"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("corpus_id"), col("chunk_id"))
+    val qRows = queries
+      .select(col("query_id"), explode_outer(array(structs: _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("query_id"), col("bk.geom").as("geom"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // every joined row IS a fine candidate (coarse agreement implies
+    // both fine halves agree); the flag records which are also coarse
+    val cand = cRows.join(broadcast(qRows), Seq("geom", "band", "key"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("corpus_id"), col("chunk_id"))
+      .agg(max(when(col("geom") === bandsCoarse, 1).otherwise(0))
+        .as("mc"))
+    val exact = chunkTopK(chunks, queries, k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("c_fine"),
+        count(when(col("mc") === 1, 1)).as("c_coarse"))
+    val nHit = exact.join(cand, Seq("query_id", "corpus_id", "chunk_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("h_fine"),
+        count(when(col("mc") === 1, 1)).as("h_coarse"))
+    def milli(c: Column): Column = (c * 1000 / lit(k.toLong)).cast("long")
+    queries.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("c_fine"), lit(0L)).as("n_cand_fine"),
+        coalesce(col("h_fine"), lit(0L)).as("n_hits_fine"),
+        milli(coalesce(col("h_fine"), lit(0L))).as("recall_milli_fine"),
+        coalesce(col("c_coarse"), lit(0L)).as("n_cand_coarse"),
+        coalesce(col("h_coarse"), lit(0L)).as("n_hits_coarse"),
+        milli(coalesce(col("h_coarse"), lit(0L)))
+          .as("recall_milli_coarse"))
+  }
+
   /** s35: the banded index EXECUTED — [[chunkBandRecall]]'s
     * OR-construction actually retrieving, the way s32/s33 execute the
     * bucket/probe dial: candidates come from the (band, key) equi-join

@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 199)
+    assert(SparkEntry.queries.size === 201)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -36,9 +36,10 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // t42 winnowing fingerprints, t43 strided chunk windows, d30 MOSS
     // winnow copy pairs, d31 winnow match spans, s28 chunk retrieval, s29 LSH recall, s30 multi-probe —
     // all oracled + fixture-gated on arrival
-    // r13: s34 banded sign-LSH recall, s35 banded top-k executed, t46
-    // blocked BPE apply at 32 rounds — oracled + fixture-gated on arrival
-    assert(SparkEntry.oracleSql.size === 199)
+    // r13: s34 banded sign-LSH recall, s35 banded top-k executed, s36
+    // band-geometry sweep, t46 blocked BPE apply at 32 rounds, t47
+    // decontamination cut — oracled + fixture-gated on arrival
+    assert(SparkEntry.oracleSql.size === 201)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }

@@ -359,6 +359,35 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(banded.exists { case (q, (cB, _, _)) => cB > mp2(q)._1 })
   }
 
+  test("chunkBandSweep: fine columns equal s34 bit-for-bit, coarse nests inside fine") {
+    import graft.operators.SimilarityOps
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sweep = SimilarityOps.chunkBandSweep(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, bandsFine = 4, bandsCoarse = 2,
+        queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)),
+          (r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val s34 = SimilarityOps.chunkBandRecall(docs, "doc_id", "text",
+        chunk = 64, stride = 48, dim = 16, bands = 4, queryMod = 13, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sweep.keySet === s34.keySet)
+    sweep.foreach { case (q, (fine, coarse)) =>
+      // the fine geometry IS s34 — one dial, never re-scored
+      assert(fine === s34(q), s"query $q")
+      // 8-bit-band agreement implies both 4-bit halves agree, so the
+      // coarse candidate set nests: counts, hits, recall all <=
+      assert(coarse._1 <= fine._1 && coarse._2 <= fine._2 &&
+        coarse._3 <= fine._3, s"query $q")
+    }
+    // the wider bands must genuinely prune somewhere on this corpus,
+    // or the sweep prices nothing
+    assert(sweep.exists { case (_, (fine, coarse)) => coarse._1 < fine._1 })
+  }
+
   test("chunkBandRecall: verbatim copy is always a banded hit; disjoint-band strangers are not candidates") {
     import graft.operators.SimilarityOps
     val q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -143,4 +143,64 @@ class SubstringCutSpec extends AnyFunSuite with SparkSpec {
       j.agg(sum(col("co"))).as[Long].head())
     assert(ta > 0L && to < ta)
   }
+
+  test("decontaminate: benchmark window cut from corpus, fresh docs untouched, bench never in output") {
+    val leak = "b1 b2 b3 b4"
+    val bench = Seq(
+      (100L, s"question intro $leak answer tail"),
+      (101L, "another eval item wholly distinct")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"web page text $leak scraped verbatim"), // carries the leak
+      (2L, "clean page about something else entirely"),
+      (3L, ""),                                      // empty
+      (4L, null.asInstanceOf[String])                // null
+    ).toDF("doc_id", "text")
+    val got = DedupOps.decontaminateCut(corpus, bench, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    // doc 1: the 4-token leak window (1-based 4..7) is the ONLY corpus
+    // window present in the bench set (all others carry unique context)
+    assert(got === Seq(
+      (1L, Some(9L), Some(5L), Some(4L),
+        Some("web page text scraped verbatim")),
+      (2L, Some(6L), Some(6L), Some(0L),
+        Some("clean page about something else entirely")),
+      (3L, Some(0L), Some(0L), Some(0L), Some("")),
+      (4L, None, None, None, None)))
+    // a repeat WITHIN the corpus that is absent from the bench set is
+    // NOT decontamination's business (that's d29/d33)
+    val selfRep = Seq(
+      (1L, "s1 s2 s3 s4 once"),
+      (2L, "s1 s2 s3 s4 twice")).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminateCut(selfRep, bench, "doc_id",
+        "text", 4)
+      .agg(sum(col("n_covered"))).as[Long].head()
+    assert(kept === 0L)
+  }
+
+  test("decontaminate: bench == the d19 repeat universe makes the cut agree with substringCut on cross-set spans") {
+    // when every corpus window that repeats does so ONLY via the bench
+    // doc (no intra-corpus repeats), decontaminateCut(corpus, bench)
+    // must equal substringCut(corpus ∪ bench) restricted to corpus rows
+    val span = "x1 x2 x3 x4 x5"
+    val bench = Seq((100L, s"eval begins $span eval ends"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, "unrelated corpus document sits here")
+    ).toDF("doc_id", "text")
+    val viaDecon = DedupOps.decontaminateCut(corpus, bench, "doc_id",
+        "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    val viaJoint = DedupOps.substringCut(corpus.union(bench), "doc_id",
+        "text", 4)
+      .filter(col("doc_id") < 100L).orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(viaDecon === viaJoint)
+  }
 }
