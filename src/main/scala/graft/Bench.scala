@@ -184,9 +184,11 @@ object Bench {
     // id % 3) compile the loops BEFORE any timed query.
     {
       import org.apache.spark.sql.functions.col
+      // maxDocId pre-filters BEFORE the typed map (a media_id filter
+      // can't push through .map — at a 100× rehearsal scale the warm-up
+      // was decoding the whole corpus to keep 150 rows)
       val clips = graft.operators.Multimodal
-        .mediaFromDocuments(spark, sfDir)
-        .filter(col("media_id") < 150)
+        .mediaFromDocuments(spark, sfDir, maxDocId = Some(150L))
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       (1 to 3).foreach { _ =>

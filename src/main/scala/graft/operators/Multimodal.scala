@@ -151,9 +151,17 @@ object Multimodal {
     * oracles verify the build→decode round trip end-to-end. Codepoint
     * arithmetic (not chars) so astral text derives identically in DuckDB.
     */
-  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+  /** `maxDocId` (when set) filters BEFORE the typed map — a `.filter`
+    * on the Dataset[MediaRow] side can't push through `.map`, so a
+    * caller wanting a small slice (Bench's codec warm-up) would
+    * otherwise decode the whole corpus to keep 150 rows (measured as a
+    * wedged warm-up on a 100× rehearsal slice). Registry queries pass
+    * nothing — full corpus, unchanged behavior. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String,
+      maxDocId: Option[Long] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.documents(spark, sfDir)
+    val docs0 = graft.Tables.documents(spark, sfDir)
+    maxDocId.fold(docs0)(m => docs0.filter(col("doc_id") < m))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, rawText) =>
         val text = if (rawText == null) "" else rawText
@@ -606,6 +614,13 @@ object Multimodal {
     */
   def visualClusters(media: Dataset[MediaRow],
       maxHamming: Int = 3): DataFrame = {
+    // Scale note (r13 10× rehearsal): the band self-join emits
+    // C(bucket, 2) pairs per (band, key) bucket — bounded by duplicate
+    // density, which is inherent to EXACT clustering at Hamming ≤ 3 (a
+    // d30-style hot-bucket cap would change the answer, not just the
+    // cost). A dup-dense 10× corpus moved 548 MiB / 62M pair rows with
+    // zero spill; pathologically hot buckets (constant-color images)
+    // are a quality-gate problem upstream, not a clustering knob.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
     val hashes = imageHash(media).toDF()

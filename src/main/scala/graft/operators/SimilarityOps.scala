@@ -1582,16 +1582,36 @@ object SimilarityOps {
     val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
       .withColumn("sig", signKey(col("qv"), dim))
     val masks = 0L +: (0 until dim).map(1L << _)
-    val probes = queries.select(col("query_id"), col("qv"), col("qn2"),
+    // INT-FIRST candidate generation (the r13 100× lesson, s35's shape
+    // retrofitted): the original plan carried qv — dim doubles per
+    // probe row — through the candidate join and the dedup shuffle,
+    // and at 100× (where the fixed 2^dim key space saturates and
+    // candidate volume grows quadratically in corpus scale) that
+    // vector freight read a measured 306 s; generating candidates as
+    // (long, long, int) rows, deduping ints, and only THEN fetching
+    // vectors — queries by a broadcast, chunk vectors by one id-keyed
+    // evidence-sized join — moves the minimum bytes per candidate
+    // (measured 170 s on the same 100× slice; the residual is the
+    // candidate VOLUME itself, quadratic once the toy 2^16 key space
+    // saturates — the bits-per-band/dim dial s36 prices, not a plan
+    // property). Same answer by construction: the dedup key IS the
+    // candidate identity either way (spec + oracle unchanged).
+    val probes = queries.select(col("query_id"),
         explode_outer(array(masks.map(m =>
           col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
       .filter(col("sig").isNotNull)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
-    chunks.join(probes, Seq("sig"))
+    val cand = chunks.select(col("sig"), col("corpus_id"), col("chunk_id"))
+      .join(broadcast(probes), Seq("sig"))
       .filter(col("corpus_id") =!= col("query_id"))
       // a chunk reachable through several probes scores once
       .dropDuplicates("query_id", "corpus_id", "chunk_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
+    cand
+      .join(chunks.select(col("corpus_id"), col("chunk_id"), col("cv"),
+        col("cn2")), Seq("corpus_id", "chunk_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"),
+        col("qn2"))), Seq("query_id"))
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /
