@@ -203,4 +203,34 @@ class SubstringCutSpec extends AnyFunSuite with SparkSpec {
       .collect().toSeq
     assert(viaDecon === viaJoint)
   }
+
+  // the shared interval kernel now has FOUR consumers (d29, d33, t47,
+  // and the streaming cut) — a randomized differential against a plain
+  // driver-side boolean mask hardens the fold all of them stand on
+  test("property: cut kernel == driver boolean-mask reference on random start sets") {
+    val rnd = new scala.util.Random(0xBEEF)
+    for (trial <- 1 to 30) {
+      val l = 2 + rnd.nextInt(5)            // window length 2..6
+      val m = l + rnd.nextInt(40)           // tokens l..l+39
+      val tokens = Vector.tabulate(m)(i => s"tk$i")
+      val maxStart = m - l + 1              // valid 1-based window starts
+      val starts = (1 to maxStart)
+        .filter(_ => rnd.nextInt(4) == 0)   // ~25% of windows cut
+      // driver reference: mark [p, p+l) per start, keep unmarked
+      val cut = Array.fill(m)(false)
+      starts.foreach(p =>
+        (p - 1 until math.min(p - 1 + l, m)).foreach(cut(_) = true))
+      val expected = tokens.indices.filterNot(cut).map(tokens).mkString(" ")
+      val df = Seq((1L, tokens.mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextFns.tokens(col("text")).as("ts"),
+          lit(starts.toArray).as("ss"))
+        .withColumn("iv", DedupOps.coveredIntervalsExpr(col("ss"), l))
+        .withColumn("kept", DedupOps.keptTokensExpr(col("ts"), col("iv")))
+        .select(array_join(col("kept"), " "))
+      assert(df.as[String].head() === expected,
+        s"trial=$trial l=$l m=$m starts=$starts")
+    }
+  }
 }

@@ -1676,4 +1676,54 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got(102L)._3 === 0L && got(103L)._3 === 0L)
     } finally q.stop()
   }
+
+  test("substring cut against a BENCHMARK index is streaming decontamination: rows equal batch t47 per arrival") {
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val L = 3
+    val leak = "q1 q2 q3 q4 q5"
+    val bench = Seq(
+      (100L, s"eval item asks $leak and expects an answer"),
+      (101L, "second benchmark item wholly distinct from everything")
+    ).toDF("doc_id", "text")
+    val idx = DedupOps.windowHashIndex(bench, "doc_id", "text", L)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cut = PipelineStreams.substringCutAgainstCorpus(
+      in.toDF().toDF("ts", "doc_id", "text"), idx, "ts", "doc_id", "text",
+      windowTokens = L, "10 minutes", "5 minutes")
+    val q = cut.writeStream.format("memory").queryName("sdc")
+      .outputMode("append").start()
+    // arrivals have no within-doc repeats, so the streaming cut's
+    // superset divergence (it also cuts within-doc repeats; t47 does
+    // not) is vacuous and the two must agree exactly
+    val arrivals = Seq(
+      (1L, s"training text copied $leak straight from the eval"),
+      (2L, "fresh training document sharing nothing with benchmarks"))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 300L,
+        "window closer far past the arrivals sits here"))
+      q.processAllAvailable()
+      val got = spark.table("sdc").collect()
+        .filter(_.getAs[Long]("doc_id") != 300L)
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_covered"), r.getAs[String]("kept_text")))
+        .toMap
+      val batch = DedupOps.decontaminateCut(
+          arrivals.toDF("doc_id", "text"), bench, "doc_id", "text", L)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_covered"), r.getAs[String]("kept_text")))
+        .toMap
+      assert(got === batch)
+      assert(got(1L)._3 > 0L, "the leak must actually cut")
+      assert(got(2L)._3 === 0L)
+    } finally q.stop()
+  }
 }
