@@ -614,6 +614,15 @@ object PipelineQueries {
   val ChunkQueryMod = 97
   val ChunkTopK = 3
 
+  /** s37's wider key: the INDEX-WIDTH dial the r13 100× rehearsal
+    * showed is what actually controls candidate volume (a fixed 2^dim
+    * key space saturates as the corpus grows and collisions go
+    * quadratic). 2× BowDim — a different hashed-BoW projection end to
+    * end, not a re-keying, so both engines re-derive the whole chain at
+    * this width. ONE value on both sides (PackBudget rule).
+    */
+  val BowDimWide = 32
+
   /** s34's band count: 4 bands of BowDim/4 = 4 sign bits. By pigeonhole
     * the OR-construction over 4 bands reaches every chunk within Hamming
     * distance 3 of the query's sign pattern — a strict superset of s31's
@@ -1353,6 +1362,18 @@ object PipelineQueries {
     "s34_chunk_band_recall" -> ((s, d) =>
       SimilarityOps.chunkBandRecall(Tables.documents(s, d),
         "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkBands,
+        ChunkQueryMod, ChunkTopK)
+        .orderBy(col("query_id"))),
+
+    // The index-WIDTH dial: the s29 recall audit re-run at a 32-bit
+    // sign key (a 2x-wider hashed-BoW embedding, re-derived end to
+    // end) — the knob that controls bucket saturation as the corpus
+    // grows (the r13 100x lesson: at a fixed width, candidate volume
+    // goes quadratic in corpus scale once the key space saturates).
+    // See SimilarityOps.chunkRetrievalLshRecall.
+    "s37_chunk_lsh_recall_wide" -> ((s, d) =>
+      SimilarityOps.chunkRetrievalLshRecall(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDimWide,
         ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"))),
 
@@ -2752,8 +2773,14 @@ object PipelineQueries {
     * bucket weights (cw/qw) + norms + dots + cosine scoring, through
     * `ranked(query_id, corpus_id, chunk_id, sim, rank)`; `chunks`, `q`,
     * `cw`, `qw` stay visible for consumers needing the raw weights.
+    * Every standing consumer embeds at [[BowDim]]; s37 re-derives the
+    * whole core at [[BowDimWide]] (a different hashed-BoW projection,
+    * not a re-keying) via [[chunkRetrievalCoreSqlAt]].
     */
-  private def chunkRetrievalCoreSql: String = chunkChainSql +
+  private def chunkRetrievalCoreSql: String =
+    chunkRetrievalCoreSqlAt(BowDim)
+
+  private def chunkRetrievalCoreSqlAt(dim: Int): String = chunkChainSql +
     (s""",
          |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_id,
          |    array_to_string(t[(j * $ChunkStride + 1):
@@ -2766,7 +2793,7 @@ object PipelineQueries {
          |  FROM chunks),
          |cw AS (SELECT doc_id, chunk_id,
          |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
-         |      % $BowDim AS b,
+         |      % $dim AS b,
          |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
          |        THEN 1 ELSE -1 END) AS w
          |  FROM ctok GROUP BY 1, 2, 3),
@@ -2779,7 +2806,7 @@ object PipelineQueries {
          |  FROM q),
          |qw AS (SELECT query_id,
          |    CAST(CAST('0x' || substr(md5(tk), 1, 6) AS INTEGER) AS BIGINT)
-         |      % $BowDim AS b,
+         |      % $dim AS b,
          |    sum(CASE WHEN CAST('0x' || substr(md5(tk), 7, 1) AS INTEGER) < 8
          |        THEN 1 ELSE -1 END) AS w
          |  FROM qtok GROUP BY 1, 2),
@@ -4149,6 +4176,41 @@ object PipelineQueries {
          |LEFT JOIN nhit ON nhit.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin),
     "s29_chunk_lsh_recall" -> (chunkRetrievalCoreSql +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cand AS (SELECT qs.query_id, cs.doc_id AS corpus_id, cs.chunk_id
+         |  FROM csig cs JOIN qsig qs ON cs.sig = qs.sig
+         |    AND cs.doc_id <> qs.query_id),
+         |ncand AS (SELECT query_id, count(*) AS n FROM cand GROUP BY 1),
+         |ex AS (SELECT query_id, corpus_id, chunk_id FROM ranked
+         |       WHERE rank <= $ChunkTopK),
+         |nhit AS (SELECT e.query_id, count(*) AS n
+         |  FROM ex e JOIN cand c USING (query_id, corpus_id, chunk_id)
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(ncand.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(nhit.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(nhit.n, 0) * 1000 // $ChunkTopK AS BIGINT)
+         |    AS recall_milli
+         |FROM q
+         |LEFT JOIN ncand ON ncand.query_id = q.query_id
+         |LEFT JOIN nhit ON nhit.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin),
+    // s37: the identical s29 audit tail over the WIDE core — the whole
+    // hashed-BoW/cosine chain re-derived at BowDimWide
+    "s37_chunk_lsh_recall_wide" -> (chunkRetrievalCoreSqlAt(BowDimWide) +
       s""",
          |csig0 AS (SELECT doc_id, chunk_id,
          |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))

@@ -359,6 +359,43 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(banded.exists { case (q, (cB, _, _)) => cB > mp2(q)._1 })
   }
 
+  test("chunkRetrievalLshRecall at the wide key: verbatim copy still a hit, candidate volume drops") {
+    import graft.operators.SimilarityOps
+    val q = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val verbatim = Seq(
+      (0L, q), (5L, q),
+      (6L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    // identical text embeds to the identical vector at ANY width, so
+    // the copy shares the bucket and counts as a hit at 32 bits too
+    val wide = SimilarityOps.chunkRetrievalLshRecall(verbatim, "doc_id",
+        "text", chunk = 64, stride = 48, dim = 32, queryMod = 97, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(wide.keySet === Set(0L))
+    assert(wide(0L)._1 >= 1L && wide(0L)._2 >= 1L && wide(0L)._3 >= 333L)
+
+    // the width dial: on a corpus of near-miss texts, the 2x-wider key
+    // space can only make sign agreement rarer — corpus-wide candidate
+    // volume drops (the r13 100x saturation lesson in miniature). Not
+    // a pointwise claim (different hashed-BoW projections), so the pin
+    // is the corpus total on this fixed corpus.
+    // on a REALISTIC corpus (vocabulary >> dim, every bucket a mixed
+    // sum) the wider key can only make sign agreement rarer. NOT true
+    // on tiny vocabularies — measured here first: with 10 distinct
+    // tokens, widening the table ISOLATES tokens into single-token
+    // buckets whose sign is the token's fixed hash draw (negative
+    // draws read bit 0 for every doc, discriminating nothing), and a
+    // 200-doc/10-token corpus read t32=504 > t16=424 — so the pin runs
+    // on real testdata, where vocab >> 32 mixes every bucket
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def total(dim: Int): Long = SimilarityOps.chunkRetrievalLshRecall(
+        docs, "doc_id", "text", 64, 48, dim, queryMod = 13, k = 3)
+      .agg(sum(col("n_candidates"))).head().getLong(0)
+    val (t16, t32) = (total(16), total(32))
+    assert(t32 < t16, s"t16=$t16 t32=$t32")
+  }
+
   test("chunkBandSweep: fine columns equal s34 bit-for-bit, coarse nests inside fine") {
     import graft.operators.SimilarityOps
     val docs = (0L until 40L).map { i =>
