@@ -1326,9 +1326,12 @@ object DedupOps {
     * RDD directories on its own (only with
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, default
     * false, and even then only once the RDD is GC'd), so a long run
-    * accumulates one full state snapshot per pinned hop — up to ~25
-    * per connectedComponents call, one per hostRank iteration plus its
-    * setup pins, one per BPE training round — for the life of the app.
+    * accumulates one full state snapshot per pinned hop — TWO per
+    * non-converged connectedComponents round (the propagation step and
+    * the pointer-halving `ccJump` pin), i.e. up to ~2·log(diameter)+2
+    * per call now that convergence is log-bounded, one per hostRank
+    * iteration plus its setup pins, one per BPE training round — for
+    * the life of the app.
     * A 100 TB deployment should set that conf, or clean superseded
     * `ReliableRDDCheckpointData` dirs after each hop materializes; the
     * dir itself must be sized for at least two live snapshots (the hop

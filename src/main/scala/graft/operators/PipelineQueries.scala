@@ -623,6 +623,18 @@ object PipelineQueries {
     */
   val BowDimWide = 32
 
+  /** s38's band count at [[BowDimWide]]: 2 bands of 32/2 = 16 sign
+    * bits — the geometry the s36 bits-per-band sweep and the s37 wide
+    * recall audit price as the one that SURVIVES corpus growth: a
+    * 16-bit band's random-collision term is 2⁻¹⁶ per (query, chunk)
+    * pair, vs 2⁻⁴ per 4-bit band, so the candidate volume that made
+    * the 4×4-bit geometry unusable at the r13 100× probe (~25% of the
+    * corpus per query, NOTES r13) collapses by three orders of
+    * magnitude while pigeonhole still spans the Hamming≤1 ball. ONE
+    * value on both sides (PackBudget rule).
+    */
+  val ChunkBandsWide = 2
+
   /** s34's band count: 4 bands of BowDim/4 = 4 sign bits. By pigeonhole
     * the OR-construction over 4 bands reaches every chunk within Hamming
     * distance 3 of the query's sign pattern — a strict superset of s31's
@@ -1400,6 +1412,21 @@ object PipelineQueries {
       SimilarityOps.chunkBandTopK(Tables.documents(s, d),
         "doc_id", "text", ChunkTokens, ChunkStride, BowDim, ChunkBands,
         ChunkQueryMod, ChunkTopK)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // The banded index executed at the SCALE-TRUE geometry: s35's
+    // retrieval plan re-run at the wide signature (BowDimWide=32, 2
+    // bands of 16 bits) — the parameterization whose per-band random-
+    // collision mass is 2^-16, i.e. the one the r13 100x probe said a
+    // production corpus can actually run (the 4x4-bit form's ~25%-of-
+    // corpus candidate sets are the fixture-scale toy; NOTES r13).
+    // Same plan, same shared core, different dial setting — both
+    // engines re-derive the whole hashed-BoW chain at the wide
+    // projection. See SimilarityOps.chunkBandTopK.
+    "s38_chunk_band_topk_wide" -> ((s, d) =>
+      SimilarityOps.chunkBandTopK(Tables.documents(s, d),
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDimWide,
+        ChunkBandsWide, ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"), col("rank"))),
 
     // Top-30 PMI collocations at min count 5 — phrase mining over the
@@ -2779,6 +2806,59 @@ object PipelineQueries {
     */
   private def chunkRetrievalCoreSql: String =
     chunkRetrievalCoreSqlAt(BowDim)
+
+  /** s35/s38's shared oracle: the banded OR-construction's candidate
+    * CTEs over the core at `dim` — sign keys, per-geometry band keys,
+    * DISTINCT candidates, the core's per-pair sims restricted onto
+    * them, re-ranked within — parameterized by (dim, bands) exactly as
+    * the engine's [[SimilarityOps.chunkBandTopK]] is, so the two
+    * executed geometries (s35's fixture-scale 4×4-bit and s38's
+    * scale-true 2×16-bit) are ONE definition, two dial settings.
+    */
+  private def chunkBandTopKSqlAt(dim: Int, bands: Int): String = {
+    val b = dim / bands
+    chunkRetrievalCoreSqlAt(dim) +
+      s""",
+         |csig0 AS (SELECT doc_id, chunk_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM cw GROUP BY 1, 2),
+         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
+         |  FROM chunks ch LEFT JOIN csig0 s
+         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
+         |qsig0 AS (SELECT query_id,
+         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+         |        ELSE 0 END) AS sig
+         |  FROM qw GROUP BY 1),
+         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
+         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
+         |cband AS (SELECT doc_id, chunk_id, band,
+         |    (sig >> (band * $b)) & ${(1L << b) - 1} AS key
+         |  FROM (SELECT doc_id, chunk_id, sig,
+         |          unnest(generate_series(0, ${bands - 1})) AS band
+         |        FROM csig)),
+         |qband AS (SELECT query_id, band,
+         |    (sig >> (band * $b)) & ${(1L << b) - 1} AS key
+         |  FROM (SELECT query_id, sig,
+         |          unnest(generate_series(0, ${bands - 1})) AS band
+         |        FROM qsig)),
+         |cand AS (SELECT DISTINCT qb.query_id, cb.doc_id AS corpus_id,
+         |    cb.chunk_id
+         |  FROM cband cb JOIN qband qb
+         |    ON cb.band = qb.band AND cb.key = qb.key
+         |    AND cb.doc_id <> qb.query_id),
+         |cscored AS (SELECT s.query_id, s.corpus_id, s.chunk_id, s.sim
+         |  FROM scored s JOIN cand c ON c.query_id = s.query_id
+         |    AND c.corpus_id = s.corpus_id AND c.chunk_id = s.chunk_id),
+         |cranked AS (SELECT query_id, corpus_id, chunk_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
+         |  FROM cscored)
+         |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
+         |  round(sim, 6) AS sim
+         |FROM cranked WHERE rank <= $ChunkTopK
+         |ORDER BY query_id, rank""".stripMargin
+  }
 
   private def chunkRetrievalCoreSqlAt(dim: Int): String = chunkChainSql +
     (s""",
@@ -4246,49 +4326,12 @@ object PipelineQueries {
     // s35: s34's band CTEs, DISTINCT candidates restricted onto the
     // core's per-pair sims, re-ranked within — s32/s33's consumption
     // shape at the banded budget
-    "s35_chunk_band_topk" -> (chunkRetrievalCoreSql +
-      s""",
-         |csig0 AS (SELECT doc_id, chunk_id,
-         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-         |        ELSE 0 END) AS sig
-         |  FROM cw GROUP BY 1, 2),
-         |csig AS (SELECT ch.doc_id, ch.chunk_id, coalesce(s.sig, 0) AS sig
-         |  FROM chunks ch LEFT JOIN csig0 s
-         |    ON s.doc_id = ch.doc_id AND s.chunk_id = ch.chunk_id),
-         |qsig0 AS (SELECT query_id,
-         |    sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-         |        ELSE 0 END) AS sig
-         |  FROM qw GROUP BY 1),
-         |qsig AS (SELECT q.query_id, coalesce(s.sig, 0) AS sig
-         |  FROM q LEFT JOIN qsig0 s ON s.query_id = q.query_id),
-         |cband AS (SELECT doc_id, chunk_id, band,
-         |    (sig >> (band * ${BowDim / ChunkBands})) &
-         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
-         |  FROM (SELECT doc_id, chunk_id, sig,
-         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
-         |        FROM csig)),
-         |qband AS (SELECT query_id, band,
-         |    (sig >> (band * ${BowDim / ChunkBands})) &
-         |      ${(1L << (BowDim / ChunkBands)) - 1} AS key
-         |  FROM (SELECT query_id, sig,
-         |          unnest(generate_series(0, ${ChunkBands - 1})) AS band
-         |        FROM qsig)),
-         |cand AS (SELECT DISTINCT qb.query_id, cb.doc_id AS corpus_id,
-         |    cb.chunk_id
-         |  FROM cband cb JOIN qband qb
-         |    ON cb.band = qb.band AND cb.key = qb.key
-         |    AND cb.doc_id <> qb.query_id),
-         |cscored AS (SELECT s.query_id, s.corpus_id, s.chunk_id, s.sim
-         |  FROM scored s JOIN cand c ON c.query_id = s.query_id
-         |    AND c.corpus_id = s.corpus_id AND c.chunk_id = s.chunk_id),
-         |cranked AS (SELECT query_id, corpus_id, chunk_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, corpus_id, chunk_id) AS rank
-         |  FROM cscored)
-         |SELECT query_id, corpus_id, chunk_id, CAST(rank AS INT) AS rank,
-         |  round(sim, 6) AS sim
-         |FROM cranked WHERE rank <= $ChunkTopK
-         |ORDER BY query_id, rank""".stripMargin),
+    "s35_chunk_band_topk" -> chunkBandTopKSqlAt(BowDim, ChunkBands),
+    // s38: the identical banded-retrieval tail at the WIDE dial — the
+    // whole hashed-BoW chain re-derived at BowDimWide, 2 bands of 16
+    // bits (the geometry whose collision mass survives corpus growth)
+    "s38_chunk_band_topk_wide" ->
+      chunkBandTopKSqlAt(BowDimWide, ChunkBandsWide),
     // s36: both band geometries' keyed rows unioned with a geom tag,
     // ONE join, per-pair coarse flag via max(); every joined row is a
     // fine candidate (coarse agreement implies both fine halves agree)

@@ -1314,6 +1314,17 @@ object SimilarityOps {
 
   /** Exact per-query cosine top-k over (chunks × broadcast queries);
     * full-precision sim retained (callers round at output).
+    *
+    * BOUNDED-QUERIES CONTRACT: the cross is quadratic and the query
+    * side is force-broadcast, so every caller must hold the query
+    * sample to broadcast size (the recall AUDIT rungs s29–s31/s34/
+    * s36/s37, which exist to be run on a sample). The audit rungs'
+    * candidate legs keep the same forced hint deliberately — the
+    * embedded cross already imposes the ceiling, so adaptivity there
+    * buys nothing. The EXECUTED retrieval paths (s32/s33/s35/s38 and
+    * the at-ingest twins) never call this and carry NO forced hint on
+    * query-derived sides: their query side grows linearly with the
+    * corpus, so join strategy is left to static estimates + AQE.
     */
   private def chunkTopK(chunks: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
@@ -1600,8 +1611,17 @@ object SimilarityOps {
         explode_outer(array(masks.map(m =>
           col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
       .filter(col("sig").isNotNull)
+    // NO forced broadcast on the query-derived sides: queries are a
+    // 1/queryMod SAMPLE of the corpus, so their size grows linearly
+    // with corpus scale and a forced hint (which bypasses size checks)
+    // would hard-fail on driver/BroadcastExchange limits exactly at
+    // the 100 TB scale this plan exists for. Both probe and rerank
+    // joins are equi-joins on int keys; static planning broadcasts
+    // them when estimates are small and AQE re-plans shuffle joins to
+    // broadcast at runtime when the measured side fits — the adaptive
+    // behavior a corpus-proportional side needs (r13 ADVICE).
     val cand = chunks.select(col("sig"), col("corpus_id"), col("chunk_id"))
-      .join(broadcast(probes), Seq("sig"))
+      .join(probes, Seq("sig"))
       .filter(col("corpus_id") =!= col("query_id"))
       // a chunk reachable through several probes scores once
       .dropDuplicates("query_id", "corpus_id", "chunk_id")
@@ -1610,8 +1630,8 @@ object SimilarityOps {
     cand
       .join(chunks.select(col("corpus_id"), col("chunk_id"), col("cv"),
         col("cn2")), Seq("corpus_id", "chunk_id"))
-      .join(broadcast(queries.select(col("query_id"), col("qv"),
-        col("qn2"))), Seq("query_id"))
+      .join(queries.select(col("query_id"), col("qv"),
+        col("qn2")), Seq("query_id"))
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /
@@ -1678,7 +1698,8 @@ object SimilarityOps {
     * query side is queries × L keyed rows; candidates dedup on
     * (query, corpus, chunk) before any scoring — the exact top-k
     * (s28's cross) appears here only as the audit oracle, exactly as
-    * in s29–s31.
+    * in s29–s31. Audit rung ⇒ the [[chunkTopK]] bounded-queries
+    * contract applies: run on a broadcast-sized query sample.
     */
   def chunkBandRecall(docs: DataFrame, idCol: String, textCol: String,
       chunk: Int, stride: Int, dim: Int, bands: Int, queryMod: Int,
@@ -1744,7 +1765,8 @@ object SimilarityOps {
     * (query fan-out ×(bandsFine+bandsCoarse)), ONE equi-join on
     * (geom, band, key), per-(query, corpus, chunk) flag aggregate; the
     * exact top-k cross appears only as the audit oracle, as in
-    * s29–s31/s34.
+    * s29–s31/s34. Audit rung ⇒ the [[chunkTopK]] bounded-queries
+    * contract applies: run on a broadcast-sized query sample.
     */
   def chunkBandSweep(docs: DataFrame, idCol: String, textCol: String,
       chunk: Int, stride: Int, dim: Int, bandsFine: Int,
@@ -1843,9 +1865,15 @@ object SimilarityOps {
       .filter(col("bk").isNotNull)
       .select(col("query_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+    // executed path: no forced broadcast on the query-derived sides —
+    // queries are a 1/queryMod corpus sample (linear in corpus scale),
+    // so the hint must stay adaptive: static planning broadcasts small
+    // estimates, AQE flips measured-small shuffle joins at runtime,
+    // and a genuinely large query side degrades to a shuffled hash
+    // join instead of a driver OOM (r13 ADVICE).
     val cand = chunkBandIndex(docs, idCol, textCol, chunk, stride, dim,
         bands)
-      .join(broadcast(qBands), Seq("band", "key"))
+      .join(qBands, Seq("band", "key"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("chunk_id"))
       .distinct()
@@ -1853,8 +1881,8 @@ object SimilarityOps {
       .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
     cand
       .join(chunks, Seq("corpus_id", "chunk_id"))
-      .join(broadcast(queries.select(col("query_id"), col("qv"),
-        col("qn2"))), Seq("query_id"))
+      .join(queries.select(col("query_id"), col("qv"),
+        col("qn2")), Seq("query_id"))
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /

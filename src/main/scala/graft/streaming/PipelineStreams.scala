@@ -1323,15 +1323,18 @@ object PipelineStreams {
     * the backstop, exactly as for d18/d24.
     *
     * Shape: tokenize + window-hash + within-doc-dup flags are per-row
-    * scan-side (the hash array is a staged attribute; the dup flag's
-    * array_position probe is O(windows²) per row worst case — document-
-    * bounded, never corpus-bounded); the hash rows that meet the corpus
-    * are (ts, id, pos, h) ints via ONE stream-static left join; text
-    * moves ONCE, id-keyed, as the anchor leg of a self-union into the
-    * single stateful (window, id) rollup (the d14/d17 one-text-shuffle
-    * discipline), whose state per doc is its token array + cut starts,
-    * watermark-bounded. Same one-arrival-per-(window, id) contract as
-    * [[chunkRetrieveTopK]].
+    * scan-side (the hash array is a staged attribute; the dup flag is
+    * a SINGLE sort pass over the row's (hash, pos) pairs — O(w log w)
+    * per row, an element repeating iff its sorted predecessor holds
+    * the same hash); the hash rows that meet the corpus are
+    * (ts, id, pos, h) ints via ONE stream-static left join, and only
+    * rows that actually CUT (corpus hit or within-doc repeat) enter
+    * the stateful rollup — shuffle and state scale with cut density,
+    * not window density; text moves ONCE, id-keyed, as the anchor leg
+    * of a self-union into the single stateful (window, id) rollup (the
+    * d14/d17 one-text-shuffle discipline), whose state per doc is its
+    * token array + cut starts, watermark-bounded. Same
+    * one-arrival-per-(window, id) contract as [[chunkRetrieveTopK]].
     */
   def substringCutAgainstCorpus(docs: DataFrame, corpusWins: DataFrame,
       tsCol: String, idCol: String, textCol: String, windowTokens: Int,
@@ -1350,14 +1353,25 @@ object PipelineStreams {
           s"i -> xxhash64(concat_ws(' ', slice(toks, i, $L))))"))
         .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
     // narrow leg: (ts, id, pos, h, within-doc-dup) int rows — text does
-    // NOT ride the explode; dup = an earlier position holds the same
-    // hash (array_position is the 1-based FIRST index)
+    // NOT ride the explode. dup = an earlier position holds the same
+    // hash, marked in ONE sort pass: struct ordering is field-
+    // lexicographic, so sorting (h, pos) pairs puts equal hashes
+    // adjacent with ascending pos, and an element repeats iff its
+    // sorted predecessor holds the same hash — O(w log w) per row,
+    // replacing the array_position rescan whose O(w²) made a
+    // 100k-token arrival pay ~10¹⁰ comparisons at ingest (r13
+    // What's-wrong #3). `shi` is a staged attribute referenced twice,
+    // so element_at reads the computed array (the standing HOF
+    // staging rule); CASE guards j = 0 before the 1-based element_at.
     val hits = base
-      .select(col(tsCol), col(idCol), posexplode_outer(expr(
-        "transform(hs, (h, i) -> " +
-          "struct(h AS h, array_position(hs, h) < i + 1 AS dup))"))
-        .as(Seq("pos", "p")))
-      .select(col(tsCol), col(idCol), col("pos"),
+      .withColumn("shi", sort_array(expr(
+        "transform(hs, (h, i) -> struct(h AS h, i AS pos))")))
+      .select(col(tsCol), col(idCol), explode_outer(expr(
+        "transform(shi, (x, j) -> struct(x.h AS h, x.pos AS pos, " +
+          "CASE WHEN j = 0 THEN false " +
+          "ELSE element_at(shi, j).h = x.h END AS dup))")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col(tsCol), col(idCol), col("p.pos").as("pos"),
         col("p.h").as("h"), col("p.dup").as("dup"))
       .join(corpusWins.select(col("h"), lit(true).as("hit")), Seq("h"),
         "left")
@@ -1365,6 +1379,12 @@ object PipelineStreams {
         lit(null).cast("array<string>").as("toks"),
         when(col("dup") || coalesce(col("hit"), lit(false)), col("pos"))
           .as("cut"))
+      // only actual cuts enter the stateful rollup — the anchor leg
+      // already guarantees one row per arrival, so a window that
+      // neither hits the corpus nor repeats within its doc has nothing
+      // to add; without this filter, shuffle and state grow with
+      // window density instead of cut density (r13 ADVICE)
+      .filter(col("cut").isNotNull)
     // anchor leg: ONE text-carrying row per arrival
     val anchors = base.select(col(tsCol), col(idCol), col("toks"),
       lit(null).cast("int").as("cut"))

@@ -39,9 +39,17 @@ object ScaleLadder {
 
     def scaled(df: DataFrame, idCol: String,
         perturb: (DataFrame, Int) => DataFrame): DataFrame = {
-      val step = df.agg(max(col(idCol))).head().getLong(0) + 1L
+      // max over an empty table is a NULL row and the id column may
+      // arrive as int in a regenerated testdata set — read defensively
+      // (r13 ADVICE): cast to long first, surface the empty case as a
+      // clear message instead of an NPE
+      val maxRow = df.agg(max(col(idCol).cast("long"))).head()
+      require(!maxRow.isNullAt(0),
+        s"cannot scale an empty source table (no rows to take max($idCol) over)")
+      val step = maxRow.getLong(0) + 1L
       (0 until factor).map { i =>
-        perturb(df, i).withColumn(idCol, col(idCol) + lit(i * step))
+        perturb(df, i).withColumn(idCol,
+          col(idCol).cast("long") + lit(i * step))
       }.reduce(_ unionByName _)
     }
 

@@ -520,6 +520,54 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("chunkBandTopK at the wide dial (s38): verbatim copy leads, answers live inside the wide-exact universe, full-recall query equals exact") {
+    import graft.operators.SimilarityOps
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base),
+      (5L, base),                 // verbatim copy — identical 32-bit sig,
+                                  // so it agrees on BOTH 16-bit bands
+      (6L, base + " extra tail"),
+      (7L, "one two three four five six seven eight nine ten"),
+      (97L, "wholly disjoint vocabulary speaking of other matters entirely")
+    ).toDF("doc_id", "text")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getInt(2),
+        r.getDouble(4))).toMap
+    val wide = keyed(SimilarityOps.chunkBandTopK(docs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 32, bands = 2, queryMod = 97, k = 3))
+    val exactWide = SimilarityOps.chunkRetrieval(docs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 32, queryMod = 97, k = 3)
+    val exactRows = keyed(exactWide)
+    // a verbatim copy shares the whole wide sign pattern, hence every
+    // band — it can never be banded away, and it reranks to the top
+    assert(wide((0L, 1))._1 === 5L && wide((0L, 1))._3 === 1.0)
+    assert(wide((0L, 1)) === exactRows((0L, 1)))
+    // the banded index never invents a pair the wide-exact universe
+    // lacks, and shared (query, corpus, chunk) sims are identical
+    // doubles (same hashed-BoW projection, same integer-exact cosine)
+    val exactAll = exactWide.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(4))
+      .toMap
+    SimilarityOps.chunkBandTopK(docs, "doc_id", "text", 64, 48, 32, 2,
+      97, 3).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getInt(2))
+      exactAll.get(key).foreach(s => assert(s === r.getDouble(4), s"$key"))
+    }
+    // when the wide banded audit says query 0 has full recall, the
+    // executed wide answer equals the wide-exact answer rank for rank
+    val rec = SimilarityOps.chunkBandRecall(docs, "doc_id", "text",
+        64, 48, 32, 2, 97, 3)
+      .filter(col("query_id") === 0L).head()
+    if (rec.getAs[Long]("recall_milli") == 1000L)
+      (1 to 3).foreach { r =>
+        assert(wide.get((0L, r)) === exactRows.get((0L, r)), s"rank $r")
+      }
+    // the disjoint-vocabulary query shares no 16-bit band with any
+    // foreign chunk here: the honest index answer is empty
+    assert(!wide.keySet.exists(_._1 == 97L))
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)

@@ -621,6 +621,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("executed probe/banded paths (s33/s35/s38): equi-joins only, NO forced broadcast on query-derived sides") {
+    withoutAutoBroadcast {
+      // the query side is a 1/queryMod corpus sample — linear in corpus
+      // scale — so a forced broadcast() hint (which bypasses size
+      // checks) would OOM the driver exactly at the scale these plans
+      // exist for. With auto-broadcast disabled, hints are the ONLY
+      // thing that can leave a BroadcastExchange in the plan: its
+      // absence here proves strategy stays with estimates + AQE, and
+      // the joins must still be hash/sort-merge equi-joins, never a
+      // nested-loop fallback (r13 ADVICE pin).
+      val probed = SimilarityOps.chunkMultiProbeTopK(fileDocs, "doc_id",
+        "text", chunk = 8, stride = 6, dim = 16, queryMod = 2, k = 3)
+      val banded = SimilarityOps.chunkBandTopK(fileDocs, "doc_id",
+        "text", chunk = 8, stride = 6, dim = 16, bands = 4,
+        queryMod = 2, k = 3)
+      val bandedWide = SimilarityOps.chunkBandTopK(fileDocs, "doc_id",
+        "text", chunk = 8, stride = 6, dim = 32, bands = 2,
+        queryMod = 2, k = 3)
+      Seq("s33" -> probed, "s35" -> banded, "s38" -> bandedWide)
+        .foreach { case (name, df) =>
+          val p = planOf(df)
+          assert(!p.contains("BroadcastExchange"),
+            s"$name forces a broadcast on a corpus-proportional side:\n$p")
+          assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+          assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+        }
+    }
+  }
+
   test("keep-one cut (d33): canonical pick is an aggregate, no per-hash window, no text on exchanges") {
     withoutAutoBroadcast {
       val df = DedupOps.substringCutKeepFirst(fileDocs, "doc_id", "text", 4)

@@ -1614,6 +1614,62 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("chunk retrieve top-k banded at the wide dial: at-ingest answers equal batch s38 per arrival") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    def txt(seed: Long): String =
+      (0 until 12).map(j => s"w${(seed * 7 + j * 3) % 25}").mkString(" ")
+    val corpusDocs = (1L until 30L).map(i => (i, txt(i)))
+      .toDF("doc_id", "text")
+    // the scale-true geometry (s38): 32-bit sig, 2 bands of 16 bits —
+    // the at-ingest twin keys the SAME pre-materialized artifacts at
+    // the same dial, so streaming and batch can never slice differently
+    val bandIdx = SimilarityOps.chunkBandIndex(corpusDocs, "doc_id",
+      "text", chunk = 64, stride = 48, dim = 32, bands = 2)
+    val vecIdx = SimilarityOps.chunkVecIndex(corpusDocs, "doc_id", "text",
+      chunk = 64, stride = 48, dim = 32)
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val top = PipelineStreams.chunkRetrieveTopKBanded(
+      in.toDF().toDF("ts", "doc_id", "text"), bandIdx, vecIdx, "ts",
+      "doc_id", "text", dim = 32, bands = 2, k = 3, "10 minutes",
+      "5 minutes")
+    val q = top.writeStream.format("memory").queryName("crtbw")
+      .outputMode("append").start()
+    val arrivals = Seq((0L, txt(3L)), (97L, txt(40L)), (194L, txt(17L)))
+    try {
+      arrivals.zipWithIndex.foreach { case ((id, t), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"), id, t))
+      }
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"), 3 * 97L,
+        "window closer far past the arrivals"))
+      q.processAllAvailable()
+      val got = spark.table("crtbw").collect()
+        .filter(_.getAs[Long]("query_id") != 3 * 97L)
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var answered = false
+      arrivals.foreach { case (id, t) =>
+        val joint = corpusDocs.union(Seq((id, t)).toDF("doc_id", "text"))
+        val s38 = SimilarityOps.chunkBandTopK(joint, "doc_id", "text",
+            chunk = 64, stride = 48, dim = 32, bands = 2, queryMod = 97,
+            k = 3)
+          .filter(col("query_id") === id).collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+            r.getAs[Int]("chunk_id"), r.getAs[Double]("sim"))).toSet
+        assert(got.getOrElse(id,
+          Set.empty[(Int, Long, Int, Double)]) === s38, s"arrival $id")
+        if (s38.nonEmpty) answered = true
+      }
+      // the wide dial must actually retrieve something on this corpus,
+      // or the identity check shows nothing
+      assert(answered)
+    } finally q.stop()
+  }
+
   test("substring cut against corpus: at-ingest rows equal batch d33 per arrival") {
     import graft.operators.DedupOps
     implicit val sqlCtx = spark.sqlContext

@@ -17,7 +17,7 @@ against the real DuckDB compare:
          d14_dedup_collapse t14_pii_counts t15_pii_redact t16_redact_rescore \
          d17_incremental_dedup \
          d01_exact_dedup t01_token_stats t08_repetition t12_source_mix \
-         t21_temperature_mix t22_bigram_xent t23_interp_xent t24_trigram_xent t37_fourgram_xent t25_ccnet_buckets t26_dsir_weights t27_data_card d19_substring_stats d29_substring_cut d33_substring_cut_keep1 t28_bpe_pairs t29_c4_line_filters t30_bpe_apply t40_bpe_train t44_bpe_train_deep t45_bpe_apply_heldout t41_bpe_tokenize t31_pmi_collocations t32_source_kl d25_selfdedup_lines t33_eval_leakage d27_snapshot_delta d28_dup_histogram t34_edu_score t35_signal_corr t36_leakage_by_source t42_winnowing t43_chunk_windows d30_winnow_pairs d31_winnow_match_spans d32_winnow_match_slices s28_chunk_retrieval s29_chunk_lsh_recall s30_chunk_multiprobe s31_chunk_multiprobe2 s32_chunk_retrieval_lsh s33_chunk_multiprobe_topk s34_chunk_band_recall s35_chunk_band_topk s36_chunk_band_sweep s37_chunk_lsh_recall_wide t47_decontaminate_cut t46_bpe_apply_blocked"
+         t21_temperature_mix t22_bigram_xent t23_interp_xent t24_trigram_xent t37_fourgram_xent t25_ccnet_buckets t26_dsir_weights t27_data_card d19_substring_stats d29_substring_cut d33_substring_cut_keep1 t28_bpe_pairs t29_c4_line_filters t30_bpe_apply t40_bpe_train t44_bpe_train_deep t45_bpe_apply_heldout t41_bpe_tokenize t31_pmi_collocations t32_source_kl d25_selfdedup_lines t33_eval_leakage d27_snapshot_delta d28_dup_histogram t34_edu_score t35_signal_corr t36_leakage_by_source t42_winnowing t43_chunk_windows d30_winnow_pairs d31_winnow_match_spans d32_winnow_match_slices s28_chunk_retrieval s29_chunk_lsh_recall s30_chunk_multiprobe s31_chunk_multiprobe2 s32_chunk_retrieval_lsh s33_chunk_multiprobe_topk s34_chunk_band_recall s35_chunk_band_topk s36_chunk_band_sweep s37_chunk_lsh_recall_wide s38_chunk_band_topk_wide t47_decontaminate_cut t46_bpe_apply_blocked"
     python3 tools/check.py /tmp/sfix /tmp/sfix_out
 
     Keep that query list in sync with every operator that reads document
