@@ -438,7 +438,15 @@ object Multimodal {
       s"minBits=$minBits — fair-split bands are nonempty only for " +
         "n_bits >= 4; below that an empty band matches everything and " +
         "candidate generation degenerates to same-length all-pairs")
-    val bits = audioFullBits(media, windowFrames).toDF()
+    // Decode ONCE: without the pin, the ≤ 40-byte-per-clip fingerprint
+    // table is a live subtree under the band self-join's two legs AND
+    // the component seed/singleton tail — three full corpus DECODES per
+    // action (the r14 m12 adjudication measured the recomputation at
+    // ~2× the query's whole runtime). The eager lineage pin
+    // materializes the int rows once; every downstream leg reads them.
+    // At 100 TB this table is the audioBandIndex artifact written once
+    // per release — the pin is the in-one-query equivalent.
+    val bits = audioFullBits(media, windowFrames).toDF().localCheckpoint()
     val bands = audioBitBands(bits.filter(col("n_bits") >= minBits))
     val edges = bands.join(asAudioIndexRows(bands),
         Seq("n_windows", "band", "band_key"))
@@ -623,7 +631,10 @@ object Multimodal {
     // are a quality-gate problem upstream, not a clustering knob.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
-    val hashes = imageHash(media).toDF()
+    // Decode ONCE (the audioClusters rule): pin the per-image hash rows
+    // so the band self-join's two legs and the component seed/singleton
+    // tail read materialized ints instead of re-decoding the corpus.
+    val hashes = imageHash(media).toDF().localCheckpoint()
     val bands = imageHashBands(hashes)
     val rhs = bands.select(col("band"), col("band_key"),
       col("media_id").as("dst"), col("ha").as("dha"), col("hb").as("dhb"))

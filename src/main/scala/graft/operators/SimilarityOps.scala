@@ -1646,7 +1646,7 @@ object SimilarityOps {
     * pure long arithmetic over the staged `sig` attribute, shared by the
     * index artifact and the query side so the two can never slice
     * differently. */
-  private def bandKey(sig: Column, band: Int, bitsPerBand: Int): Column =
+  private[graft] def bandKey(sig: Column, band: Int, bitsPerBand: Int): Column =
     shiftright(sig, band * bitsPerBand)
       .bitwiseAND(lit((1L << bitsPerBand) - 1))
 

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The 10× scale rehearsal as a REPEATABLE gate (r13 next-round #6):
+  * builds the factor-N ladder slice if absent (via [[ScaleLadder]],
+  * copying the non-scaled tables from the source sf dir so warm-ups
+  * find them), runs the ceiling set best-of-three each, and emits one
+  * JSON artifact a future round can diff against this one's.
+  *
+  *   runMain graft.tools.ScaleGate /root/testdata/sf0.1 /tmp/sf1x10 10 SCALE_r14.json
+  *   runMain graft.tools.ScaleGate /root/testdata/sf0.1 /tmp/sf1x100 100 SCALE_100x.json s32_chunk_retrieval_lsh,d33_substring_cut_keep1
+  *
+  * The default key list is the r13 rehearsal's ceiling set plus the
+  * rungs added since (s35/s38/t47/m12) — d16's full pair-quadratic
+  * audit is deliberately NOT in it (d16s is the sampled scale path;
+  * VERDICT r13 says keep the audit out of any scale gate). Timing
+  * convention matches Bench: noop sink (count() lets Catalyst prune
+  * the query away), first-run failure is terminal for that key,
+  * best-of-three on success, cpu calib probes bracket the run so a
+  * hot box reads as environment, not regression.
+  */
+object ScaleGate {
+
+  /** r13 NOTES table keys (minus d16) + the r14 executed rungs. */
+  val CeilingSet: Seq[String] = Seq(
+    "t44_bpe_train_deep", "t37_fourgram_xent", "m09_visual_clusters",
+    "m11_audio_dup_clusters", "m12_audio_dup_histogram",
+    "s31_chunk_multiprobe2", "s32_chunk_retrieval_lsh",
+    "s33_chunk_multiprobe_topk", "s34_chunk_band_recall",
+    "s35_chunk_band_topk", "s38_chunk_band_topk_wide",
+    "d32_winnow_match_slices", "d33_substring_cut_keep1",
+    "t45_bpe_apply_heldout", "t46_bpe_apply_blocked",
+    "t47_decontaminate_cut")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: ScaleGate <srcSfDir> <ladderDir> <factor> <outJson> [key,key,...]")
+    val Array(srcDir, ladderDir, factorS, outJson) = args.take(4)
+    val factor = factorS.toInt
+    val keys =
+      if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else CeilingSet
+    val unknown = keys.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TimestampFilterPushdown.enable(spark)
+    graft.functions.CrawlCols.register(spark)
+
+    // build-if-absent: documents+embeddings scaled, everything else
+    // copied verbatim (not under test at N×, but warm-ups read them)
+    val ladder = java.nio.file.Paths.get(ladderDir)
+    if (!java.nio.file.Files.exists(ladder.resolve("documents.parquet"))) {
+      println(s"[scale-gate] building ${factor}x slice at $ladderDir ...")
+      ScaleLadder.build(spark, srcDir, ladderDir, factor, cpus.toInt)
+      val src = java.nio.file.Paths.get(srcDir)
+      val scaledTables = Set("documents.parquet", "embeddings.parquet")
+      java.nio.file.Files.list(src).forEach { p =>
+        val name = p.getFileName.toString
+        if (!scaledTables(name) && java.nio.file.Files.isDirectory(p)) {
+          val dst = ladder.resolve(name)
+          if (!java.nio.file.Files.exists(dst)) {
+            java.nio.file.Files.walk(p).forEach { q =>
+              val t = dst.resolve(p.relativize(q))
+              if (java.nio.file.Files.isDirectory(q))
+                java.nio.file.Files.createDirectories(t)
+              else java.nio.file.Files.copy(q, t)
+            }
+          }
+        }
+      }
+    }
+
+    def timed(f: () => Unit): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    def calibCpu(): Double = timed(() =>
+      spark.range(0, 200L << 20, 1, cpus.toInt)
+        .select(sum(pmod(xxhash64(col("id")), lit(65536L))))
+        .write.format("noop").mode("overwrite").save())
+    def r3(d: Double): String = f"$d%.3f"
+
+    val calibStart = Seq.fill(3)(calibCpu())
+    val results = keys.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def once(): Double =
+        try timed(() =>
+          fn(spark, ladderDir).write.format("noop").mode("overwrite").save())
+        catch { case e: Throwable =>
+          System.err.println(s"[scale-gate] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      val first = once()
+      val runs = if (first < 0) Seq(first) else first +: Seq.fill(2)(once())
+      val ok = runs.filter(_ >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.min
+      println(s"[scale-gate] $name best=${r3(best)} runs=${runs.map(r3).mkString(",")}")
+      (name, best, runs)
+    }
+    val calibEnd = calibCpu()
+    val json = {
+      val qs = results.map { case (n, best, runs) =>
+        s""""$n":{"best":${r3(best)},"runs":[${runs.map(r3).mkString(",")}]}"""
+      }.mkString(",")
+      s"""{"src":"$srcDir","ladder":"$ladderDir","factor":$factor,""" +
+        s""""calib_cpu":[${calibStart.map(r3).mkString(",")}],""" +
+        s""""calib_cpu_end":${r3(calibEnd)},""" +
+        s""""failed":[${results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString(",")}],""" +
+        s""""queries":{$qs}}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+    println(s"[scale-gate] wrote $outJson")
+    spark.stop()
+  }
+}

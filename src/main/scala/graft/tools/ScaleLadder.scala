@@ -36,6 +36,14 @@ object ScaleLadder {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, sfDir, outDir, factor, cpus.toInt)
+    println(s"[scale-ladder] wrote ${factor}x documents+embeddings to $outDir")
+    spark.stop()
+  }
+
+  /** The ladder body, callable by [[ScaleGate]] (build-if-absent). */
+  def build(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int, cpus: Int): Unit = {
 
     def scaled(df: DataFrame, idCol: String,
         perturb: (DataFrame, Int) => DataFrame): DataFrame = {
@@ -61,15 +69,12 @@ object ScaleLadder {
           (t, j) => when(pmod(j, lit(17)) === 0, concat(t, lit(s"c$i")))
             .otherwise(t)), " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    bigDocs.repartition(cpus.toInt)
+    bigDocs.repartition(cpus)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     scaled(emb, "vec_id", (d, _) => d)
-      .repartition(cpus.toInt)
+      .repartition(cpus)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
-    println(s"[scale-ladder] wrote ${factor}x documents+embeddings to $outDir")
-    spark.stop()
   }
 }
