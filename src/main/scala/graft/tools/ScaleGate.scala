@@ -26,7 +26,7 @@ object ScaleGate {
   /** r13 NOTES table keys (minus d16) + the r14 executed rungs. */
   val CeilingSet: Seq[String] = Seq(
     "t44_bpe_train_deep", "t37_fourgram_xent", "m09_visual_clusters",
-    "m11_audio_dup_clusters", "m12_audio_dup_histogram",
+    "m11_audio_clusters", "m12_audio_dup_histogram",
     "s31_chunk_multiprobe2", "s32_chunk_retrieval_lsh",
     "s33_chunk_multiprobe_topk", "s34_chunk_band_recall",
     "s35_chunk_band_topk", "s38_chunk_band_topk_wide",

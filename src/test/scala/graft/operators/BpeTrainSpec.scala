@@ -299,4 +299,29 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     // at least one held-out word compressed under the foreign table
     assert(b8.exists { case (_, _, ch, bpe) => bpe < ch })
   }
+
+  test("blocked apply: block-size invariant at 128 rounds (production-depth pin)") {
+    // r13 VERDICT next-round #5: the deepest pinned run was 32 merges —
+    // pin the blocked apply at a depth where the unrolled fold is
+    // already unusable (one projection of 128 chained greedyMerge
+    // transforms). Long mixed-alphabet words give the trainer a pair
+    // space rich enough that 128 rounds never truncate.
+    val rnd = new scala.util.Random(17)
+    def word(): String =
+      (0 until 10).map(_ => "abcdefghijklmnop".charAt(rnd.nextInt(16)))
+        .mkString
+    val docs = (0L until 16L).map { i =>
+      (i, (0 until 40).map(_ => word()).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(RelevanceOps.bpeTrain(docs.filter($"doc_id" % 2 === 0),
+      "text", 128).count() === 128L)
+    val b8 = RelevanceOps.bpeTokenCountsHeldOutBlocked(docs, "doc_id",
+        "text", rounds = 128, trainMod = 2, blockSize = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val b64 = RelevanceOps.bpeTokenCountsHeldOutBlocked(docs, "doc_id",
+        "text", rounds = 128, trainMod = 2, blockSize = 64)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(b8 === b64)
+    assert(b8.exists { case (_, _, ch, bpe) => bpe < ch })
+  }
 }
