@@ -1327,17 +1327,45 @@ object SimilarityOps {
     * corpus, so join strategy is left to static estimates + AQE.
     */
   private def chunkTopK(chunks: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
-    chunks.crossJoin(broadcast(queries))
+      k: Int): DataFrame =
+    rankTopK(chunks.crossJoin(broadcast(queries))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /
-            (sqrt(col("qn2")) * sqrt(col("cn2")))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+            (sqrt(col("qn2")) * sqrt(col("cn2"))))), k)
+
+  /** THE shared rerank tail of every retrieval rung: the per-query top-k
+    * of scored candidates under the family's (sim desc, corpus_id,
+    * chunk_id) total order, as a CAPPED heap aggregate
+    * ([[graft.functions.RetrievalTopKAgg]]) instead of a rank window —
+    * the bm25/groupCap "top-k is a heap, not a sort" rule, applied here
+    * after the r14 100× attribution measured the window sorting 273M
+    * scored candidate rows for ~40 s of s38's 125 s (and the bulk of
+    * its spill). Map-side partials carry at most k entries per query,
+    * so the post-score exchange moves O(partitions · queries · k) rows
+    * instead of every scored candidate. Output is BIT-IDENTICAL to the
+    * window form — same total order, same always-k-or-fewer contract —
+    * spec-pinned against row_number() on tie-heavy corpora. Sim stays
+    * full-precision; callers round at output.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val sp = scored.sparkSession
+    import sp.implicits._
+    import graft.functions.RetrievalTopKAgg
+    scored
+      .select(col("query_id").cast("long").as("_1"),
+        struct(col("sim").cast("double").as("sim"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("chunk_id").cast("int").as("chunk_id")).as("_2"))
+      .as[(Long, RetrievalTopKAgg.Entry)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(RetrievalTopKAgg.topK(k).toColumn.name("top"))
+      .select(col("key").as("query_id"),
+        posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), col("t.corpus_id").as("corpus_id"),
+        col("t.chunk_id").as("chunk_id"),
+        (col("r") + 1).cast("int").as("rank"), col("t.sim").as("sim"))
   }
 
   /** The sign bits of a vector as one integer — the hyperplane-free LSH
@@ -1559,16 +1587,12 @@ object SimilarityOps {
       .withColumn("sig", signKey(col("cv"), dim))
     val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
       .withColumn("sig", signKey(col("qv"), dim))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
-    chunks.join(queries, Seq("sig"))
+    rankTopK(chunks.join(queries, Seq("sig"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /
-            (sqrt(col("qn2")) * sqrt(col("cn2")))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+            (sqrt(col("qn2")) * sqrt(col("cn2"))))), k)
       .select(col("query_id"), col("corpus_id"), col("chunk_id"),
         col("rank"), round(col("sim"), 6).as("sim"))
   }
@@ -1625,9 +1649,7 @@ object SimilarityOps {
       .filter(col("corpus_id") =!= col("query_id"))
       // a chunk reachable through several probes scores once
       .dropDuplicates("query_id", "corpus_id", "chunk_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
-    cand
+    rankTopK(cand
       .join(chunks.select(col("corpus_id"), col("chunk_id"), col("cv"),
         col("cn2")), Seq("corpus_id", "chunk_id"))
       .join(queries.select(col("query_id"), col("qv"),
@@ -1635,9 +1657,7 @@ object SimilarityOps {
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /
-            (sqrt(col("qn2")) * sqrt(col("cn2")))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+            (sqrt(col("qn2")) * sqrt(col("cn2"))))), k)
       .select(col("query_id"), col("corpus_id"), col("chunk_id"),
         col("rank"), round(col("sim"), 6).as("sim"))
   }
@@ -1877,18 +1897,14 @@ object SimilarityOps {
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("chunk_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("corpus_id"), col("chunk_id"))
-    cand
+    rankTopK(cand
       .join(chunks, Seq("corpus_id", "chunk_id"))
       .join(queries.select(col("query_id"), col("qv"),
         col("qn2")), Seq("query_id"))
       .withColumn("sim",
         when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) /
-            (sqrt(col("qn2")) * sqrt(col("cn2")))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+            (sqrt(col("qn2")) * sqrt(col("cn2"))))), k)
       .select(col("query_id"), col("corpus_id"), col("chunk_id"),
         col("rank"), round(col("sim"), 6).as("sim"))
   }
