@@ -1429,6 +1429,19 @@ object PipelineQueries {
         ChunkBandsWide, ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Margin-based bitext mining (LASER/CCMatrix ratio margin) over two
+    // deterministic embedding halves: per-pair micro-unit cosine, k-NN
+    // neighborhood sums as exact integer arithmetic, mutual margin-argmax
+    // join. See SimilarityOps.bitextMarginMine for the criterion and the
+    // banded-candidates scale shape.
+    "s39_bitext_margin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextMarginMine(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4)
+        .orderBy(col("id_l"))
+    }),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -4332,6 +4345,51 @@ object PipelineQueries {
     // bits (the geometry whose collision mass survives corpus growth)
     "s38_chunk_band_topk_wide" ->
       chunkBandTopKSqlAt(BowDimWide, ChunkBandsWide),
+    // s39: the ratio-margin miner re-derived end-to-end — micro-unit
+    // pair cosines, per-side top-4 sums via row_number (the heap's
+    // order spelled as a window), one double division for the margin,
+    // mutual-argmax join. Candidates = rl<=k OR rr<=k, exactly the
+    // engine's distinct(fwd ∪ bwd).
+    "s39_bitext_margin" ->
+      """WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS lv
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS rv
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |scored AS (
+        |  SELECT id_l, id_r,
+        |         CAST(round(CASE WHEN list_dot_product(lv, lv) = 0
+        |                           OR list_dot_product(rv, rv) = 0 THEN 0.0
+        |                    ELSE list_cosine_similarity(lv, rv) END * 1e6, 0)
+        |              AS BIGINT) AS sim_micro
+        |  FROM l, r),
+        |rk AS (
+        |  SELECT id_l, id_r, sim_micro,
+        |         row_number() OVER (PARTITION BY id_l
+        |                            ORDER BY sim_micro DESC, id_r) AS rl,
+        |         row_number() OVER (PARTITION BY id_r
+        |                            ORDER BY sim_micro DESC, id_l) AS rr
+        |  FROM scored),
+        |sl AS (SELECT id_l, CAST(sum(sim_micro) AS BIGINT) AS sum_l,
+        |              count(*) AS cnt_l FROM rk WHERE rl <= 4 GROUP BY id_l),
+        |sr AS (SELECT id_r, CAST(sum(sim_micro) AS BIGINT) AS sum_r,
+        |              count(*) AS cnt_r FROM rk WHERE rr <= 4 GROUP BY id_r),
+        |cand AS (
+        |  SELECT rk.id_l, rk.id_r, rk.sim_micro,
+        |         2.0 * rk.sim_micro * sl.cnt_l * sr.cnt_r
+        |           / (sl.sum_l * sr.cnt_r + sr.sum_r * sl.cnt_l) AS margin
+        |  FROM rk JOIN sl USING (id_l) JOIN sr USING (id_r)
+        |  WHERE (rk.rl <= 4 OR rk.rr <= 4)
+        |    AND sl.sum_l * sr.cnt_r + sr.sum_r * sl.cnt_l <> 0),
+        |mb AS (
+        |  SELECT id_l, id_r, sim_micro, margin,
+        |         row_number() OVER (PARTITION BY id_l
+        |                            ORDER BY margin DESC, id_r) AS bl,
+        |         row_number() OVER (PARTITION BY id_r
+        |                            ORDER BY margin DESC, id_l) AS br
+        |  FROM cand)
+        |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
+        |       round(margin, 6) AS margin
+        |FROM mb WHERE bl = 1 AND br = 1 ORDER BY id_l""".stripMargin,
     // s36: both band geometries' keyed rows unioned with a geom tag,
     // ONE join, per-pair coarse flag via max(); every joined row is a
     // fine candidate (coarse agreement implies both fine halves agree)

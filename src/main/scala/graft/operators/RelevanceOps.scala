@@ -891,14 +891,25 @@ object RelevanceOps {
     // a wedged spec) — coalesce back to the setup aggregate's count
     // before each pin; coalesce is a partition-list merge, no shuffle
     val nPart = st.rdd.getNumPartitions
-    // running Σ tf·|symbols|, updated from the per-round merged count —
-    // the full-vocab aggregate also runs once, not once per round.
+    // Σ tf·|symbols| before any merge — ONE full-vocab aggregate; the
+    // per-round running value is reconstructed post-loop (below) from the
+    // pinned rewrites, so the loop body never pays a collect for it.
     // sum() over ZERO rows is null (an all-empty/whitespace/null-text
     // corpus has no vocab at all) — that corpus owes the same truncated
     // merge table as the ran-out-of-pairs case below, not an NPE
-    var after = Option(st.agg(sum(col("tf") * col("n"))).head().get(0))
+    val total = Option(st.agg(sum(col("tf") * col("n"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    // Round critical path = rew pin → pc pin → next argmax. The st pin is
+    // off it: round k+1's argmax reads only pc, and st is next touched by
+    // round k+1's rewrite — so the st pin runs on a second job thread
+    // (Spark's documented multi-thread job submission) overlapped with
+    // the pc pin and the argmax, awaited only where the rewrite needs it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val picks = Seq.newBuilder[(Int, String, String, Long)]
+    val rews = Seq.newBuilder[(Int, DataFrame)]
+    var stF: Future[DataFrame] = Future.successful(st)
     var k = 1
     while (k <= rounds) {
       val best = pc.orderBy(desc("pc"), col("c1"), col("c2"))
@@ -915,6 +926,7 @@ object RelevanceOps {
       val c1 = best(0).getString(0)
       val c2 = best(0).getString(1)
       val pcnt = best(0).getLong(2)
+      st = Await.result(stF, Duration.Inf)
       // symbols never contain whitespace (words are whitespace-split),
       // so " c1 c2 " against the space-padded rep is EXACTLY the
       // whole-symbol adjacency test
@@ -927,31 +939,51 @@ object RelevanceOps {
         .select(col("w"), col("tf"), col("n0"), size(col("sy")).as("n"),
           array_join(col("sy"), " ").as("rep")),
         reliable)
-      val merged = rew.agg(sum(col("tf") * (col("n0") - col("n"))))
-        .head().getLong(0)
-      after -= merged
       val delta = pairRows(affected)
         .select(col("c1"), col("c2"), (-col("tf")).as("d"))
         .unionByName(pairRows(rew)
           .select(col("c1"), col("c2"), col("tf").as("d")))
         .groupBy(col("c1"), col("c2")).agg(sum(col("d")).as("d"))
-      pc = DedupOps.pin(pc.join(delta, Seq("c1", "c2"), "full_outer")
-        .select(col("c1"), col("c2"),
-          (coalesce(col("pc"), lit(0L)) + coalesce(col("d"), lit(0L)))
-            .as("pc"))
-        .filter(col("pc") > 0),
-        reliable)
-      st = DedupOps.pin(st.filter(not(adj))
+      val pcNext = pc
+      val pcF = Future { DedupOps.pin(
+        pcNext.join(delta, Seq("c1", "c2"), "full_outer")
+          .select(col("c1"), col("c2"),
+            (coalesce(col("pc"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("pc"))
+          .filter(col("pc") > 0),
+        reliable) }
+      val stPrev = st
+      stF = Future { DedupOps.pin(stPrev.filter(not(adj))
         .unionByName(rew.select(col("w"), col("tf"), col("n"),
           col("rep")))
         .coalesce(nPart),
-        reliable)
-      out += ((k, c1, c2, pcnt, after))
+        reliable) }
+      pc = Await.result(pcF, Duration.Inf)
+      picks += ((k, c1, c2, pcnt))
+      rews += ((k, rew))
       k += 1
       }
     }
+    st = Await.result(stF, Duration.Inf)
+    // The old per-round `merged` collect, deferred: every round's
+    // Σ tf·(n0−n) over its (pinned) rewrite in ONE job, then a prefix
+    // subtraction from `total` rebuilds tokens_after — identical 64-bit
+    // arithmetic, rounds-many fewer driver round-trips.
+    val rewL = rews.result()
+    val mergedByRank: Map[Int, Long] =
+      if (rewL.isEmpty) Map.empty
+      else rewL.map { case (rank, rew) =>
+        rew.agg(coalesce(sum(col("tf") * (col("n0") - col("n"))), lit(0L))
+          .as("m")).select(lit(rank).as("rank"), col("m"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var after = total
+    val out = picks.result().map { case (rank, c1, c2, pcnt) =>
+      after -= mergedByRank(rank)
+      (rank, c1, c2, pcnt, after)
+    }
     import sp.implicits._
-    val table = out.result()
+    val table = out
       .toDF("rank", "c1", "c2", "pair_count", "tokens_after")
       .orderBy(col("rank"))
     (table, st.select(col("w"), col("tf"), col("n")))

@@ -1939,4 +1939,96 @@ object SimilarityOps {
         (coalesce(col("n_hits"), lit(0L)) * 1000 / lit(k.toLong))
           .cast("long").as("recall_milli"))
   }
+
+  /** s39: margin-based bitext mining — the ratio-margin criterion
+    * (Artetxe & Schwenk 2019, the LASER/CCMatrix parallel-corpus miner):
+    * two embedding sides (two languages in production; here two
+    * deterministic corpus halves), every cross-side pair scored, each
+    * side's k-NN neighborhood averaged, and a pair is emitted iff it is
+    * BOTH sides' margin-argmax (mutual best) — the filter that separates
+    * true translations from hubs, which raw cosine cannot:
+    *
+    *   margin(x, y) = cos(x, y) / ((avg kNN(x) + avg kNN(y)) / 2)
+    *
+    * Arithmetic discipline (the t11 micro-unit rule): each pair cosine
+    * rounds to integer MICRO-units before any aggregation, the k-NN
+    * neighborhood sums are exact 64-bit integer arithmetic, and the
+    * margin is ONE division of integer-derived terms —
+    * 2·sim·cntL·cntR / (sumL·cntR + sumR·cntL) — so score and argmax
+    * rank agree bit-exactly cross-engine (cnt handles sides smaller
+    * than k; a zero denominator drops the pair on both engines before
+    * any ranking sees it).
+    *
+    * Scale shape: this rung is the EXACT kernel (the s01 audit class) —
+    * the cross-side score is all-pairs by construction, bounded here by
+    * the fixture sides. At 100 TB the candidate pairs come from the
+    * banded sign-LSH index on both sides (the s38 executed geometry)
+    * and the k-NN sums from the capped heap aggregate
+    * ([[graft.functions.RetrievalTopKAgg]]) over banded candidates; the
+    * mining criterion itself — integer neighborhood sums, one double
+    * division, mutual-argmax join — is unchanged, margins only ever
+    * computed on k-bounded candidate rows. Both per-side top-k passes
+    * here already rank with that heap discipline (map-side partials
+    * carry ≤ k entries per id), not a full-sort window; only the
+    * margin-argmax windows run over the ≤ 2k-per-id candidate set.
+    */
+  def bitextMarginMine(left: DataFrame, right: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val l = withNorm(left.select(col(idCol).as("id_l"),
+      asDouble(col(vecCol)).as("lv")), "lv", "ln")
+    val r = withNorm(right.select(col(idCol).as("id_r"),
+      asDouble(col(vecCol)).as("rv")), "rv", "rn")
+    val scored = l.crossJoin(r)
+      .withColumn("sim_micro", round(
+        when(col("ln") === 0.0 || col("rn") === 0.0, lit(0.0))
+          .otherwise(dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+          * 1e6, 0).cast("long"))
+      .select(col("id_l"), col("id_r"), col("sim_micro"))
+    // per-side k-NN top-k via the capped heap (sim desc, other-id asc) —
+    // never a full-sort window over the cross product
+    def sideTopK(df: DataFrame, qCol: String, oCol: String): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      import graft.functions.RetrievalTopKAgg
+      df.select(col(qCol).cast("long").as("_1"),
+          struct(col("sim_micro").cast("double").as("sim"),
+            col(oCol).cast("long").as("corpus_id"),
+            lit(0).as("chunk_id")).as("_2"))
+        .as[(Long, RetrievalTopKAgg.Entry)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(RetrievalTopKAgg.topK(k).toColumn.name("top"))
+        .select(col("key").as(qCol), explode(col("top")).as("t"))
+        .select(col(qCol), col("t.corpus_id").as(oCol),
+          col("t.sim").cast("long").as("sim_micro"))
+    }
+    val fwd = sideTopK(scored, "id_l", "id_r")
+    val bwd = sideTopK(scored, "id_r", "id_l")
+    val sumL = fwd.groupBy(col("id_l"))
+      .agg(sum(col("sim_micro")).as("sum_l"), count(lit(1)).as("cnt_l"))
+    val sumR = bwd.groupBy(col("id_r"))
+      .agg(sum(col("sim_micro")).as("sum_r"), count(lit(1)).as("cnt_r"))
+    val cand = fwd.unionByName(bwd.select(col("id_l"), col("id_r"),
+        col("sim_micro")))
+      .distinct()
+      .join(sumL, Seq("id_l"))
+      .join(sumR, Seq("id_r"))
+      .withColumn("den",
+        col("sum_l") * col("cnt_r") + col("sum_r") * col("cnt_l"))
+      .filter(col("den") =!= 0L)
+      .withColumn("margin",
+        lit(2.0) * col("sim_micro") * col("cnt_l") * col("cnt_r")
+          / col("den"))
+    val wl = Window.partitionBy(col("id_l"))
+      .orderBy(desc("margin"), col("id_r"))
+    val wr = Window.partitionBy(col("id_r"))
+      .orderBy(desc("margin"), col("id_l"))
+    cand
+      .withColumn("best_l", row_number().over(wl))
+      .withColumn("best_r", row_number().over(wr))
+      .filter(col("best_l") === 1 && col("best_r") === 1)
+      .select(col("id_l"), col("id_r"),
+        round(col("sim_micro") / 1e6, 6).as("sim"),
+        round(col("margin"), 6).as("margin"))
+  }
 }
