@@ -1442,6 +1442,19 @@ object PipelineQueries {
         .orderBy(col("id_l"))
     }),
 
+    // The miner through banded sign-LSH candidates (the s39 scale path
+    // executed): sign signature over the first 16 coordinates, 2 bands
+    // of 8 bits, cross-side (band, key) equi-join — never the L×R
+    // cross. Criterion tail shared verbatim with s39 on BOTH engines.
+    "s40_bitext_banded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextMarginMineBanded(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4,
+        sigDim = 16, bands = 2)
+        .orderBy(col("id_l"))
+    }),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -2828,6 +2841,50 @@ object PipelineQueries {
     * executed geometries (s35's fixture-scale 4×4-bit and s38's
     * scale-true 2×16-bit) are ONE definition, two dial settings.
     */
+  /** The two bitext sides — deterministic embedding halves, shared by
+    * the s39 (exact cross) and s40 (banded) oracle prologues. */
+  private def bitextSidesSql: String =
+    """WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS lv
+      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS rv
+      |      FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
+
+  /** The ratio-margin criterion downstream of a `scored(id_l, id_r,
+    * sim_micro)` CTE — per-side top-4 integer neighborhood sums (the
+    * heap's order spelled as a window), one double division, mutual
+    * margin-argmax. ONE definition for s39 and s40, mirroring the
+    * engine's shared bitextMarginTail. */
+  private def bitextMarginTailSql: String =
+    """,
+      |rk AS (
+      |  SELECT id_l, id_r, sim_micro,
+      |         row_number() OVER (PARTITION BY id_l
+      |                            ORDER BY sim_micro DESC, id_r) AS rl,
+      |         row_number() OVER (PARTITION BY id_r
+      |                            ORDER BY sim_micro DESC, id_l) AS rr
+      |  FROM scored),
+      |sl AS (SELECT id_l, CAST(sum(sim_micro) AS BIGINT) AS sum_l,
+      |              count(*) AS cnt_l FROM rk WHERE rl <= 4 GROUP BY id_l),
+      |sr AS (SELECT id_r, CAST(sum(sim_micro) AS BIGINT) AS sum_r,
+      |              count(*) AS cnt_r FROM rk WHERE rr <= 4 GROUP BY id_r),
+      |marg AS (
+      |  SELECT rk.id_l, rk.id_r, rk.sim_micro,
+      |         2.0 * rk.sim_micro * sl.cnt_l * sr.cnt_r
+      |           / (sl.sum_l * sr.cnt_r + sr.sum_r * sl.cnt_l) AS margin
+      |  FROM rk JOIN sl USING (id_l) JOIN sr USING (id_r)
+      |  WHERE (rk.rl <= 4 OR rk.rr <= 4)
+      |    AND sl.sum_l * sr.cnt_r + sr.sum_r * sl.cnt_l <> 0),
+      |mb AS (
+      |  SELECT id_l, id_r, sim_micro, margin,
+      |         row_number() OVER (PARTITION BY id_l
+      |                            ORDER BY margin DESC, id_r) AS bl,
+      |         row_number() OVER (PARTITION BY id_r
+      |                            ORDER BY margin DESC, id_l) AS br
+      |  FROM marg)
+      |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
+      |       round(margin, 6) AS margin
+      |FROM mb WHERE bl = 1 AND br = 1 ORDER BY id_l""".stripMargin
+
   private def chunkBandTopKSqlAt(dim: Int, bands: Int): String = {
     val b = dim / bands
     chunkRetrievalCoreSqlAt(dim) +
@@ -4346,50 +4403,52 @@ object PipelineQueries {
     "s38_chunk_band_topk_wide" ->
       chunkBandTopKSqlAt(BowDimWide, ChunkBandsWide),
     // s39: the ratio-margin miner re-derived end-to-end — micro-unit
-    // pair cosines, per-side top-4 sums via row_number (the heap's
-    // order spelled as a window), one double division for the margin,
-    // mutual-argmax join. Candidates = rl<=k OR rr<=k, exactly the
+    // pair cosines over the full cross, then the shared criterion tail
+    // (bitextMarginTailSql). Candidates = rl<=k OR rr<=k, exactly the
     // engine's distinct(fwd ∪ bwd).
     "s39_bitext_margin" ->
-      """WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS lv
-        |           FROM embeddings WHERE vec_id % 2 = 0),
-        |r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS rv
-        |      FROM embeddings WHERE vec_id % 2 = 1),
-        |scored AS (
-        |  SELECT id_l, id_r,
-        |         CAST(round(CASE WHEN list_dot_product(lv, lv) = 0
-        |                           OR list_dot_product(rv, rv) = 0 THEN 0.0
-        |                    ELSE list_cosine_similarity(lv, rv) END * 1e6, 0)
-        |              AS BIGINT) AS sim_micro
-        |  FROM l, r),
-        |rk AS (
-        |  SELECT id_l, id_r, sim_micro,
-        |         row_number() OVER (PARTITION BY id_l
-        |                            ORDER BY sim_micro DESC, id_r) AS rl,
-        |         row_number() OVER (PARTITION BY id_r
-        |                            ORDER BY sim_micro DESC, id_l) AS rr
-        |  FROM scored),
-        |sl AS (SELECT id_l, CAST(sum(sim_micro) AS BIGINT) AS sum_l,
-        |              count(*) AS cnt_l FROM rk WHERE rl <= 4 GROUP BY id_l),
-        |sr AS (SELECT id_r, CAST(sum(sim_micro) AS BIGINT) AS sum_r,
-        |              count(*) AS cnt_r FROM rk WHERE rr <= 4 GROUP BY id_r),
-        |cand AS (
-        |  SELECT rk.id_l, rk.id_r, rk.sim_micro,
-        |         2.0 * rk.sim_micro * sl.cnt_l * sr.cnt_r
-        |           / (sl.sum_l * sr.cnt_r + sr.sum_r * sl.cnt_l) AS margin
-        |  FROM rk JOIN sl USING (id_l) JOIN sr USING (id_r)
-        |  WHERE (rk.rl <= 4 OR rk.rr <= 4)
-        |    AND sl.sum_l * sr.cnt_r + sr.sum_r * sl.cnt_l <> 0),
-        |mb AS (
-        |  SELECT id_l, id_r, sim_micro, margin,
-        |         row_number() OVER (PARTITION BY id_l
-        |                            ORDER BY margin DESC, id_r) AS bl,
-        |         row_number() OVER (PARTITION BY id_r
-        |                            ORDER BY margin DESC, id_l) AS br
-        |  FROM cand)
-        |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
-        |       round(margin, 6) AS margin
-        |FROM mb WHERE bl = 1 AND br = 1 ORDER BY id_l""".stripMargin,
+      (bitextSidesSql +
+        """,
+          |scored AS (
+          |  SELECT id_l, id_r,
+          |         CAST(round(CASE WHEN list_dot_product(lv, lv) = 0
+          |                           OR list_dot_product(rv, rv) = 0 THEN 0.0
+          |                    ELSE list_cosine_similarity(lv, rv) END * 1e6, 0)
+          |              AS BIGINT) AS sim_micro
+          |  FROM l, r)""".stripMargin + bitextMarginTailSql),
+    // s40: the same criterion tail over the banded sign-LSH candidate
+    // universe — per-side sign signature over the first 16 coordinates,
+    // 2 bands of 8 bits, cross-side (band, key) equi-join, scoring only
+    // candidate pairs. One tail definition with s39, so the two rungs
+    // can only ever differ in candidate generation — as in the engine.
+    "s40_bitext_banded" ->
+      (bitextSidesSql +
+        s""",
+           |lsig AS (SELECT id_l, lv,
+           |    sum(CASE WHEN lv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+           |        ELSE 0 END) AS sig
+           |  FROM l, generate_series(1, 16) g(i) GROUP BY id_l, lv),
+           |rsig AS (SELECT id_r, rv,
+           |    sum(CASE WHEN rv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+           |        ELSE 0 END) AS sig
+           |  FROM r, generate_series(1, 16) g(i) GROUP BY id_r, rv),
+           |lb AS (SELECT id_l, band, (sig >> (band * 8)) & 255 AS key
+           |       FROM lsig, (VALUES (0), (1)) b(band)),
+           |rb AS (SELECT id_r, band, (sig >> (band * 8)) & 255 AS key
+           |       FROM rsig, (VALUES (0), (1)) b(band)),
+           |cpair AS (SELECT DISTINCT lb.id_l, rb.id_r
+           |          FROM lb JOIN rb ON lb.band = rb.band
+           |                         AND lb.key = rb.key),
+           |scored AS (
+           |  SELECT c.id_l, c.id_r,
+           |         CAST(round(CASE WHEN list_dot_product(l.lv, l.lv) = 0
+           |                           OR list_dot_product(r.rv, r.rv) = 0
+           |                    THEN 0.0
+           |                    ELSE list_cosine_similarity(l.lv, r.rv) END
+           |                    * 1e6, 0) AS BIGINT) AS sim_micro
+           |  FROM cpair c JOIN l ON l.id_l = c.id_l
+           |               JOIN r ON r.id_r = c.id_r)""".stripMargin +
+        bitextMarginTailSql),
     // s36: both band geometries' keyed rows unioned with a geom tag,
     // ONE join, per-pair coarse flag via max(); every joined row is a
     // fine candidate (coarse agreement implies both fine halves agree)

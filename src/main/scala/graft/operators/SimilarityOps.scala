@@ -1979,12 +1979,25 @@ object SimilarityOps {
       asDouble(col(vecCol)).as("lv")), "lv", "ln")
     val r = withNorm(right.select(col(idCol).as("id_r"),
       asDouble(col(vecCol)).as("rv")), "rv", "rn")
-    val scored = l.crossJoin(r)
-      .withColumn("sim_micro", round(
-        when(col("ln") === 0.0 || col("rn") === 0.0, lit(0.0))
-          .otherwise(dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
-          * 1e6, 0).cast("long"))
-      .select(col("id_l"), col("id_r"), col("sim_micro"))
+    bitextMarginTail(bitextScore(l.crossJoin(r)), k)
+  }
+
+  /** The shared pair scorer: micro-unit cosine over (lv, ln, rv, rn)
+    * columns — ONE definition for the exact cross (s39) and the banded
+    * candidate set (s40), so the two rungs can never score differently. */
+  private def bitextScore(pairs: DataFrame): DataFrame = pairs
+    .withColumn("sim_micro", round(
+      when(col("ln") === 0.0 || col("rn") === 0.0, lit(0.0))
+        .otherwise(dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+        * 1e6, 0).cast("long"))
+    .select(col("id_l"), col("id_r"), col("sim_micro"))
+
+  /** The mining criterion downstream of pair scoring — per-side top-k
+    * neighborhood sums (capped heap), ratio margin, mutual argmax — over
+    * WHATEVER candidate universe the caller scored: the full cross (s39,
+    * the audit) or the banded sign-LSH candidate set (s40, the scale
+    * path). Shared verbatim so the criterion itself is one definition. */
+  private def bitextMarginTail(scored: DataFrame, k: Int): DataFrame = {
     // per-side k-NN top-k via the capped heap (sim desc, other-id asc) —
     // never a full-sort window over the cross product
     def sideTopK(df: DataFrame, qCol: String, oCol: String): DataFrame = {
@@ -2030,5 +2043,50 @@ object SimilarityOps {
       .select(col("id_l"), col("id_r"),
         round(col("sim_micro") / 1e6, 6).as("sim"),
         round(col("margin"), 6).as("margin"))
+  }
+
+  /** s40: bitext mining EXECUTED through banded sign-LSH candidates —
+    * the scale path [[bitextMarginMine]]'s scaladoc promises. Each side
+    * keys on the sign pattern of its first `sigDim` embedding
+    * coordinates (coordinate signs are hyperplane sides — the
+    * [[signKey]] argument; dense production embeddings get a random
+    * rotation/PCA first, which only changes the projection, not this
+    * plan), sliced into `bands` keys: cross-side candidate pairs come
+    * from ONE (band, key) equi-join — never the L×R cross — and the
+    * criterion ([[bitextScore]] → [[bitextMarginTail]], both shared
+    * verbatim with s39) runs over that candidate universe. Neighborhood
+    * sums are then banded-kNN sums: the margin normalizes against the
+    * candidate neighborhood, the approximation every production miner
+    * (CCMatrix's faiss-kNN margins) makes.
+    *
+    * Scale shape: both sides shuffle by (band, key) ints; candidate
+    * volume per band key is collision-bounded (2^-bits random mass +
+    * true sign-correlated mass — the s38 wide-band argument, measured
+    * there at 100×); vectors reach candidates through two id-keyed
+    * joins. Assumes vec length ≥ sigDim (fixture dim 64).
+    */
+  def bitextMarginMineBanded(left: DataFrame, right: DataFrame, k: Int,
+      sigDim: Int, bands: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && sigDim >= 1 && sigDim <= 62 && bands >= 1 &&
+      sigDim % bands == 0, s"k=$k sigDim=$sigDim bands=$bands")
+    val b = sigDim / bands
+    val l = withNorm(left.select(col(idCol).as("id_l"),
+      asDouble(col(vecCol)).as("lv")), "lv", "ln")
+      .withColumn("sig", signKey(slice(col("lv"), 1, sigDim), sigDim))
+    val r = withNorm(right.select(col(idCol).as("id_r"),
+      asDouble(col(vecCol)).as("rv")), "rv", "rn")
+      .withColumn("sig", signKey(slice(col("rv"), 1, sigDim), sigDim))
+    def bandRows(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"), bandKey(col("sig"), i, b).as("key"))): _*))
+        .as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows(l, "id_l")
+      .join(bandRows(r, "id_r"), Seq("band", "key"))
+      .select(col("id_l"), col("id_r")).distinct()
+    bitextMarginTail(bitextScore(cand
+      .join(l.select(col("id_l"), col("lv"), col("ln")), Seq("id_l"))
+      .join(r.select(col("id_r"), col("rv"), col("rn")), Seq("id_r"))), k)
   }
 }

@@ -31,11 +31,24 @@ class BitextMarginSpec extends AnyFunSuite with SparkSpec {
       (i.toLong, v)
     }
 
+  /** s40's candidate filter re-derived in plain Scala: sign signature
+    * over the first 16 coordinates, 2 bands of 8 bits, pairs sharing
+    * any band key. */
+  private def bandedPair(a: Seq[Float], b: Seq[Float]): Boolean = {
+    def sig(v: Seq[Float]): Long =
+      (0 until 16).map(i => if (v(i) > 0f) 1L << i else 0L).sum
+    val (sa, sb) = (sig(a), sig(b))
+    (0 until 2).exists(i => ((sa >> (i * 8)) & 255L) == ((sb >> (i * 8)) & 255L))
+  }
+
   /** The miner re-derived in plain Scala — same micro rounding, same
     * integer neighborhood sums, same single double division, same
-    * (margin desc, id asc) mutual argmax. */
+    * (margin desc, id asc) mutual argmax. `candidate` restricts the
+    * scored universe (s40's band filter; s39 scores everything). */
   private def reference(left: Seq[(Long, Seq[Float])],
-      right: Seq[(Long, Seq[Float])], k: Int): Set[(Long, Long)] = {
+      right: Seq[(Long, Seq[Float])], k: Int,
+      candidate: (Seq[Float], Seq[Float]) => Boolean =
+        (_, _) => true): Set[(Long, Long)] = {
     def simMicro(a: Seq[Float], b: Seq[Float]): Long = {
       val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
       val dot = ad.zip(bd).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
@@ -45,7 +58,8 @@ class BitextMarginSpec extends AnyFunSuite with SparkSpec {
       // Spark round() is HALF_UP via BigDecimal — rint would be half-even
       BigDecimal(c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-    val sims = for ((il, lv) <- left; (ir, rv) <- right)
+    val sims = for ((il, lv) <- left; (ir, rv) <- right
+        if candidate(lv, rv))
       yield (il, ir, simMicro(lv, rv))
     def topk(byKey: Map[Long, Seq[(Long, Long)]]): Map[Long, Seq[(Long, Long)]] =
       byKey.map { case (id, xs) =>
@@ -85,6 +99,23 @@ class BitextMarginSpec extends AnyFunSuite with SparkSpec {
     val want = reference(left, right, 3)
     assert(got === want)
     assert(got.nonEmpty) // the fixture must exercise the criterion
+  }
+
+  test("banded differential: Spark banded miner == plain-Scala criterion with the band filter") {
+    // dim 20 ≥ sigDim 16 — the banded rung's assumption
+    val left = fixture(16, 20, 0.0)
+    val right = fixture(13, 20, 0.04).map { case (id, v) => (id + 200L, v) }
+    val got = SimilarityOps.bitextMarginMineBanded(df(left), df(right), 3,
+        sigDim = 16, bands = 2)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = reference(left, right, 3, bandedPair)
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the fixture must actually exercise the band PRUNE (some cross
+    // pair fails every band) or the differential proves nothing
+    assert(left.exists { case (_, lv) =>
+      right.exists { case (_, rv) => !bandedPair(lv, rv) } })
   }
 
   test("output is a partial matching: each id at most once per side") {
