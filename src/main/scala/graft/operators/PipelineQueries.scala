@@ -1455,6 +1455,20 @@ object PipelineQueries {
         .orderBy(col("id_l"))
     }),
 
+    // The forward leg of banded bitext mining — the per-query serving
+    // shape the at-ingest probe answers (bitextMineProbe's batch twin):
+    // banded top-4 candidates per left id, margins against the
+    // pre-materializable right-side neighborhood sums, margin argmax,
+    // no mutual filter. See SimilarityOps.bitextForwardBest.
+    "s41_bitext_forward" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextForwardBest(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4,
+        sigDim = 16, bands = 2)
+        .orderBy(col("id_l"))
+    }),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -2848,6 +2862,38 @@ object PipelineQueries {
       |           FROM embeddings WHERE vec_id % 2 = 0),
       |r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS rv
       |      FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
+
+  /** The banded candidate universe, SCORED — sign signature over the
+    * first 16 coordinates, 2 bands of 8 bits, cross-side (band, key)
+    * equi-join, micro-unit cosine on candidates only. ONE definition
+    * for s40 and s41, mirroring the engine's bitextBandedScored. */
+  private def bitextBandedScoredSql: String =
+    bitextSidesSql +
+      """,
+        |lsig AS (SELECT id_l, lv,
+        |    sum(CASE WHEN lv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+        |        ELSE 0 END) AS sig
+        |  FROM l, generate_series(1, 16) g(i) GROUP BY id_l, lv),
+        |rsig AS (SELECT id_r, rv,
+        |    sum(CASE WHEN rv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+        |        ELSE 0 END) AS sig
+        |  FROM r, generate_series(1, 16) g(i) GROUP BY id_r, rv),
+        |lb AS (SELECT id_l, band, (sig >> (band * 8)) & 255 AS key
+        |       FROM lsig, (VALUES (0), (1)) b(band)),
+        |rb AS (SELECT id_r, band, (sig >> (band * 8)) & 255 AS key
+        |       FROM rsig, (VALUES (0), (1)) b(band)),
+        |cpair AS (SELECT DISTINCT lb.id_l, rb.id_r
+        |          FROM lb JOIN rb ON lb.band = rb.band
+        |                         AND lb.key = rb.key),
+        |scored AS (
+        |  SELECT c.id_l, c.id_r,
+        |         CAST(round(CASE WHEN list_dot_product(l.lv, l.lv) = 0
+        |                           OR list_dot_product(r.rv, r.rv) = 0
+        |                    THEN 0.0
+        |                    ELSE list_cosine_similarity(l.lv, r.rv) END
+        |                    * 1e6, 0) AS BIGINT) AS sim_micro
+        |  FROM cpair c JOIN l ON l.id_l = c.id_l
+        |               JOIN r ON r.id_r = c.id_r)""".stripMargin
 
   /** The ratio-margin criterion downstream of a `scored(id_l, id_r,
     * sim_micro)` CTE — per-side top-4 integer neighborhood sums (the
@@ -4421,34 +4467,41 @@ object PipelineQueries {
     // 2 bands of 8 bits, cross-side (band, key) equi-join, scoring only
     // candidate pairs. One tail definition with s39, so the two rungs
     // can only ever differ in candidate generation — as in the engine.
-    "s40_bitext_banded" ->
-      (bitextSidesSql +
-        s""",
-           |lsig AS (SELECT id_l, lv,
-           |    sum(CASE WHEN lv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
-           |        ELSE 0 END) AS sig
-           |  FROM l, generate_series(1, 16) g(i) GROUP BY id_l, lv),
-           |rsig AS (SELECT id_r, rv,
-           |    sum(CASE WHEN rv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
-           |        ELSE 0 END) AS sig
-           |  FROM r, generate_series(1, 16) g(i) GROUP BY id_r, rv),
-           |lb AS (SELECT id_l, band, (sig >> (band * 8)) & 255 AS key
-           |       FROM lsig, (VALUES (0), (1)) b(band)),
-           |rb AS (SELECT id_r, band, (sig >> (band * 8)) & 255 AS key
-           |       FROM rsig, (VALUES (0), (1)) b(band)),
-           |cpair AS (SELECT DISTINCT lb.id_l, rb.id_r
-           |          FROM lb JOIN rb ON lb.band = rb.band
-           |                         AND lb.key = rb.key),
-           |scored AS (
-           |  SELECT c.id_l, c.id_r,
-           |         CAST(round(CASE WHEN list_dot_product(l.lv, l.lv) = 0
-           |                           OR list_dot_product(r.rv, r.rv) = 0
-           |                    THEN 0.0
-           |                    ELSE list_cosine_similarity(l.lv, r.rv) END
-           |                    * 1e6, 0) AS BIGINT) AS sim_micro
-           |  FROM cpair c JOIN l ON l.id_l = c.id_l
-           |               JOIN r ON r.id_r = c.id_r)""".stripMargin +
-        bitextMarginTailSql),
+    "s40_bitext_banded" -> (bitextBandedScoredSql + bitextMarginTailSql),
+    // s41: the forward leg — banded top-4 candidates per left id, the
+    // right-side neighborhood from the bwd top-4 sums (the artifact
+    // definition), margin argmax per left id, no mutual filter.
+    "s41_bitext_forward" ->
+      (bitextBandedScoredSql +
+        """,
+          |rk AS (
+          |  SELECT id_l, id_r, sim_micro,
+          |         row_number() OVER (PARTITION BY id_l
+          |                            ORDER BY sim_micro DESC, id_r) AS rl,
+          |         row_number() OVER (PARTITION BY id_r
+          |                            ORDER BY sim_micro DESC, id_l) AS rr
+          |  FROM scored),
+          |sx AS (SELECT id_l, CAST(sum(sim_micro) AS BIGINT) AS sum_l,
+          |              count(*) AS cnt_l FROM rk WHERE rl <= 4
+          |       GROUP BY id_l),
+          |sy AS (SELECT id_r, CAST(sum(sim_micro) AS BIGINT) AS sum_r,
+          |              count(*) AS cnt_r FROM rk WHERE rr <= 4
+          |       GROUP BY id_r),
+          |marg AS (
+          |  SELECT rk.id_l, rk.id_r, rk.sim_micro,
+          |         2.0 * rk.sim_micro * sx.cnt_l * sy.cnt_r
+          |           / (sx.sum_l * sy.cnt_r + sy.sum_r * sx.cnt_l) AS margin
+          |  FROM rk JOIN sx USING (id_l) JOIN sy USING (id_r)
+          |  WHERE rk.rl <= 4
+          |    AND sx.sum_l * sy.cnt_r + sy.sum_r * sx.cnt_l <> 0),
+          |best AS (
+          |  SELECT id_l, id_r, sim_micro, margin,
+          |         row_number() OVER (PARTITION BY id_l
+          |                            ORDER BY margin DESC, id_r) AS bn
+          |  FROM marg)
+          |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
+          |       round(margin, 6) AS margin
+          |FROM best WHERE bn = 1 ORDER BY id_l""".stripMargin),
     // s36: both band geometries' keyed rows unioned with a geom tag,
     // ONE join, per-pair coarse flag via max(); every joined row is a
     // fine candidate (coarse agreement implies both fine halves agree)

@@ -1982,14 +1982,27 @@ object SimilarityOps {
     bitextMarginTail(bitextScore(l.crossJoin(r)), k)
   }
 
+  /** The bitext family's micro-unit pair cosine — ONE expression shared
+    * by the batch rungs (s39/s40/s41) and the at-ingest probe
+    * ([[graft.streaming.PipelineStreams.bitextMineProbe]]), so batch and
+    * stream can never score differently. */
+  private[graft] def bitextSimMicro(lv: Column, ln: Column, rv: Column,
+      rn: Column): Column =
+    round(when(ln === 0.0 || rn === 0.0, lit(0.0))
+      .otherwise(dot(lv, rv) / (ln * rn)) * 1e6, 0).cast("long")
+
+  /** The bitext sign signature: sign bits of the first `sigDim`
+    * coordinates (assumes vec length ≥ sigDim). Shared by the batch
+    * band join and the at-ingest probe's scan side. */
+  private[graft] def bitextSig(v: Column, sigDim: Int): Column =
+    signKey(slice(v, 1, sigDim), sigDim)
+
   /** The shared pair scorer: micro-unit cosine over (lv, ln, rv, rn)
     * columns — ONE definition for the exact cross (s39) and the banded
     * candidate set (s40), so the two rungs can never score differently. */
   private def bitextScore(pairs: DataFrame): DataFrame = pairs
-    .withColumn("sim_micro", round(
-      when(col("ln") === 0.0 || col("rn") === 0.0, lit(0.0))
-        .otherwise(dot(col("lv"), col("rv")) / (col("ln") * col("rn")))
-        * 1e6, 0).cast("long"))
+    .withColumn("sim_micro",
+      bitextSimMicro(col("lv"), col("ln"), col("rv"), col("rn")))
     .select(col("id_l"), col("id_r"), col("sim_micro"))
 
   /** The mining criterion downstream of pair scoring — per-side top-k
@@ -1997,26 +2010,29 @@ object SimilarityOps {
     * WHATEVER candidate universe the caller scored: the full cross (s39,
     * the audit) or the banded sign-LSH candidate set (s40, the scale
     * path). Shared verbatim so the criterion itself is one definition. */
+  /** Per-side k-NN top-k over scored pairs via the capped heap (sim
+    * desc, other-id asc) — never a full-sort window over the candidate
+    * set. Shared by the margin tail and the neighborhood artifact. */
+  private def bitextSideTopK(df: DataFrame, qCol: String, oCol: String,
+      k: Int): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    import graft.functions.RetrievalTopKAgg
+    df.select(col(qCol).cast("long").as("_1"),
+        struct(col("sim_micro").cast("double").as("sim"),
+          col(oCol).cast("long").as("corpus_id"),
+          lit(0).as("chunk_id")).as("_2"))
+      .as[(Long, RetrievalTopKAgg.Entry)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(RetrievalTopKAgg.topK(k).toColumn.name("top"))
+      .select(col("key").as(qCol), explode(col("top")).as("t"))
+      .select(col(qCol), col("t.corpus_id").as(oCol),
+        col("t.sim").cast("long").as("sim_micro"))
+  }
+
   private def bitextMarginTail(scored: DataFrame, k: Int): DataFrame = {
-    // per-side k-NN top-k via the capped heap (sim desc, other-id asc) —
-    // never a full-sort window over the cross product
-    def sideTopK(df: DataFrame, qCol: String, oCol: String): DataFrame = {
-      val sp = df.sparkSession
-      import sp.implicits._
-      import graft.functions.RetrievalTopKAgg
-      df.select(col(qCol).cast("long").as("_1"),
-          struct(col("sim_micro").cast("double").as("sim"),
-            col(oCol).cast("long").as("corpus_id"),
-            lit(0).as("chunk_id")).as("_2"))
-        .as[(Long, RetrievalTopKAgg.Entry)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(RetrievalTopKAgg.topK(k).toColumn.name("top"))
-        .select(col("key").as(qCol), explode(col("top")).as("t"))
-        .select(col(qCol), col("t.corpus_id").as(oCol),
-          col("t.sim").cast("long").as("sim_micro"))
-    }
-    val fwd = sideTopK(scored, "id_l", "id_r")
-    val bwd = sideTopK(scored, "id_r", "id_l")
+    val fwd = bitextSideTopK(scored, "id_l", "id_r", k)
+    val bwd = bitextSideTopK(scored, "id_r", "id_l", k)
     val sumL = fwd.groupBy(col("id_l"))
       .agg(sum(col("sim_micro")).as("sum_l"), count(lit(1)).as("cnt_l"))
     val sumR = bwd.groupBy(col("id_r"))
@@ -2067,16 +2083,26 @@ object SimilarityOps {
     */
   def bitextMarginMineBanded(left: DataFrame, right: DataFrame, k: Int,
       sigDim: Int, bands: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && sigDim >= 1 && sigDim <= 62 && bands >= 1 &&
-      sigDim % bands == 0, s"k=$k sigDim=$sigDim bands=$bands")
+      vecCol: String = "embedding"): DataFrame =
+    bitextMarginTail(
+      bitextBandedScored(left, right, sigDim, bands, idCol, vecCol), k)
+
+  /** The banded candidate universe, SCORED — (id_l, id_r, sim_micro)
+    * from one cross-side (band, key) equi-join + distinct + two
+    * id-keyed vector joins. The shared prologue of s40, s41, and the
+    * neighborhood artifact. */
+  private def bitextBandedScored(left: DataFrame, right: DataFrame,
+      sigDim: Int, bands: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    require(sigDim >= 1 && sigDim <= 62 && bands >= 1 &&
+      sigDim % bands == 0, s"sigDim=$sigDim bands=$bands")
     val b = sigDim / bands
     val l = withNorm(left.select(col(idCol).as("id_l"),
       asDouble(col(vecCol)).as("lv")), "lv", "ln")
-      .withColumn("sig", signKey(slice(col("lv"), 1, sigDim), sigDim))
+      .withColumn("sig", bitextSig(col("lv"), sigDim))
     val r = withNorm(right.select(col(idCol).as("id_r"),
       asDouble(col(vecCol)).as("rv")), "rv", "rn")
-      .withColumn("sig", signKey(slice(col("rv"), 1, sigDim), sigDim))
+      .withColumn("sig", bitextSig(col("rv"), sigDim))
     def bandRows(df: DataFrame, id: String): DataFrame = df
       .select(col(id), explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"), bandKey(col("sig"), i, b).as("key"))): _*))
@@ -2085,8 +2111,100 @@ object SimilarityOps {
     val cand = bandRows(l, "id_l")
       .join(bandRows(r, "id_r"), Seq("band", "key"))
       .select(col("id_l"), col("id_r")).distinct()
-    bitextMarginTail(bitextScore(cand
+    bitextScore(cand
       .join(l.select(col("id_l"), col("lv"), col("ln")), Seq("id_l"))
-      .join(r.select(col("id_r"), col("rv"), col("rn")), Seq("id_r"))), k)
+      .join(r.select(col("id_r"), col("rv"), col("rn")), Seq("id_r")))
+  }
+
+  /** The int-only (band, key, id_r) artifact over the static side — the
+    * bitext twin of [[chunkBandIndex]]: at 100 TB this is written once
+    * per corpus release and every arriving query probes it
+    * stream-static. */
+  private[graft] def bitextBandIndex(right: DataFrame, sigDim: Int,
+      bands: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(sigDim >= 1 && sigDim <= 62 && bands >= 1 &&
+      sigDim % bands == 0, s"sigDim=$sigDim bands=$bands")
+    val b = sigDim / bands
+    right.select(col(idCol).as("id_r"),
+        bitextSig(asDouble(col(vecCol)), sigDim).as("sig"))
+      .select(col("id_r"), explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"), bandKey(col("sig"), i, b).as("key"))): _*))
+        .as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("id_r"))
+  }
+
+  /** The vector-carrying artifact for the at-ingest rerank leg —
+    * (id_r, rv, rn), the bitext [[chunkVecIndex]]. */
+  private[graft] def bitextVecIndex(right: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withNorm(right.select(col(idCol).as("id_r"),
+      asDouble(col(vecCol)).as("rv")), "rv", "rn")
+
+  /** The static side's banded-kNN neighborhood sums over the released
+    * left corpus — (id_r, sum_r, cnt_r), the margin denominator's
+    * right-side half as a pre-materialized artifact: at 100 TB this is
+    * computed once per corpus release (it depends only on the two
+    * released sides), and the at-ingest probe joins it per candidate.
+    * Definition shared with batch s40/s41: the banded bwd top-k's
+    * integer sums. */
+  def bitextNeighborhoodIndex(left: DataFrame, right: DataFrame, k: Int,
+      sigDim: Int, bands: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    bitextSideTopK(
+      bitextBandedScored(left, right, sigDim, bands, idCol, vecCol),
+      "id_r", "id_l", k)
+      .groupBy(col("id_r"))
+      .agg(sum(col("sim_micro")).as("sum_r"), count(lit(1)).as("cnt_r"))
+  }
+
+  /** s41: the per-query FORWARD leg of banded bitext mining — what the
+    * at-ingest probe ([[graft.streaming.PipelineStreams.bitextMineProbe]])
+    * answers per arrival, as a batch query: each left vector's banded
+    * top-k candidates get margins whose right-side neighborhood comes
+    * from [[bitextNeighborhoodIndex]], and the margin-argmax (margin
+    * desc, id_r asc) is emitted — one row per left id with candidates.
+    * The mutual filter (s39/s40's `bl = 1 AND br = 1`) is deliberately
+    * NOT applied: mutuality is a whole-left-corpus statement, the
+    * release-time batch job's business, not a per-query one — this rung
+    * is the honest per-query answer, and the candidate universe is the
+    * forward top-k only (a pair outside it can enter s40's margin pool
+    * through the bwd leg; here the bwd leg contributes only the
+    * denominator artifact).
+    *
+    * Scale shape: the scored-candidates subtree appears twice (fwd
+    * top-k + the artifact) — in production the neighborhood index is
+    * pre-materialized per release, so the serving plan runs the banded
+    * probe once and joins two int-only artifacts.
+    */
+  def bitextForwardBest(left: DataFrame, right: DataFrame, k: Int,
+      sigDim: Int, bands: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val scored =
+      bitextBandedScored(left, right, sigDim, bands, idCol, vecCol)
+    val fwd = bitextSideTopK(scored, "id_l", "id_r", k)
+    val sumL = fwd.groupBy(col("id_l"))
+      .agg(sum(col("sim_micro")).as("sum_l"), count(lit(1)).as("cnt_l"))
+    val nbr = bitextNeighborhoodIndex(left, right, k, sigDim, bands,
+      idCol, vecCol)
+    val marg = fwd
+      .join(sumL, Seq("id_l"))
+      .join(nbr, Seq("id_r"))
+      .withColumn("den",
+        col("sum_l") * col("cnt_r") + col("sum_r") * col("cnt_l"))
+      .filter(col("den") =!= 0L)
+      .withColumn("margin",
+        lit(2.0) * col("sim_micro") * col("cnt_l") * col("cnt_r")
+          / col("den"))
+    val w = Window.partitionBy(col("id_l"))
+      .orderBy(desc("margin"), col("id_r"))
+    marg.withColumn("best", row_number().over(w))
+      .filter(col("best") === 1)
+      .select(col("id_l"), col("id_r"),
+        round(col("sim_micro") / 1e6, 6).as("sim"),
+        round(col("margin"), 6).as("margin"))
   }
 }

@@ -1298,6 +1298,92 @@ object PipelineStreams {
         round(col("t.sim"), 6).as("sim"))
   }
 
+  /** At-ingest bitext mining — batch s41's twin, the margin criterion at
+    * the door: an arriving left-side embedding keys its sign signature
+    * into (band, key) slices scan-side, probes the int-only
+    * [[graft.operators.SimilarityOps.bitextBandIndex]] artifact by ONE
+    * stream-static equi-join, fetches candidate vectors and the
+    * right side's pre-materialized neighborhood sums
+    * ([[graft.operators.SimilarityOps.bitextNeighborhoodIndex]] — the
+    * margin denominator's right half, computed once per corpus release)
+    * through two more id-keyed stream-static joins, scores with the
+    * SHARED [[graft.operators.SimilarityOps.bitextSimMicro]], and the
+    * windowed rollup keeps the banded top-k (dedup by adjacency after
+    * sort — multi-band agreements carry identical structs), computes
+    * margins via the same integer arithmetic, and emits the
+    * margin-argmax (margin desc, id_r asc) per arrival.
+    *
+    * Emitted rows are spec-pinned equal to batch
+    * [[graft.operators.SimilarityOps.bitextForwardBest]] per arrival —
+    * the forward leg; mutuality (s39/s40's `bl = 1 AND br = 1`) is a
+    * whole-left-corpus statement and stays a release-time batch job.
+    * Same contract notes as [[chunkRetrieveTopK]]: one arrival per
+    * (window, id); state is band-candidate-sized per arrival, never
+    * corpus-sized; band-miss arrivals emit nothing — the honest index
+    * answer.
+    */
+  def bitextMineProbe(arrivals: DataFrame, bandIndex: DataFrame,
+      vecIndex: DataFrame, nbrIndex: DataFrame, tsCol: String,
+      idCol: String, vecCol: String, sigDim: Int, bands: Int, k: Int,
+      window_ : String, delay: String): DataFrame = {
+    import graft.operators.SimilarityOps
+    require(k >= 1 && sigDim >= 1 && sigDim <= 62 && bands >= 1 &&
+      sigDim % bands == 0, s"k=$k sigDim=$sigDim bands=$bands")
+    val b = sigDim / bands
+    val scored = arrivals
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), col(idCol).as("id_l"),
+        col(vecCol).cast("array<double>").as("lv"))
+      .withColumn("ln", SimilarityOps.l2norm(col("lv")))
+      .withColumn("sig", SimilarityOps.bitextSig(col("lv"), sigDim))
+      // sig is a staged long attribute, so the band array is cheap —
+      // explode_outer + null filter is the standing generate rule
+      .select(col(tsCol), col("id_l"), col("lv"), col("ln"),
+        explode_outer(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            SimilarityOps.bandKey(col("sig"), i, b).as("key"))): _*))
+          .as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col(tsCol), col("id_l"), col("lv"), col("ln"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(bandIndex, Seq("band", "key"))
+      .join(vecIndex, Seq("id_r"))
+      .join(nbrIndex, Seq("id_r"))
+      .withColumn("sim_micro", SimilarityOps.bitextSimMicro(
+        col("lv"), col("ln"), col("rv"), col("rn")))
+    scored
+      .groupBy(window(col(tsCol), window_), col("id_l"))
+      .agg(slice(array_distinct(sort_array(collect_list(struct(
+        (-col("sim_micro")).as("ns"), col("id_r"), col("sim_micro"),
+        col("sum_r"), col("cnt_r"))))), 1, k).as("top"))
+      .withColumn("cnt_l", size(col("top")).cast("long"))
+      .withColumn("sum_l", expr(
+        "aggregate(top, CAST(0 AS BIGINT), (acc, x) -> acc + x.sim_micro)"))
+      // margins over the banded top-k with the artifact's right-side
+      // sums — the batch s41 integer arithmetic verbatim; zero
+      // denominators drop before the argmax, exactly as in batch
+      .withColumn("marg", expr(
+        // 2.0D, not 2.0 — a bare decimal literal in SQL text is DECIMAL,
+        // which would run the margin in decimal arithmetic instead of
+        // the batch side's (lit(2.0), DoubleType) IEEE division
+        "filter(transform(top, x -> struct(" +
+          "2.0D * x.sim_micro * cnt_l * x.cnt_r / " +
+          "(sum_l * x.cnt_r + x.sum_r * cnt_l) AS margin, " +
+          "x.id_r AS id_r, x.sim_micro AS sim_micro, " +
+          "sum_l * x.cnt_r + x.sum_r * cnt_l AS den)), " +
+          "x -> x.den <> CAST(0 AS BIGINT))"))
+      .filter(size(col("marg")) > 0)
+      // argmax = min of (-margin, id_r): margin desc, id tiebreak asc
+      .withColumn("best", expr(
+        "element_at(array_sort(transform(marg, x -> struct(" +
+          "-x.margin AS nm, x.id_r AS id_r, x.sim_micro AS sim_micro, " +
+          "x.margin AS margin))), 1)"))
+      .select(col("window.start").as("window_start"), col("id_l"),
+        col("best.id_r").as("id_r"),
+        round(col("best.sim_micro") / 1e6, 6).as("sim"),
+        round(col("best.margin"), 6).as("margin"))
+  }
+
   /** At-ingest keep-first substring cut — batch d33's release semantics
     * at the door: every L-token window of an arriving document is cut
     * iff its content already shipped (the window hash probes the
