@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGate {
 
-  /** r13 NOTES table keys (minus d16) + the r14 executed rungs. */
+  /** r13 NOTES table keys (minus d16) + the r14 executed rungs. The
+    * bitext EXECUTED rungs (s40/s41) gate too — embeddings scale in the
+    * ladder; s39's exact cross stays out, the d16 audit rule. */
   val CeilingSet: Seq[String] = Seq(
     "t44_bpe_train_deep", "t37_fourgram_xent", "m09_visual_clusters",
     "m11_audio_clusters", "m12_audio_dup_histogram",
     "s31_chunk_multiprobe2", "s32_chunk_retrieval_lsh",
     "s33_chunk_multiprobe_topk", "s34_chunk_band_recall",
     "s35_chunk_band_topk", "s38_chunk_band_topk_wide",
+    "s40_bitext_banded", "s41_bitext_forward",
     "d32_winnow_match_slices", "d33_substring_cut_keep1",
     "t45_bpe_apply_heldout", "t46_bpe_apply_blocked",
     "t47_decontaminate_cut")
