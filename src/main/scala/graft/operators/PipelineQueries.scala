@@ -1469,6 +1469,21 @@ object PipelineQueries {
         .orderBy(col("id_l"))
     }),
 
+    // The banded miner at the SCALE-TRUE dial — s40's plan at a 32-bit
+    // signature, 2 bands of 16 bits: per-band random-collision mass
+    // 2^-16, the s38 move applied to bitext after the 100x gate
+    // measured the 8-bit dial's candidate mass going superlinear
+    // (s40@100x 92.8 s — runs, but saturating). Same shared criterion
+    // tail, different dial.
+    "s42_bitext_banded_wide" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextMarginMineBanded(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4,
+        sigDim = 32, bands = 2)
+        .orderBy(col("id_l"))
+    }),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -2864,23 +2879,26 @@ object PipelineQueries {
       |      FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
 
   /** The banded candidate universe, SCORED — sign signature over the
-    * first 16 coordinates, 2 bands of 8 bits, cross-side (band, key)
-    * equi-join, micro-unit cosine on candidates only. ONE definition
-    * for s40 and s41, mirroring the engine's bitextBandedScored. */
-  private def bitextBandedScoredSql: String =
+    * first `sigDim` coordinates, 2 bands of sigDim/2 bits, cross-side
+    * (band, key) equi-join, micro-unit cosine on candidates only. ONE
+    * definition for s40/s41 (sigDim 16) and s42 (sigDim 32), mirroring
+    * the engine's bitextBandedScored. */
+  private def bitextBandedScoredSql(sigDim: Int = 16): String = {
+    val bits = sigDim / 2
+    val mask = (1L << bits) - 1
     bitextSidesSql +
-      """,
+      s""",
         |lsig AS (SELECT id_l, lv,
         |    sum(CASE WHEN lv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
         |        ELSE 0 END) AS sig
-        |  FROM l, generate_series(1, 16) g(i) GROUP BY id_l, lv),
+        |  FROM l, generate_series(1, $sigDim) g(i) GROUP BY id_l, lv),
         |rsig AS (SELECT id_r, rv,
         |    sum(CASE WHEN rv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
         |        ELSE 0 END) AS sig
-        |  FROM r, generate_series(1, 16) g(i) GROUP BY id_r, rv),
-        |lb AS (SELECT id_l, band, (sig >> (band * 8)) & 255 AS key
+        |  FROM r, generate_series(1, $sigDim) g(i) GROUP BY id_r, rv),
+        |lb AS (SELECT id_l, band, (sig >> (band * $bits)) & $mask AS key
         |       FROM lsig, (VALUES (0), (1)) b(band)),
-        |rb AS (SELECT id_r, band, (sig >> (band * 8)) & 255 AS key
+        |rb AS (SELECT id_r, band, (sig >> (band * $bits)) & $mask AS key
         |       FROM rsig, (VALUES (0), (1)) b(band)),
         |cpair AS (SELECT DISTINCT lb.id_l, rb.id_r
         |          FROM lb JOIN rb ON lb.band = rb.band
@@ -2894,6 +2912,7 @@ object PipelineQueries {
         |                    * 1e6, 0) AS BIGINT) AS sim_micro
         |  FROM cpair c JOIN l ON l.id_l = c.id_l
         |               JOIN r ON r.id_r = c.id_r)""".stripMargin
+  }
 
   /** The ratio-margin criterion downstream of a `scored(id_l, id_r,
     * sim_micro)` CTE — per-side top-4 integer neighborhood sums (the
@@ -4467,12 +4486,12 @@ object PipelineQueries {
     // 2 bands of 8 bits, cross-side (band, key) equi-join, scoring only
     // candidate pairs. One tail definition with s39, so the two rungs
     // can only ever differ in candidate generation — as in the engine.
-    "s40_bitext_banded" -> (bitextBandedScoredSql + bitextMarginTailSql),
+    "s40_bitext_banded" -> (bitextBandedScoredSql() + bitextMarginTailSql),
     // s41: the forward leg — banded top-4 candidates per left id, the
     // right-side neighborhood from the bwd top-4 sums (the artifact
     // definition), margin argmax per left id, no mutual filter.
     "s41_bitext_forward" ->
-      (bitextBandedScoredSql +
+      (bitextBandedScoredSql() +
         """,
           |rk AS (
           |  SELECT id_l, id_r, sim_micro,
@@ -4502,6 +4521,12 @@ object PipelineQueries {
           |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
           |       round(margin, 6) AS margin
           |FROM best WHERE bn = 1 ORDER BY id_l""".stripMargin),
+    // s42: the identical banded-mining tail at the WIDE dial — the
+    // whole sign-signature chain re-derived at sigDim 32, 2 bands of
+    // 16 bits (the geometry whose collision mass survives corpus
+    // growth).
+    "s42_bitext_banded_wide" ->
+      (bitextBandedScoredSql(32) + bitextMarginTailSql),
     // s36: both band geometries' keyed rows unioned with a geom tag,
     // ONE join, per-pair coarse flag via max(); every joined row is a
     // fine candidate (coarse agreement implies both fine halves agree)

@@ -75,7 +75,38 @@ object BandVolumeProbe {
       s""""$tag":{"dim":$dim,"bands":$bands,"n_queries":$nq,""" +
         s""""n_chunks":$nc,"cand_rows":$cand,"per_query":$perQ}"""
     }
-    val json = s"""{"sf_dir":"$sfDir",${out.mkString(",")}}"""
+
+    // The bitext geometries, same histogram trick over the two embedding
+    // halves: pre-dedup candidate rows = Σ n_left(band,key)·n_right(band,key).
+    // Reports the registered dial (16-bit sig, 2×8-bit bands) and the
+    // widened one (32-bit sig, 2×16-bit bands — the s38 move applied to
+    // s40 when the corpus outgrows 8-bit collision mass).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def bitextProbe(sigDim: Int, bands: Int): (Long, Long, Long, Double) = {
+      def hist(side: DataFrame): DataFrame =
+        SimilarityOps.bitextBandIndex(side, sigDim, bands)
+          .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+      val lh = hist(emb.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+      val rh = hist(emb.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+        .withColumnRenamed("n", "nr")
+      val row = lh.join(rh, Seq("band", "key"))
+        .agg(sum(col("n") * col("nr")).as("cand")).head()
+      val cand = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val nl = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L).count()
+      val nr = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L).count()
+      (cand, nl, nr,
+        if (nl * nr == 0) 0.0 else 100.0 * cand / (nl.toDouble * nr))
+    }
+    val outB = Seq((16, 2, "s40"), (32, 2, "s40_wide")).map {
+      case (sigDim, bands, tag) =>
+        val (cand, nl, nr, pct) = bitextProbe(sigDim, bands)
+        println(f"[band-volume] $tag sigDim=$sigDim bands=$bands: " +
+          f"left=$nl right=$nr pre-dedup candidate rows=$cand " +
+          f"($pct%.4f%% of LxR)")
+        s""""$tag":{"sig_dim":$sigDim,"bands":$bands,"n_left":$nl,""" +
+          s""""n_right":$nr,"cand_rows":$cand,"pct_of_cross":$pct}"""
+    }
+    val json = s"""{"sf_dir":"$sfDir",${(out ++ outB).mkString(",")}}"""
     if (args.length > 1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), json + "\n")
     println(json)

@@ -31,14 +31,16 @@ class BitextMarginSpec extends AnyFunSuite with SparkSpec {
       (i.toLong, v)
     }
 
-  /** s40's candidate filter re-derived in plain Scala: sign signature
-    * over the first 16 coordinates, 2 bands of 8 bits, pairs sharing
-    * any band key. */
-  private def bandedPair(a: Seq[Float], b: Seq[Float]): Boolean = {
+  /** s40/s42's candidate filter re-derived in plain Scala: sign
+    * signature over the first `sigDim` coordinates, 2 bands of
+    * sigDim/2 bits, pairs sharing any band key. */
+  private def bandedPair(sigDim: Int)(a: Seq[Float], b: Seq[Float]): Boolean = {
+    val bits = sigDim / 2
+    val mask = (1L << bits) - 1
     def sig(v: Seq[Float]): Long =
-      (0 until 16).map(i => if (v(i) > 0f) 1L << i else 0L).sum
+      (0 until sigDim).map(i => if (v(i) > 0f) 1L << i else 0L).sum
     val (sa, sb) = (sig(a), sig(b))
-    (0 until 2).exists(i => ((sa >> (i * 8)) & 255L) == ((sb >> (i * 8)) & 255L))
+    (0 until 2).exists(i => ((sa >> (i * bits)) & mask) == ((sb >> (i * bits)) & mask))
   }
 
   /** The miner re-derived in plain Scala — same micro rounding, same
@@ -109,13 +111,32 @@ class BitextMarginSpec extends AnyFunSuite with SparkSpec {
         sigDim = 16, bands = 2)
       .select("id_l", "id_r").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = reference(left, right, 3, bandedPair)
+    val want = reference(left, right, 3, bandedPair(16))
     assert(got === want)
     assert(got.nonEmpty)
     // the fixture must actually exercise the band PRUNE (some cross
     // pair fails every band) or the differential proves nothing
     assert(left.exists { case (_, lv) =>
-      right.exists { case (_, rv) => !bandedPair(lv, rv) } })
+      right.exists { case (_, rv) => !bandedPair(16)(lv, rv) } })
+  }
+
+  test("wide-dial differential (s42): 32-bit signature, 2x16-bit bands") {
+    val left = fixture(16, 36, 0.0)
+    val right = fixture(13, 36, 0.04).map { case (id, v) => (id + 200L, v) }
+    val got = SimilarityOps.bitextMarginMineBanded(df(left), df(right), 3,
+        sigDim = 32, bands = 2)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === reference(left, right, 3, bandedPair(32)))
+    assert(got.nonEmpty)
+    // 16-bit keys must prune at least as hard as 8-bit keys pair-wise:
+    // a 32-bit band agreement implies both 16-bit halves of that slice
+    // agree only when slices align — assert the prune is non-trivial
+    // and the wide candidate set is a subset of... (slices do NOT nest
+    // across sigDims here, unlike the chunk geometries: the wide sig
+    // covers MORE coordinates) — so pin only non-triviality
+    assert(left.exists { case (_, lv) =>
+      right.exists { case (_, rv) => !bandedPair(32)(lv, rv) } })
   }
 
   test("output is a partial matching: each id at most once per side") {

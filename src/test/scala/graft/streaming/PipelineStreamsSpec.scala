@@ -1670,6 +1670,58 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("bitext mine probe at the wide dial: at-ingest equals batch s42's forward leg per arrival") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    // dim 36 ≥ sigDim 32 — artifacts keyed at the scale-true geometry
+    def vec(i: Long, shift: Double): Seq[Float] = {
+      val c = i % 3
+      (0 until 36).map { d =>
+        (math.sin(c * 2.1 + d * 0.7 + shift) +
+          0.15 * math.cos(i * 1.3 + d * 0.31)).toFloat
+      }
+    }
+    val leftRows = (0L until 6L).map(i => (i, vec(i, 0.0)))
+    val rightRows = (0L until 9L).map(i => (i + 100L, vec(i, 0.04)))
+    val leftDf = leftRows.toDF("vec_id", "embedding")
+    val rightDf = rightRows.toDF("vec_id", "embedding")
+    val bandIdx = SimilarityOps.bitextBandIndex(rightDf, 32, 2)
+    val vecIdx = SimilarityOps.bitextVecIndex(rightDf)
+    val nbrIdx = SimilarityOps.bitextNeighborhoodIndex(
+      leftDf, rightDf, 3, 32, 2)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val mined = PipelineStreams.bitextMineProbe(
+      in.toDF().toDF("ts", "vec_id", "embedding"), bandIdx, vecIdx,
+      nbrIdx, "ts", "vec_id", "embedding", sigDim = 32, bands = 2,
+      k = 3, "10 minutes", "5 minutes")
+    val q = mined.writeStream.format("memory").queryName("bmpw")
+      .outputMode("append").start()
+    try {
+      leftRows.zipWithIndex.foreach { case ((id, v), i) =>
+        in.addData((java.sql.Timestamp.valueOf(s"2021-01-16 17:0$i:00"),
+          id, v))
+      }
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"),
+        9999L, vec(1L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("bmpw").collect()
+        .filter(_.getAs[Long]("id_l") != 9999L)
+        .map(r => r.getAs[Long]("id_l") ->
+          (r.getAs[Long]("id_r"), r.getAs[Double]("sim"),
+            r.getAs[Double]("margin")))
+        .toMap
+      val want = SimilarityOps.bitextForwardBest(leftDf, rightDf, 3,
+          sigDim = 32, bands = 2).collect()
+        .map(r => r.getAs[Long]("id_l") ->
+          (r.getAs[Long]("id_r"), r.getAs[Double]("sim"),
+            r.getAs[Double]("margin")))
+        .toMap
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("chunk retrieve top-k banded at the wide dial: at-ingest answers equal batch s38 per arrival") {
     import graft.operators.SimilarityOps
     implicit val sqlCtx = spark.sqlContext
