@@ -1320,7 +1320,12 @@ object PipelineStreams {
     * Same contract notes as [[chunkRetrieveTopK]]: one arrival per
     * (window, id); state is band-candidate-sized per arrival, never
     * corpus-sized; band-miss arrivals emit nothing — the honest index
-    * answer.
+    * answer. A candidate whose id_r is absent from the release-time
+    * neighborhood artifact (a novel arrival's collision the release
+    * corpus never made) still occupies its top-k slot and counts in
+    * cnt_l/sum_l — the batch plan's shape — but prices no margin row;
+    * an arrival whose whole top-k is such candidates emits nothing,
+    * exactly as batch drops it at the nbr join (spec-pinned).
     */
   def bitextMineProbe(arrivals: DataFrame, bandIndex: DataFrame,
       vecIndex: DataFrame, nbrIndex: DataFrame, tsCol: String,
@@ -1348,7 +1353,14 @@ object PipelineStreams {
         col("bk.band").as("band"), col("bk.key").as("key"))
       .join(bandIndex, Seq("band", "key"))
       .join(vecIndex, Seq("id_r"))
-      .join(nbrIndex, Seq("id_r"))
+      // LEFT join: a candidate whose id_r has no release-time
+      // neighborhood entry (possible for a genuinely novel arrival —
+      // the release left corpus never collided with that id_r) still
+      // occupies its top-k slot and counts toward cnt_l/sum_l, exactly
+      // as in batch bitextForwardBest (which computes the fwd top-k
+      // BEFORE attaching neighborhoods); it then yields no margin row
+      // (batch's inner nbr join, restated as the null-den filter below)
+      .join(nbrIndex, Seq("id_r"), "left")
       .withColumn("sim_micro", SimilarityOps.bitextSimMicro(
         col("lv"), col("ln"), col("rv"), col("rn")))
     scored
@@ -1371,7 +1383,7 @@ object PipelineStreams {
           "(sum_l * x.cnt_r + x.sum_r * cnt_l) AS margin, " +
           "x.id_r AS id_r, x.sim_micro AS sim_micro, " +
           "sum_l * x.cnt_r + x.sum_r * cnt_l AS den)), " +
-          "x -> x.den <> CAST(0 AS BIGINT))"))
+          "x -> x.den IS NOT NULL AND x.den <> CAST(0 AS BIGINT))"))
       .filter(size(col("marg")) > 0)
       // argmax = min of (-margin, id_r): margin desc, id tiebreak asc
       .withColumn("best", expr(

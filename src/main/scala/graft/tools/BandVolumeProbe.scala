@@ -81,25 +81,25 @@ object BandVolumeProbe {
     // Reports the registered dial (16-bit sig, 2×8-bit bands) and the
     // widened one (32-bit sig, 2×16-bit bands — the s38 move applied to
     // s40 when the corpus outgrows 8-bit collision mass).
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    def bitextProbe(sigDim: Int, bands: Int): (Long, Long, Long, Double) = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val lSide = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    val rSide = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    // side counts are dial-invariant — counted once, not per geometry
+    val nl = lSide.count()
+    val nr = rSide.count()
+    def bitextProbe(sigDim: Int, bands: Int): (Long, Double) = {
       def hist(side: DataFrame): DataFrame =
         SimilarityOps.bitextBandIndex(side, sigDim, bands)
           .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
-      val lh = hist(emb.filter(pmod(col("vec_id"), lit(2L)) === 0L))
-      val rh = hist(emb.filter(pmod(col("vec_id"), lit(2L)) === 1L))
-        .withColumnRenamed("n", "nr")
-      val row = lh.join(rh, Seq("band", "key"))
+      val rh = hist(rSide).withColumnRenamed("n", "nr")
+      val row = hist(lSide).join(rh, Seq("band", "key"))
         .agg(sum(col("n") * col("nr")).as("cand")).head()
       val cand = if (row.isNullAt(0)) 0L else row.getLong(0)
-      val nl = emb.filter(pmod(col("vec_id"), lit(2L)) === 0L).count()
-      val nr = emb.filter(pmod(col("vec_id"), lit(2L)) === 1L).count()
-      (cand, nl, nr,
-        if (nl * nr == 0) 0.0 else 100.0 * cand / (nl.toDouble * nr))
+      (cand, if (nl * nr == 0) 0.0 else 100.0 * cand / (nl.toDouble * nr))
     }
-    val outB = Seq((16, 2, "s40"), (32, 2, "s40_wide")).map {
+    val outB = Seq((16, 2, "s40"), (32, 2, "s42_wide")).map {
       case (sigDim, bands, tag) =>
-        val (cand, nl, nr, pct) = bitextProbe(sigDim, bands)
+        val (cand, pct) = bitextProbe(sigDim, bands)
         println(f"[band-volume] $tag sigDim=$sigDim bands=$bands: " +
           f"left=$nl right=$nr pre-dedup candidate rows=$cand " +
           f"($pct%.4f%% of LxR)")

@@ -32,7 +32,7 @@ object ScaleGate {
     "s31_chunk_multiprobe2", "s32_chunk_retrieval_lsh",
     "s33_chunk_multiprobe_topk", "s34_chunk_band_recall",
     "s35_chunk_band_topk", "s38_chunk_band_topk_wide",
-    "s40_bitext_banded", "s41_bitext_forward",
+    "s40_bitext_banded", "s41_bitext_forward", "s42_bitext_banded_wide",
     "d32_winnow_match_slices", "d33_substring_cut_keep1",
     "t45_bpe_apply_heldout", "t46_bpe_apply_blocked",
     "t47_decontaminate_cut")

@@ -1670,6 +1670,61 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("bitext mine probe: novel-arrival candidates without neighborhood entries keep their top-k slots") {
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    // sign-mask vectors: dim i positive iff bit i set (sigDim 16,
+    // 2 bands: key0 = low byte, key1 = high byte of the mask)
+    def maskVec(m: Int): Seq[Float] =
+      (0 until 16).map(i => if (((m >> i) & 1) == 1) 1f else -1f)
+    // release left corpus: sig 0xAA55 — collides with rY on band1
+    // (0xAA) but with rX on NEITHER band, so rX has no neighborhood row
+    val releaseLeft = Seq(0L -> maskVec(0xAA55), 1L -> maskVec(0xAA55))
+      .toDF("vec_id", "embedding")
+    val right = Seq(100L -> maskVec(0x00FF) /* rX: novel-only */ ,
+        101L -> maskVec(0xAAFF) /* rY: in the release neighborhood */)
+      .toDF("vec_id", "embedding")
+    val bandIdx = SimilarityOps.bitextBandIndex(right, 16, 2)
+    val vecIdx = SimilarityOps.bitextVecIndex(right)
+    val nbrIdx = SimilarityOps.bitextNeighborhoodIndex(
+      releaseLeft, right, 1, 16, 2)
+    // the premise the test rests on: rX is indexed but neighborhood-less
+    assert(nbrIdx.collect().map(_.getLong(0)).toSet === Set(101L))
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val mined = PipelineStreams.bitextMineProbe(
+      in.toDF().toDF("ts", "vec_id", "embedding"), bandIdx, vecIdx,
+      nbrIdx, "ts", "vec_id", "embedding", sigDim = 16, bands = 2,
+      k = 1, "10 minutes", "5 minutes")
+    val q = mined.writeStream.format("memory").queryName("bmpn")
+      .outputMode("append").start()
+    try {
+      // arrival 500 = rX's twin: its top-1 IS rX (sim 1), which has no
+      // neighborhood row — the batch-faithful answer is NOTHING (the
+      // candidate occupies the slot, then drops at the margin stage);
+      // the pre-fix inner join would wrongly promote rY into the top-1
+      // and emit it. Arrival 501 = rY's twin: top-1 rY prices normally.
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:00:00"),
+        500L, maskVec(0x00FF)))
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:01:00"),
+        501L, maskVec(0xAAFF)))
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2021-01-16 17:40:00"),
+        9999L, maskVec(0xAA55)))
+      q.processAllAvailable()
+      val got = spark.table("bmpn").collect()
+        .filter(_.getAs[Long]("id_l") != 9999L)
+        .map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"),
+          r.getAs[Double]("margin")))
+      assert(got.map(_._1).toSet === Set(501L))
+      val (_, idR, margin) = got.head
+      assert(idR === 101L)
+      // sum_l = 1e6 (rY twin), nbr(rY) over the release corpus = 5e5:
+      // margin = 2·1e6/(1e6 + 5e5) = 1.333333 exactly at micro scale
+      assert(margin === 1.333333)
+    } finally q.stop()
+  }
+
   test("bitext mine probe at the wide dial: at-ingest equals batch s42's forward leg per arrival") {
     import graft.operators.SimilarityOps
     implicit val sqlCtx = spark.sqlContext
