@@ -2031,6 +2031,15 @@ object SimilarityOps {
   }
 
   private def bitextMarginTail(scored: DataFrame, k: Int): DataFrame = {
+    // The fwd and bwd heaps BOTH read the scored pairs, and the subtree
+    // is deliberately NOT pinned: a candidate-scored table is
+    // collision-mass-sized, not evidence-sized — eagerly materializing
+    // it at the 100× slice FAILED (stage-materialization errors at
+    // local[32]) and read 2× slower under local[16] where the
+    // recompute-twice plan ran at 90 s (measured r14; the m11/m12
+    // decode-once pin applies to per-item tables bounded by the corpus,
+    // not to pair tables bounded by the band dial). The dial (s42's
+    // wide bands), not materialization, is what bounds this subtree.
     val fwd = bitextSideTopK(scored, "id_l", "id_r", k)
     val bwd = bitextSideTopK(scored, "id_r", "id_l", k)
     val sumL = fwd.groupBy(col("id_l"))
@@ -2153,12 +2162,17 @@ object SimilarityOps {
       sigDim: Int, bands: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k=$k")
-    bitextSideTopK(
-      bitextBandedScored(left, right, sigDim, bands, idCol, vecCol),
-      "id_r", "id_l", k)
+    nbrFromScored(
+      bitextBandedScored(left, right, sigDim, bands, idCol, vecCol), k)
+  }
+
+  /** The neighborhood sums from an already-scored candidate set — split
+    * out so [[bitextForwardBest]] can derive them from its one pinned
+    * scored table instead of re-running the banded join. */
+  private def nbrFromScored(scored: DataFrame, k: Int): DataFrame =
+    bitextSideTopK(scored, "id_r", "id_l", k)
       .groupBy(col("id_r"))
       .agg(sum(col("sim_micro")).as("sum_r"), count(lit(1)).as("cnt_r"))
-  }
 
   /** s41: the per-query FORWARD leg of banded bitext mining — what the
     * at-ingest probe ([[graft.streaming.PipelineStreams.bitextMineProbe]])
@@ -2175,21 +2189,27 @@ object SimilarityOps {
     * denominator artifact).
     *
     * Scale shape: the scored-candidates subtree appears twice (fwd
-    * top-k + the artifact) — in production the neighborhood index is
-    * pre-materialized per release, so the serving plan runs the banded
-    * probe once and joins two int-only artifacts.
+    * top-k + the neighborhood sums) and is deliberately left
+    * unmaterialized — see [[bitextMarginTail]]'s measured note; in
+    * production the neighborhood index is pre-materialized per
+    * release, so the serving plan runs the banded probe once and
+    * joins two int-only artifacts.
     */
   def bitextForwardBest(left: DataFrame, right: DataFrame, k: Int,
       sigDim: Int, bands: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k=$k")
+    // the scored subtree feeds BOTH the fwd top-k and the neighborhood
+    // sums and is NOT pinned — see bitextMarginTail's note (the 100×
+    // measurement that killed the pin); in production the neighborhood
+    // index is a pre-materialized release artifact, which removes the
+    // second consumer entirely
     val scored =
       bitextBandedScored(left, right, sigDim, bands, idCol, vecCol)
     val fwd = bitextSideTopK(scored, "id_l", "id_r", k)
     val sumL = fwd.groupBy(col("id_l"))
       .agg(sum(col("sim_micro")).as("sum_l"), count(lit(1)).as("cnt_l"))
-    val nbr = bitextNeighborhoodIndex(left, right, k, sigDim, bands,
-      idCol, vecCol)
+    val nbr = nbrFromScored(scored, k)
     val marg = fwd
       .join(sumL, Seq("id_l"))
       .join(nbr, Seq("id_r"))

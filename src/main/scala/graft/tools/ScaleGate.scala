@@ -68,17 +68,22 @@ object ScaleGate {
       ScaleLadder.build(spark, srcDir, ladderDir, factor, cpus.toInt)
       val src = java.nio.file.Paths.get(srcDir)
       val scaledTables = Set("documents.parquet", "embeddings.parquet")
+      // driver testdata tables are single parquet FILES, not dirs —
+      // copy both forms (the isDirectory-only guard silently skipped
+      // every table, found when g01's events read failed at 10×)
       java.nio.file.Files.list(src).forEach { p =>
         val name = p.getFileName.toString
-        if (!scaledTables(name) && java.nio.file.Files.isDirectory(p)) {
+        if (!scaledTables(name)) {
           val dst = ladder.resolve(name)
           if (!java.nio.file.Files.exists(dst)) {
-            java.nio.file.Files.walk(p).forEach { q =>
-              val t = dst.resolve(p.relativize(q))
-              if (java.nio.file.Files.isDirectory(q))
-                java.nio.file.Files.createDirectories(t)
-              else java.nio.file.Files.copy(q, t)
-            }
+            if (java.nio.file.Files.isDirectory(p)) {
+              java.nio.file.Files.walk(p).forEach { q =>
+                val t = dst.resolve(p.relativize(q))
+                if (java.nio.file.Files.isDirectory(q))
+                  java.nio.file.Files.createDirectories(t)
+                else java.nio.file.Files.copy(q, t)
+              }
+            } else java.nio.file.Files.copy(p, dst)
           }
         }
       }
