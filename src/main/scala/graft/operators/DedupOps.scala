@@ -1364,7 +1364,15 @@ object DedupOps {
     * both modes (ReliableCheckpointSpec).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
+      maxIter: Int = 25, reliable: Boolean = false): DataFrame =
+    ccWithRounds(nodes, edges, maxIter, reliable)._1
+
+  /** [[connectedComponents]] plus the OBSERVED convergence round count —
+    * package-private for [[graft.tools.GraphGrowthProbe]], which pins
+    * the pointer-halving contract (rounds grow ~log2(diameter), not
+    * diameter) on graphs whose diameter actually grows. */
+  private[graft] def ccWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25, reliable: Boolean = false): (DataFrame, Int) = {
     // No `distinct` on the symmetrized edges: min-label propagation is
     // idempotent under duplicate edges (the min-fold absorbs them), so a
     // dedup shuffle buys nothing — duplicates only re-deliver an identical
@@ -1417,7 +1425,8 @@ object DedupOps {
     val singletons = nodes.select(col("id"))
       .join(labels, Seq("id"), "left_anti")
       .withColumn("label", col("id"))
-    labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
+    (labels.unionByName(singletons).withColumnRenamed("label", "cluster_id"),
+      iter)
   }
 
   /** One label-propagation hop of [[connectedComponents]] — one join + one

@@ -120,7 +120,7 @@ object GraphOps {
     * observed link from the referring host (event_id-derived) to the
     * landing host (user_id-derived) — 20 hosts, deterministic, and
     * recomputable in ANSI SQL so the oracle rebuilds the identical graph. */
-  private def eventLinks(s: SparkSession, d: String): DataFrame =
+  private[graft] def eventLinks(s: SparkSession, d: String): DataFrame =
     graft.Tables.events(s, d).select(
       concat(lit("host"), col("event_id") % 20, lit(".example.org"))
         .as("src"),

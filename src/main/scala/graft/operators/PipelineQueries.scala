@@ -1437,8 +1437,8 @@ object PipelineQueries {
     "s39_bitext_margin" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.bitextMarginMine(
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4)
+        emb.filter(bitextSide(col("vec_id")) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4)
         .orderBy(col("id_l"))
     }),
 
@@ -1449,8 +1449,8 @@ object PipelineQueries {
     "s40_bitext_banded" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.bitextMarginMineBanded(
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4,
+        emb.filter(bitextSide(col("vec_id")) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4,
         sigDim = 16, bands = 2)
         .orderBy(col("id_l"))
     }),
@@ -1463,8 +1463,8 @@ object PipelineQueries {
     "s41_bitext_forward" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.bitextForwardBest(
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4,
+        emb.filter(bitextSide(col("vec_id")) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4,
         sigDim = 16, bands = 2)
         .orderBy(col("id_l"))
     }),
@@ -1478,8 +1478,25 @@ object PipelineQueries {
     "s42_bitext_banded_wide" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.bitextMarginMineBanded(
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
-        emb.filter(pmod(col("vec_id"), lit(2L)) === 1L), 4,
+        emb.filter(bitextSide(col("vec_id")) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4,
+        sigDim = 32, bands = 2)
+        .orderBy(col("id_l"))
+    }),
+
+    // The forward/serving leg at the SCALE-TRUE dial (the r14 verdict's
+    // one `weak` closed): s41's plan — banded top-4 per left id, margins
+    // against the pre-materializable neighborhood sums, margin argmax,
+    // no mutual filter — at the 32-bit signature / 2×16-bit-band
+    // geometry the 100× gate measured surviving corpus growth (s42
+    // 3.5 s where the 8-bit dial saturated at ~97 s). This is the
+    // geometry the at-ingest probe (bitextMineProbe's wide spec) keys
+    // its release artifacts at, so stream and batch serve ONE dial.
+    "s43_bitext_forward_wide" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextForwardBest(
+        emb.filter(bitextSide(col("vec_id")) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4,
         sigDim = 32, bands = 2)
         .orderBy(col("id_l"))
     }),
@@ -2872,11 +2889,19 @@ object PipelineQueries {
     */
   /** The two bitext sides — deterministic embedding halves, shared by
     * the s39 (exact cross) and s40 (banded) oracle prologues. */
+  /** The deterministic two-side split, ONE definition both engines can
+    * honor for ANY int64 id: `abs(id % 2)`. Spark's `pmod(id, 2)` and
+    * SQL's `id % 2` disagree on negative ids (1 vs -1) — the fixtures
+    * only mint non-negative ids, but the parity contract shouldn't
+    * depend on a fixture convention (r14 ADVICE). abs(x % 2) ≡
+    * pmod(x, 2) for modulus 2 since x % 2 ∈ {-1, 0, 1}. */
+  private def bitextSide(id: Column): Column = abs(id % lit(2L))
+
   private def bitextSidesSql: String =
     """WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS lv
-      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |           FROM embeddings WHERE abs(vec_id % 2) = 0),
       |r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS rv
-      |      FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
+      |      FROM embeddings WHERE abs(vec_id % 2) = 1)""".stripMargin
 
   /** The banded candidate universe, SCORED — sign signature over the
     * first `sigDim` coordinates, 2 bands of sigDim/2 bits, cross-side
@@ -2949,6 +2974,43 @@ object PipelineQueries {
       |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
       |       round(margin, 6) AS margin
       |FROM mb WHERE bl = 1 AND br = 1 ORDER BY id_l""".stripMargin
+
+  /** The FORWARD-leg tail downstream of a `scored(id_l, id_r,
+    * sim_micro)` CTE — fwd top-4 per left id, the right-side
+    * neighborhood from the bwd top-4 sums (the release-artifact
+    * definition), margin argmax per left id, NO mutual filter. ONE
+    * definition for s41 (sigDim 16) and s43 (sigDim 32), mirroring the
+    * engine's bitextForwardBest. */
+  private def bitextForwardTailSql: String =
+    """,
+      |rk AS (
+      |  SELECT id_l, id_r, sim_micro,
+      |         row_number() OVER (PARTITION BY id_l
+      |                            ORDER BY sim_micro DESC, id_r) AS rl,
+      |         row_number() OVER (PARTITION BY id_r
+      |                            ORDER BY sim_micro DESC, id_l) AS rr
+      |  FROM scored),
+      |sx AS (SELECT id_l, CAST(sum(sim_micro) AS BIGINT) AS sum_l,
+      |              count(*) AS cnt_l FROM rk WHERE rl <= 4
+      |       GROUP BY id_l),
+      |sy AS (SELECT id_r, CAST(sum(sim_micro) AS BIGINT) AS sum_r,
+      |              count(*) AS cnt_r FROM rk WHERE rr <= 4
+      |       GROUP BY id_r),
+      |marg AS (
+      |  SELECT rk.id_l, rk.id_r, rk.sim_micro,
+      |         2.0 * rk.sim_micro * sx.cnt_l * sy.cnt_r
+      |           / (sx.sum_l * sy.cnt_r + sy.sum_r * sx.cnt_l) AS margin
+      |  FROM rk JOIN sx USING (id_l) JOIN sy USING (id_r)
+      |  WHERE rk.rl <= 4
+      |    AND sx.sum_l * sy.cnt_r + sy.sum_r * sx.cnt_l <> 0),
+      |best AS (
+      |  SELECT id_l, id_r, sim_micro, margin,
+      |         row_number() OVER (PARTITION BY id_l
+      |                            ORDER BY margin DESC, id_r) AS bn
+      |  FROM marg)
+      |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
+      |       round(margin, 6) AS margin
+      |FROM best WHERE bn = 1 ORDER BY id_l""".stripMargin
 
   private def chunkBandTopKSqlAt(dim: Int, bands: Int): String = {
     val b = dim / bands
@@ -4487,40 +4549,14 @@ object PipelineQueries {
     // candidate pairs. One tail definition with s39, so the two rungs
     // can only ever differ in candidate generation — as in the engine.
     "s40_bitext_banded" -> (bitextBandedScoredSql() + bitextMarginTailSql),
-    // s41: the forward leg — banded top-4 candidates per left id, the
-    // right-side neighborhood from the bwd top-4 sums (the artifact
-    // definition), margin argmax per left id, no mutual filter.
+    // s41/s43: the forward leg — banded top-4 candidates per left id,
+    // the right-side neighborhood from the bwd top-4 sums (the artifact
+    // definition), margin argmax per left id, no mutual filter. ONE
+    // tail definition; the two rungs differ only in the banded dial.
     "s41_bitext_forward" ->
-      (bitextBandedScoredSql() +
-        """,
-          |rk AS (
-          |  SELECT id_l, id_r, sim_micro,
-          |         row_number() OVER (PARTITION BY id_l
-          |                            ORDER BY sim_micro DESC, id_r) AS rl,
-          |         row_number() OVER (PARTITION BY id_r
-          |                            ORDER BY sim_micro DESC, id_l) AS rr
-          |  FROM scored),
-          |sx AS (SELECT id_l, CAST(sum(sim_micro) AS BIGINT) AS sum_l,
-          |              count(*) AS cnt_l FROM rk WHERE rl <= 4
-          |       GROUP BY id_l),
-          |sy AS (SELECT id_r, CAST(sum(sim_micro) AS BIGINT) AS sum_r,
-          |              count(*) AS cnt_r FROM rk WHERE rr <= 4
-          |       GROUP BY id_r),
-          |marg AS (
-          |  SELECT rk.id_l, rk.id_r, rk.sim_micro,
-          |         2.0 * rk.sim_micro * sx.cnt_l * sy.cnt_r
-          |           / (sx.sum_l * sy.cnt_r + sy.sum_r * sx.cnt_l) AS margin
-          |  FROM rk JOIN sx USING (id_l) JOIN sy USING (id_r)
-          |  WHERE rk.rl <= 4
-          |    AND sx.sum_l * sy.cnt_r + sy.sum_r * sx.cnt_l <> 0),
-          |best AS (
-          |  SELECT id_l, id_r, sim_micro, margin,
-          |         row_number() OVER (PARTITION BY id_l
-          |                            ORDER BY margin DESC, id_r) AS bn
-          |  FROM marg)
-          |SELECT id_l, id_r, round(sim_micro / 1e6, 6) AS sim,
-          |       round(margin, 6) AS margin
-          |FROM best WHERE bn = 1 ORDER BY id_l""".stripMargin),
+      (bitextBandedScoredSql() + bitextForwardTailSql),
+    "s43_bitext_forward_wide" ->
+      (bitextBandedScoredSql(32) + bitextForwardTailSql),
     // s42: the identical banded-mining tail at the WIDE dial — the
     // whole sign-signature chain re-derived at sigDim 32, 2 bands of
     // 16 bits (the geometry whose collision mass survives corpus

@@ -908,7 +908,28 @@ object RelevanceOps {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val picks = Seq.newBuilder[(Int, String, String, Long)]
-    val rews = Seq.newBuilder[(Int, DataFrame)]
+    // Deferred Σ tf·(n0−n) per round, drained in CHUNKS of `DrainRounds`
+    // (one union-aggregate job per chunk): keeps the driver round-trip
+    // win of full deferral (~rounds/64 collects instead of rounds) while
+    // bounding peak executor storage to DrainRounds pinned rewrites —
+    // the fully-deferred form retained EVERY round's localCheckpoint
+    // blocks until the post-loop aggregate (r14 ADVICE). Dropping a
+    // drained chunk's DataFrame references is the release mechanism:
+    // ContextCleaner unpersists checkpoint blocks whose driver-side
+    // references are GC'd. Drains run only after the stF that consumed
+    // the chunk's last rew has been awaited, so no in-flight union
+    // still reads a dropped rew.
+    val DrainRounds = 64
+    var rewPend = List.empty[(Int, DataFrame)]
+    val mergedAcc = scala.collection.mutable.Map.empty[Int, Long]
+    def drainRews(): Unit = if (rewPend.nonEmpty) {
+      mergedAcc ++= rewPend.map { case (rank, rew) =>
+        rew.agg(coalesce(sum(col("tf") * (col("n0") - col("n"))), lit(0L))
+          .as("m")).select(lit(rank).as("rank"), col("m"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+      rewPend = Nil
+    }
     var stF: Future[DataFrame] = Future.successful(st)
     var k = 1
     while (k <= rounds) {
@@ -927,6 +948,9 @@ object RelevanceOps {
       val c2 = best(0).getString(1)
       val pcnt = best(0).getLong(2)
       st = Await.result(stF, Duration.Inf)
+      // every pending rew (rounds < k) has now been consumed by an
+      // awaited st pin — safe to drain once the chunk fills
+      if (rewPend.length >= DrainRounds) drainRews()
       // symbols never contain whitespace (words are whitespace-split),
       // so " c1 c2 " against the space-padded rep is EXACTLY the
       // whole-symbol adjacency test
@@ -960,26 +984,20 @@ object RelevanceOps {
         reliable) }
       pc = Await.result(pcF, Duration.Inf)
       picks += ((k, c1, c2, pcnt))
-      rews += ((k, rew))
+      rewPend ::= ((k, rew))
       k += 1
       }
     }
     st = Await.result(stF, Duration.Inf)
-    // The old per-round `merged` collect, deferred: every round's
-    // Σ tf·(n0−n) over its (pinned) rewrite in ONE job, then a prefix
+    // The old per-round `merged` collect, deferred: each chunk's
+    // Σ tf·(n0−n) over its (pinned) rewrites in ONE job, then a prefix
     // subtraction from `total` rebuilds tokens_after — identical 64-bit
-    // arithmetic, rounds-many fewer driver round-trips.
-    val rewL = rews.result()
-    val mergedByRank: Map[Int, Long] =
-      if (rewL.isEmpty) Map.empty
-      else rewL.map { case (rank, rew) =>
-        rew.agg(coalesce(sum(col("tf") * (col("n0") - col("n"))), lit(0L))
-          .as("m")).select(lit(rank).as("rank"), col("m"))
-      }.reduce(_ unionByName _).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // arithmetic, rounds/DrainRounds driver round-trips instead of
+    // rounds.
+    drainRews()
     var after = total
     val out = picks.result().map { case (rank, c1, c2, pcnt) =>
-      after -= mergedByRank(rank)
+      after -= mergedAcc(rank)
       (rank, c1, c2, pcnt, after)
     }
     import sp.implicits._

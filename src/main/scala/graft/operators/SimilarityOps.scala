@@ -1909,6 +1909,57 @@ object SimilarityOps {
         col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** The SERVING plan of [[chunkBandTopK]] — the identical tail run from
+    * the two pre-materialized release artifacts ([[chunkBandIndex]] for
+    * candidates, [[chunkVecIndex]] for the rerank vectors) instead of
+    * re-deriving the corpus side from text. This is the plan a
+    * production deployment executes every query against (the artifacts
+    * are write-once per corpus release); the registered s38 rung
+    * re-derives both sides so the DuckDB oracle can gate the whole
+    * chain. Package-private for [[graft.tools.BucketServeProbe]], which
+    * A/Bs plain-parquet vs bucketed artifact storage at the 100× ladder
+    * — the r14 verdict's watch item: s38@100×'s residual ~85 GB
+    * memory-spill lives in the SMJ sorts of the vector-fetch join and
+    * candidate distinct, and bucketing the write-once artifacts by
+    * their join keys is the release-side lever that could remove the
+    * index-side sort entirely. Spec-pinned identical to
+    * [[chunkBandTopK]] (BandedRetrievalSpec).
+    */
+  private[graft] def chunkBandTopKServe(bandIndex: DataFrame,
+      vecIndex: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, bands: Int, queryMod: Int,
+      k: Int): DataFrame = {
+    require(bands >= 1 && dim % bands == 0 && queryMod >= 1 && k >= 1,
+      s"dim=$dim bands=$bands queryMod=$queryMod k=$k")
+    val b = dim / bands
+    val queries = queryVecs(docs, idCol, textCol, dim, queryMod)
+      .withColumn("sig", signKey(col("qv"), dim))
+    val qBands = queries
+      .select(col("query_id"),
+        explode_outer(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            bandKey(col("sig"), i, b).as("key"))): _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("query_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = bandIndex
+      .join(qBands, Seq("band", "key"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"))
+      .distinct()
+    rankTopK(cand
+      .join(vecIndex.select(col("corpus_id"), col("chunk_id"),
+        col("cv"), col("cn2")), Seq("corpus_id", "chunk_id"))
+      .join(queries.select(col("query_id"), col("qv"),
+        col("qn2")), Seq("query_id"))
+      .withColumn("sim",
+        when(col("cn2") === 0.0 || col("qn2") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2"))))), k)
+      .select(col("query_id"), col("corpus_id"), col("chunk_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   def chunkRetrievalLshRecall(docs: DataFrame, idCol: String,
       textCol: String, chunk: Int, stride: Int, dim: Int, queryMod: Int,
       k: Int): DataFrame = {

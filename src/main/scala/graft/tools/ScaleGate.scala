@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGate {
 
-  /** r13 NOTES table keys (minus d16) + the r14 executed rungs. The
-    * bitext EXECUTED rungs (s40/s41) gate too — embeddings scale in the
-    * ladder; s39's exact cross stays out, the d16 audit rule. */
+  /** r13 NOTES table keys (minus d16) + the executed rungs added since.
+    * The bitext EXECUTED rungs (s40/s41/s42/s43) gate too — embeddings
+    * scale in the ladder; s39's exact cross stays out, the d16 audit
+    * rule. g01/g03 joined in r15 once the ladder grew an events slice
+    * (their corpus-sized input — the edge/digest aggregate — now
+    * genuinely scales; the node set is fixture-capped, which is what
+    * [[GraphGrowthProbe]] covers). */
   val CeilingSet: Seq[String] = Seq(
     "t44_bpe_train_deep", "t37_fourgram_xent", "m09_visual_clusters",
     "m11_audio_clusters", "m12_audio_dup_histogram",
@@ -33,6 +37,8 @@ object ScaleGate {
     "s33_chunk_multiprobe_topk", "s34_chunk_band_recall",
     "s35_chunk_band_topk", "s38_chunk_band_topk_wide",
     "s40_bitext_banded", "s41_bitext_forward", "s42_bitext_banded_wide",
+    "s43_bitext_forward_wide",
+    "g01_host_rank", "g03_mirror_sources",
     "d32_winnow_match_slices", "d33_substring_cut_keep1",
     "t45_bpe_apply_heldout", "t46_bpe_apply_blocked",
     "t47_decontaminate_cut")
@@ -67,7 +73,8 @@ object ScaleGate {
       println(s"[scale-gate] building ${factor}x slice at $ladderDir ...")
       ScaleLadder.build(spark, srcDir, ladderDir, factor, cpus.toInt)
       val src = java.nio.file.Paths.get(srcDir)
-      val scaledTables = Set("documents.parquet", "embeddings.parquet")
+      val scaledTables =
+        Set("documents.parquet", "embeddings.parquet", "events.parquet")
       // driver testdata tables are single parquet FILES, not dirs —
       // copy both forms (the isDirectory-only guard silently skipped
       // every table, found when g01's events read failed at 10×)

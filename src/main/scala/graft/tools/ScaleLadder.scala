@@ -76,5 +76,31 @@ object ScaleLadder {
     scaled(emb, "vec_id", (d, _) => d)
       .repartition(cpus)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events: replica i shifts BOTH id columns by their own stride so
+    // ids stay unique and the replica's host residues (event_id % 20,
+    // user_id % 20 in g01/g02's link derivation) are re-phased rather
+    // than cloned — the edge/weight distribution of the grown stream
+    // stays realistic instead of every edge getting exactly factor×
+    // its weight. The 20-host node cap is the fixture's, not the
+    // ladder's: what genuinely scales here is the corpus-sized edge
+    // aggregate (the dominant cost at 100 TB); graph-size growth is
+    // [[GraphGrowthProbe]]'s job. ts is left alone — a denser crawl of
+    // the same window, so the a-family time-range predicates stay
+    // meaningful.
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val evMax = ev.agg(max(col("event_id").cast("long")),
+      max(col("user_id").cast("long"))).head()
+    require(!evMax.isNullAt(0) && !evMax.isNullAt(1),
+      "cannot scale an empty events table")
+    val (eStep, uStep) = (evMax.getLong(0) + 1L, evMax.getLong(1) + 1L)
+    (0 until factor).map { i =>
+      ev.withColumn("event_id",
+          col("event_id").cast("long") + lit(i * eStep))
+        .withColumn("user_id",
+          col("user_id").cast("long") + lit(i * uStep))
+    }.reduce(_ unionByName _)
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 }

@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 207)
+    assert(SparkEntry.queries.size === 208)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -40,7 +40,8 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // band-geometry sweep, t46 blocked BPE apply at 32 rounds, t47
     // decontamination cut, s37 wide-key recall audit — oracled +
     // fixture-gated on arrival
-    assert(SparkEntry.oracleSql.size === 207)
+    // r15: s43 bitext forward leg at the wide dial — oracled on arrival
+    assert(SparkEntry.oracleSql.size === 208)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }

@@ -568,6 +568,32 @@ class WinnowChunkSpec extends AnyFunSuite with SparkSpec {
     assert(!wide.keySet.exists(_._1 == 97L))
   }
 
+  test("chunkBandTopKServe: serving from pre-materialized artifacts equals the registered s38 row for row") {
+    import graft.operators.SimilarityOps
+    // a corpus with real band collisions: copies, near-copies, and a
+    // larger shared-vocabulary pool so candidates flow through both
+    // the band join and the vector-fetch rerank
+    def txt(seed: Long): String =
+      (0 until 16).map(j => s"w${(seed * 5 + j * 3) % 23}").mkString(" ")
+    val docs = ((0L until 40L).map(i => (i, txt(i % 7))) ++
+      Seq((97L, "unrelated words on some other subject entirely")))
+      .toDF("doc_id", "text")
+    val bandIdx = SimilarityOps.chunkBandIndex(docs, "doc_id", "text",
+      64, 48, 32, 2)
+    val vecIdx = SimilarityOps.chunkVecIndex(docs, "doc_id", "text",
+      64, 48, 32)
+    val served = SimilarityOps.chunkBandTopKServe(bandIdx, vecIdx, docs,
+      "doc_id", "text", dim = 32, bands = 2, queryMod = 7, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    val registered = SimilarityOps.chunkBandTopK(docs, "doc_id", "text",
+      64, 48, 32, 2, 7, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    assert(served === registered)
+    assert(served.nonEmpty) // an empty universe would prove nothing
+  }
+
   test("chunkWindows: geometry, coverage, overlap, differential vs reference") {
     val chunk = 5; val stride = 3
     val rnd = new Random(7)

@@ -331,6 +331,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(labels === Set(0L))
   }
 
+  test("connected components: observed round count is logarithmic in path diameter") {
+    // the ccWithRounds counter GraphGrowthProbe gates on: doubling the
+    // diameter 4 times (64 → 1024) may add at most ~1 round per
+    // doubling if halving holds; plain propagation would add 960
+    def rounds(d: Long): Int = {
+      val nodes = (0L to d).toDF("id")
+      val edges = (0L until d).map(i => (i, i + 1)).toDF("src", "dst")
+      DedupOps.ccWithRounds(nodes, edges)._2
+    }
+    val r64 = rounds(64L)
+    val r1024 = rounds(1024L)
+    assert(r1024 <= r64 + 6,
+      s"rounds grew super-logarithmically: d=64 -> $r64, d=1024 -> $r1024")
+  }
+
   test("property: connected components == driver union-find on random graphs") {
     val rnd = new scala.util.Random(0xC0FFEE)
     for (_ <- 1 to 6) {
