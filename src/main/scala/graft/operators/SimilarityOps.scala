@@ -1918,12 +1918,17 @@ object SimilarityOps {
     * re-derives both sides so the DuckDB oracle can gate the whole
     * chain. Package-private for [[graft.tools.BucketServeProbe]], which
     * A/Bs plain-parquet vs bucketed artifact storage at the 100× ladder
-    * — the r14 verdict's watch item: s38@100×'s residual ~85 GB
-    * memory-spill lives in the SMJ sorts of the vector-fetch join and
-    * candidate distinct, and bucketing the write-once artifacts by
-    * their join keys is the release-side lever that could remove the
-    * index-side sort entirely. Spec-pinned identical to
-    * [[chunkBandTopK]] (BandedRetrievalSpec).
+    * — the r14 verdict's watch item. MEASURED OUTCOME (r15,
+    * BUCKETSERVE_100x_r15.json): bucketing does NOT move the ~85 GB
+    * spill — the artifacts total 25 MiB at 100×, so the index-side
+    * sort was never the cost; the spill is the candidate side (~330M
+    * pre-distinct rows sorting for the fetch SMJ + aggregating for the
+    * distinct), which no corpus-artifact layout can remove. Wall
+    * medians improved (88.6 → 65.2 s) but inside the box's variance
+    * band. The real levers stay the band dial (candidate mass) and
+    * the capped-heap rerank; artifact builders deliberately did not
+    * grow a bucketed mode. Spec-pinned identical to [[chunkBandTopK]]
+    * (WinnowChunkSpec serve-parity test).
     */
   private[graft] def chunkBandTopKServe(bandIndex: DataFrame,
       vecIndex: DataFrame, docs: DataFrame, idCol: String,

@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object PipelineStreams {
 
+  /** The retrieval family's capped top-k as an untyped aggregate column
+    * — [[graft.functions.RetrievalTopKAgg.topKDistinct]] lifted via
+    * `udaf` so it can sit in a watermarked `groupBy(window, id)` (the
+    * typed `groupByKey` route has no watermark binding). The streaming
+    * state row per (window, arrival) is the CAPPED buffer — ≤ k
+    * entries — where the collect_list→sort→slice form it replaced
+    * persisted the whole banded candidate mass per arrival between
+    * microbatches (53.6k structs/query at the 100× wide dial; the r15
+    * ingest probe measured that form unable to drain 20 microbatches
+    * in 25 minutes — state I/O, not compute). Takes
+    * (sim double, corpus_id long, chunk_id int); emits the rank-sorted
+    * distinct top-k, so `posexplode` recovers 1-based ranks. */
+  private def retrievalTopKCol(k: Int) =
+    udaf(graft.functions.RetrievalTopKAgg.topKDistinct(k))
+
+  /** [[retrievalTopKCol]]'s bitext twin
+    * ([[graft.functions.BitextTopKAgg]]): (sim_micro long, id_r long,
+    * sum_r nullable long, cnt_r nullable long). */
+  private def bitextTopKCol(k: Int) =
+    udaf(graft.functions.BitextTopKAgg.topKDistinct(k))
+
   /** At-ingest exact dedup: ONE copy per content digest survives, later
     * copies are dropped. Within a micro-batch the surviving row is
     * partition-order-arbitrary (dropDuplicatesWithinWatermark semantics),
@@ -1163,9 +1184,11 @@ object PipelineStreams {
             (sqrt(col("qn2")) * sqrt(col("cn2")))))
     scored
       .groupBy(window(col(tsCol), window_), col(idCol))
-      .agg(slice(sort_array(collect_list(struct(
-        (-col("sim")).as("ns"), col("corpus_id"), col("chunk_id"),
-        col("sim")))), 1, k).as("top"))
+      // capped heap, not collect_list+sort+slice: state per
+      // (window, arrival) is ≤ k entries, never the bucket mass
+      .agg(retrievalTopKCol(k)(col("sim").cast("double"),
+        col("corpus_id").cast("long"), col("chunk_id").cast("int"))
+        .as("top"))
       .select(col("window.start").as("window_start"), col(idCol),
         posexplode(col("top")).as(Seq("r", "t")))
       .select(col("window_start"), col(idCol).as("query_id"),
@@ -1222,9 +1245,11 @@ object PipelineStreams {
             (sqrt(col("qn2")) * sqrt(col("cn2")))))
     scored
       .groupBy(window(col(tsCol), window_), col(idCol))
-      .agg(slice(array_distinct(sort_array(collect_list(struct(
-        (-col("sim")).as("ns"), col("corpus_id"), col("chunk_id"),
-        col("sim"))))), 1, k).as("top"))
+      // capped heap with on-insert dedup (the batch DISTINCT restated):
+      // state per (window, arrival) is ≤ k entries, never the collision mass
+      .agg(retrievalTopKCol(k)(col("sim").cast("double"),
+        col("corpus_id").cast("long"), col("chunk_id").cast("int"))
+        .as("top"))
       .select(col("window.start").as("window_start"), col(idCol),
         posexplode(col("top")).as(Seq("r", "t")))
       .select(col("window_start"), col(idCol).as("query_id"),
@@ -1286,9 +1311,11 @@ object PipelineStreams {
             (sqrt(col("qn2")) * sqrt(col("cn2")))))
     scored
       .groupBy(window(col(tsCol), window_), col(idCol))
-      .agg(slice(array_distinct(sort_array(collect_list(struct(
-        (-col("sim")).as("ns"), col("corpus_id"), col("chunk_id"),
-        col("sim"))))), 1, k).as("top"))
+      // capped heap with on-insert dedup (the batch DISTINCT restated):
+      // state per (window, arrival) is ≤ k entries, never the collision mass
+      .agg(retrievalTopKCol(k)(col("sim").cast("double"),
+        col("corpus_id").cast("long"), col("chunk_id").cast("int"))
+        .as("top"))
       .select(col("window.start").as("window_start"), col(idCol),
         posexplode(col("top")).as(Seq("r", "t")))
       .select(col("window_start"), col(idCol).as("query_id"),
@@ -1365,9 +1392,12 @@ object PipelineStreams {
         col("lv"), col("ln"), col("rv"), col("rn")))
     scored
       .groupBy(window(col(tsCol), window_), col("id_l"))
-      .agg(slice(array_distinct(sort_array(collect_list(struct(
-        (-col("sim_micro")).as("ns"), col("id_r"), col("sim_micro"),
-        col("sum_r"), col("cnt_r"))))), 1, k).as("top"))
+      // capped heap with on-insert dedup (the batch DISTINCT restated):
+      // state per (window, arrival) is ≤ k entries, never the banded
+      // collision mass; sum_r/cnt_r ride along nullable
+      .agg(bitextTopKCol(k)(col("sim_micro").cast("long"),
+        col("id_r").cast("long"), col("sum_r").cast("long"),
+        col("cnt_r").cast("long")).as("top"))
       .withColumn("cnt_l", size(col("top")).cast("long"))
       .withColumn("sum_l", expr(
         "aggregate(top, CAST(0 AS BIGINT), (acc, x) -> acc + x.sim_micro)"))

@@ -102,9 +102,21 @@ object BucketServeProbe {
     // bucketed: repartition ON the bucket keys first so each bucket is
     // ONE file — multiple files per bucket forfeit the sorted-bucket
     // read and the SMJ sort comes back
+    // a fresh derby metastore per JVM forgets last run's tables, so
+    // DROP TABLE alone leaves the physical dirs behind and saveAsTable
+    // refuses the location — clear the warehouse on disk first
+    def rmTree(p: String): Unit = {
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.walk(path)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    }
     val buildBucketSec = timed { () =>
       spark.sql("DROP TABLE IF EXISTS probe_vec_idx")
       spark.sql("DROP TABLE IF EXISTS probe_band_idx")
+      rmTree("/tmp/bucket_probe_warehouse/probe_vec_idx")
+      rmTree("/tmp/bucket_probe_warehouse/probe_band_idx")
       vecIdxDf.repartition(nBuckets, col("corpus_id"), col("chunk_id"))
         .write.mode("overwrite")
         .bucketBy(nBuckets, "corpus_id", "chunk_id")
@@ -129,8 +141,11 @@ object BucketServeProbe {
         "text", BowDimWide, ChunkBandsWide, ChunkQueryMod, ChunkTopK)
 
     def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(df.columns.map(col): _*))).head()
+      // bit_xor, not sum: an order-independent fold that cannot
+      // overflow (summing full-range xxhash64 longs trips ANSI
+      // arithmetic at any real row count)
+      val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      val r = h.agg(count(lit(1)), expr("bit_xor(h)")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 

@@ -88,18 +88,26 @@ object GraphGrowthProbe {
       val nodes = all.select(col("src").as("id"))
         .unionByName(all.select(col("dst").as("id"))).distinct()
       val nNodes = nodes.count()
+      // CC sees the DISTINCT edge set — how every production caller
+      // feeds it (g01 aggregates (src, dst) first, g03 emits one row
+      // per pair); the raw multigraph (100k link rows over ≤400
+      // distinct pairs per replica) would measure duplicate-row join
+      // volume, not the operator as used
+      val distinctEdges = all.select(col("src"), col("dst"))
+        .distinct().localCheckpoint()
+      val nDistinct = distinctEdges.count()
       val ((cc, ccRounds), ccSec) = timed {
-        val (df, rr) = DedupOps.ccWithRounds(
-          nodes, all.select(col("src"), col("dst")))
+        val (df, rr) = DedupOps.ccWithRounds(nodes, distinctEdges)
         (df.localCheckpoint(), rr)
       }
       val nClusters = cc.select(col("cluster_id")).distinct().count()
       require(nClusters == 1L,
         s"replicas r=$r: expected one bridged component, got $nClusters")
       println(s"[graph-growth] replicas r=$r nodes=$nNodes " +
-        s"edges=$nEdges cc_rounds=$ccRounds cc_sec=${r3(ccSec)} " +
-        s"rank_sec=${r3(rankSec)}")
+        s"edges=$nEdges distinct=$nDistinct cc_rounds=$ccRounds " +
+        s"cc_sec=${r3(ccSec)} rank_sec=${r3(rankSec)}")
       s"""{"replicas":$r,"nodes":$nNodes,"edge_rows":$nEdges,""" +
+        s""""distinct_edges":$nDistinct,""" +
         s""""cc_rounds":$ccRounds,"cc_sec":${r3(ccSec)},""" +
         s""""rank_sec":${r3(rankSec)}}"""
     }

@@ -1725,10 +1725,12 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("bitext mine probe at the wide dial: at-ingest equals batch s42's forward leg per arrival") {
+  test("bitext mine probe at the wide dial: at-ingest equals the REGISTERED s43 forward leg per arrival") {
     import graft.operators.SimilarityOps
     implicit val sqlCtx = spark.sqlContext
-    // dim 36 ≥ sigDim 32 — artifacts keyed at the scale-true geometry
+    // dim 36 ≥ sigDim 32 — artifacts keyed at the scale-true geometry,
+    // the exact body of s43_bitext_forward_wide (bitextForwardBest at
+    // (32, 2)): stream and batch serve ONE registered dial
     def vec(i: Long, shift: Double): Seq[Float] = {
       val c = i % 3
       (0 until 36).map { d =>
