@@ -1360,7 +1360,15 @@ object SimilarityOps {
           col("chunk_id").cast("int").as("chunk_id")).as("_2"))
       .as[(Long, RetrievalTopKAgg.Entry)]
       .groupByKey(_._1).mapValues(_._2)
-      .agg(RetrievalTopKAgg.topK(k).toColumn.name("top"))
+      // the DISTINCT heap (r15): dedup-on-insert makes an upstream
+      // candidate distinct REDUNDANT — band/probe duplicates of a
+      // (corpus, chunk) score identically (same vectors), so the heap
+      // collapses them for free and the banded rungs drop their
+      // 330M-row candidate-dedup shuffle entirely (measured below, the
+      // r14 spill attribution's other half). On already-unique inputs
+      // (s28/s32: one row per candidate by construction) this is
+      // bit-identical to the plain heap.
+      .agg(RetrievalTopKAgg.topKDistinct(k).toColumn.name("top"))
       .select(col("key").as("query_id"),
         posexplode(col("top")).as(Seq("r", "t")))
       .select(col("query_id"), col("t.corpus_id").as("corpus_id"),
@@ -1644,11 +1652,15 @@ object SimilarityOps {
     // them when estimates are small and AQE re-plans shuffle joins to
     // broadcast at runtime when the measured side fits — the adaptive
     // behavior a corpus-proportional side needs (r13 ADVICE).
+    // No dedup, and none is even possible here (r15): the probe set is
+    // {qsig ^ m} over DISTINCT masks, so a chunk's one sig equals at
+    // most ONE probe value per query — (query, corpus, chunk) rows are
+    // unique by construction and the old dropDuplicates was a pure
+    // extra shuffle of the whole candidate mass. The DISTINCT rerank
+    // heap backstops the invariant anyway.
     val cand = chunks.select(col("sig"), col("corpus_id"), col("chunk_id"))
       .join(probes, Seq("sig"))
       .filter(col("corpus_id") =!= col("query_id"))
-      // a chunk reachable through several probes scores once
-      .dropDuplicates("query_id", "corpus_id", "chunk_id")
     rankTopK(cand
       .join(chunks.select(col("corpus_id"), col("chunk_id"), col("cv"),
         col("cn2")), Seq("corpus_id", "chunk_id"))
@@ -1891,14 +1903,29 @@ object SimilarityOps {
     // estimates, AQE flips measured-small shuffle joins at runtime,
     // and a genuinely large query side degrades to a shuffled hash
     // join instead of a driver OOM (r13 ADVICE).
+    // NO candidate distinct (r15): a chunk agreeing on both bands
+    // arrives twice, scores identically (same vectors), and the
+    // DISTINCT rerank heap collapses it on insert — the pre-score
+    // dedup was a full shuffle + sort/hash of the ~330M-row candidate
+    // mass at 100× (half of the r14 spill attribution) bought to avoid
+    // re-scoring a few-percent band overlap, which is map-side-free by
+    // comparison. Answer unchanged (oracle + specs re-gated).
     val cand = chunkBandIndex(docs, idCol, textCol, chunk, stride, dim,
         bands)
       .join(qBands, Seq("band", "key"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("chunk_id"))
-      .distinct()
+    // shuffle_hash on the INDEX side of the vector fetch (r15,
+    // measured by SPILL, which the r14 wall-only A/B couldn't see):
+    // SMJ sorts the raw candidate mass (~35 GB external sort at 100×
+    // after the distinct-drop) to join a side that hashes in
+    // |index| / partitions per task at ANY corpus scale — the build
+    // side is the corpus artifact, so unlike a broadcast hint there is
+    // no driver/exchange cliff to hit at 100 TB, and unlike the
+    // query-side no-hint rule this side's size is a release-time
+    // constant per partition. AQE kept choosing SMJ from estimates.
     rankTopK(cand
-      .join(chunks, Seq("corpus_id", "chunk_id"))
+      .join(chunks.hint("shuffle_hash"), Seq("corpus_id", "chunk_id"))
       .join(queries.select(col("query_id"), col("qv"),
         col("qn2")), Seq("query_id"))
       .withColumn("sim",
@@ -1947,11 +1974,12 @@ object SimilarityOps {
       .filter(col("bk").isNotNull)
       .select(col("query_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+    // no candidate distinct — the DISTINCT rerank heap dedups band
+    // overlap on insert (see chunkBandTopK; the two plans stay twins)
     val cand = bandIndex
       .join(qBands, Seq("band", "key"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("chunk_id"))
-      .distinct()
     rankTopK(cand
       .join(vecIndex.select(col("corpus_id"), col("chunk_id"),
         col("cv"), col("cn2")), Seq("corpus_id", "chunk_id"))

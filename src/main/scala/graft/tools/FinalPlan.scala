@@ -25,6 +25,13 @@ object FinalPlan {
       .config("spark.sql.shuffle.partitions", 16)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // capped-buffer typed aggregates (RetrievalTopKAgg etc.) hold <= k
+      // entries per group, so the object hash map is bounded by
+      // groups/partition x k; the default 128-key sort fallback would
+      // external-sort the whole scored input past key 128 (measured:
+      // s38@100x 22.8 GB spill -> 0 with this raised)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TimestampFilterPushdown.enable(spark)
