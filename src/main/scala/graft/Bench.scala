@@ -157,13 +157,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // capped-buffer typed aggregates (RetrievalTopKAgg etc.) hold <= k
-      // entries per group, so the object hash map is bounded by
-      // groups/partition x k; the default 128-key sort fallback would
-      // external-sort the whole scored input past key 128 (measured:
-      // s38@100x 22.8 GB spill -> 0 with this raised)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "131072")
+      // the objectHashAggregate fallback raise moved OFF the session
+      // builder: it travels with the capped-heap queries through
+      // graft.HeapScope's child session (r16 — blast-radius scoping)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,11 +15,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventQueries.defs("a04_per_user_stats")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. The
+    * capped-heap retrieval/bitext family executes under [[HeapScope]]'s
+    * child session (the scoped objectHashAggregate fallback raise). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.defs ++ RelationalQueries.defs ++ CrawlParityQueries.defs ++
-      LauncherQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs ++
-      CoverageQueries.defs ++ GraphOps.defs
+    HeapScope.scope(
+      EventQueries.defs ++ RelationalQueries.defs ++ CrawlParityQueries.defs ++
+        LauncherQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs ++
+        CoverageQueries.defs ++ GraphOps.defs)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -21,12 +21,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // the engine's session contract (see Bench): capped-buffer typed
-      // aggregates make a high object-hash fallback threshold safe —
-      // the default 128 sort-falls-back past key 128 and external-sorts
-      // the whole aggregate input
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "131072")
+      // the objectHashAggregate fallback raise moved OFF the session
+      // builder: it travels with the capped-heap queries through
+      // graft.HeapScope's child session (r16 — blast-radius scoping)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1344,6 +1344,17 @@ object DedupOps {
       df.checkpoint()
     } else df.localCheckpoint()
 
+  /** Deterministic release of a [[pin]]'d DataFrame's storage: unpersist
+    * the checkpointed RDD behind the pin's LogicalRDD. Dropping the
+    * driver reference and waiting for GC + ContextCleaner also works,
+    * but NON-deterministically — peak executor storage can overshoot a
+    * drain bound until a driver GC happens (r15 ADVICE). No-op for
+    * reliable pins (files, not blocks) and non-pinned frames. */
+  private[graft] def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components over an undirected edge set by iterative min-label
     * propagation: every node's label converges to the smallest node id in
     * its component — the canonical representative for near-dup cluster

@@ -928,6 +928,12 @@ object RelevanceOps {
           .as("m")).select(lit(rank).as("rank"), col("m"))
       }.reduce(_ unionByName _).collect()
         .map(r => r.getInt(0) -> r.getLong(1))
+      // deterministic release of the drained chunk's checkpoint blocks:
+      // GC + ContextCleaner would get there eventually, but the storage
+      // bound should not depend on driver GC timing (r15 ADVICE). Every
+      // pin's st consumer has been awaited before drainRews is called,
+      // so nothing still reads these blocks.
+      rewPend.foreach { case (_, rew) => DedupOps.unpin(rew) }
       rewPend = Nil
     }
     var stF: Future[DataFrame] = Future.successful(st)

@@ -1204,12 +1204,15 @@ object PipelineStreams {
     * neighbor buckets (the queries×(dim+1) probe expansion, built
     * scan-side by XOR over the staged sig long — the same masks as
     * [[graft.operators.SimilarityOps.chunkMultiProbeTopK]]), scores the
-    * candidate union exactly, and the windowed rollup keeps the k best.
-    * A chunk reachable through several probes scores identically each
-    * time, so the sorted candidate list dedups by adjacency
-    * (array_distinct AFTER sort_array — order-preserving on a sorted
-    * array) before the slice-k: the dedup-before-rerank of batch s33,
-    * restated for a streaming aggregate.
+    * candidate union exactly, and the windowed rollup keeps the k best
+    * through the capped distinct heap ([[retrievalTopKCol]], lifting
+    * [[graft.functions.RetrievalTopKAgg.topKDistinct]]). A chunk
+    * reachable through several probes scores identically each time, so
+    * the heap dedups ON INSERT (equal entries are adjacent under the
+    * total order — one comparison decides, BEFORE the cap so the answer
+    * never under-fills): the dedup-before-rerank of batch s33, restated
+    * as streaming state that holds ≤ k entries per (window, arrival)
+    * instead of the whole probed collision mass.
     *
     * Emitted top-k is spec-pinned equal to batch s33 per arrival;
     * arrivals missing every probed bucket still emit nothing — the
@@ -1335,10 +1338,13 @@ object PipelineStreams {
     * margin denominator's right half, computed once per corpus release)
     * through two more id-keyed stream-static joins, scores with the
     * SHARED [[graft.operators.SimilarityOps.bitextSimMicro]], and the
-    * windowed rollup keeps the banded top-k (dedup by adjacency after
-    * sort — multi-band agreements carry identical structs), computes
-    * margins via the same integer arithmetic, and emits the
-    * margin-argmax (margin desc, id_r asc) per arrival.
+    * windowed rollup keeps the banded top-k through the capped distinct
+    * heap ([[bitextTopKCol]], lifting
+    * [[graft.functions.BitextTopKAgg.topKDistinct]] — multi-band
+    * agreements deliver the identical entry and dedup on insert, so
+    * state per (window, arrival) is ≤ k entries, never the collision
+    * mass), computes margins via the same integer arithmetic, and emits
+    * the margin-argmax (margin desc, id_r asc) per arrival.
     *
     * Emitted rows are spec-pinned equal to batch
     * [[graft.operators.SimilarityOps.bitextForwardBest]] per arrival —

@@ -57,10 +57,10 @@ object BucketServeProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // capped-buffer typed aggregates (RetrievalTopKAgg etc.) hold <= k
-      // entries per group, so the object hash map is bounded by
-      // groups/partition x k; the default 128-key sort fallback would
-      // external-sort the whole scored input past key 128 (measured:
+      // this tool drives ONLY capped-heap paths (the serving tails and
+      // their artifact builders), so the HeapScope raise is safe
+      // session-wide here: buffers hold <= k entries per group, the
+      // object hash map is bounded by groups/partition x k (measured:
       // s38@100x 22.8 GB spill -> 0 with this raised)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "131072")

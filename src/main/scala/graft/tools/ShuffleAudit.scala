@@ -43,12 +43,9 @@ object ShuffleAudit {
       .config("spark.sql.shuffle.partitions", 16)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // capped-buffer typed aggregates (RetrievalTopKAgg etc.) keep ≤ k
-      // entries per group, so the object hash map is bounded by
-      // groups/partition × k — raise the 128-key sort fallback, which
-      // otherwise external-sorts the whole scored input past key 128
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "131072")
+      // the objectHashAggregate fallback raise moved OFF the session
+      // builder: it travels with the capped-heap queries through
+      // graft.HeapScope's child session (r16 — blast-radius scoping)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TimestampFilterPushdown.enable(spark)
