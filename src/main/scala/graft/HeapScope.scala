@@ -48,6 +48,7 @@ object HeapScope {
     "s35_chunk_band_topk", "s36_chunk_band_sweep",
     "s37_chunk_lsh_recall_wide", "s38_chunk_band_topk_wide",
     "s39_bitext_margin", "s40_bitext_banded", "s41_bitext_forward",
+    "s40s_bitext_banded_sampled", "s41s_bitext_forward_sampled",
     "s42_bitext_banded_wide", "s43_bitext_forward_wide",
     "d21_source_cap")
 

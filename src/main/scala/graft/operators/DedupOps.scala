@@ -308,12 +308,36 @@ object DedupOps {
     * of re-digesting — same plan from the join up.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val corpusDigests = corpus
-      .select(contentDigest(col(textCol)).as("digest"))
-      .groupBy(col("digest")).agg(lit(true).as("in_corpus"))
+      idCol: String, textCol: String): DataFrame =
+    incrementalDedupFromDigests(
+      corpus.select(contentDigest(col(textCol)).as("digest")),
+      batch, idCol, textCol)
+
+  /** The d17/d24 classification tail from an already-derived corpus
+    * digest column (one `digest` column, pre-distinct or not) — ONE
+    * definition for the re-derive registry forms AND the
+    * artifact-served production shape, where the corpus side is the
+    * pre-materialized d01 digest index read from parquet (the steady
+    * state a 100 TB ingest actually runs: the corpus text is digested
+    * once at release, never per batch). `bloomExpectedBatchDocs`
+    * plants the d24 batch-side bloom at the corpus scan. */
+  def incrementalDedupFromDigests(corpusDigestCol: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      bloomExpectedBatchDocs: Option[Long] = None): DataFrame = {
     val batchDigested = batch
       .select(col(idCol), contentDigest(col(textCol)).as("digest"))
+    val pruned = bloomExpectedBatchDocs match {
+      case Some(n) =>
+        require(n > 0, s"expectedBatchDocs=$n")
+        val bloom = batchDigested
+          .agg(graft.functions.BloomFns.bloomAgg(xxhash64(col("digest")),
+            n, n * 16).as("bf"))
+        corpusDigestCol.filter(graft.functions.BloomFns.mightContain(bloom,
+          xxhash64(col("digest"))))
+      case None => corpusDigestCol
+    }
+    val corpusDigests = pruned
+      .groupBy(col("digest")).agg(lit(true).as("in_corpus"))
     val firstInBatch = batchDigested
       .groupBy(col("digest")).agg(min(col(idCol)).as("first_id"))
     batchDigested
@@ -354,28 +378,10 @@ object DedupOps {
     * expression on both sides.
     */
   def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
-      idCol: String, textCol: String, expectedBatchDocs: Long): DataFrame = {
-    require(expectedBatchDocs > 0, s"expectedBatchDocs=$expectedBatchDocs")
-    val batchDigested = batch
-      .select(col(idCol), contentDigest(col(textCol)).as("digest"))
-    val bloom = batchDigested
-      .agg(graft.functions.BloomFns.bloomAgg(xxhash64(col("digest")),
-        expectedBatchDocs, expectedBatchDocs * 16).as("bf"))
-    val corpusDigests = corpus
-      .select(contentDigest(col(textCol)).as("digest"))
-      .filter(graft.functions.BloomFns.mightContain(bloom,
-        xxhash64(col("digest"))))
-      .groupBy(col("digest")).agg(lit(true).as("in_corpus"))
-    val firstInBatch = batchDigested
-      .groupBy(col("digest")).agg(min(col(idCol)).as("first_id"))
-    batchDigested
-      .join(firstInBatch, Seq("digest"))
-      .join(corpusDigests, Seq("digest"), "left")
-      .select(col(idCol), col("digest"),
-        when(col("in_corpus").isNotNull, lit("dup_in_corpus"))
-          .when(col(idCol) === col("first_id"), lit("new_unique"))
-          .otherwise(lit("dup_in_batch")).as("status"))
-  }
+      idCol: String, textCol: String, expectedBatchDocs: Long): DataFrame =
+    incrementalDedupFromDigests(
+      corpus.select(contentDigest(col(textCol)).as("digest")),
+      batch, idCol, textCol, Some(expectedBatchDocs))
 
   /** d19: exact-substring duplication accounting — the Lee et al.
     * ("Deduplicating Training Data Makes Language Models Better")

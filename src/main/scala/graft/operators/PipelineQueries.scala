@@ -1501,6 +1501,36 @@ object PipelineQueries {
         .orderBy(col("id_l"))
     }),
 
+    // The SAMPLED audit forms of the saturating 8-bit rungs (the d16s
+    // move applied to bitext): s40/s41's full-cost 100× gate rows read
+    // 110–166 s each BY DESIGN — their candidate mass IS the documented
+    // dial cost — which priced the per-session scale gate out of daily
+    // use (r15 VERDICT #3). These run the identical miner on a
+    // deterministic 1/16 left subsample (abs(vec_id % 32) = 0 within
+    // the left side), so per-left-query candidate saturation — the
+    // signal the audit rungs exist to watch — is measured at ~1/16 the
+    // wall; the full-cost rungs stay registered and get one full gate
+    // row per round for the record.
+    "s40s_bitext_banded_sampled" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextMarginMineBanded(
+        emb.filter(bitextSide(col("vec_id")) === 0L &&
+          abs(col("vec_id") % 32) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4,
+        sigDim = 16, bands = 2)
+        .orderBy(col("id_l"))
+    }),
+
+    "s41s_bitext_forward_sampled" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bitextForwardBest(
+        emb.filter(bitextSide(col("vec_id")) === 0L &&
+          abs(col("vec_id") % 32) === 0L),
+        emb.filter(bitextSide(col("vec_id")) === 1L), 4,
+        sigDim = 16, bands = 2)
+        .orderBy(col("id_l"))
+    }),
+
     // Top-30 PMI collocations at min count 5 — phrase mining over the
     // shared bigram transition table. See RelevanceOps.pmiCollocations
     // for the ln-sum overflow argument and the minCount-first prune.
@@ -2897,9 +2927,12 @@ object PipelineQueries {
     * pmod(x, 2) for modulus 2 since x % 2 ∈ {-1, 0, 1}. */
   private def bitextSide(id: Column): Column = abs(id % lit(2L))
 
-  private def bitextSidesSql: String =
-    """WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS lv
-      |           FROM embeddings WHERE abs(vec_id % 2) = 0),
+  /** `leftExtra`: additional left-side predicate (the s40s/s41s sampled
+    * audit rungs subsample the LEFT/query side — same miner, 1/16 the
+    * query mass). */
+  private def bitextSidesSql(leftExtra: String = ""): String =
+    s"""WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS lv
+      |           FROM embeddings WHERE abs(vec_id % 2) = 0$leftExtra),
       |r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS rv
       |      FROM embeddings WHERE abs(vec_id % 2) = 1)""".stripMargin
 
@@ -2908,10 +2941,11 @@ object PipelineQueries {
     * (band, key) equi-join, micro-unit cosine on candidates only. ONE
     * definition for s40/s41 (sigDim 16) and s42 (sigDim 32), mirroring
     * the engine's bitextBandedScored. */
-  private def bitextBandedScoredSql(sigDim: Int = 16): String = {
+  private def bitextBandedScoredSql(sigDim: Int = 16,
+      leftExtra: String = ""): String = {
     val bits = sigDim / 2
     val mask = (1L << bits) - 1
-    bitextSidesSql +
+    bitextSidesSql(leftExtra) +
       s""",
         |lsig AS (SELECT id_l, lv,
         |    sum(CASE WHEN lv[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
@@ -4534,7 +4568,7 @@ object PipelineQueries {
     // (bitextMarginTailSql). Candidates = rl<=k OR rr<=k, exactly the
     // engine's distinct(fwd ∪ bwd).
     "s39_bitext_margin" ->
-      (bitextSidesSql +
+      (bitextSidesSql() +
         """,
           |scored AS (
           |  SELECT id_l, id_r,
@@ -4549,6 +4583,15 @@ object PipelineQueries {
     // candidate pairs. One tail definition with s39, so the two rungs
     // can only ever differ in candidate generation — as in the engine.
     "s40_bitext_banded" -> (bitextBandedScoredSql() + bitextMarginTailSql),
+    // s40s/s41s: the SAMPLED audit forms — the identical miner over a
+    // deterministic 1/16 left subsample (the cheap per-session gate
+    // row; the full rungs keep one full-cost gate row per round).
+    "s40s_bitext_banded_sampled" ->
+      (bitextBandedScoredSql(16, " AND abs(vec_id % 32) = 0") +
+        bitextMarginTailSql),
+    "s41s_bitext_forward_sampled" ->
+      (bitextBandedScoredSql(16, " AND abs(vec_id % 32) = 0") +
+        bitextForwardTailSql),
     // s41/s43: the forward leg — banded top-4 candidates per left id,
     // the right-side neighborhood from the bwd top-4 sums (the artifact
     // definition), margin argmax per left id, no mutual filter. ONE

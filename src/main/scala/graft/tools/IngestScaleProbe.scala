@@ -6,24 +6,37 @@ import org.apache.spark.sql.functions._
 
 /** The at-ingest path through the 100× gate (r14 Next #5): every
   * streaming leg is batch-identity pinned at fixture scale, but the
-  * scale gates only ever ran the BATCH rungs. This probe drives the two
-  * wide-dial serving probes — `chunkRetrieveTopKBanded` (s38's at-ingest
-  * twin) and `bitextMineProbe` (s43's) — against artifacts built from a
-  * ladder slice, with a bounded arrival stream, and records
-  * per-microbatch latency (p50/p95 of triggerExecution) plus the
-  * artifact build cost and parquet footprint.
+  * scale gates only ever ran the BATCH rungs. This probe drives the
+  * serving-probe legs — `chunkRetrieveTopKBanded` (s38's at-ingest
+  * twin), `bitextMineProbe` (s43's), and the composed `ingestChain`
+  * (the d17-family's streaming twin, r15 VERDICT #2) — against
+  * artifacts built from a ladder slice, with a bounded arrival stream,
+  * and records per-microbatch latency (p50/p95 of triggerExecution)
+  * plus the artifact build cost and parquet footprint.
+  *
+  * r16 adds the ARRIVAL AXIS (r15 VERDICT #3): production arrival
+  * rates are orders beyond the original fixed 12/batch, so each probe
+  * runs at every batch size in the list (default 12,120,1200 —
+  * replicated from the 240 base arrivals with distinct re-keyed ids),
+  * separating fixed per-batch overhead from per-arrival marginal cost:
+  * flat p50 across sizes ⇒ overhead-bound; p50 growing ∝ size ⇒
+  * per-arrival-bound, and arrivals/s = size/p50 is the ceiling.
   *
   * The artifacts are written to and read back from parquet, as a
   * release would serve them — the stream-static joins see a file scan,
   * not an in-memory fixture.
   *
-  *   runMain graft.tools.IngestScaleProbe /tmp/sf1x100 INGEST_100x_r15.json
+  *   runMain graft.tools.IngestScaleProbe /tmp/sf1x100 INGEST_100x_r16.json
+  *   runMain graft.tools.IngestScaleProbe /tmp/sf1x100 OUT.json 12,120,1200
   */
 object IngestScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: IngestScaleProbe <sfDir|ladderDir> <outJson>")
+      "usage: IngestScaleProbe <sfDir|ladderDir> <outJson> [batchSizes]")
     val Array(sfDir, outJson) = args.take(2)
+    val batchSizes =
+      if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+      else Seq(12, 120, 1200)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,36 +75,50 @@ object IngestScaleProbe {
     def ts(i: Int): java.sql.Timestamp =
       java.sql.Timestamp.valueOf(f"2021-01-16 ${17 + i / 60}%02d:${i % 60}%02d:00")
 
-    /** Feed `batches` microbatches through `mkQuery`, one
+    /** `total` arrivals cycled from `base`, each occurrence re-keyed to
+      * a distinct id (base ids are already corpus-disjoint; the stride
+      * keeps replicas disjoint too). */
+    def replicate[V](base: Array[(Long, V)], total: Int): Seq[(Long, V)] =
+      (0 until total).map { j =>
+        val (id, v) = base(j % base.length)
+        (id + (j / base.length).toLong * 7919L, v)
+      }
+
+    /** Feed `batches` microbatches through `mk`, one
       * processAllAvailable per batch, and report per-batch
       * triggerExecution p50/p95 (the final flush arrival excluded). */
     def drive[A](tag: String, batches: Seq[Seq[A]], flush: A,
-        add: (MemoryStream[A], Seq[A]) => Unit,
         mk: MemoryStream[A] => DataFrame)(
         implicit ev: org.apache.spark.sql.Encoder[A]): String = {
       val in = MemoryStream[A]
+      val qn = s"ingest_$tag"
       val q = mk(in).writeStream.format("memory")
-        .queryName(s"ingest_$tag").outputMode("append").start()
+        .queryName(qn).outputMode("append").start()
       val perBatch = try {
         val secs = batches.map { b =>
-          add(in, b); timed(() => q.processAllAvailable())
+          in.addData(b); timed(() => q.processAllAvailable())
         }
-        add(in, Seq(flush)); q.processAllAvailable()
+        in.addData(Seq(flush)); q.processAllAvailable()
         secs
       } finally q.stop()
       val sorted = perBatch.sorted
       def pct(p: Double): Double =
         sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
-      val outRows = spark.table(s"ingest_$tag").count()
+      val outRows = spark.table(qn).count()
       println(s"[ingest-probe] $tag batches=${perBatch.length} " +
-        s"p50=${r3(pct(0.50))}s p95=${r3(pct(0.95))}s " +
-        s"max=${r3(sorted.last)}s outRows=$outRows")
+        s"size=${batches.head.length} p50=${r3(pct(0.50))}s " +
+        s"p95=${r3(pct(0.95))}s max=${r3(sorted.last)}s outRows=$outRows")
       s""""$tag":{"batches":${perBatch.length},""" +
         s""""batch_size":${batches.head.length},""" +
         s""""p50_sec":${r3(pct(0.50))},"p95_sec":${r3(pct(0.95))},""" +
         s""""max_sec":${r3(sorted.last)},"out_rows":$outRows,""" +
         s""""per_batch_sec":[${perBatch.map(r3).mkString(",")}]}"""
     }
+    /** Batches-per-size: the flush timestamps cap the batch count at
+      * 20; bigger sizes run fewer batches (the marginal-cost read needs
+      * arrivals, not batch count). */
+    def nBatches(size: Int): Int =
+      if (size <= 12) 20 else if (size <= 120) 10 else 5
 
     // ---- 1. chunk retrieval at the wide dial over ladder docs -------
     val docs = graft.Tables.documents(spark, sfDir)
@@ -108,16 +135,18 @@ object IngestScaleProbe {
     val arrivalDocs = docs.filter(pmod(col("doc_id"), lit(401L)) === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .limit(240).collect().map(r => (r.getLong(0), r.getString(1)))
-    val chunkBatches = arrivalDocs.grouped(12).toSeq.zipWithIndex.map {
-      case (g, i) => g.toSeq.map { case (id, t) => (ts(i), id, t) }
+    val chunkJsons = batchSizes.map { size =>
+      val n = nBatches(size)
+      val batches = replicate(arrivalDocs, size * n).grouped(size)
+        .toSeq.zipWithIndex.map { case (g, i) =>
+          g.map { case (id, t) => (ts(i), id, t) } }
+      drive[(java.sql.Timestamp, Long, String)](s"chunk_retrieve_wide_b$size",
+        batches, (ts(119), -1L, "flush"),
+        in => graft.streaming.PipelineStreams.chunkRetrieveTopKBanded(
+          in.toDF().toDF("ts", "doc_id", "text"), bandIdx, vecIdx, "ts",
+          "doc_id", "text", BowDimWide, ChunkBandsWide, ChunkTopK,
+          "10 minutes", "5 minutes"))
     }
-    val chunkJson = drive[(java.sql.Timestamp, Long, String)]("chunk_retrieve_wide",
-      chunkBatches, (ts(119), -1L, "flush"),
-      (s, b) => { s.addData(b); () },
-      in => graft.streaming.PipelineStreams.chunkRetrieveTopKBanded(
-        in.toDF().toDF("ts", "doc_id", "text"), bandIdx, vecIdx, "ts",
-        "doc_id", "text", BowDimWide, ChunkBandsWide, ChunkTopK,
-        "10 minutes", "5 minutes"))
 
     // ---- 2. bitext forward mining at the wide dial ------------------
     val emb = graft.Tables.embeddings(spark, sfDir)
@@ -136,25 +165,92 @@ object IngestScaleProbe {
       .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
       .limit(240).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val bitextBatches = arrivalVecs.grouped(12).toSeq.zipWithIndex.map {
-      case (g, i) => g.toSeq.map { case (id, v) => (ts(i), id, v) }
+    val bitextJsons = batchSizes.map { size =>
+      val n = nBatches(size)
+      val batches = replicate(arrivalVecs, size * n).grouped(size)
+        .toSeq.zipWithIndex.map { case (g, i) =>
+          g.map { case (id, v) => (ts(i), id, v) } }
+      drive[(java.sql.Timestamp, Long, Seq[Float])](s"bitext_mine_wide_b$size",
+        batches, (ts(119), -1L, arrivalVecs.head._2),
+        in => graft.streaming.PipelineStreams.bitextMineProbe(
+          in.toDF().toDF("ts", "vec_id", "embedding"), bBandIdx, bVecIdx,
+          bNbrIdx, "ts", "vec_id", "embedding", sigDim = 32, bands = 2,
+          k = 4, "10 minutes", "5 minutes"))
     }
-    val bitextJson = drive[(java.sql.Timestamp, Long, Seq[Float])]("bitext_mine_wide",
-      bitextBatches, (ts(119), -1L, arrivalVecs.head._2),
-      (s, b) => { s.addData(b); () },
-      in => graft.streaming.PipelineStreams.bitextMineProbe(
-        in.toDF().toDF("ts", "vec_id", "embedding"), bBandIdx, bVecIdx,
-        bNbrIdx, "ts", "vec_id", "embedding", sigDim = 32, bands = 2,
-        k = 4, "10 minutes", "5 minutes"))
 
+    // ---- 3. the composed ingest chain (d17-family streaming twin) ---
+    // Corpus artifacts a release materializes once: exact-dedup digest
+    // set, near-dup band + shingle indexes, bigram LM count tables —
+    // all corpus-sized, all served back from parquet.
+    import graft.operators.{DedupOps, RelevanceOps}
+    val (digPath, digSec, digBytes) = sized("chain_digests",
+      docs.select(DedupOps.contentDigest(col("text")).as("digest"))
+        .distinct())
+    val (cbPath, cbSec, cbBytes) = sized("chain_band_idx",
+      DedupOps.bandIndex(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleWords = 3))
+    val (csPath, csSec, csBytes) = sized("chain_shingle_idx",
+      DedupOps.shingleIndex(docs, "doc_id", "text", shingleWords = 3))
+    val lm0 = RelevanceOps.bigramLm(docs, "text")
+    val (c12Path, c12Sec, c12Bytes) = sized("chain_lm_c12", lm0.c12)
+    val (c1Path, c1Sec, c1Bytes) = sized("chain_lm_c1", lm0.c1)
+    val (c2Path, c2Sec, c2Bytes) = sized("chain_lm_c2", lm0.c2)
+    val (totPath, totSec, totBytes) = sized("chain_lm_tot", lm0.tot)
+    val lm = RelevanceOps.BigramLm(
+      spark.read.parquet(c12Path), spark.read.parquet(c1Path),
+      spark.read.parquet(c2Path), spark.read.parquet(totPath))
+    val chainDigests = spark.read.parquet(digPath)
+    val chainBands = spark.read.parquet(cbPath)
+    val chainShingles = spark.read.parquet(csPath)
+    // arrivals: real ladder docs, re-keyed AND content-perturbed (a
+    // fresh per-id suffix token) so the exact-dedup stages pass them
+    // through to the expensive near-dup + LM legs — the realistic
+    // mostly-novel arrival mix; some still drop as verified near-dups
+    // of their source doc, which is the gate doing its job
+    val chainBase = docs.filter(pmod(col("doc_id"), lit(401L)) === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .limit(240).collect().map(r => (r.getLong(0), r.getString(1)))
+    val chainSizes = batchSizes.filter(_ <= 120)
+    val chainJsons = chainSizes.map { size =>
+      val n = nBatches(size)
+      val batches = replicate(chainBase, size * n).grouped(size)
+        .toSeq.zipWithIndex.map { case (g, i) =>
+          g.map { case (id, t) => (ts(i), id, t + s" zq$id") } }
+      // the flush doc must SURVIVE the stateless quality/gopher gates
+      // (the chain's watermark node sits downstream of them, so a
+      // filtered flush would never advance event time and nothing
+      // would emit): >=50 words with stopwords, unique content
+      val flushDoc = ("the and" +
+        (1 to 58).map(i => s" zzflush$i").mkString)
+      drive[(java.sql.Timestamp, Long, String)](s"ingest_chain_b$size",
+        batches, (ts(119), -2L, flushDoc),
+        in => graft.streaming.PipelineStreams.ingestChain(
+          in.toDF().toDF("ts", "doc_id", "text"), chainDigests,
+          chainBands, chainShingles, lm, "ts", "doc_id", "text",
+          nearDupThreshold = 0.9, maxXent = 20.0,
+          "10 minutes", "5 minutes", k = 16, bands = 4,
+          shingleWords = 3))
+    }
+
+    def art(name: String, sec: Double, bytes: Long): String =
+      s""""$name":{"build_sec":${r3(sec)},"bytes":$bytes}"""
     val json =
-      s"""{"src":"$sfDir","artifacts":{""" +
-        s""""chunk_band_idx":{"build_sec":${r3(bandSec)},"bytes":$bandBytes},""" +
-        s""""chunk_vec_idx":{"build_sec":${r3(vecSec)},"bytes":$vecBytes},""" +
-        s""""bitext_band_idx":{"build_sec":${r3(bBandSec)},"bytes":$bBandBytes},""" +
-        s""""bitext_vec_idx":{"build_sec":${r3(bVecSec)},"bytes":$bVecBytes},""" +
-        s""""bitext_nbr_idx":{"build_sec":${r3(bNbrSec)},"bytes":$bNbrBytes}},""" +
-        s"""$chunkJson,$bitextJson}"""
+      s"""{"src":"$sfDir","batch_sizes":[${batchSizes.mkString(",")}],""" +
+        s""""artifacts":{""" +
+        Seq(art("chunk_band_idx", bandSec, bandBytes),
+          art("chunk_vec_idx", vecSec, vecBytes),
+          art("bitext_band_idx", bBandSec, bBandBytes),
+          art("bitext_vec_idx", bVecSec, bVecBytes),
+          art("bitext_nbr_idx", bNbrSec, bNbrBytes),
+          art("chain_digests", digSec, digBytes),
+          art("chain_band_idx", cbSec, cbBytes),
+          art("chain_shingle_idx", csSec, csBytes),
+          art("chain_lm_c12", c12Sec, c12Bytes),
+          art("chain_lm_c1", c1Sec, c1Bytes),
+          art("chain_lm_c2", c2Sec, c2Bytes),
+          art("chain_lm_tot", totSec, totBytes)).mkString(",") +
+        s"""},""" +
+        (chunkJsons ++ bitextJsons ++ chainJsons).mkString(",") + "}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json + "\n")
     println(s"[ingest-probe] wrote $outJson")

@@ -24,24 +24,41 @@ import org.apache.spark.sql.functions._
 object ScaleGate {
 
   /** r13 NOTES table keys (minus d16) + the executed rungs added since.
-    * The bitext EXECUTED rungs (s40/s41/s42/s43) gate too — embeddings
-    * scale in the ladder; s39's exact cross stays out, the d16 audit
-    * rule. g01/g03 joined in r15 once the ladder grew an events slice
+    * The bitext EXECUTED rungs gate too — embeddings scale in the
+    * ladder; s39's exact cross stays out, the d16 audit rule; the
+    * saturating 8-bit rungs gate through their SAMPLED forms
+    * (s40s/s41s — see [[FullCostSet]] for the once-per-round full
+    * rows). g01/g03 joined in r15 once the ladder grew an events slice
     * (their corpus-sized input — the edge/digest aggregate — now
     * genuinely scales; the node set is fixture-capped, which is what
-    * [[GraphGrowthProbe]] covers). */
+    * [[GraphGrowthProbe]] covers). The incremental-ingest dedup family
+    * (d17/d18/d20/d24) joined in r16 — the operators a 100 TB ingest
+    * runs continuously were the last LLM-pipeline family with no scale
+    * rows (r15 VERDICT #2). */
   val CeilingSet: Seq[String] = Seq(
     "t44_bpe_train_deep", "t37_fourgram_xent", "m09_visual_clusters",
     "m11_audio_clusters", "m12_audio_dup_histogram",
     "s31_chunk_multiprobe2", "s32_chunk_retrieval_lsh",
     "s33_chunk_multiprobe_topk", "s34_chunk_band_recall",
     "s35_chunk_band_topk", "s38_chunk_band_topk_wide",
-    "s40_bitext_banded", "s41_bitext_forward", "s42_bitext_banded_wide",
-    "s43_bitext_forward_wide",
+    "s40s_bitext_banded_sampled", "s41s_bitext_forward_sampled",
+    "s42_bitext_banded_wide", "s43_bitext_forward_wide",
     "g01_host_rank", "g03_mirror_sources",
+    "d17_incremental_dedup", "d18_incremental_neardup",
+    "d20_ingest_triage", "d24_bloom_dedup",
     "d32_winnow_match_slices", "d33_substring_cut_keep1",
     "t45_bpe_apply_heldout", "t46_bpe_apply_blocked",
     "t47_decontaminate_cut")
+
+  /** The saturating-dial audit rungs at FULL cost — 110–166 s each at
+    * 100× BY DESIGN (their candidate mass is the dial cost being
+    * audited). Out of [[CeilingSet]] so the per-session gate stays
+    * affordable (the s40s/s41s sampled forms carry the daily signal);
+    * run these explicitly ONCE per round for the record:
+    *   runMain graft.tools.ScaleGate <src> <ladder> 100 SCALE_100x_full.json s40_bitext_banded,s41_bitext_forward
+    */
+  val FullCostSet: Seq[String] =
+    Seq("s40_bitext_banded", "s41_bitext_forward")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
