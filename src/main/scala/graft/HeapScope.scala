@@ -52,11 +52,25 @@ object HeapScope {
     "s42_bitext_banded_wide", "s43_bitext_forward_wide",
     "d21_source_cap")
 
-  /** A child session carrying the raise; share everything else. */
-  def session(s: SparkSession): SparkSession = {
-    val c = s.newSession()
-    c.conf.set(Conf, Raised)
-    c
+  /** A child session carrying the raise; share everything else. ONE
+    * child per parent (identity-keyed, weakly held): `newSession()` is
+    * ~2 ms, but each fresh session also starts with an empty relation
+    * cache, so per-call children would re-list/re-footer the parquet
+    * tables every invocation (~+0.1 s/query measured by
+    * HeapScopeOverheadProbe) — the memoized child amortizes that like
+    * any long-lived session. */
+  private val children =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  def session(s: SparkSession): SparkSession = children.synchronized {
+    val cached = children.get(s)
+    if (cached != null) cached
+    else {
+      val c = s.newSession()
+      c.conf.set(Conf, Raised)
+      children.put(s, c)
+      c
+    }
   }
 
   /** Rebind the listed entries to build (and therefore execute) under
