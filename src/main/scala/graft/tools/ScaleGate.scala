@@ -125,14 +125,32 @@ object ScaleGate {
         .write.format("noop").mode("overwrite").save())
     def r3(d: Double): String = f"$d%.3f"
 
+    // Deterministic release of leftover pinned blocks between runs: the
+    // decode-once/lineage pins (localCheckpoint) inside queries become
+    // garbage the moment a run's noop sink completes, but they are
+    // freed only when driver GC collects the DataFrame refs AND the
+    // async ContextCleaner drains — under repeated big runs the lag
+    // OOM'd the r16 full-set 100× gate on m12's SECOND run (the first
+    // passed; two runs' worth of 4M-row pins + execution memory did
+    // not fit). Between runs nothing persisted can be live — the gate
+    // materializes everything through the sink — so unpersisting all
+    // registered RDDs is exact, not heuristic.
+    def releasePins(): Unit = {
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+    }
     val calibStart = Seq.fill(3)(calibCpu())
     val results = keys.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(): Double =
-        try timed(() =>
-          fn(spark, ladderDir).write.format("noop").mode("overwrite").save())
-        catch { case e: Throwable =>
+        try {
+          val sec = timed(() =>
+            fn(spark, ladderDir).write.format("noop").mode("overwrite").save())
+          releasePins() // outside the timing, comparable with r14/r15 rows
+          sec
+        } catch { case e: Throwable =>
           System.err.println(s"[scale-gate] $name failed: ${e.getMessage}")
+          e.printStackTrace()
           -1.0
         }
       val first = once()
