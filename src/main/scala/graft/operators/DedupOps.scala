@@ -1343,12 +1343,31 @@ object DedupOps {
     * dir itself must be sized for at least two live snapshots (the hop
     * being written still reads the previous one).
     */
-  private[graft] def pin(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "reliable=true requires SparkContext.setCheckpointDir(...) first")
-      df.checkpoint()
-    } else df.localCheckpoint()
+  private[graft] def pin(df: DataFrame, reliable: Boolean): DataFrame = {
+    val pinned =
+      if (reliable) {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliable=true requires SparkContext.setCheckpointDir(...) first")
+        df.checkpoint()
+      } else df.localCheckpoint()
+    // Catalyst's size-only estimator MULTIPLIES child sizes at every
+    // inner join, and the checkpoint stats rewrite copies the product
+    // into the new leaf — so an iterative SELF-join (ccJump's
+    // label(label) step) doubles the estimate's BIT LENGTH every
+    // pinned round, geometric in rounds, until BigInteger's 2^31-bit
+    // ceiling kills the checkpoint itself (m09@100×, r16: driver-side
+    // ArithmeticException "BigInteger would overflow supported range"
+    // from SizeInBytesOnlyStatsPlanVisitor.default — the fixture-scale
+    // rounds never get deep enough to see it). Linear accretion (the
+    // BPE pc join adds ~tens of bits/round) is harmless; past 2^20
+    // bits the estimate is garbage with 2000× headroom left, so reset
+    // the leaf to default stats by rebuilding from the checkpointed
+    // RDD — one Row deser/ser layer, paid only on frames whose
+    // estimate is already meaningless (with doubling, ~1 round in 14).
+    if (pinned.queryExecution.analyzed.stats.sizeInBytes.bitLength
+        <= (1 << 20)) pinned
+    else df.sparkSession.createDataFrame(pinned.rdd, pinned.schema)
+  }
 
   /** Deterministic release of a [[pin]]'d DataFrame's storage: unpersist
     * the checkpointed RDD behind the pin's LogicalRDD. Dropping the
@@ -1381,7 +1400,7 @@ object DedupOps {
     * both modes (ReliableCheckpointSpec).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, reliable: Boolean = false): DataFrame =
+      maxIter: Int = 50, reliable: Boolean = false): DataFrame =
     ccWithRounds(nodes, edges, maxIter, reliable)._1
 
   /** [[connectedComponents]] plus the OBSERVED convergence round count —
@@ -1389,7 +1408,13 @@ object DedupOps {
     * the pointer-halving contract (rounds grow ~log2(diameter), not
     * diameter) on graphs whose diameter actually grows. */
   private[graft] def ccWithRounds(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, reliable: Boolean = false): (DataFrame, Int) = {
+      maxIter: Int = 50, reliable: Boolean = false): (DataFrame, Int) = {
+    // maxIter bounds rounds ~ log2(diameter) + slack (pointer halving,
+    // measured exactly log2(d) on path graphs — GraphGrowthProbe); 25
+    // was too tight for the 100x image-dup graph's ~2M-node near-dup
+    // chains (m09@100x reached the cap still converging, r16). 50
+    // covers any diameter to ~2^48 — rounds above convergence never
+    // run, so the raise costs nothing on real corpora.
     // No `distinct` on the symmetrized edges: min-label propagation is
     // idempotent under duplicate edges (the min-fold absorbs them), so a
     // dedup shuffle buys nothing — duplicates only re-deliver an identical
