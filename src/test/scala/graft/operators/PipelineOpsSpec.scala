@@ -346,6 +346,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       s"rounds grew super-logarithmically: d=64 -> $r64, d=1024 -> $r1024")
   }
 
+  test("pin bounds the checkpoint stats cascade under iterative self-joins") {
+    // Catalyst's size-only estimator multiplies child sizes at every
+    // inner join, and the checkpoint stats rewrite copies the product
+    // into each pinned leaf — so an iterative pinned SELF-join doubles
+    // the estimate's bit length per round (geometric), which killed
+    // m09@100× at BigInteger's 2^31-bit ceiling (r16). 35 rounds of a
+    // pinned 1-row cross self-join reach ~2^35 bits WITHOUT the guard
+    // (the pre-fix pin threw ArithmeticException "BigInteger would
+    // overflow supported range" around round 28); with it, every leaf
+    // estimate stays under 2^20 bits and the data survives untouched.
+    import spark.implicits._
+    var df = Seq((1L, "x")).toDF("id", "v")
+    for (_ <- 1 to 35) {
+      val b = df.select(col("id").as("id2"), col("v").as("v2"))
+      df = DedupOps.pin(df.crossJoin(b)
+        .select(col("id"), col("v")), reliable = false)
+      assert(df.queryExecution.analyzed.stats.sizeInBytes.bitLength
+        <= (1 << 20), "leaf estimate escaped the guard")
+    }
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "x")))
+  }
+
   test("property: connected components == driver union-find on random graphs") {
     val rnd = new scala.util.Random(0xC0FFEE)
     for (_ <- 1 to 6) {
