@@ -68,6 +68,15 @@ object HeapScope {
     else {
       val c = s.newSession()
       c.conf.set(Conf, Raised)
+      // newSession() gives a FRESH SessionState: the parent's injected
+      // optimizer rule and registered SQL functions do not carry over.
+      // Today's Keys are Column-API-only timestamp-free plans, but a
+      // future scoped key using `host_of_url(...)` via SQL or an
+      // events time-range filter would otherwise fail or plan
+      // differently only at runtime (r16 ADVICE) — re-apply the
+      // standard session setup the entrypoints give their parents.
+      graft.plans.TimestampFilterPushdown.enable(c)
+      graft.functions.CrawlCols.register(c)
       children.put(s, c)
       c
     }

@@ -1378,7 +1378,26 @@ object DedupOps {
   private[graft] def unpin(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }.foreach { root =>
+      // On [[pin]]'s stats-guard path the LogicalRDD wraps a DERIVED
+      // (non-persisted) row RDD over the checkpointed one — unpersisting
+      // the root alone would silently release nothing and revert the
+      // drain bound to GC-timed cleanup (r16 ADVICE). Walk the narrow
+      // dependency chain to the first actually-persisted ancestor; on
+      // the normal path that is the root itself.
+      var cur: Seq[org.apache.spark.rdd.RDD[_]] = Seq(root)
+      var found = false
+      var depth = 0
+      while (!found && cur.nonEmpty && depth < 8) {
+        cur.find(_.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE) match {
+          case Some(p) => p.unpersist(blocking = false); found = true
+          case None =>
+            cur = cur.flatMap(_.dependencies.map(_.rdd))
+            depth += 1
+        }
+      }
+    }
 
   /** Connected components over an undirected edge set by iterative min-label
     * propagation: every node's label converges to the smallest node id in

@@ -43,13 +43,12 @@ object IngestScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // this tool drives ONLY capped-heap paths (the serving tails and
-      // their artifact builders), so the HeapScope raise is safe
-      // session-wide here: buffers hold <= k entries per group, the
-      // object hash map is bounded by groups/partition x k (measured:
-      // s38@100x 22.8 GB spill -> 0 with this raised)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "131072")
+      // the objectHashAggregate fallback raise is NOT session-wide here:
+      // the r16 ingestChain leg runs UNCAPPED object aggregates
+      // (collect_list/sort_array in the near-dup verify and bigramLm
+      // builders) — the hazard class HeapScope scopes away. The raise is
+      // toggled on only around the capped-heap chunk/bitext sections
+      // below (r16 ADVICE).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -121,6 +120,13 @@ object IngestScaleProbe {
       if (size <= 12) 20 else if (size <= 120) 10 else 5
 
     // ---- 1. chunk retrieval at the wide dial over ladder docs -------
+    // Sections 1–2 drive ONLY capped-heap paths (the serving tails and
+    // their artifact builders): buffers hold <= k entries per group, so
+    // the raised fallback is the s38 spill fix, not an OOM hazard
+    // (measured: s38@100x 22.8 GB spill -> 0 raised). The conf is a
+    // runtime SQLConf — restored to default before section 3's chain
+    // leg, whose collect_list aggregates are the uncapped class.
+    spark.conf.set(graft.HeapScope.Conf, graft.HeapScope.Raised)
     val docs = graft.Tables.documents(spark, sfDir)
     val (bandPath, bandSec, bandBytes) = sized("chunk_band_idx",
       SimilarityOps.chunkBandIndex(docs, "doc_id", "text",
@@ -182,6 +188,9 @@ object IngestScaleProbe {
     // Corpus artifacts a release materializes once: exact-dedup digest
     // set, near-dup band + shingle indexes, bigram LM count tables —
     // all corpus-sized, all served back from parquet.
+    // Back to Spark's default 128-key fallback: the chain's
+    // collect_list-class aggregates are UNCAPPED (see builder note).
+    spark.conf.unset(graft.HeapScope.Conf)
     import graft.operators.{DedupOps, RelevanceOps}
     val (digPath, digSec, digBytes) = sized("chain_digests",
       docs.select(DedupOps.contentDigest(col("text")).as("digest"))

@@ -144,14 +144,19 @@ object ScaleGate {
       val fn = graft.SparkEntry.queries(name)
       def once(): Double =
         try {
-          val sec = timed(() =>
+          timed(() =>
             fn(spark, ladderDir).write.format("noop").mode("overwrite").save())
-          releasePins() // outside the timing, comparable with r14/r15 rows
-          sec
         } catch { case e: Throwable =>
           System.err.println(s"[scale-gate] $name failed: ${e.getMessage}")
           e.printStackTrace()
           -1.0
+        } finally {
+          // outside the timing, comparable with r14/r15 rows. In a
+          // finally so a FAILED run's already-materialized pins drop
+          // too — on the success-only path they leaked into the next
+          // runs/keys, the exact accumulated-pins OOM mode of the r16
+          // aborted full-set gate (r16 ADVICE).
+          releasePins()
         }
       val first = once()
       val runs = if (first < 0) Seq(first) else first +: Seq.fill(2)(once())

@@ -42,6 +42,15 @@ object ThresholdAB {
       else DefaultKeys
     val unknown = keys.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    // HeapScope-scoped keys build under the child session pinned at
+    // 131072, so the parent-session conf.set below never reaches them —
+    // both arms would measure the same config and report a misleading
+    // ratio≈1. Fail loudly instead (r16 ADVICE).
+    val scoped = keys.filter(graft.HeapScope.Keys)
+    require(scoped.isEmpty,
+      s"keys ${scoped.mkString(", ")} are HeapScope-scoped: the A/B " +
+        "variable cannot reach their child session; A/B them via direct " +
+        "operator calls instead")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -369,6 +369,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       === Seq((1L, "x")))
   }
 
+  test("unpin releases pinned storage on both pin paths (r16 ADVICE)") {
+    import spark.implicits._
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // direct path: the LogicalRDD wraps the persisted checkpoint RDD
+    val before = persisted
+    val direct = DedupOps.pin(Seq((1L, "x")).toDF("id", "v"),
+      reliable = false)
+    assert(persisted === before + 1)
+    DedupOps.unpin(direct)
+    assert(persisted === before,
+      "unpin missed the direct-path checkpoint RDD")
+    // guard path: pin rebuilds the frame as createDataFrame(pinned.rdd,
+    // schema) — a DERIVED non-persisted row RDD over the checkpointed
+    // one. unpin must walk the dependency chain to the persisted
+    // ancestor; unpersisting the root alone was a silent no-op.
+    val pinned = Seq((2L, "y")).toDF("id", "v").localCheckpoint()
+    val rebuilt = spark.createDataFrame(pinned.rdd, pinned.schema)
+    assert(persisted === before + 1)
+    DedupOps.unpin(rebuilt)
+    assert(persisted === before,
+      "unpin missed the persisted ancestor behind the guard-path rebuild")
+  }
+
   test("property: connected components == driver union-find on random graphs") {
     val rnd = new scala.util.Random(0xC0FFEE)
     for (_ <- 1 to 6) {
