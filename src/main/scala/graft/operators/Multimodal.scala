@@ -439,15 +439,32 @@ object Multimodal {
         "n_bits >= 4; below that an empty band matches everything and " +
         "candidate generation degenerates to same-length all-pairs")
     // Decode ONCE: without the pin, the ≤ 40-byte-per-clip fingerprint
-    // table is a live subtree under the band self-join's two legs AND
-    // the component seed/singleton tail — three full corpus DECODES per
-    // action (the r14 m12 adjudication measured the recomputation at
-    // ~2× the query's whole runtime). The eager lineage pin
-    // materializes the int rows once; every downstream leg reads them.
-    // At 100 TB this table is the audioBandIndex artifact written once
-    // per release — the pin is the in-one-query equivalent.
+    // table is a live subtree under the representative groupBy, the
+    // label-expansion join AND the singleton tail — three full corpus
+    // DECODES per action (the r14 m12 adjudication measured the
+    // recomputation at ~2× the query's whole runtime). The eager
+    // lineage pin materializes the int rows once; every downstream leg
+    // reads them. At 100 TB this table is the audioBandIndex artifact
+    // written once per release — the pin is the in-one-query
+    // equivalent.
     val bits = audioFullBits(media, windowFrames).toDF().localCheckpoint()
-    val bands = audioBitBands(bits.filter(col("n_bits") >= minBits))
+    // Scale design (r17, after MediaBandProbe): collapse print-identical
+    // clips to one representative per distinct (n_windows, n_bits, fa,
+    // fb) print before the band self-join — the visualClusters move
+    // (measured there: 99.8%+ of band-bucket pair mass is C(group, 2)
+    // of identical prints; audio read raw/distinct ratio 216× at 10×,
+    // 16,165× at 100×). EXACT: identical prints are Hamming-0 cliques,
+    // and the representative is the group's min media_id, so component
+    // min-labels are unchanged. ONLY the ≥ minBits prints collapse —
+    // short-print clips stay singletons BY DEFINITION even when their
+    // prints coincide (too little signal to assert duplication), so
+    // they bypass the collapse and the loop entirely.
+    val eligible = bits.filter(col("n_bits") >= minBits)
+    val reps = eligible
+      .groupBy(col("n_windows"), col("n_bits"), col("fa"), col("fb"))
+      .agg(min(col("media_id")).as("media_id"))
+      .localCheckpoint()
+    val bands = audioBitBands(reps)
     val edges = bands.join(asAudioIndexRows(bands),
         Seq("n_windows", "band", "band_key"))
       .filter(col("media_id") < col("cid"))
@@ -455,10 +472,18 @@ object Multimodal {
         bit_count(col("fb").bitwiseXOR(col("cfb"))) <= maxHamming)
       .select(col("media_id").as("src"), col("cid").as("dst"))
       .distinct()
-    graft.operators.DedupOps.connectedComponents(
-      bits.select(col("media_id").as("id")), edges)
-      .select(col("id").as("media_id"), col("cluster_id"),
-        (col("id") === col("cluster_id")).as("is_canonical"))
+    val repLabels = graft.operators.DedupOps.connectedComponents(
+        reps.select(col("media_id").as("id")), edges)
+      .join(reps.select(col("media_id").as("id"), col("n_windows"),
+        col("n_bits"), col("fa"), col("fb")), Seq("id"))
+      .select(col("n_windows"), col("n_bits"), col("fa"), col("fb"),
+        col("cluster_id"))
+    eligible.join(repLabels, Seq("n_windows", "n_bits", "fa", "fb"))
+      .select(col("media_id"), col("cluster_id"))
+      .unionByName(bits.filter(col("n_bits") < minBits)
+        .select(col("media_id"), col("media_id").as("cluster_id")))
+      .select(col("media_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_canonical"))
   }
 
   /** One per-clip trim plan. Option fields are None for an all-silent
@@ -622,20 +647,35 @@ object Multimodal {
     */
   def visualClusters(media: Dataset[MediaRow],
       maxHamming: Int = 3): DataFrame = {
-    // Scale note (r13 10× rehearsal): the band self-join emits
-    // C(bucket, 2) pairs per (band, key) bucket — bounded by duplicate
-    // density, which is inherent to EXACT clustering at Hamming ≤ 3 (a
-    // d30-style hot-bucket cap would change the answer, not just the
-    // cost). A dup-dense 10× corpus moved 548 MiB / 62M pair rows with
-    // zero spill; pathologically hot buckets (constant-color images)
-    // are a quality-gate problem upstream, not a clustering knob.
+    // Scale design (r17, after MediaBandProbe at 10×/100×): the band
+    // self-join emits C(bucket, 2) pairs per (band, key) bucket, and
+    // the measured mass is ~99.8% PRINT-IDENTICAL duplicate groups
+    // (raw/distinct pair ratio 626× at 10× — dup-dense corpora pile
+    // identical aHashes into every band bucket, and C(group, 2) of a
+    // re-ingested image's copies grows quadratically with corpus
+    // scale). Identical prints are Hamming-0 cliques BY CONSTRUCTION,
+    // so connectivity needs only one representative per distinct print
+    // in the band join: collapse to (ha, hb) groups keyed by their min
+    // media_id, cluster the representatives, and expand labels back
+    // through the print key. EXACT — the min-label of a component over
+    // representatives is the min media_id over all member groups, the
+    // same cluster_id the uncollapsed join produced (spec-pinned
+    // against the m09 oracle; the r16 100× wall read 571 s on the raw
+    // join). Genuinely-near prints (0 < Hamming ≤ 3) still pair
+    // through their shared bands — the pigeonhole guarantee is
+    // untouched because every distinct print keeps all 4 band rows.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the 4-band pigeonhole only covers radius 3")
     // Decode ONCE (the audioClusters rule): pin the per-image hash rows
-    // so the band self-join's two legs and the component seed/singleton
-    // tail read materialized ints instead of re-decoding the corpus.
+    // so the representative groupBy and the label-expansion join read
+    // materialized ints instead of re-decoding the corpus.
     val hashes = imageHash(media).toDF().localCheckpoint()
-    val bands = imageHashBands(hashes)
+    // one representative per distinct print; pinned — read by the band
+    // self-join's two legs and the component seed
+    val reps = hashes.groupBy(col("ha"), col("hb"))
+      .agg(min(col("media_id")).as("media_id"))
+      .localCheckpoint()
+    val bands = imageHashBands(reps)
     val rhs = bands.select(col("band"), col("band_key"),
       col("media_id").as("dst"), col("ha").as("dha"), col("hb").as("dhb"))
     val edges = bands.join(rhs, Seq("band", "band_key"))
@@ -644,10 +684,14 @@ object Multimodal {
         bit_count(col("hb").bitwiseXOR(col("dhb"))) <= maxHamming)
       .select(col("media_id").as("src"), col("dst"))
       .distinct()
-    graft.operators.DedupOps.connectedComponents(
-      hashes.select(col("media_id").as("id")), edges)
-      .select(col("id").as("media_id"), col("cluster_id"),
-        (col("id") === col("cluster_id")).as("is_canonical"))
+    val repLabels = graft.operators.DedupOps.connectedComponents(
+        reps.select(col("media_id").as("id")), edges)
+      .join(reps.select(col("media_id").as("id"), col("ha"), col("hb")),
+        Seq("id"))
+      .select(col("ha"), col("hb"), col("cluster_id"))
+    hashes.join(repLabels, Seq("ha", "hb"))
+      .select(col("media_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_canonical"))
   }
 
   /** One per-frame-pair temporal-activity row. sad_milli is the integer
