@@ -682,6 +682,22 @@ object DedupOps {
     docs.select(col(idCol).as(outId),
       TextFns.wordShingles(col(textCol), shingleWords).as(outSh))
 
+  /** Shard key for a RELEASE-SERVED [[shingleIndex]] artifact: the
+    * shingle table is ~corpus-sized (the corpus text re-materialized),
+    * and any per-batch consumer that joins it by `cid` otherwise decodes
+    * the WHOLE artifact per micro-batch. Writing the artifact
+    * `.withColumn("shard", shingleShard(col("cid"))).write
+    * .partitionBy("shard")` lets a candidate-keyed join prune to the
+    * candidate shards via dynamic partition pruning — scan cost ∝
+    * candidates, not corpus (measured on the 100× ingest probe; see
+    * [[graft.streaming.PipelineStreams.ingestChain]]). ONE shared
+    * definition for writer and reader, so the join key can never drift
+    * from the layout.
+    */
+  val ShingleShards = 64
+  def shingleShard(cid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(cid, lit(ShingleShards)).cast("int")
+
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3,

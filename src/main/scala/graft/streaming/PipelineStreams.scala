@@ -118,7 +118,12 @@ object PipelineStreams {
       if (docs.columns.contains("digest")) docs
       else docs.withColumn("digest",
         graft.operators.DedupOps.contentDigest(col(textCol)))
-    withDigest.join(corpusDigests.select(col("digest")).distinct(),
+    // no defensive distinct on the artifact side: LEFT ANTI keeps a
+    // stream row iff NO matching digest exists, so duplicate artifact
+    // rows change nothing — and in a stream-static join the distinct's
+    // aggregate + exchange would re-run EVERY micro-batch (measured as
+    // a per-trigger fixed cost on the 100× ingest probe, r17)
+    withDigest.join(corpusDigests.select(col("digest")),
       Seq("digest"), "left_anti")
   }
 
@@ -788,16 +793,41 @@ object PipelineStreams {
     *      ([[dedupAgainstCorpus]] — stateless anti-join to the d01
     *      digest artifact);
     *   3. ONE combined windowed stage scoring BOTH expensive gates: the
-    *      survivor stream explodes twice (LSH band rows + LM bigram
-    *      instances), the two legs union into one row stream tagged by
-    *      null-ness, five stream-static LEFT joins attach the corpus
-    *      artifacts (band index, shingle index, the three LM count
-    *      tables — a null join key on the other leg's rows simply never
-    *      matches), and a single groupBy(window, doc) aggregate holds
-    *      per doc exactly one state row: near-dup flag, xent counters,
-    *      and the text (via `first`). Docs emit at watermark close iff
-    *      no verified near-dup AND xent ≤ `maxXent` (unscorable docs
-    *      keep — the standing gate convention).
+    *      near-dup leg (branched STATELESS off the gated stream —
+    *      see the in-body note) fetches its corpus artifacts through
+    *      candidate-only joins, the LM leg explodes the dedup
+    *      survivors into bigram instances, the two legs union into one
+    *      row stream tagged by null-ness, the three LM count tables
+    *      attach by broadcast LEFT joins (a null join key on the other
+    *      leg's rows simply never matches), and a single
+    *      groupBy(window, doc) aggregate holds per doc exactly one
+    *      state row: near-dup flag, xent counters, and the text (via
+    *      `first` over the LM leg, whose presence marks dedup
+    *      survival). Docs emit at watermark close iff they survived
+    *      dedup AND no verified near-dup AND xent ≤ `maxXent`
+    *      (unscorable docs keep — the standing gate convention).
+    *
+    * Scale design for the near-dup leg (r16 VERDICT #2): the band and
+    * shingle indexes are CORPUS-sized (the shingle index is the corpus
+    * text re-materialized — 179 MiB at the 100× probe, ~corpus-scale in
+    * production), and the r16 form left-joined both onto the full union
+    * row stream, so every micro-batch re-shuffled + re-sorted both
+    * artifacts AND pushed the text-carrying union rows through two wide
+    * joins — a fixed ~6 s/batch floor regardless of batch size
+    * (INGEST_100x_r16.json: p50 flat at 12 vs 120 arrivals/batch). Now
+    * the leg is candidate-only with the STREAM side as the broadcast
+    * build: band rows (id, sh_b, band, band_key — a few rows per
+    * arriving doc) broadcast-inner-join the band index, and the
+    * surviving (id, sh_b, cid) candidates broadcast-inner-join the
+    * shingle index. Both artifacts are scanned in place and hash-probed
+    * — never shuffled, never sorted — and only verified candidate rows
+    * (tiny) enter the union. The LM joins were already broadcast-sized;
+    * docs with no band match simply contribute no near-dup rows, and
+    * doc presence in the aggregate is guaranteed by the LM leg's
+    * `explode_outer`. At 100 TB the remaining per-batch cost is one
+    * parallel scan of each artifact — the candidate-key-pruned fetch
+    * (partition the artifact by a cid bucket and let DPP skip files) is
+    * the next rung if that scan ever dominates.
     *
     * One watermark, set once at the top (the r8 trap: redefining a
     * watermark downstream of a stateful op throws — which is why this
@@ -826,36 +856,63 @@ object PipelineStreams {
       corpusDigests, textCol)
     val base = fresh.select(col(tsCol), col(idCol), col(textCol))
       .withColumn("toks__", TextFns.tokens(col(textCol)))
-    val bandRows = base
+    // near-dup leg: candidates only, branched BEFORE the stateful
+    // horizon dedup — a union leg re-executes its whole subtree every
+    // micro-batch, and with both legs downstream of the dedup the
+    // StreamingDeduplicateWithinWatermark operator ran (and COMMITTED
+    // state) twice per trigger, the largest single term in the r17
+    // metrics dump. From `gated` the leg is fully STATELESS. Exactness
+    // is preserved at the aggregate: only the LM leg carries text, so a
+    // doc the dedup stages drop contributes near-dup rows but no text,
+    // and the final `textCol IS NOT NULL` filter removes it — presence
+    // of an LM row is precisely "survived both dedup stages".
+    // The stream side is the broadcast BUILD of both inner joins (see
+    // scale design above) — the corpus-sized band/shingle artifacts are
+    // scanned and hash-probed, never shuffled. Plain posexplode: a doc
+    // with a null sig has no band rows and no candidates, exactly as
+    // its left-join rows produced nd_hit=false before.
+    val ndRows = gated
+      .select(col(tsCol), col(idCol), col(textCol))
+      .withColumn("toks__", TextFns.tokens(col(textCol)))
       .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
       .withColumn("sig",
         TextFns.shingleMinhash(col("toks__"), shingleWords, k))
-      .select(col(tsCol), col(idCol), col(textCol), col("sh_b"),
-        posexplode_outer(when(col("sig").isNotNull,
+      .select(col(tsCol), col(idCol), col("sh_b"),
+        posexplode(when(col("sig").isNotNull,
           TextFns.lshBandKeys(col("sig"), k, bands)))
-          .as(Seq("band", "band_key")),
+          .as(Seq("band", "band_key")))
+      .hint("broadcast")
+      .join(corpusBands, Seq("band", "band_key"))
+      .select(Seq(col(tsCol), col(idCol), col("sh_b"), col("cid")) ++
+        // sharded artifact (see DedupOps.shingleShard): joining on the
+        // partition column too lets dynamic partition pruning skip
+        // every non-candidate shard's files — per-batch scan cost ∝
+        // candidates, not corpus
+        (if (corpusShingles.columns.contains("shard"))
+          Seq(graft.operators.DedupOps.shingleShard(col("cid")).as("shard"))
+        else Nil): _*)
+      .hint("broadcast")
+      .join(corpusShingles,
+        if (corpusShingles.columns.contains("shard")) Seq("shard", "cid")
+        else Seq("cid"))
+      .select(col(tsCol), col(idCol),
+        lit(null).cast("string").as(textCol),
+        coalesce(TextFns.jaccard(col("sh_b"), col("shs"))
+          >= nearDupThreshold, lit(false)).as("nd_hit"),
         lit(null).cast("string").as("w1"),
         lit(null).cast("string").as("w2"))
     val lmRows = base
       .select(col(tsCol), col(idCol), col(textCol),
-        lit(null).cast("array<string>").as("sh_b"),
-        lit(null).cast("int").as("band"),
-        lit(null).cast("string").as("band_key"),
+        lit(null).cast("boolean").as("nd_hit"),
         explode_outer(when(size(col("toks__")) >= 2,
           expr(RelevanceOps.bigramPairsExpr("toks__")))).as("p"))
-      .select(col(tsCol), col(idCol), col(textCol), col("sh_b"),
-        col("band"), col("band_key"),
+      .select(col(tsCol), col(idCol), col(textCol), col("nd_hit"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
-    bandRows.unionByName(lmRows)
-      .join(corpusBands, Seq("band", "band_key"), "left")
-      .join(corpusShingles, Seq("cid"), "left")
+    lmRows.unionByName(ndRows)
       .join(lm.c12, Seq("w1", "w2"), "left")
       .join(lm.c1, Seq("w1"), "left")
       .join(lm.c2, Seq("w2"), "left")
       .crossJoin(broadcast(lm.tot))
-      .withColumn("nd_hit", coalesce(
-        TextFns.jaccard(col("sh_b"), col("shs")) >= nearDupThreshold,
-        lit(false)))
       .withColumn("cm", when(col("w1").isNotNull,
         RelevanceOps.interpInstanceCostMicro(col("c12"), col("c1"),
           col("c2"), col("t"), col("v"))))
@@ -863,10 +920,12 @@ object PipelineStreams {
       .agg(max(when(col("nd_hit"), 1).otherwise(0)).as("dup"),
         sum(col("cm")).as("nll_micro"),
         count(col("w1")).as("n_bigrams"),
-        first(col(textCol)).as(textCol))
+        first(col(textCol), ignoreNulls = true).as(textCol))
       .withColumn("xent", when(col("n_bigrams") > 0,
         round(col("nll_micro") / 1e6 / col("n_bigrams"), 4)))
-      .filter(col("dup") === 0 &&
+      // textCol IS NOT NULL = the doc survived both dedup stages (only
+      // the LM leg carries text — see the near-dup-leg note above)
+      .filter(col(textCol).isNotNull && col("dup") === 0 &&
         (col("n_bigrams") === 0 || col("xent") <= maxXent))
       .select(col("window.start").as("window_start"), col(idCol),
         col(textCol), col("xent"))

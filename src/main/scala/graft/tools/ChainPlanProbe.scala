@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** One-microbatch plan dump for [[graft.streaming.PipelineStreams
+  * .ingestChain]] against the /tmp/ingest_probe artifacts — prints the
+  * executed physical plan so join strategies (who builds, who shuffles)
+  * are observable instead of guessed. Dev tool, not a gate.
+  *
+  *   runMain graft.tools.ChainPlanProbe /tmp/sf1x100
+  */
+object ChainPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1x100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.RelevanceOps
+
+    val lm = RelevanceOps.BigramLm(
+      spark.read.parquet("/tmp/ingest_probe/chain_lm_c12"),
+      spark.read.parquet("/tmp/ingest_probe/chain_lm_c1"),
+      spark.read.parquet("/tmp/ingest_probe/chain_lm_c2"),
+      spark.read.parquet("/tmp/ingest_probe/chain_lm_tot"))
+    val digests = spark.read.parquet("/tmp/ingest_probe/chain_digests")
+    val bands = spark.read.parquet("/tmp/ingest_probe/chain_band_idx")
+    val docs = graft.Tables.documents(spark, sfDir)
+    // rebuild the shingle artifact in the sharded layout if the probe
+    // hasn't yet (dev tool — IngestScaleProbe owns the real build)
+    val shPath = java.nio.file.Paths.get("/tmp/ingest_probe/chain_shingle_idx")
+    if (!java.nio.file.Files.exists(shPath.resolve("shard=0"))) {
+      graft.operators.DedupOps
+        .shingleIndex(docs, "doc_id", "text", shingleWords = 3)
+        .withColumn("shard",
+          graft.operators.DedupOps.shingleShard(col("cid")))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(shPath.toString)
+      println("[chain-plan] rebuilt sharded shingle artifact")
+    }
+    val shingles = spark.read.parquet("/tmp/ingest_probe/chain_shingle_idx")
+    // serving-tier pin: a static side re-executes EVERY trigger; pinning
+    // the served artifacts turns each trigger's re-scan into a columnar
+    // cache read (the standard stream-static join discipline)
+    if (sys.env.get("CHAIN_PIN").contains("1")) {
+      Seq(digests, bands, shingles, lm.c12, lm.c1, lm.c2, lm.tot)
+        .foreach { df => df.persist(); df.count() }
+      println("[chain-plan] artifacts pinned")
+    }
+    val base = docs.filter(pmod(col("doc_id"), lit(401L)) === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .limit(120).collect().map(r => (r.getLong(0), r.getString(1)))
+    def ts(i: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2021-01-16 17:${i % 60}%02d:00")
+    sys.env.get("CHAIN_SHUFFLE").foreach { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      println(s"[chain-plan] shuffle/state partitions=$n")
+    }
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = graft.streaming.PipelineStreams.ingestChain(
+      in.toDF().toDF("ts", "doc_id", "text"), digests, bands, shingles,
+      lm, "ts", "doc_id", "text", nearDupThreshold = 0.9,
+      maxXent = 20.0, "10 minutes", "5 minutes", k = 16, bands = 4,
+      shingleWords = 3)
+    val q = out.writeStream.format("memory").queryName("cpp")
+      .outputMode("append").start()
+    try {
+      for (b <- 0 until 6) {
+        val rows = base.zipWithIndex.map { case ((id, t), i) =>
+          (ts(b), id + b.toLong * 7919L, t + s" zq${id + b * 7919L}") }.toSeq
+        in.addData(rows)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val p = q.lastProgress
+        println(f"batch $b wall=$wall%.3f durationMs=${p.durationMs}")
+      }
+      println("==== executed microbatch plan ====")
+      q.explain(extended = false)
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      println("==== per-operator time metrics (last trigger) ====")
+      exec.foreach { n =>
+        val interesting = n.metrics.filter { case (k, m) =>
+          (k.contains("time") || k.contains("Time") ||
+            k.contains("duration")) && m.value > 50 }
+        if (interesting.nonEmpty)
+          println(s"[metrics] ${n.nodeName}: " + interesting.map {
+            case (k, m) => s"$k=${m.value}" }.mkString(", "))
+      }
+    } finally q.stop()
+    // static-leg cost decomposition: what one trigger pays per artifact
+    def t(tag: String)(f: () => Unit): Unit = {
+      val t0 = System.nanoTime(); f()
+      println(f"[chain-plan] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    val cands = Seq.tabulate(600)(i => (i * 401L, i % 64)).toDF("cid", "shard")
+    for (_ <- 0 until 2) {
+      t("shingle scan+probe (sharded, bhj)")(() =>
+        cands.hint("broadcast").join(shingles, Seq("shard", "cid"))
+          .agg(sum(size(col("shs")))).collect())
+      t("shingle scan+probe (cid only)")(() =>
+        cands.select("cid").hint("broadcast").join(
+          spark.read.parquet("/tmp/ingest_probe/chain_shingle_idx")
+            .select("cid", "shs"), Seq("cid"))
+          .agg(sum(size(col("shs")))).collect())
+      t("digest distinct")(() =>
+        digests.select(col("digest")).distinct().count())
+      t("band scan")(() => bands.agg(count(col("band_key"))).collect())
+      t("lm c12 scan")(() =>
+        spark.read.parquet("/tmp/ingest_probe/chain_lm_c12").count())
+    }
+    spark.stop()
+  }
+}

@@ -28,15 +28,22 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.IngestScaleProbe /tmp/sf1x100 INGEST_100x_r16.json
   *   runMain graft.tools.IngestScaleProbe /tmp/sf1x100 OUT.json 12,120,1200
+  *   runMain graft.tools.IngestScaleProbe /tmp/sf1x100 OUT.json 12,120 chain
   */
 object IngestScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: IngestScaleProbe <sfDir|ladderDir> <outJson> [batchSizes]")
+      "usage: IngestScaleProbe <sfDir|ladderDir> <outJson> [batchSizes] " +
+        "[sections: chunk,bitext,chain]")
     val Array(sfDir, outJson) = args.take(2)
     val batchSizes =
       if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
       else Seq(12, 120, 1200)
+    // iteration dial (r17): one section's fix shouldn't pay the other
+    // two sections' artifact builds + drives every measurement
+    val sections: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("chunk", "bitext", "chain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,6 +69,7 @@ object IngestScaleProbe {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
     def r3(d: Double): String = f"$d%.3f"
+    val artJsons = scala.collection.mutable.ArrayBuffer.empty[String]
     def sized(name: String, df: DataFrame): (String, Double, Long) = {
       val out = s"/tmp/ingest_probe/$name"
       val sec = timed(() => df.write.mode("overwrite").parquet(out))
@@ -69,6 +77,7 @@ object IngestScaleProbe {
         .filter(java.nio.file.Files.isRegularFile(_))
         .mapToLong(java.nio.file.Files.size(_)).sum()
       println(f"[ingest-probe] $name built ${r3(sec)}s, ${bytes >> 20} MiB")
+      artJsons += s""""$name":{"build_sec":${r3(sec)},"bytes":$bytes}"""
       (out, sec, bytes)
     }
     def ts(i: Int): java.sql.Timestamp =
@@ -126,8 +135,9 @@ object IngestScaleProbe {
     // (measured: s38@100x 22.8 GB spill -> 0 raised). The conf is a
     // runtime SQLConf — restored to default before section 3's chain
     // leg, whose collect_list aggregates are the uncapped class.
-    spark.conf.set(graft.HeapScope.Conf, graft.HeapScope.Raised)
     val docs = graft.Tables.documents(spark, sfDir)
+    val chunkJsons = if (!sections("chunk")) Seq.empty[String] else {
+    spark.conf.set(graft.HeapScope.Conf, graft.HeapScope.Raised)
     val (bandPath, bandSec, bandBytes) = sized("chunk_band_idx",
       SimilarityOps.chunkBandIndex(docs, "doc_id", "text",
         ChunkTokens, ChunkStride, BowDimWide, ChunkBandsWide))
@@ -141,7 +151,7 @@ object IngestScaleProbe {
     val arrivalDocs = docs.filter(pmod(col("doc_id"), lit(401L)) === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .limit(240).collect().map(r => (r.getLong(0), r.getString(1)))
-    val chunkJsons = batchSizes.map { size =>
+    val wideJsons = batchSizes.map { size =>
       val n = nBatches(size)
       val batches = replicate(arrivalDocs, size * n).grouped(size)
         .toSeq.zipWithIndex.map { case (g, i) =>
@@ -153,8 +163,55 @@ object IngestScaleProbe {
           "doc_id", "text", BowDimWide, ChunkBandsWide, ChunkTopK,
           "10 minutes", "5 minutes"))
     }
+    // DEDUP-SERVED index (r17, after CHUNKDIAL_100x_r17): the wider
+    // band geometries were priced FIRST and do NOT cut the 53k-candidate
+    // /arrival mass (24-bit bands read 59.9k, 3×16 207k — the mass is
+    // STRUCTURAL near-dup replicas agreeing on whole bands at any
+    // width, not random collisions). The lever that removes structural
+    // mass is the pipeline's own dedup: a release serves retrieval from
+    // the CANONICAL corpus (minhash-verified clusters → canonical
+    // member), so the index simply does not contain the 100 near-copies
+    // an arriving query would otherwise score. Same operator, same
+    // dial — only the served artifact changes; built from the shared
+    // d-family definitions so batch dedup and the served index can
+    // never disagree.
+    val canon = {
+      import graft.operators.DedupOps
+      val edges = DedupOps.minhashVerified(docs, "doc_id", "text",
+          threshold = 0.6)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val ids = DedupOps.connectedComponents(
+          docs.select(col("doc_id").as("id")), edges)
+        .filter(col("id") === col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(ids, Seq("doc_id"), "left_semi")
+    }
+    val (dBandPath, dBandSec, dBandBytes) = sized("chunk_band_idx_dedup",
+      SimilarityOps.chunkBandIndex(canon, "doc_id", "text",
+        ChunkTokens, ChunkStride, BowDimWide, ChunkBandsWide))
+    val (dVecPath, dVecSec, dVecBytes) = sized("chunk_vec_idx_dedup",
+      SimilarityOps.chunkVecIndex(canon, "doc_id", "text",
+        ChunkTokens, ChunkStride, BowDimWide))
+    val dBandIdx = spark.read.parquet(dBandPath)
+    val dVecIdx = spark.read.parquet(dVecPath)
+    val dedupJsons = batchSizes.filter(_ == batchSizes.max).map { size =>
+      val n = nBatches(size)
+      val batches = replicate(arrivalDocs, size * n).grouped(size)
+        .toSeq.zipWithIndex.map { case (g, i) =>
+          g.map { case (id, t) => (ts(i), id, t) } }
+      drive[(java.sql.Timestamp, Long, String)](s"chunk_retrieve_dedup_b$size",
+        batches, (ts(119), -1L, "flush"),
+        in => graft.streaming.PipelineStreams.chunkRetrieveTopKBanded(
+          in.toDF().toDF("ts", "doc_id", "text"), dBandIdx, dVecIdx, "ts",
+          "doc_id", "text", BowDimWide, ChunkBandsWide, ChunkTopK,
+          "10 minutes", "5 minutes"))
+    }
+    wideJsons ++ dedupJsons
+    }
 
     // ---- 2. bitext forward mining at the wide dial ------------------
+    val bitextJsons = if (!sections("bitext")) Seq.empty[String] else {
+    spark.conf.set(graft.HeapScope.Conf, graft.HeapScope.Raised)
     val emb = graft.Tables.embeddings(spark, sfDir)
     val left = emb.filter(abs(col("vec_id") % 2) === 0L)
     val right = emb.filter(abs(col("vec_id") % 2) === 1L)
@@ -171,7 +228,7 @@ object IngestScaleProbe {
       .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
       .limit(240).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val bitextJsons = batchSizes.map { size =>
+    batchSizes.map { size =>
       val n = nBatches(size)
       val batches = replicate(arrivalVecs, size * n).grouped(size)
         .toSeq.zipWithIndex.map { case (g, i) =>
@@ -183,8 +240,10 @@ object IngestScaleProbe {
           bNbrIdx, "ts", "vec_id", "embedding", sigDim = 32, bands = 2,
           k = 4, "10 minutes", "5 minutes"))
     }
+    }
 
     // ---- 3. the composed ingest chain (d17-family streaming twin) ---
+    val chainJsons = if (!sections("chain")) Seq.empty[String] else {
     // Corpus artifacts a release materializes once: exact-dedup digest
     // set, near-dup band + shingle indexes, bigram LM count tables —
     // all corpus-sized, all served back from parquet.
@@ -198,8 +257,24 @@ object IngestScaleProbe {
     val (cbPath, cbSec, cbBytes) = sized("chain_band_idx",
       DedupOps.bandIndex(docs, "doc_id", "text",
         k = 16, bands = 4, shingleWords = 3))
-    val (csPath, csSec, csBytes) = sized("chain_shingle_idx",
-      DedupOps.shingleIndex(docs, "doc_id", "text", shingleWords = 3))
+    // sharded layout (DedupOps.shingleShard): the chain's candidate-keyed
+    // join prunes to candidate shards via DPP instead of decoding the
+    // whole ~corpus-sized artifact every micro-batch (r16 VERDICT #2)
+    val (csPath, csSec, csBytes) = {
+      val out = "/tmp/ingest_probe/chain_shingle_idx"
+      val df = DedupOps.shingleIndex(docs, "doc_id", "text", shingleWords = 3)
+        .withColumn("shard", DedupOps.shingleShard(col("cid")))
+      val sec = timed(() =>
+        df.write.mode("overwrite").partitionBy("shard").parquet(out))
+      val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      println(f"[ingest-probe] chain_shingle_idx built ${r3(sec)}s, " +
+        s"${bytes >> 20} MiB (sharded x${DedupOps.ShingleShards})")
+      artJsons +=
+        s""""chain_shingle_idx":{"build_sec":${r3(sec)},"bytes":$bytes}"""
+      (out, sec, bytes)
+    }
     val lm0 = RelevanceOps.bigramLm(docs, "text")
     val (c12Path, c12Sec, c12Bytes) = sized("chain_lm_c12", lm0.c12)
     val (c1Path, c1Sec, c1Bytes) = sized("chain_lm_c1", lm0.c1)
@@ -211,6 +286,26 @@ object IngestScaleProbe {
     val chainDigests = spark.read.parquet(digPath)
     val chainBands = spark.read.parquet(cbPath)
     val chainShingles = spark.read.parquet(csPath)
+    // serving-tier pin (r17): a stream-static join re-executes its
+    // static subtree EVERY trigger (including the no-data watermark
+    // trigger), so an unpinned corpus artifact is re-decoded from
+    // parquet twice per arrival batch. Pinning turns that into a
+    // columnar-cache read — the standard production discipline for
+    // served indexes (at cluster scale the executors hold the
+    // release's artifacts in memory for the release's lifetime).
+    Seq(chainDigests, chainBands, chainShingles,
+      lm.c12, lm.c1, lm.c2, lm.tot).foreach { df => df.persist(); df.count() }
+    // state-partition sizing (r17): shuffle.partitions is captured into
+    // a streaming query's checkpoint at START and sizes every state
+    // store — at 32, each trigger committed 64 state-partition files
+    // for ~100-key state, and the ChainPlanProbe metrics dump read the
+    // commit time as the single largest per-trigger term. A streaming
+    // job sizes state partitions to its arrival rate at deploy time;
+    // 8 fits this probe's 12–120-doc batches (and the dial is recorded
+    // in the output JSON).
+    val chainStatePartitions = "8"
+    spark.conf.set("spark.sql.shuffle.partitions", chainStatePartitions)
+    try {
     // arrivals: real ladder docs, re-keyed AND content-perturbed (a
     // fresh per-id suffix token) so the exact-dedup stages pass them
     // through to the expensive near-dup + LM legs — the realistic
@@ -220,7 +315,7 @@ object IngestScaleProbe {
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .limit(240).collect().map(r => (r.getLong(0), r.getString(1)))
     val chainSizes = batchSizes.filter(_ <= 120)
-    val chainJsons = chainSizes.map { size =>
+    chainSizes.map { size =>
       val n = nBatches(size)
       val batches = replicate(chainBase, size * n).grouped(size)
         .toSeq.zipWithIndex.map { case (g, i) =>
@@ -240,25 +335,14 @@ object IngestScaleProbe {
           "10 minutes", "5 minutes", k = 16, bands = 4,
           shingleWords = 3))
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
 
-    def art(name: String, sec: Double, bytes: Long): String =
-      s""""$name":{"build_sec":${r3(sec)},"bytes":$bytes}"""
     val json =
       s"""{"src":"$sfDir","batch_sizes":[${batchSizes.mkString(",")}],""" +
-        s""""artifacts":{""" +
-        Seq(art("chunk_band_idx", bandSec, bandBytes),
-          art("chunk_vec_idx", vecSec, vecBytes),
-          art("bitext_band_idx", bBandSec, bBandBytes),
-          art("bitext_vec_idx", bVecSec, bVecBytes),
-          art("bitext_nbr_idx", bNbrSec, bNbrBytes),
-          art("chain_digests", digSec, digBytes),
-          art("chain_band_idx", cbSec, cbBytes),
-          art("chain_shingle_idx", csSec, csBytes),
-          art("chain_lm_c12", c12Sec, c12Bytes),
-          art("chain_lm_c1", c1Sec, c1Bytes),
-          art("chain_lm_c2", c2Sec, c2Bytes),
-          art("chain_lm_tot", totSec, totBytes)).mkString(",") +
-        s"""},""" +
+        s""""sections":[${sections.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""chain_state_partitions":8,""" +
+        s""""artifacts":{""" + artJsons.mkString(",") + s"""},""" +
         (chunkJsons ++ bitextJsons ++ chainJsons).mkString(",") + "}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outJson), json + "\n")
