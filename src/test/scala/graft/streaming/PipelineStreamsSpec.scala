@@ -368,6 +368,56 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest chain: sharded shingle artifact takes the shard-keyed " +
+    "join and keeps batch identity") {
+    // guards the auto-detect branch: a corpusShingles carrying the
+    // DedupOps.shingleShard partition column must join on (shard, cid)
+    // with the stream side computing the SAME shard expression — any
+    // drift between writer layout and reader key would silently lose
+    // near-dup verification (candidates join to nothing) and emit dups
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DedupOps, RelevanceOps}
+    def mk(words: Seq[String]) = words.mkString(" ")
+    val wA = Seq("the") ++ (1 to 28).map(i => s"alpha$i") ++
+      Seq("and") ++ (29 to 58).map(i => s"alpha$i")
+    val corpus = Seq((100L, mk(wA))).toDF("doc_id", "text")
+    val lm = RelevanceOps.bigramLm(corpus, "text")
+    val digests = corpus
+      .select(DedupOps.contentDigest(col("text")).as("digest"))
+    val bandsIdx = DedupOps.bandIndex(corpus, "doc_id", "text",
+      k = 32, bands = 8, shingleWords = 3)
+    val shinglesSharded = DedupOps.shingleIndex(corpus, "doc_id", "text",
+        shingleWords = 3)
+      .withColumn("shard", DedupOps.shingleShard(col("cid")))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val kept = PipelineStreams.ingestChain(
+      in.toDF().toDF("ts", "doc_id", "text"), digests, bandsIdx,
+      shinglesSharded, lm, "ts", "doc_id", "text",
+      nearDupThreshold = 0.8, maxXent = 20.0, "10 minutes", "10 minutes",
+      k = 32, bands = 8, shingleWords = 3)
+    val q = kept.writeStream.format("memory").queryName("ics")
+      .outputMode("append").start()
+    try {
+      // a reworded near-dup of the corpus doc MUST be verified through
+      // the sharded join and dropped; a genuinely fresh doc keeps
+      in.addData((ts("2021-01-16 17:00:00"), 0L,
+        mk(wA.updated(5, "sneaky"))))
+      q.processAllAvailable()
+      in.addData((ts("2021-01-16 17:01:00"), 1L,
+        mk(Seq("the", "and") ++ (1 to 58).map(i => s"delta$i"))))
+      q.processAllAvailable()
+      in.addData((ts("2021-01-16 17:40:00"), 99L,
+        mk(Seq("the", "and") ++ (1 to 58).map(i => s"omega$i"))))
+      q.processAllAvailable()
+      val got = spark.table("ics").filter(col("doc_id") < 99)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === Seq(1L),
+        s"sharded-join chain kept ${got.toSeq}; the near-dup (0) must " +
+          "drop through the shard-keyed verify and the fresh doc (1) keep")
+    } finally q.stop()
+  }
+
   test("ingest chain: both stateful stages survive a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{DedupOps, RelevanceOps}
