@@ -60,6 +60,20 @@ object ScaleGate {
   val FullCostSet: Seq[String] =
     Seq("s40_bitext_banded", "s41_bitext_forward")
 
+  /** The 100× default: [[CeilingSet]] MINUS the narrow-dial chunk rungs
+    * (s31 multiprobe, s34 4-bit recall, s35 4-bit topk). Those are
+    * quarantined to the 10× gate BY DESIGN — their candidate mass at a
+    * dup-dense 100× corpus is the saturation the wide rungs
+    * (s38/s42/s43) exist to avoid, and an r17 run of the full default
+    * at 100× measured it the hard way: s31 at 485–631 s and s34
+    * OOM-ing the heap mid-gate (the executor died, every later key
+    * failed on the stopped SparkContext). Used automatically when
+    * factor ≥ 100 and no explicit key list is given.
+    */
+  val Ceiling100xSet: Seq[String] =
+    CeilingSet.filterNot(Set("s31_chunk_multiprobe2",
+      "s34_chunk_band_recall", "s35_chunk_band_topk"))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: ScaleGate <srcSfDir> <ladderDir> <factor> <outJson> [key,key,...]")
@@ -67,7 +81,11 @@ object ScaleGate {
     val factor = factorS.toInt
     val keys =
       if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      else CeilingSet
+      else if (factor >= 100) {
+        println("[scale-gate] factor >= 100 with no key list: using " +
+          "Ceiling100xSet (narrow-dial chunk rungs are 10x-quarantined)")
+        Ceiling100xSet
+      } else CeilingSet
     val unknown = keys.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
