@@ -50,7 +50,7 @@ object HeapScope {
     "s39_bitext_margin", "s40_bitext_banded", "s41_bitext_forward",
     "s40s_bitext_banded_sampled", "s41s_bitext_forward_sampled",
     "s42_bitext_banded_wide", "s43_bitext_forward_wide",
-    "d21_source_cap")
+    "s44_chunk_band_topk_dedup", "d21_source_cap")
 
   /** A child session carrying the raise; share everything else. ONE
     * child per parent (identity-keyed, weakly held): `newSession()` is

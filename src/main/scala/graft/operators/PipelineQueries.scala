@@ -643,6 +643,16 @@ object PipelineQueries {
     */
   val ChunkBands = 4
 
+  /** s44's serving-dedup policy knob — the verify threshold the
+    * canonical-corpus selection uses before indexing (ONE value on both
+    * sides, PackBudget rule). Looser than d10's 0.9 dedup gate on
+    * purpose: a retrieval release collapses REWORDED near-copies too
+    * (the ~0.7-Jaccard re-crawls that drive the structural candidate
+    * mass CHUNKDIAL_100x_r17 measured), where the dedup LEDGER's 0.9
+    * answers "is this the same document".
+    */
+  val ServeDedupThreshold = 0.6
+
   /** d16's exact-Jaccard verify threshold — ONE value interpolated into
     * both the engine call and the DuckDB oracle (the PackBudget rule).
     * Lower than d10's 0.9 dedup gate on purpose: a tuning curve wants to
@@ -1428,6 +1438,33 @@ object PipelineQueries {
         "doc_id", "text", ChunkTokens, ChunkStride, BowDimWide,
         ChunkBandsWide, ChunkQueryMod, ChunkTopK)
         .orderBy(col("query_id"), col("rank"))),
+
+    // s38 served from the DEDUPED release — the serving pattern
+    // CHUNKDIAL_100x_r17 priced out: at a dup-dense corpus the banded
+    // candidate mass is STRUCTURAL (near-dup copies agree on whole
+    // bands at any width — 2×24-bit bands read MORE candidates than
+    // 2×16, 59.9k vs 53.3k mean/arrival at 100×), so the dial that
+    // actually cuts it is indexing only the canonical member of every
+    // near-dup cluster (the d10 machinery at the [[DedupThreshold]]
+    // policy knob; 11× on the at-ingest b1200 ceiling,
+    // INGEST_100x_r17). Same retrieval operator, same wide dial —
+    // only the corpus the index serves changes.
+    "s44_chunk_band_topk_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = DedupOps.minhashVerified(docs, "doc_id", "text",
+          threshold = ServeDedupThreshold)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val canon = docs.join(
+        DedupOps.connectedComponents(
+            docs.select(col("doc_id").as("id")), edges)
+          .filter(col("id") === col("cluster_id"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      SimilarityOps.chunkBandTopK(canon,
+        "doc_id", "text", ChunkTokens, ChunkStride, BowDimWide,
+        ChunkBandsWide, ChunkQueryMod, ChunkTopK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // Margin-based bitext mining (LASER/CCMatrix ratio margin) over two
     // deterministic embedding halves: per-pair micro-unit cosine, k-NN
@@ -4563,6 +4600,53 @@ object PipelineQueries {
     // bits (the geometry whose collision mass survives corpus growth)
     "s38_chunk_band_topk_wide" ->
       chunkBandTopKSqlAt(BowDimWide, ChunkBandsWide),
+    // s44: s38's exact tail over the CANONICAL corpus — the d10
+    // closure (cross-impl signature VALUES → banded candidates → exact
+    // shingle-Jaccard verify at ServeDedupThreshold → recursive
+    // min-label closure) re-derived with d-prefixed CTE names (the
+    // chunk chain owns `tok`), then the SHARED chunk SQL with its
+    // `documents` references retargeted at the canonical CTE — one
+    // tail definition with s38, so the two rungs can only differ in
+    // the corpus the index serves.
+    "s44_chunk_band_topk_dedup" ->
+      (s"""WITH RECURSIVE kk(doc_id, sig_csv) AS (VALUES
+         |  ${SignatureVectors.values(SignatureVectors.d04Minhash)}),
+         |msig AS (SELECT doc_id, string_split(sig_csv, ',') AS sig FROM kk
+         |      WHERE len(string_split(sig_csv, ',')) = 16),
+         |dtok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |        FROM documents),
+         |dsh AS (SELECT doc_id,
+         |         CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         |              ELSE list_distinct([array_to_string(t[g:g+2], ' ')
+         |                   FOR g IN generate_series(1, len(t) - 2)]) END AS shs
+         |       FROM dtok),
+         |dbk AS (SELECT doc_id, g,
+         |         array_to_string(sig[(g*4+1):(g*4+4)], ',') AS bkey
+         |       FROM msig, range(0, 4) t(g)),
+         |dcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM dbk a JOIN dbk b
+         |           ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |de AS (SELECT c.id_a AS src, c.id_b AS dst
+         |      FROM dcand c
+         |      JOIN dsh ja ON ja.doc_id = c.id_a
+         |      JOIN dsh jb ON jb.doc_id = c.id_b
+         |      WHERE CAST(len(list_intersect(ja.shs, jb.shs)) AS DOUBLE)
+         |            / (len(ja.shs) + len(jb.shs)
+         |               - len(list_intersect(ja.shs, jb.shs)))
+         |            >= $ServeDedupThreshold),
+         |deb AS (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de),
+         |dreach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT deb.dst, r.label FROM dreach r JOIN deb ON deb.src = r.id),
+         |documents_canon AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN (SELECT id FROM dreach GROUP BY id HAVING id = min(label)) ck
+         |    ON ck.id = d.doc_id),
+         |""".stripMargin +
+        chunkBandTopKSqlAt(BowDimWide, ChunkBandsWide)
+          .stripPrefix("WITH ")
+          .replace("FROM documents", "FROM documents_canon")),
     // s39: the ratio-margin miner re-derived end-to-end — micro-unit
     // pair cosines over the full cross, then the shared criterion tail
     // (bitextMarginTailSql). Candidates = rl<=k OR rr<=k, exactly the

@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("registry sizes: every query carries an oracle") {
-    assert(SparkEntry.queries.size === 210)
+    assert(SparkEntry.queries.size === 211)
     // r8: a09 gained a tolerance oracle (within_3sd boolean vs DuckDB's
     // literal TRUE + exact counts), closing the last rows-only entry.
     // r9: d17 incremental dedup, s16 prototypicality prune, t20 domain
@@ -44,7 +44,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     // r16: s40s/s41s sampled bitext audit rungs (the d16s move — cheap
     // per-session gate rows for the saturating 8-bit dials) — oracled
     // on arrival
-    assert(SparkEntry.oracleSql.size === 210)
+    assert(SparkEntry.oracleSql.size === 211)
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       Set.empty[String])
   }
