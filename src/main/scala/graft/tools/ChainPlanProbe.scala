@@ -65,6 +65,15 @@ object ChainPlanProbe {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       println(s"[chain-plan] shuffle/state partitions=$n")
     }
+    // DPP experiment dial: with stats-based benefit estimation the
+    // stream side's unknown (huge) size defeats pruningHasBenefit, so
+    // the sharded scan never gets a dynamicpruning filter; useStats=
+    // false switches the benefit check to the fallback filter ratio
+    if (sys.env.get("CHAIN_DPP").contains("1")) {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      println("[chain-plan] DPP useStats=false")
+    }
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
     val out = graft.streaming.PipelineStreams.ingestChain(
       in.toDF().toDF("ts", "doc_id", "text"), digests, bands, shingles,

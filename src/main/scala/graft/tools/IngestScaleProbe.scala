@@ -314,7 +314,10 @@ object IngestScaleProbe {
     val chainBase = docs.filter(pmod(col("doc_id"), lit(401L)) === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
       .limit(240).collect().map(r => (r.getLong(0), r.getString(1)))
-    val chainSizes = batchSizes.filter(_ <= 120)
+    // full arrival axis since r17: the pre-restructure chain's ~6 s
+    // fixed cost made 1200/batch uninformative; with the candidate-only
+    // broadcast legs it prices the same axis as the other probes
+    val chainSizes = batchSizes
     chainSizes.map { size =>
       val n = nBatches(size)
       val batches = replicate(chainBase, size * n).grouped(size)
