@@ -448,7 +448,16 @@ object DedupOps {
 
   private[graft] def repeatedWindowStarts(docs: DataFrame, idCol: String,
       textCol: String, windowTokens: Int): DataFrame = {
+    // ONE h-keyed exchange shared by the occurrence count and the join
+    // back (r17, guide §2.4 "two operations keyed the same way share one
+    // exchange"): the explicit repartition is the common shuffle, the
+    // count aggregate and the join both read it (ReusedExchange), so the
+    // corpus scan+tokenize+window-hash explode runs ONCE instead of once
+    // per consumer. Same rows out; the count stays a hash aggregate
+    // (never a per-hash window — the d08 hot-key rule is unchanged; the
+    // join back on h is the same skew surface as before).
     val inst = windowInstances(docs, idCol, textCol, windowTokens)
+      .repartition(col("h"))
     val rep = inst.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     inst.join(rep, Seq("h")).select(col(idCol), col("pos"))
@@ -528,7 +537,11 @@ object DedupOps {
   def substringCutKeepFirst(docs: DataFrame, idCol: String,
       textCol: String, windowTokens: Int): DataFrame = {
     val L = windowTokens
+    // the repeatedWindowStarts single-exchange shape (r17, guide §2.4):
+    // one h-keyed repartition feeds both the canonical-pick aggregate
+    // and the join back, so the window explode runs once
     val inst = windowInstances(docs, idCol, textCol, windowTokens)
+      .repartition(col("h"))
     val perHash = inst.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col(idCol), col("pos"))).as("c"))
@@ -1611,6 +1624,9 @@ object DedupOps {
         transform(col("sel"), s => s.getField("fp"))).as("fps"))
       .select(col(outId), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
+      // one fp-keyed exchange shared by the cap count and the join back
+      // (r17, guide §2.4) — the winnow fingerprint pass runs once
+      .repartition(col("fp"))
     fp.join(
       fp.groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))
         .filter(col("n_doc") <= maxDocsPerFp)
@@ -1635,6 +1651,11 @@ object DedupOps {
       .select(col("doc_id"), size(col("fps")).as("n_fp"),
         explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
+      // one fp-keyed exchange shared by the cap count, the probe side
+      // and BOTH pair-join sides (r17, guide §2.4): the winnow
+      // fingerprint expression — the family's per-row hot loop — runs
+      // once instead of once per consumer subtree
+      .repartition(col("fp"))
     val bounded = perDoc.join(
       perDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))
         .filter(col("n_doc") <= maxDocsPerFp)
@@ -1680,6 +1701,11 @@ object DedupOps {
       .select(col("doc_id"), explode_outer(col("sel")).as("s"))
       .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      // one fp-keyed exchange shared by the cap subtree and both pair
+      // sides (r17, guide §2.4): hash(fp) co-locates equal (doc, fp)
+      // too, so the distinct and the cap aggregate run on it without
+      // further exchanges and the winnow pass runs once
+      .repartition(col("fp"))
     // the SAME docs-per-fp cap as winnowPairs (counted on distinct
     // (doc, fp), so a fingerprint recurring inside one doc doesn't
     // inflate its doc count)
@@ -1745,6 +1771,11 @@ object DedupOps {
       .select(col("doc_id"), explode_outer(col("sel")).as("s"))
       .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      // one fp-keyed exchange shared by the cap subtree and both pair
+      // sides (r17, guide §2.4): hash(fp) co-locates equal (doc, fp)
+      // too, so the distinct and the cap aggregate run on it without
+      // further exchanges and the winnow pass runs once
+      .repartition(col("fp"))
     val capped = posRows.join(
       posRows.select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("n_doc"))

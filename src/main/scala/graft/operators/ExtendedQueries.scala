@@ -122,24 +122,37 @@ object ExtendedQueries {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.cteRecursionLevelLimit", Q34LevelLimit)
       Tables.documents(s2, d).createOrReplaceTempView("docs_v34")
-      s2.sql("""
-        WITH RECURSIVE
-        t AS (SELECT doc_id,
+      // r17 optimization: the edge CTE is referenced from INSIDE the
+      // recursion, and Spark's UnionLoop re-executes the recursive
+      // step's whole subtree every iteration — which re-ran the corpus
+      // tokenize + adjacent self-join once per recursion level
+      // (depth ~= longest near-dup chain). Materializing the (tiny,
+      // edge-count-sized) edge table ONCE with an eager lineage pin and
+      // recursing over the pinned scan leaves each iteration an
+      // edge-table hash join only. Same rows, same SQL semantics — the
+      // recursion itself, its level guard, and the oracle text are
+      // unchanged (the anchor's `FROM t` is `FROM docs_v34`: t is 1:1
+      // with docs and the anchor reads only doc_id).
+      val edges = s2.sql("""
+        WITH t AS (SELECT doc_id,
                 array_distinct(CASE WHEN length(trim(text)) = 0
                   THEN array() ELSE split(trim(text), '\\s+') END) AS toks
-              FROM docs_v34),
-        e AS (
-          SELECT b.doc_id AS src, a.doc_id AS dst
-          FROM t a JOIN t b ON b.doc_id = a.doc_id - 1
-          WHERE CASE WHEN size(a.toks) + size(b.toks) = 0 THEN 0.0
-                ELSE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
-                     / (size(a.toks) + size(b.toks)
-                        - size(array_intersect(a.toks, b.toks)))
-                END >= 0.85),
+              FROM docs_v34)
+        SELECT b.doc_id AS src, a.doc_id AS dst
+        FROM t a JOIN t b ON b.doc_id = a.doc_id - 1
+        WHERE CASE WHEN size(a.toks) + size(b.toks) = 0 THEN 0.0
+              ELSE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (size(a.toks) + size(b.toks)
+                      - size(array_intersect(a.toks, b.toks)))
+              END >= 0.85""").localCheckpoint()
+      edges.createOrReplaceTempView("edges_v34")
+      s2.sql("""
+        WITH RECURSIVE
         reach(id, label) AS (
-          SELECT doc_id, doc_id FROM t
+          SELECT doc_id, doc_id FROM docs_v34
           UNION ALL
-          SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id)
+          SELECT e.dst, r.label FROM reach r JOIN edges_v34 e
+          ON e.src = r.id)
         SELECT id AS doc_id, min(label) AS cluster_id,
                (id = min(label)) AS is_head
         FROM reach GROUP BY id ORDER BY doc_id""")

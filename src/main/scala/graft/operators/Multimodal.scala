@@ -131,6 +131,20 @@ object Multimodal {
     }
   }
 
+  /** The corpus plus a re-keyed exact copy of every clip — the
+    * m09/m11/m12 dup-dense corpus recipe, synthesized in ONE pass (r17
+    * optimization): `media.union(media.map(rekey))` executes the payload
+    * build twice (the union's two legs are independent subtrees); this
+    * flatMap emits both rows from one pass, sharing the payload bytes.
+    * Row multiset identical to the union form (order is irrelevant to
+    * every consumer — all are aggregates/joins).
+    */
+  def withRekeyedCopies(media: Dataset[MediaRow],
+      offset: Long): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => Seq(r, r.copy(media_id = r.media_id + offset)))
+  }
+
   /** Partition-local decode: one initialization per partition (the shape a
     * real codec needs), rows streamed through — the Scala analogue of
     * `mapInPandas` batch processing.
@@ -157,12 +171,29 @@ object Multimodal {
     * otherwise decode the whole corpus to keep 150 rows (measured as a
     * wedged warm-up on a 100× rehearsal slice). Registry queries pass
     * nothing — full corpus, unchanged behavior. */
+  /** `spread = true` (the dup-dense cluster recipes m09/m11/m12, which
+    * build+decode the corpus TWICE over) adds a scale-adaptive pre-map
+    * repartition of the (doc_id, text) rows: the testdata scan is one
+    * single-row-group parquet file, so the payload build would run on
+    * ONE task locally; spreading to defaultParallelism happens only
+    * when the scan cannot feed that many tasks — a no-op branch at
+    * production scale (guide §2, scale-adaptive partitioning), so
+    * "text/payload never shuffles at scale" still holds. The default
+    * stays false: for the single-pass m-queries the extra exchange
+    * costs more than the build (~+0.1 s each, measured r17). */
   def mediaFromDocuments(spark: SparkSession, sfDir: String,
-      maxDocId: Option[Long] = None): Dataset[MediaRow] = {
+      maxDocId: Option[Long] = None,
+      spread: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
     val docs0 = graft.Tables.documents(spark, sfDir)
-    maxDocId.fold(docs0)(m => docs0.filter(col("doc_id") < m))
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val narrowed0 = maxDocId.fold(docs0)(m => docs0.filter(col("doc_id") < m))
+      .select(col("doc_id"), col("text"))
+    val par = spark.sparkContext.defaultParallelism
+    val narrowed =
+      if (spread && narrowed0.rdd.getNumPartitions < par)
+        narrowed0.repartition(par)
+      else narrowed0
+    narrowed.as[(Long, String)]
       .map { case (id, rawText) =>
         val text = if (rawText == null) "" else rawText
         val nCp = text.codePointCount(0, text.length)

@@ -2534,10 +2534,11 @@ object PipelineQueries {
     // ingested twice" case the operator exists for), and the oracle
     // recomputes both hash sets from the same seeds.
     "m09_visual_clusters" -> ((s, d) => {
-      import s.implicits._
-      val base = Multimodal.mediaFromDocuments(s, d)
-      val copies = base.map(r => r.copy(media_id = r.media_id + 10000000L))
-      Multimodal.visualClusters(base.union(copies))
+      // one-pass corpus+copies synthesis (r17): flatMap emits the
+      // original and the re-keyed copy from one payload build — same
+      // row multiset as base.union(base.map(rekey)), half the decodes
+      Multimodal.visualClusters(Multimodal.withRekeyedCopies(
+          Multimodal.mediaFromDocuments(s, d, spread = true), 10000000L))
         .orderBy(col("media_id"))
     }),
 
@@ -2548,10 +2549,10 @@ object PipelineQueries {
     // (10-50 windows -> 9-49 delta bits), so the fb verify word is
     // genuinely exercised, not just the banded print prefix.
     "m11_audio_clusters" -> ((s, d) => {
-      import s.implicits._
-      val base = Multimodal.mediaFromDocuments(s, d)
-      val copies = base.map(r => r.copy(media_id = r.media_id + 10000000L))
-      Multimodal.audioClusters(base.union(copies), windowFrames = 5)
+      // one-pass corpus+copies synthesis (r17, see m09)
+      Multimodal.audioClusters(Multimodal.withRekeyedCopies(
+          Multimodal.mediaFromDocuments(s, d, spread = true), 10000000L),
+          windowFrames = 5)
         .orderBy(col("media_id"))
     }),
 
@@ -2559,10 +2560,10 @@ object PipelineQueries {
     // the audio modality, over m11's ledger (same corpus recipe) through
     // the SHARED DedupOps.sizeHistogram bucket tail.
     "m12_audio_dup_histogram" -> ((s, d) => {
-      import s.implicits._
-      val base = Multimodal.mediaFromDocuments(s, d)
-      val copies = base.map(r => r.copy(media_id = r.media_id + 10000000L))
-      val sizes = Multimodal.audioClusters(base.union(copies), windowFrames = 5)
+      // one-pass corpus+copies synthesis (r17, see m09)
+      val sizes = Multimodal.audioClusters(Multimodal.withRekeyedCopies(
+          Multimodal.mediaFromDocuments(s, d, spread = true), 10000000L),
+          windowFrames = 5)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_copies"))
       DedupOps.sizeHistogram(sizes.select(col("n_copies")), 128)
         .orderBy(col("bucket_lo"))

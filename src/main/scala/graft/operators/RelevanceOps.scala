@@ -115,7 +115,12 @@ object RelevanceOps {
     // grand total from the token stream directly (a partial-aggregated
     // scalar count), NOT sum(vocab.cnt): the vocab subplan feeds the
     // broadcast join, and reusing it here would evaluate the term
-    // aggregate twice (one extra exchange, measured in PlanShapeSpec)
+    // aggregate twice (one extra exchange, measured in PlanShapeSpec).
+    // r17 re-measured the alternatives (derived rollup, pinned vocab):
+    // both SLOWER at bench scale (pin ≈ +0.3 s/invocation; multi-
+    // consumer aggregates re-execute — see OPTIMIZATION_r17.md); the
+    // three parallel passes stand, with the 100 TB story being the
+    // materialized count-table artifact (the t25 note pattern).
     val total = toks.agg(count(lit(1)).cast("double").as("total"))
     tf.join(broadcast(vocab), Seq("term"))
       .crossJoin(broadcast(total))
@@ -171,6 +176,11 @@ object RelevanceOps {
       .select(col(idCol), col("p.w1").as("w1"), col("p.bg").as("bg"))
     val tf = bigr.groupBy(col(idCol), col("w1"), col("bg"))
       .agg(count(lit(1)).as("tf"))
+    // r17 re-measured the single-pass alternatives (derived rollups,
+    // pinned count table): both SLOWER at bench scale (pin ≈ +0.3 s,
+    // multi-consumer aggregates re-execute; OPTIMIZATION_r17.md). The
+    // independent parallel aggregates stand; at 100 TB the count tables
+    // are materialized artifacts (the t25 note pattern).
     val c12 = bigr.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = docs
@@ -236,10 +246,15 @@ object RelevanceOps {
   def unigramLm(corpus: DataFrame, textCol: String): UnigramLm = {
     val toks = corpus
       .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
-    UnigramLm(
+    // r17: count table PINNED from one corpus pass; T = Σ cw and
+    // V = |rows(cw)| are exact rollups of the pin (multi-consumer
+    // subtrees re-execute otherwise — re-measured this round).
+    val cw = graft.operators.DedupOps.pin(
       toks.groupBy(col("w")).agg(count(lit(1)).as("cw")),
-      toks.agg(count(lit(1)).cast("double").as("t"),
-        countDistinct(col("w")).cast("double").as("v")))
+      reliable = false)
+    UnigramLm(cw,
+      cw.agg(coalesce(sum(col("cw")), lit(0L)).cast("double").as("t"),
+        count(lit(1)).cast("double").as("v")))
   }
 
   /** OOV-complete per-token cost against a [[UnigramLm]]:
@@ -259,12 +274,20 @@ object RelevanceOps {
       .filter(size(col("toks__")) >= 2)
       .select(explode(expr(bigramPairsExpr("toks__"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    BigramLm(
+    // r17: count table PINNED from one corpus pass; c1 = Σ_w2 c12,
+    // c2 = Σ_w1 c12, T = Σ c2, V = |rows(c2)| are exact rollups of the
+    // pin — one corpus pass instead of four (multi-consumer subtrees
+    // re-execute otherwise; re-measured this round). Identical integers.
+    val c12 = graft.operators.DedupOps.pin(
       bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
-      bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
-      bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2")),
-      bigr.agg(count(lit(1)).cast("double").as("t"),
-        countDistinct(col("w2")).cast("double").as("v")))
+      reliable = false)
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    BigramLm(
+      c12,
+      c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1")),
+      c2,
+      c2.agg(coalesce(sum(col("c2")), lit(0L)).cast("double").as("t"),
+        count(lit(1)).cast("double").as("v")))
   }
 
   /** Per-INSTANCE interpolated micro-nat cost, null-count-tolerant — the
@@ -309,6 +332,13 @@ object RelevanceOps {
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val tf = bigr.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+    // r17 re-measured the single-pass alternatives (derived rollup
+    // cascade, pinned count table): both SLOWER at bench scale (pin ≈
+    // +0.3 s/invocation; multi-consumer aggregates re-execute — see
+    // OPTIMIZATION_r17.md). The independent parallel aggregates stand;
+    // at 100 TB the count tables are materialized artifacts (the t25
+    // note pattern). The ≥7-consumer rungs (t24/t37) DID convert — to
+    // one GROUPING SETS pass — where the pass count dwarfs the pin.
     val c12 = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val c2 = bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
@@ -378,14 +408,33 @@ object RelevanceOps {
         col("p.w3").as("w3"))
     val tf = tri.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tf"))
-    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c123"))
-    val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
-    val c2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val c3 = tri.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
-    val tot = tri.agg(count(lit(1)).cast("double").as("t"),
-      countDistinct(col("w3")).cast("double").as("v"))
+    // r17: every count table from ONE corpus pass — a GROUPING SETS
+    // aggregate computes all five groupings in one Expand + one
+    // exchange; the (count-table-sized) result is lineage-PINNED once
+    // and each table is a filtered slice keyed by grouping_id. Was
+    // seven independent consumers of the trigram explode = seven
+    // corpus tokenize passes (exchange reuse does not bridge
+    // differently-keyed aggregates — re-measured this round). T and V
+    // both come from the w3 slice. Identical 64-bit integers.
+    val w1c = col("w1"); val w2c = col("w2"); val w3c = col("w3")
+    // grouping_id bit b set when grouping col b is aggregated away
+    // (w1 = bit 2, w2 = bit 1, w3 = bit 0)
+    val sets = tri.groupingSets(
+      Seq(Seq(w1c, w2c, w3c), Seq(w1c, w2c), Seq(w2c, w3c),
+        Seq(w2c), Seq(w3c)),
+      w1c, w2c, w3c)
+      .agg(count(lit(1)).as("c"), grouping_id().as("gid"))
+    val counts = graft.operators.DedupOps.pin(sets, reliable = false)
+    def slice(gid: Int, name: String, keep: Column*): DataFrame =
+      counts.filter(col("gid") === gid)
+        .select(keep :+ col("c").as(name): _*)
+    val c123 = slice(0, "c123", w1c, w2c, w3c)
+    val c12 = slice(1, "c12", w1c, w2c)
+    val c23 = slice(4, "c23", w2c, w3c)
+    val c2 = slice(5, "c2", w2c)
+    val c3 = slice(6, "c3", w3c)
+    val tot = c3.agg(coalesce(sum(col("c3")), lit(0L)).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
     tf.join(c123, Seq("w1", "w2", "w3"))
       .join(c12, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
@@ -457,18 +506,39 @@ object RelevanceOps {
         col("p.w3").as("w3"), col("p.w4").as("w4"))
     val tf = quad.groupBy(col(idCol), col("w1"), col("w2"), col("w3"),
       col("w4")).agg(count(lit(1)).as("tf"))
-    val c1234 = quad.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
-      .agg(count(lit(1)).as("c1234"))
-    val c123 = quad.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c123"))
-    val c234 = quad.groupBy(col("w2"), col("w3"), col("w4"))
-      .agg(count(lit(1)).as("c234"))
-    val c23 = quad.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
-    val c34 = quad.groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("c34"))
-    val c3 = quad.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
-    val c4 = quad.groupBy(col("w4")).agg(count(lit(1)).as("c4"))
-    val tot = quad.agg(count(lit(1)).cast("double").as("t"),
-      countDistinct(col("w4")).cast("double").as("v"))
+    // r17: every count table from ONE corpus pass — a GROUPING SETS
+    // aggregate over the 4-gram instances computes all seven groupings
+    // in one Expand + one exchange; the (small, count-table-sized)
+    // result is lineage-PINNED once and each table is a filtered slice
+    // of the pin keyed by grouping_id. Was NINE independent consumers
+    // of the 4-gram explode = nine corpus tokenize passes (exchange
+    // reuse does not bridge differently-keyed aggregates — re-measured
+    // this round, as was a per-marginal rollup cascade, which planned
+    // 70+ exchanges). T and V both come from the w4 slice (T = Σ c4,
+    // V = its row count). Identical 64-bit integers throughout.
+    val w1c = col("w1"); val w2c = col("w2"); val w3c = col("w3")
+    val w4c = col("w4")
+    // grouping_id bit b is SET when grouping column b is aggregated
+    // away (w1 = bit 3 … w4 = bit 0)
+    val sets = quad.groupingSets(
+      Seq(Seq(w1c, w2c, w3c, w4c), Seq(w1c, w2c, w3c),
+        Seq(w2c, w3c, w4c), Seq(w2c, w3c), Seq(w3c, w4c),
+        Seq(w3c), Seq(w4c)),
+      w1c, w2c, w3c, w4c)
+      .agg(count(lit(1)).as("c"), grouping_id().as("gid"))
+    val counts = graft.operators.DedupOps.pin(sets, reliable = false)
+    def slice(gid: Int, name: String, keep: Column*): DataFrame =
+      counts.filter(col("gid") === gid)
+        .select(keep :+ col("c").as(name): _*)
+    val c1234 = slice(0, "c1234", w1c, w2c, w3c, w4c)
+    val c123 = slice(1, "c123", w1c, w2c, w3c)
+    val c234 = slice(8, "c234", w2c, w3c, w4c)
+    val c23 = slice(9, "c23", w2c, w3c)
+    val c34 = slice(12, "c34", w3c, w4c)
+    val c3 = slice(13, "c3", w3c)
+    val c4 = slice(14, "c4", w4c)
+    val tot = c4.agg(coalesce(sum(col("c4")), lit(0L)).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
     tf.join(c1234, Seq("w1", "w2", "w3", "w4"))
       .join(c123, Seq("w1", "w2", "w3"))
       .join(c234, Seq("w2", "w3", "w4"))
@@ -536,6 +606,10 @@ object RelevanceOps {
       .select(explode(TextFns.tokens(col(textCol))).as("term"))
       .select(feat(col("term")).as("f"))
     val tf = featR.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("tf"))
+    // r17 re-measured the pinned-count-table alternative: SLOWER at
+    // bench scale (two pins ≈ +0.6 s/invocation vs the parallel
+    // independent aggregates — OPTIMIZATION_r17.md). Stands as is; the
+    // tables are provably ≤ `buckets` rows either way.
     val cr = featR.groupBy(col("f")).agg(count(lit(1)).as("cr"))
     val ct = featT.groupBy(col("f")).agg(count(lit(1)).as("ct"))
     val totals = featR.agg(count(lit(1)).cast("double").as("tr"))
@@ -687,11 +761,17 @@ object RelevanceOps {
       .filter(size(col("ts")) >= 2)
       .select(explode(expr(bigramPairsExpr("ts"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c12 = bigr.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c2 = bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val tot = bigr.agg(count(lit(1)).cast("double").as("t"))
+    // r17: ONE corpus pass builds the bigram count table, PINNED;
+    // c1 = Σ_w2 c12, c2 = Σ_w1 c12, T = Σ c1 are exact rollups of the
+    // pin (was four independent consumers of the explode = four corpus
+    // tokenize passes; exchange reuse does not bridge differently-keyed
+    // aggregates, re-measured). Identical integers.
+    val c12 = graft.operators.DedupOps.pin(
+      bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      reliable = false)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = c1.agg(coalesce(sum(col("c1")), lit(0L)).cast("double").as("t"))
     c12.filter(col("c12") >= minCount)
       .join(c1, Seq("w1"))
       .join(c2, Seq("w2"))
