@@ -19,27 +19,42 @@ object SetMath {
     * intermediate arrays.
     */
   def jaccardStr(a: ArrayData, b: ArrayData): Double = {
-    val sa = new java.util.HashSet[UTF8String]()
+    // ONE presized map instead of two grow-as-you-go HashSets (r17: this
+    // sits on the 157k-pair d16 verify loop — two unsized sets per pair
+    // were ~60% of the query's execution): a-side elements insert with
+    // flag A; the b pass counts a new distinct b on first sight and an
+    // intersection hit when the first sight finds flag A. Counts (da,
+    // db, inter) — and therefore the returned double — are identical.
+    val na = a.numElements()
+    val nb = b.numElements()
+    val m = new java.util.HashMap[UTF8String, java.lang.Byte](
+      math.max(8, ((na + nb) * 4) / 3))
+    val A: java.lang.Byte = 1.toByte // seen in a only
+    val B: java.lang.Byte = 2.toByte // seen in b (and counted)
     var aHasNull = false
     var i = 0
-    val na = a.numElements()
     while (i < na) {
-      if (a.isNullAt(i)) aHasNull = true else sa.add(a.getUTF8String(i))
+      if (a.isNullAt(i)) aHasNull = true
+      else m.put(a.getUTF8String(i), A)
       i += 1
     }
-    val sb = new java.util.HashSet[UTF8String]()
+    val da = m.size + (if (aHasNull) 1 else 0)
     var bHasNull = false
+    var db = 0
+    var inter = 0
     i = 0
-    val nb = b.numElements()
     while (i < nb) {
-      if (b.isNullAt(i)) bHasNull = true else sb.add(b.getUTF8String(i))
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val prev = m.put(b.getUTF8String(i), B)
+        if (prev == null) db += 1 // new distinct, b-only
+        else if (prev eq A) { db += 1; inter += 1 } // first b sight of an a elem
+        // prev == B: duplicate b element, already counted
+      }
       i += 1
     }
-    var inter = if (aHasNull && bHasNull) 1 else 0
-    val it = sb.iterator()
-    while (it.hasNext) if (sa.contains(it.next())) inter += 1
-    val da = sa.size + (if (aHasNull) 1 else 0)
-    val db = sb.size + (if (bHasNull) 1 else 0)
+    if (aHasNull && bHasNull) inter += 1
+    if (bHasNull) db += 1
     val union = da + db - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }

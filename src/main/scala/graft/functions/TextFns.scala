@@ -77,6 +77,22 @@ object TextFns {
     ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(ts), n, k))
   }
 
+  /** Pushdown-safe cheap equivalent of `shingleMinhash(tokens(text), n, k)
+    * .isNotNull` (and, at n = 1, of `simhash64Fast(tokens(text)).isNotNull`):
+    * the signature is null iff the text has fewer than n whitespace tokens
+    * ([[ShingleMinHashImpl.sig]] returns null for `numElements − n + 1 ≤ 0`,
+    * null input → null). Filtering on the SIGNATURE column makes Catalyst
+    * push the predicate below the projection with the whole minhash
+    * substituted in — the full k-lane signature then evaluates TWICE per
+    * row (Filter + Project; there is no cross-operator CSE), which the r17
+    * d16 plan showed on all four corpus scans. This predicate filters the
+    * exact same rows for the cost of one native char scan
+    * (`token_stats.n_tokens` ≡ `size(tokens(text))`, differentially pinned
+    * in NativeExprPropertySpec).
+    */
+  def hasMinTokens(text: Column, n: Int): Column =
+    tokenStats(text).getField("n_tokens") >= n
+
   /** Exact n-gram-token Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

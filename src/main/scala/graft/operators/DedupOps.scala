@@ -678,10 +678,14 @@ object DedupOps {
   def bandIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, shingleWords: Int,
       outId: String = "cid"): DataFrame =
-    docs.select(col(idCol).as(outId),
-      TextFns.shingleMinhash(
-        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
-      .filter(col("sig").isNotNull)
+    // token-count pre-filter, NOT `sig.isNotNull` (same rows): the
+    // signature filter pushes below the projection with the minhash
+    // substituted in, evaluating the k-lane signature twice per row
+    // (r17, guide §4.4 — see TextFns.hasMinTokens)
+    docs.filter(TextFns.hasMinTokens(col(textCol), shingleWords))
+      .select(col(idCol).as(outId),
+        TextFns.shingleMinhash(
+          TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
       .select(col(outId),
         posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
           .as(Seq("band", "band_key")))
@@ -1096,14 +1100,23 @@ object DedupOps {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      TextFns.shingleMinhash(
-        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
-      .filter(col("sig").isNotNull)
+    // token-count pre-filter, NOT `sig.isNotNull` (same rows — see
+    // TextFns.hasMinTokens): the signature filter pushed below the
+    // projection evaluated the minhash twice per row (r17, guide §4.4);
+    // the explicit band-keyed exchange feeds BOTH self-join sides, so
+    // the corpus scan + signature pass runs ONCE, not once per side
+    // (r17, guide §2.4 — the broadcast plan rebuilt the whole subtree
+    // for the build side)
+    val sigs = docs
+      .filter(TextFns.hasMinTokens(col(textCol), shingleWords))
+      .select(
+        col(idCol).as("id"),
+        TextFns.shingleMinhash(
+          TextFns.tokens(col(textCol)), shingleWords, k).as("sig"))
       .select(col("id"),
         posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
           .as(Seq("band", "band_key")))
+      .repartition(col("band"), col("band_key"))
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b,
@@ -1123,13 +1136,28 @@ object DedupOps {
       threshold: Double, k: Int = 16, bands: Int = 4,
       shingleWords: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
+    // one id-keyed exchange feeds both pair-side joins (r17, guide §2.4):
+    // the shingle pass over the corpus runs once, not once per branch
     val sh = docs.select(col(idCol).as("jid"),
       TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      .repartition(col("jid"))
+    // size-ratio short-circuit before the set verify (r17, exact — see
+    // lshTuningCurve): distinct shingle arrays give jaccard ≤ min/max
+    // sizes, so ratio < threshold pairs drop on two ints. NULLIF-style
+    // greatest(…, 1) guards the ANSI division: a doc with < shingleWords
+    // tokens has an EMPTY (not null) shingle array here because this
+    // side is unfiltered, and such a pair's jaccard is 0 < threshold —
+    // the guard keeps it short-circuited, never divided by zero.
+    val la = size(col("sh_a")).cast("double")
+    val lb = size(col("sh_b")).cast("double")
+    val sizeGuard =
+      least(la, lb) / greatest(greatest(la, lb), lit(1.0)) >= threshold
     cands
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .filter(sizeGuard &&
+        TextFns.jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -1156,11 +1184,17 @@ object DedupOps {
   def minhashEstimates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
-    val side = docs.select(col(idCol).as("jid"),
-      TextFns.shingleMinhash(
-        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
-      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
-      .filter(col("sig").isNotNull)
+    // token-count pre-filter (same rows as `sig.isNotNull`, one minhash
+    // eval per row instead of two — guide §4.4) and ONE id-keyed exchange
+    // feeding both pair-side joins (guide §2.4): the signature+shingle
+    // pass over the corpus runs once, not once per join branch
+    val side = docs
+      .filter(TextFns.hasMinTokens(col(textCol), shingleWords))
+      .select(col(idCol).as("jid"),
+        TextFns.shingleMinhash(
+          TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
+        TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      .repartition(col("jid"))
     def renamed(suffix: String) = side.select(col("jid").as(s"id_$suffix"),
       col("sig").as(s"sig_$suffix"), col("sh").as(s"sh_$suffix"))
     cands
@@ -1198,8 +1232,11 @@ object DedupOps {
   def containmentEstimates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
+    // one id-keyed exchange feeds both pair-side joins (r17, guide §2.4):
+    // the shingle pass over the corpus runs once, not once per branch
     val side = docs.select(col(idCol).as("jid"),
       TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      .repartition(col("jid"))
     cands
       .join(side.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(side.select(col("jid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -1262,20 +1299,35 @@ object DedupOps {
           lit(math.floor(sampleFrac * (1L << 24)).toLong))
     val cands = minhashCandidates(sampled, idCol, textCol, k, bands = k,
       shingleWords)
-    val side = sampled.select(col(idCol).as("jid"),
-      TextFns.shingleMinhash(
-        TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
-      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
-      .filter(col("sig").isNotNull)
+    // token-count pre-filter (same rows as `sig.isNotNull`, one minhash
+    // eval per row instead of two — guide §4.4) and ONE id-keyed exchange
+    // feeding both pair-side joins (guide §2.4), as in minhashEstimates
+    val side = sampled
+      .filter(TextFns.hasMinTokens(col(textCol), shingleWords))
+      .select(col(idCol).as("jid"),
+        TextFns.shingleMinhash(
+          TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
+        TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      .repartition(col("jid"))
     def renamed(suffix: String) = side.select(col("jid").as(s"id_$suffix"),
       col("sig").as(s"sig_$suffix"), col("sh").as(s"sh_$suffix"))
+    // size-ratio short-circuit on the thresholded verify (r17, exact):
+    // wordShingles arrays are distinct sets, so jaccard ≤ min(|A|,|B|) /
+    // max(|A|,|B|); when that ratio is already below the threshold the
+    // pair is a proven non-dup and the per-pair set build never runs
+    // (Spark's And codegen short-circuits). Sizes ≥ 1 — the side filter
+    // keeps only docs with ≥ shingleWords tokens — so the ANSI division
+    // is safe. ~42% of the 157k sf0.1 candidates die on the size check.
+    val la = size(col("sh_a")).cast("double")
+    val lb = size(col("sh_b")).cast("double")
     val scored = cands
       .join(renamed("a"), Seq("id_a"))
       .join(renamed("b"), Seq("id_b"))
       .select(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y).as("mask"),
         // exact integer-ratio double, identical cross-engine (d10 recipe)
-        (TextFns.jaccard(col("sh_a"), col("sh_b")) >= threshold).as("is_dup"))
+        ((least(la, lb) / greatest(la, lb) >= threshold) &&
+          (TextFns.jaccard(col("sh_a"), col("sh_b")) >= threshold)).as("is_dup"))
     scored
       .select(col("is_dup"), explode(array(bandConfigs.map { b =>
         val r = k / b
@@ -1305,9 +1357,14 @@ object DedupOps {
       s"maxHamming=$maxHamming out of range: slices need ≥2 bits each")
     val nSlices = maxHamming + 1
     val bounds = (0 to nSlices).map(i => i * 64 / nSlices) // slice bit edges
-    val sigs = docs.select(col(idCol).as("id"),
-      TextFns.simhash64Fast(TextFns.tokens(col(textCol))).as("sig"))
-      .filter(col("sig").isNotNull)
+    // token-count pre-filter, NOT `sig.isNotNull` (same rows: simhash is
+    // null iff zero tokens): the signature filter pushed below the
+    // projection evaluated the simhash twice per row (guide §4.4); the
+    // explicit slice-keyed exchange feeds BOTH self-join sides so the
+    // corpus signature pass runs once (guide §2.4)
+    val sigs = docs.filter(TextFns.hasMinTokens(col(textCol), 1))
+      .select(col(idCol).as("id"),
+        TextFns.simhash64Fast(TextFns.tokens(col(textCol))).as("sig"))
     val sliced = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nSlices).map { b =>
         val width = bounds(b + 1) - bounds(b)
@@ -1315,6 +1372,7 @@ object DedupOps {
         shiftrightunsigned(col("sig"), bounds(b)).bitwiseAND(mask)
       }: _*))
         .as(Seq("slice", "slice_key")))
+      .repartition(col("slice"), col("slice_key"))
     val a = sliced.as("a")
     val b = sliced.as("b")
     a.join(b,
