@@ -186,12 +186,23 @@ object RelevanceOps {
     val vocab = docs
       .select(explode(TextFns.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("v"))
-    tf.join(c12, Seq("bg"))
+    // r17: the per-instance cost is a function of the BIGRAM alone — run
+    // the count attach once per distinct corpus bigram and give the
+    // doc-grain tf rows a single join (the t37 move; identical IEEE
+    // chain on identical values, inner-join semantics unchanged).
+    // w1 recovered from bg exactly: bg = concat(w1, ' ', w2) and tokens
+    // are whitespace-split (never contain a space), so bg's prefix
+    // before the first space IS w1 — no extra corpus pass
+    val costTable = c12
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("contrib_micro", round(col("tf").cast("double") *
+      .select(col("bg"),
         log((col("c1").cast("double") + col("v")) /
-          (col("c12").cast("double") + 1.0)) * 1e6, 0).cast("long"))
+          (col("c12").cast("double") + 1.0)).as("cost"))
+    tf.join(costTable, Seq("bg"))
+      .withColumn("contrib_micro", round(col("tf").cast("double") *
+        col("cost") * 1e6, 0).cast("long"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(col("contrib_micro")).as("nll_micro"))
@@ -344,7 +355,9 @@ object RelevanceOps {
     val c2 = bigr.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
     val tot = bigr.agg(count(lit(1)).cast("double").as("t"),
       countDistinct(col("w2")).cast("double").as("v"))
-    tf.join(c12, Seq("w1", "w2"))
+    // r17: P is a function of the BIGRAM alone — count attach once per
+    // distinct corpus bigram, ONE doc-grain join (the t37 move)
+    val pTable = c12
       .join(c1, Seq("w1"))
       .join(c2, Seq("w2"))
       .crossJoin(broadcast(tot))
@@ -352,6 +365,8 @@ object RelevanceOps {
         lit(lam) * (col("c12").cast("double") / col("c1").cast("double")) +
           lit(1.0 - lam) *
             ((col("c2").cast("double") + 1.0) / (col("t") + col("v"))))
+      .select(col("w1"), col("w2"), col("p"))
+    tf.join(pTable, Seq("w1", "w2"))
       .withColumn("contrib_micro",
         round(col("tf").cast("double") * -log(col("p")) * 1e6, 0).cast("long"))
       .groupBy(col(idCol))
@@ -435,7 +450,11 @@ object RelevanceOps {
     val c3 = slice(6, "c3", w3c)
     val tot = c3.agg(coalesce(sum(col("c3")), lit(0L)).cast("double").as("t"),
       count(lit(1)).cast("double").as("v"))
-    tf.join(c123, Seq("w1", "w2", "w3"))
+    // r17: P is a function of the TRIGRAM alone — run the 5-way count
+    // attach once per distinct corpus trigram and give the doc-grain tf
+    // rows a single join (see interpolatedFourgramXent; same
+    // equivalence argument one order down).
+    val pTable = c123
       .join(c12, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
       .join(c2, Seq("w2"))
@@ -446,6 +465,8 @@ object RelevanceOps {
           lit(l2) * (col("c23").cast("double") / col("c2").cast("double")) +
           lit(l3) *
             ((col("c3").cast("double") + 1.0) / (col("t") + col("v"))))
+      .select(col("w1"), col("w2"), col("w3"), col("p"))
+    tf.join(pTable, Seq("w1", "w2", "w3"))
       .withColumn("contrib_micro",
         round(col("tf").cast("double") * -log(col("p")) * 1e6, 0).cast("long"))
       .groupBy(col(idCol))
@@ -539,7 +560,16 @@ object RelevanceOps {
     val c4 = slice(14, "c4", w4c)
     val tot = c4.agg(coalesce(sum(col("c4")), lit(0L)).cast("double").as("t"),
       count(lit(1)).cast("double").as("v"))
-    tf.join(c1234, Seq("w1", "w2", "w3", "w4"))
+    // r17: P(w₄|w₁w₂w₃) is a function of the 4-GRAM alone, so the 7-way
+    // count attach runs ONCE per distinct corpus 4-gram (the count-table
+    // grain) and the doc-grain tf rows pass through a SINGLE join —
+    // previously all seven joins ran at the (doc, 4-gram) grain, hashing
+    // every instance row's keys seven times (guide §2.3: move the
+    // decision to the small table, attach once). Inner-join semantics
+    // are unchanged: every tf key exists in c1234 (same instance pass),
+    // and every c1234 key has its context rows in every slice.
+    // Arithmetic is the identical IEEE chain on identical values.
+    val pTable = c1234
       .join(c123, Seq("w1", "w2", "w3"))
       .join(c234, Seq("w2", "w3", "w4"))
       .join(c23, Seq("w2", "w3"))
@@ -553,6 +583,8 @@ object RelevanceOps {
           lit(l3) * (col("c34").cast("double") / col("c3").cast("double")) +
           lit(l4) *
             ((col("c4").cast("double") + 1.0) / (col("t") + col("v"))))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("p"))
+    tf.join(pTable, Seq("w1", "w2", "w3", "w4"))
       .withColumn("contrib_micro",
         round(col("tf").cast("double") * -log(col("p")) * 1e6, 0).cast("long"))
       .groupBy(col(idCol))
@@ -1017,10 +1049,20 @@ object RelevanceOps {
       rewPend = Nil
     }
     var stF: Future[DataFrame] = Future.successful(st)
+    // dev trace (GRAFT_BPE_TRACE=1): per-round phase timings on stderr —
+    // zero work when unset
+    val trace = sys.env.get("GRAFT_BPE_TRACE").contains("1")
+    def tr[A](tag: String, k: Int)(f: => A): A =
+      if (!trace) f else {
+        val t0 = System.nanoTime(); val a = f
+        System.err.println(
+          f"[bpe-trace] round=$k%3d $tag%-8s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+        a
+      }
     var k = 1
     while (k <= rounds) {
-      val best = pc.orderBy(desc("pc"), col("c1"), col("c2"))
-        .limit(1).collect()
+      val best = tr("argmax", k) { pc.orderBy(desc("pc"), col("c1"), col("c2"))
+        .limit(1).collect() }
       // A corpus can run out of adjacent pairs before `rounds` (every
       // word fully merged to one symbol — e.g. all single-codepoint
       // words). Return the TRUNCATED merge table rather than throw:
@@ -1043,23 +1085,26 @@ object RelevanceOps {
       val adj = concat(lit(" "), col("rep"), lit(" "))
         .contains(" " + c1 + " " + c2 + " ")
       val affected = st.filter(adj)
-      val rew = DedupOps.pin(affected
+      val rew = tr("rewpin", k) { DedupOps.pin(affected
         .select(col("w"), col("tf"), col("n").as("n0"),
           greedyMerge(split(col("rep"), " "), c1, c2).as("sy"))
         .select(col("w"), col("tf"), col("n0"), size(col("sy")).as("n"),
           array_join(col("sy"), " ").as("rep")),
-        reliable)
-      val delta = pairRows(affected)
-        .select(col("c1"), col("c2"), (-col("tf")).as("d"))
-        .unionByName(pairRows(rew)
-          .select(col("c1"), col("c2"), col("tf").as("d")))
-        .groupBy(col("c1"), col("c2")).agg(sum(col("d")).as("d"))
+        reliable) }
+      // pc ∪ ±delta → ONE aggregate, not a full_outer join (r17): the
+      // join shape shuffled BOTH sides and ran two stages per round —
+      // the round's critical-path job (85 ms/round traced at sf0.1, vs
+      // 20/25 ms for argmax/rew). sum(pc, −old pairs, +new pairs) per
+      // (c1, c2) is the identical 64-bit arithmetic (full_outer +
+      // coalesce-sum ≡ union + sum over the same addends), one shuffle.
       val pcNext = pc
       val pcF = Future { DedupOps.pin(
-        pcNext.join(delta, Seq("c1", "c2"), "full_outer")
-          .select(col("c1"), col("c2"),
-            (coalesce(col("pc"), lit(0L)) + coalesce(col("d"), lit(0L)))
-              .as("pc"))
+        pcNext.select(col("c1"), col("c2"), col("pc").as("d"))
+          .unionByName(pairRows(affected)
+            .select(col("c1"), col("c2"), (-col("tf")).as("d")))
+          .unionByName(pairRows(rew)
+            .select(col("c1"), col("c2"), col("tf").as("d")))
+          .groupBy(col("c1"), col("c2")).agg(sum(col("d")).as("pc"))
           .filter(col("pc") > 0),
         reliable) }
       val stPrev = st
@@ -1068,7 +1113,10 @@ object RelevanceOps {
           col("rep")))
         .coalesce(nPart),
         reliable) }
-      pc = Await.result(pcF, Duration.Inf)
+      pc = tr("pcawait", k) { Await.result(pcF, Duration.Inf) }
+      if (trace) System.err.println(s"[bpe-trace] round=$k nPart=$nPart " +
+        s"pcParts=${pc.rdd.getNumPartitions} stParts=${st.rdd.getNumPartitions} " +
+        s"rewParts=${rew.rdd.getNumPartitions}")
       picks += ((k, c1, c2, pcnt))
       rewPend ::= ((k, rew))
       k += 1
