@@ -1550,23 +1550,41 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val step = pin(ccHop(both, labels), reliable)
-      // Labels only ever decrease, so one unchanged hop IS the fixed point.
+      // Fused round (r17): the hop and TWO path-halving jumps
+      // materialize in ONE pin — one checkpoint + one driver job chain
+      // per round instead of three (the m11 timeline read 8 rounds ×
+      // {hop pin, jump pin, isEmpty} ≈ 64 tiny AQE stage-jobs ≈ 2 s of
+      // driver round-trips at sf0.1).
+      //
+      // Pointer-halving (the r13 10× lesson): one propagation hop moves
+      // a label ONE edge, so plain min-label propagation needs diameter
+      // hops. Following the label's own label (label ← label(label),
+      // the classic path-halving step of pointer-jumping CC — see also
+      // large-star/small-star) halves label depth per application; two
+      // applications per round quarter it — convergence in
+      // ~log₄(diameter) rounds for one extra equi-join inside the same
+      // materialization. Safe by monotonicity: label(x) ≤ x always, so
+      // jumped labels still only decrease and never leave the
+      // component.
+      //
+      // Convergence tested on the FUSED output is equivalent to testing
+      // the bare hop: labels only decrease through hop and jumps, so
+      // any change survives below `old`; and a hop fixed point is
+      // component-constant (label(u) ≤ label(v) across every
+      // symmetrized edge ⇒ equal), on which a jump is the identity —
+      // so "fused output unchanged" ⇔ "hop unchanged" ⇔ fixed point.
+      // Final labels are the component minima either way, so the output
+      // is identical to the unfused loop's.
+      // Round 1 is hop-only: the fused init already delivered hop 1's
+      // labels, so shallow graphs (exact-dup pairs/cliques — the common
+      // near-dup shape) converge HERE and never pay a jump join; deep
+      // chains start halving from round 2.
+      val hopped = ccHop(both, labels)
+      val step = pin(
+        if (iter == 0) hopped else ccJumpKeepOld(ccJumpKeepOld(hopped)),
+        reliable)
       converged = step.filter(col("label") =!= col("old")).isEmpty
       labels = step.select(col("id"), col("label"))
-      // Pointer-halving (the r13 10× lesson): one propagation hop moves a
-      // label ONE edge, so plain min-label propagation needs diameter
-      // hops — the 10× rehearsal corpus built a phash chain deeper than
-      // the hop budget. Following the label's own label each round
-      // (label ← label(label), the classic path-halving step of
-      // pointer-jumping CC — see also large-star/small-star) makes label
-      // depth halve per round on top of the hop's one-edge advance:
-      // convergence in O(log diameter) rounds for one extra equi-join
-      // per round. Safe by monotonicity: label(x) ≤ x always, so jumped
-      // labels still only decrease and never leave the component.
-      // Skipped on the converged round — the fixed point is already
-      // component-constant, a jump would be the identity.
-      if (!converged) labels = pin(ccJump(labels), reliable)
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter hops")
@@ -1905,5 +1923,15 @@ object DedupOps {
         cur.select(col("id").as("label"), col("label").as("__gl")),
         Seq("label"), "left")
       .select(col("id"),
+        coalesce(col("__gl"), col("label")).as("label"))
+
+  /** [[ccJump]] carrying the convergence column `old` through, so the
+    * fused hop+jump+jump round (r17) can test the fixed point on its
+    * one pinned output. Same join, same label arithmetic. */
+  private[operators] def ccJumpKeepOld(cur: DataFrame): DataFrame =
+    cur.join(
+        cur.select(col("id").as("label"), col("label").as("__gl")),
+        Seq("label"), "left")
+      .select(col("id"), col("old"),
         coalesce(col("__gl"), col("label")).as("label"))
 }

@@ -85,8 +85,15 @@ object GraphOps {
     var ranks = nodes.withColumn("rank_micro", lit(RankInitMicro))
     var i = 0
     while (i < iterations) {
-      ranks = DedupOps.pin(rankHop(edges, outw, nodes, ranks), reliable)
-      i += 1
+      // TWO hops chained per pin (r17): the same rankHop arithmetic in
+      // the same order, materialized every second hop — half the
+      // checkpoint writes and driver job chains for a bounded (2-hop)
+      // lineage depth per pin. Odd tails run the last hop alone.
+      val once = rankHop(edges, outw, nodes, ranks)
+      val fused = i + 1 < iterations
+      ranks = DedupOps.pin(
+        if (fused) rankHop(edges, outw, nodes, once) else once, reliable)
+      i += (if (fused) 2 else 1)
     }
     ranks.orderBy(col("rank_micro").desc, col("host"))
   }
