@@ -21,7 +21,10 @@ object JobTimeline {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_TL_AQE", "true"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_TL_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
