@@ -424,9 +424,19 @@ object DedupOps {
     val L = windowTokens
     docs.select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= L)
+      // hash the token SLICE directly (r17, guide step 4 "expressions in
+      // the hot path"): xxhash64 over array<string> hashes each element
+      // into the running seed — injective on token sequences exactly
+      // like the old concat_ws(' ') string (tokens never contain
+      // whitespace; both collide only at the 2^-64 ideal-hash rate), but
+      // skips building an O(window chars) string per position. The
+      // repeated-window SET is unchanged modulo that collision rate, so
+      // every consumer's output is identical (oracle compares raw window
+      // strings). The at-ingest leg (PipelineStreams.substringCut
+      // AgainstCorpus) changes in lockstep — one hash definition.
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(1, size(ts) - ${L - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(ts, i, $L))))"))
+          s"i -> xxhash64(slice(ts, i, $L)))"))
         .as(Seq("pos", "h")))
   }
 

@@ -1541,9 +1541,12 @@ object PipelineStreams {
       // guard BEFORE sequence: sequence(1, 0) is the DESCENDING [1, 0]
       // in Spark (the bpeTrainState lesson) — short docs get the empty
       // array, null text stays null and anchors a null-text row
+      // slice-hash form in lockstep with DedupOps.windowInstances (r17)
+      // — ONE window-hash definition, or the stream-static probe joins
+      // against an index keyed by a different hash and matches nothing
       .withColumn("hs", when(size(col("toks")) >= L, expr(
         s"transform(sequence(1, size(toks) - ${L - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $L))))"))
+          s"i -> xxhash64(slice(toks, i, $L)))"))
         .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
     // narrow leg: (ts, id, pos, h, within-doc-dup) int rows — text does
     // NOT ride the explode. dup = an earlier position holds the same
