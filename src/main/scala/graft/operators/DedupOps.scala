@@ -1894,14 +1894,24 @@ object DedupOps {
       .filter(col("shared_fp") >= minShared)
       .select(col("id_a"), col("id_b"),
         spans(col("ps_a")).as("sp_a"), spans(col("ps_b")).as("sp_b"))
-    def side(name: String, spansCol: String, docOf: Column): DataFrame =
-      paired.select(col("id_a"), col("id_b"), lit(name).as("side"),
-          docOf.as("doc_key"), posexplode(col(spansCol)).as(Seq("i", "sp")))
-        .select(col("id_a"), col("id_b"), col("side"), col("doc_key"),
-          (col("i") + 1).cast("int").as("span_idx"),
-          col("sp.s").as("s"), col("sp.e").as("e"))
-    val spanRows = side("a", "sp_a", col("id_a"))
-      .unionByName(side("b", "sp_b", col("id_b")))
+    // ONE explode chain over both sides (r17): the old per-side
+    // projection + unionByName consumed `paired` twice, re-running the
+    // anchor join + pair rollup once per side; exploding a 2-element
+    // side array first and the spans second yields the identical row
+    // set (every pair has ≥ 1 anchor per side, so both arrays are
+    // non-empty) from ONE pass over the pair rollup.
+    val spanRows = paired
+      .select(col("id_a"), col("id_b"), explode(array(
+          struct(lit("a").as("side"), col("id_a").as("doc_key"),
+            col("sp_a").as("sp")),
+          struct(lit("b").as("side"), col("id_b").as("doc_key"),
+            col("sp_b").as("sp")))).as("x"))
+      .select(col("id_a"), col("id_b"), col("x.side").as("side"),
+        col("x.doc_key").as("doc_key"),
+        posexplode(col("x.sp")).as(Seq("i", "sp")))
+      .select(col("id_a"), col("id_b"), col("side"), col("doc_key"),
+        (col("i") + 1).cast("int").as("span_idx"),
+        col("sp.s").as("s"), col("sp.e").as("e"))
     val toks = docs.select(col(idCol).as("doc_key"),
       graft.functions.TextFns.tokens(col(textCol)).as("toks"))
     spanRows.join(toks, Seq("doc_key"))
