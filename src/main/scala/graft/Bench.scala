@@ -128,8 +128,17 @@ object Bench {
 
   /** Environment snapshot for the audit block: MemAvailable/Cached (MB)
     * from /proc/meminfo + system uptime (s) — the page-cache state that
-    * drove the r5 bench variance, readable from the artifact instead of
-    * re-measured out-of-band. Best-effort: -1 when unreadable.
+    * drove the r5 bench variance — plus the EFFECTIVE-CPU telemetry the
+    * r17 adjudication lacked (a ~15-query cluster read 2–15× slower at
+    * local[32] than local[8] in one environment and nothing in the
+    * artifact could say whether 32 usable cores actually existed):
+    * `procs` = what the JVM (and so `local[$SPARK_GRAFT_CPUS]`'s task
+    * threads) can actually use after cgroup/cpuset limits, `quota_pct` =
+    * the cgroup CPU bandwidth cap in percent (v2 cpu.max or v1
+    * cfs_quota/cfs_period; -1 = unlimited/unreadable), `load1_x100` =
+    * 1-minute loadavg ×100 — competing load at snapshot time. Readable
+    * from the artifact instead of re-measured out-of-band. Best-effort:
+    * -1 when unreadable.
     */
   private[graft] def envSnapshot(): Seq[(String, Long)] = {
     def readAll(path: String): Seq[String] =
@@ -144,9 +153,33 @@ object Bench {
       try readAll("/proc/uptime").headOption
         .map(_.split("\\s+")(0).toDouble.toLong).getOrElse(-1L)
       catch { case _: Throwable => -1L }
+    val quotaPct = {
+      // cgroup v2 ("max 100000" | "<quota_us> <period_us>") first, then v1
+      val v2 = readAll("/sys/fs/cgroup/cpu.max").headOption.flatMap { l =>
+        l.split("\\s+") match {
+          case Array("max", _) => Some(-1L)
+          case Array(q, p) => try Some(q.toLong * 100 / p.toLong)
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      }
+      def v1Num(p: String) = readAll(p).headOption.flatMap(s =>
+        try Some(s.trim.toLong) catch { case _: Throwable => None })
+      v2.orElse(for {
+        q <- v1Num("/sys/fs/cgroup/cpu/cpu.cfs_quota_us")
+        p <- v1Num("/sys/fs/cgroup/cpu/cpu.cfs_period_us")
+      } yield if (q < 0) -1L else q * 100 / p).getOrElse(-1L)
+    }
+    val load1 =
+      try readAll("/proc/loadavg").headOption
+        .map(l => (l.split("\\s+")(0).toDouble * 100).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     Seq("mem_avail_mb" -> mb("MemAvailable"),
       "cached_mb" -> mb("Cached"),
-      "uptime_s" -> uptime)
+      "uptime_s" -> uptime,
+      "procs" -> Runtime.getRuntime.availableProcessors().toLong,
+      "quota_pct" -> quotaPct,
+      "load1_x100" -> load1)
   }
 
   def main(args: Array[String]): Unit = {

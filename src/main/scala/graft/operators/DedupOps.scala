@@ -415,7 +415,8 @@ object DedupOps {
     * disagree on what "repeated" means.
     */
   /** (id, pos, h) rows — every L-token window instance, 0-based start,
-    * xxhash64 of the space-joined window. ONE definition shared by the
+    * xxhash64 of the token SLICE (r17 — element-wise into the running
+    * seed, no space-joined string build). ONE definition shared by the
     * d19/d29 accounting, the d33 canonical aggregate, and the
     * [[windowHashIndex]] artifact, so no consumer can window-hash
     * differently. */
@@ -450,6 +451,15 @@ object DedupOps {
     * — a single corpus occurrence already canonicalizes over any later
     * arrival. At 100 TB this is written once per corpus release and is
     * (long)-rows-only.
+    *
+    * HASH-VERSION caveat (r17): the window-hash definition changed from
+    * xxhash64(concat_ws(' ', slice(ts, i, L))) to xxhash64(slice(ts, i,
+    * L)) — the two produce DIFFERENT hash values over the same windows,
+    * so any index artifact persisted before the change matches nothing
+    * probed by the new cut (a silent no-op, not an error). In-repo every
+    * index rebuilds at runtime; an operator persisting this artifact
+    * across releases must rebuild pre-r17 indexes (or tag files with a
+    * hash-version suffix) when upgrading.
     */
   def windowHashIndex(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame =

@@ -1019,6 +1019,34 @@ object RelevanceOps {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Loop-scoped codegen OFF (r18, guide §1.2 "per-task work" inverted:
+    // here the per-ROUND driver work is the wall): every round's frames
+    // embed fresh merge literals, so each of the ~3 plans per round pays
+    // whole-stage-codegen setup over KB-scale pinned state — measured
+    // 7.00 → 5.00 s best on t44 (32 rounds, sf0.1/c32, BpeLoopProbe
+    // best-of-3: default 7.00 / no-wscg 5.31 / interpreted 5.00, control
+    // re-run 6.84). Interpreted eval costs more per ROW, so this is
+    // gated on the pinned vocab's own AQE-coalesced partition count —
+    // a SIZE signal (~64 MB advisory target per partition), not a
+    // core-count tune: a corpus whose vocab spans > 2 partitions keeps
+    // codegen, because row-eval over a large vocab costs more per round
+    // than plan compilation saves. The setup aggregates above (corpus-
+    // sized) always run WITH codegen — only the loop body and the
+    // post-loop drains (affected-words-sized) run interpreted. Conf is
+    // session-level, so restore is in `finally`; the returned frames
+    // execute after restore and plan with codegen as before.
+    val sess = docs.sparkSession
+    val loopInterpreted = nPart <= 2
+    val codegenConfs = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val savedConfs: Seq[(String, Option[String])] =
+      if (!loopInterpreted) Nil
+      else codegenConfs.map { case (k, v) =>
+        val old = util.Try(sess.conf.get(k)).toOption
+        sess.conf.set(k, v)
+        (k, old)
+      }
+    try {
     val picks = Seq.newBuilder[(Int, String, String, Long)]
     // Deferred Σ tf·(n0−n) per round, drained in CHUNKS of `DrainRounds`
     // (one union-aggregate job per chunk): keeps the driver round-trip
@@ -1139,6 +1167,10 @@ object RelevanceOps {
       .toDF("rank", "c1", "c2", "pair_count", "tokens_after")
       .orderBy(col("rank"))
     (table, st.select(col("w"), col("tf"), col("n")))
+    } finally savedConfs.foreach {
+      case (k, Some(v)) => sess.conf.set(k, v)
+      case (k, None) => sess.conf.unset(k)
+    }
   }
 
   /** t41: corpus tokenization under the TRAINED merge table — the

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * marking (r13 What's-wrong #3): times the OLD per-element
   * `array_position` rescan (O(w²) per document) against the NEW single
   * sort pass over (hash, pos) pairs (O(w log w)) on synthetic long
-  * documents, batch-side — the expression is identical in the
-  * streaming leg, so per-row compute is what's under test, not the
+  * documents, batch-side — the dup-marking expression matches the
+  * streaming leg (and the window hash below matches the production
+  * r17 slice-hash form, so the timings measure the shipped
+  * expressions), so per-row compute is what's under test, not the
   * stateful wrapper. Also asserts the two flag vectors agree on every
   * run, so the timing table doubles as a differential check.
   *
@@ -42,8 +44,11 @@ object CutMicrobench {
         .select(col("doc_id"),
           graft.functions.TextFns.tokens(col("text")).as("toks"))
         .withColumn("hs", expr(
+          // the production window hash (r17 slice form — see
+          // DedupOps.windowInstances), so the micro-bench doesn't pay
+          // the abandoned concat_ws string build in its timings
           s"transform(sequence(1, size(toks) - ${L - 1}), " +
-            s"i -> xxhash64(concat_ws(' ', slice(toks, i, $L))))"))
+            s"i -> xxhash64(slice(toks, i, $L)))"))
       def run(dupExpr: String): Array[Long] = {
         var out: Array[Long] = null
         val secs = timed(() => {

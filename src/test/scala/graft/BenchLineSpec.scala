@@ -55,7 +55,9 @@ class BenchLineSpec extends AnyFunSuite {
       "runs_per_query" -> "3",
       "calib" -> """{"cpu":[99.999,99.999,99.999],"scan":[99.999,99.999,99.999],"cpu_end":99.999,"scan_end":99.999}""",
       "env" -> ("""{"mem_avail_mb":131072,"cached_mb":131072,"uptime_s":9999999,""" +
-        """"mem_avail_mb_end":131072,"cached_mb_end":131072,"uptime_s_end":9999999}"""))
+        """"procs":128,"quota_pct":12800,"load1_x100":12800,""" +
+        """"mem_avail_mb_end":131072,"cached_mb_end":131072,"uptime_s_end":9999999,""" +
+        """"procs_end":128,"quota_pct_end":12800,"load1_x100_end":12800}"""))
     val line = Bench.renderLine(names.map(_ -> 99.999), Seq.empty,
       "/root/testdata/sf0.1", short, extras)
     assert(line.length < 2650,
