@@ -59,6 +59,21 @@ object TextFns {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(ts), n))
   }
 
+  /** Hashed [[wordShingles]] (r18): xxhash64 of each distinct word
+    * n-gram, `array<bigint>`. The Jaccard-verify family ships THIS
+    * through its candidate-pair joins instead of the shingle strings —
+    * 8 bytes/shingle on the wire and a primitive-long set kernel per
+    * pair ([[SetMath.jaccardLong]]) instead of a UTF8String map. Set
+    * SIZES and intersections equal the string form's whenever xxhash64
+    * is injective on the document pair's shingles (collisions at the
+    * 2⁻⁶⁴ ideal rate — the r17 window-slice-hash argument; the oracle
+    * computes the same Jaccard from raw strings and stays green).
+    * Consumers that need shingle VALUES (decontamination, boilerplate
+    * df) keep [[wordShingles]].
+    */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
   /** [[wordShinglesFromTokens]] out of built-ins only (differential). */
   def wordShinglesFromTokensComposed(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))

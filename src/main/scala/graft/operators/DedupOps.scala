@@ -710,14 +710,22 @@ object DedupOps {
         posexplode(TextFns.lshBandKeys(col("sig"), k, bands))
           .as(Seq("band", "band_key")))
 
-  /** The shingle-set sibling of [[bandIndex]] — (id, shingles) rows for
-    * the exact-Jaccard verification step; same shared-definition rule.
+  /** The shingle-set sibling of [[bandIndex]] — (id, shingle HASHES)
+    * rows for the exact-Jaccard verification step; same
+    * shared-definition rule. r18: the set ships as xxhash64 values
+    * (`array<bigint>`, see [[TextFns.wordShingleHashes]]) — Jaccard
+    * over the hashed sets equals Jaccard over the strings modulo the
+    * 2⁻⁶⁴ ideal collision rate, and every consumer (batch d18/d20, the
+    * streaming near-dup legs) verifies through the same long kernel.
+    * HASH-VERSION caveat as [[windowHashIndex]]: a shingleIndex
+    * artifact persisted before r18 carries strings and matches nothing
+    * — rebuild (or version-tag) persisted indexes when upgrading.
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, outId: String = "cid",
       outSh: String = "shs"): DataFrame =
     docs.select(col(idCol).as(outId),
-      TextFns.wordShingles(col(textCol), shingleWords).as(outSh))
+      TextFns.wordShingleHashes(col(textCol), shingleWords).as(outSh))
 
   /** Shard key for a RELEASE-SERVED [[shingleIndex]] artifact: the
     * shingle table is ~corpus-sized (the corpus text re-materialized),
@@ -1157,9 +1165,12 @@ object DedupOps {
       shingleWords: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
     // one id-keyed exchange feeds both pair-side joins (r17, guide §2.4):
-    // the shingle pass over the corpus runs once, not once per branch
+    // the shingle pass over the corpus runs once, not once per branch.
+    // r18: HASHED shingles through the joins (8 B/shingle shipped, long
+    // set kernel per pair — see TextFns.wordShingleHashes; jaccard and
+    // the size guard are identical modulo the 2⁻⁶⁴ collision rate)
     val sh = docs.select(col(idCol).as("jid"),
-      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      TextFns.wordShingleHashes(col(textCol), shingleWords).as("sh"))
       .repartition(col("jid"))
     // size-ratio short-circuit before the set verify (r17, exact — see
     // lshTuningCurve): distinct shingle arrays give jaccard ≤ min/max
@@ -1213,7 +1224,8 @@ object DedupOps {
       .select(col(idCol).as("jid"),
         TextFns.shingleMinhash(
           TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
-        TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+        // r18: hashed shingles through the pair joins (see minhashVerified)
+        TextFns.wordShingleHashes(col(textCol), shingleWords).as("sh"))
       .repartition(col("jid"))
     def renamed(suffix: String) = side.select(col("jid").as(s"id_$suffix"),
       col("sig").as(s"sig_$suffix"), col("sh").as(s"sh_$suffix"))
@@ -1253,9 +1265,11 @@ object DedupOps {
       k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, k, bands, shingleWords)
     // one id-keyed exchange feeds both pair-side joins (r17, guide §2.4):
-    // the shingle pass over the corpus runs once, not once per branch
+    // the shingle pass over the corpus runs once, not once per branch.
+    // r18: hashed shingles (see minhashVerified) — array_intersect and
+    // the set sizes below count the same values modulo 2⁻⁶⁴ collisions
     val side = docs.select(col(idCol).as("jid"),
-      TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+      TextFns.wordShingleHashes(col(textCol), shingleWords).as("sh"))
       .repartition(col("jid"))
     cands
       .join(side.select(col("jid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -1327,7 +1341,8 @@ object DedupOps {
       .select(col(idCol).as("jid"),
         TextFns.shingleMinhash(
           TextFns.tokens(col(textCol)), shingleWords, k).as("sig"),
-        TextFns.wordShingles(col(textCol), shingleWords).as("sh"))
+        // r18: hashed shingles through the pair joins (see minhashVerified)
+        TextFns.wordShingleHashes(col(textCol), shingleWords).as("sh"))
       .repartition(col("jid"))
     def renamed(suffix: String) = side.select(col("jid").as(s"id_$suffix"),
       col("sig").as(s"sig_$suffix"), col("sh").as(s"sh_$suffix"))

@@ -160,7 +160,7 @@ object PipelineStreams {
     import graft.functions.TextFns
     val banded = docs
       .withWatermark(tsCol, delay)
-      .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
+      .withColumn("sh_b", TextFns.wordShingleHashes(col(textCol), shingleWords)) // r18: hashed, lockstep with shingleIndex
       .withColumn("sig", TextFns.shingleMinhash(
         TextFns.tokens(col(textCol)), shingleWords, k))
       .filter(col("sig").isNotNull)
@@ -210,7 +210,7 @@ object PipelineStreams {
     import graft.functions.TextFns
     val banded = docs
       .withWatermark(tsCol, delay)
-      .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
+      .withColumn("sh_b", TextFns.wordShingleHashes(col(textCol), shingleWords)) // r18: hashed, lockstep with shingleIndex
       .withColumn("sig", TextFns.shingleMinhash(
         TextFns.tokens(col(textCol)), shingleWords, k))
       .select(col(tsCol), col(idCol), col(textCol), col("sh_b"),
@@ -874,7 +874,7 @@ object PipelineStreams {
     val ndRows = gated
       .select(col(tsCol), col(idCol), col(textCol))
       .withColumn("toks__", TextFns.tokens(col(textCol)))
-      .withColumn("sh_b", TextFns.wordShingles(col(textCol), shingleWords))
+      .withColumn("sh_b", TextFns.wordShingleHashes(col(textCol), shingleWords)) // r18: hashed, lockstep with shingleIndex
       .withColumn("sig",
         TextFns.shingleMinhash(col("toks__"), shingleWords, k))
       .select(col(tsCol), col(idCol), col("sh_b"),

@@ -183,6 +183,34 @@ class NativeExprPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: jaccard_sim long kernel == composed on generated long arrays") {
+    // the r18 hashed-shingle representation: array<bigint> sides dispatch
+    // to SetMath.jaccardLong — same distinct/null semantics as the string
+    // kernel, checked bit-for-bit against the composed set-function form
+    val arr: Gen[Seq[java.lang.Long]] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(Long.MinValue, Long.MaxValue).map(java.lang.Long.valueOf),
+        Gen.const(null: java.lang.Long),
+        Gen.const(java.lang.Long.valueOf(0L))))) // 0 must not read as "empty slot"
+    val pairs = (1 to 4).flatMap(s =>
+      sample(Gen.listOfN(80, Gen.zip(arr, arr)), s)) ++
+      Seq((Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+        (Seq[java.lang.Long](1L, 1L, 2L), Seq[java.lang.Long](2L, 2L, 1L)),
+        (Seq[java.lang.Long](null, 7L), Seq[java.lang.Long](null, 9L)),
+        (Seq[java.lang.Long](0L), Seq[java.lang.Long](0L)),
+        (null, Seq[java.lang.Long](3L)), (Seq[java.lang.Long](3L), null),
+        (null, null))
+    val rows = pairs.toDF("a", "b").select(
+      TextFns.jaccard(col("a"), col("b")).as("fast"),
+      TextFns.jaccardComposed(col("a"), col("b")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("property: native asof == composed on generated keyed series") {
     val gen = for {
       nKeys <- Gen.choose(1, 6)
