@@ -1035,6 +1035,13 @@ object RelevanceOps {
     // post-loop drains (affected-words-sized) run interpreted. Conf is
     // session-level, so restore is in `finally`; the returned frames
     // execute after restore and plan with codegen as before.
+    // Loop-scoped AQE-off (static shuffle width = nPart) was ALSO tried
+    // here under the same gate (r18): despite the loop being joinless —
+    // so the CC-loop compact-mode failure mode (lost runtime join
+    // re-planning) cannot fire — it measured FAR worse (same-subset
+    // bench: t44 5.35→9.97, t46 5.65→10.0, t40 2.16→2.76). AQE's
+    // per-stage jobs are cheaper than whatever static planning costs on
+    // these per-round frames; reverted, AQE stays ON in the loop.
     val sess = docs.sparkSession
     val loopInterpreted = nPart <= 2
     val codegenConfs = Seq("spark.sql.codegen.wholeStage" -> "false",
