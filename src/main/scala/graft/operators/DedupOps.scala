@@ -1619,6 +1619,16 @@ object DedupOps {
         if (iter == 0) hopped else ccJumpKeepOld(ccJumpKeepOld(hopped)),
         reliable)
       converged = step.filter(col("label") =!= col("old")).isEmpty
+      // Deterministic release of the SUPERSEDED round state (r18, guide
+      // §5 "unpersist when done"): once `step` is materialized (and the
+      // convergence flag read), nothing ever reads the previous labels
+      // pin again — the loop reads `step`, the post-loop singleton join
+      // and the output read the FINAL labels only. Relying on driver GC
+      // + ContextCleaner instead keeps up to ~log₄(diameter) node-sized
+      // checkpoint snapshots alive at once (the r16 m12@100× two-run
+      // OOM class, in-query); the explicit unpin bounds live storage to
+      // current + in-flight. No-op for reliable pins (files).
+      unpin(labels)
       labels = step.select(col("id"), col("label"))
       iter += 1
     }

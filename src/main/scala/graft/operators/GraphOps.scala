@@ -83,6 +83,9 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("host")))
       .distinct(), reliable)
     var ranks = nodes.withColumn("rank_micro", lit(RankInitMicro))
+    // the initial ranks are a projection over the NODES pin (live for
+    // every hop) — only pins created by THIS loop are ever released
+    var prevRanksPin: DataFrame = null
     var i = 0
     while (i < iterations) {
       // TWO hops chained per pin (r17): the same rankHop arithmetic in
@@ -93,6 +96,11 @@ object GraphOps {
       val fused = i + 1 < iterations
       ranks = DedupOps.pin(
         if (fused) rankHop(edges, outw, nodes, once) else once, reliable)
+      // deterministic release of the superseded rank pin (r18, guide §5
+      // — see connectedComponents): dead once the new pin materialized;
+      // the final pin is never released (it IS the output)
+      if (prevRanksPin != null) DedupOps.unpin(prevRanksPin)
+      prevRanksPin = ranks
       i += (if (fused) 2 else 1)
     }
     ranks.orderBy(col("rank_micro").desc, col("host"))
