@@ -25,31 +25,37 @@ object Bench {
     if (v < 0) "-1"
     else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** RELATIVE-precision per-query rendering: 3dp below 1 s, 2dp from 1
-    * to 10 s, whole seconds at and above — the line-budget ladder (the
-    * keys are already at their floor: registry prefixes are unique).
-    * Run-to-run noise grows with the value (calib evidence: tens of ms
-    * on second-scale queries, seconds on ten-second ones), so each
-    * dropped digit carries no comparison signal at its tier;
+  /** RELATIVE-precision per-query rendering: 3dp below 0.1 s, 2dp from
+    * 0.1 to 10 s, whole seconds at and above — the line-budget ladder
+    * (the keys are already at their floor: registry prefixes are
+    * unique). Run-to-run noise grows with the value (calib evidence:
+    * tens of ms on sub-second queries, seconds on ten-second ones), so
+    * each dropped digit carries no comparison signal at its tier;
     * totals/medians keep full r3, and BENCH_FULL.json records every
-    * query at full r3. The ≥ 10 s tier is what bounds the WORST-CASE
-    * line ("100" vs "99.999" is 3 B × registry size) and keeps a
-    * 188-query registry well under the driver's ~2.9 KB tail capture. */
+    * query at full r3. r18 (VERDICT item 2, the r16 truncated-line
+    * lesson): the sub-second tier moved from 3dp to 2dp because the
+    * sub-second BULK of the registry is what actually bounds the line
+    * ("0.868" × ~160 queries — one byte per query, ~1/16 of the whole
+    * ~2.9 KB capture window — where ten-millisecond digits are pure
+    * noise), with 3dp kept below 0.1 s so short queries retain two
+    * significant digits. */
   private[graft] def rq(v: Double): String =
     if (v < 0) "-1"
     else {
       // branch on the ROUNDED value: v in [9.9995, 10) would otherwise
       // render "10.000" — a 10-second value with 3dp, flapping against
       // "10" across runs at the boundary. Same hazard one tier down:
-      // v in [9.995, 9.9995) passes the 3dp tier check (r < 10) but its
-      // 2dp rendering is "10.00" — so RE-CHECK the tier after the 2dp
-      // round and fall to whole seconds when it crossed. Display digits
-      // always round the RAW value (no double-rounding: 1.23456 must
-      // stay "1.23", not 3dp→1.235→2dp→"1.24").
+      // v in [0.0995, 0.1) passes the 3dp tier check (r < 0.1 fails —
+      // 3dp rounds it to 0.100, INTO the 2dp tier) and v in
+      // [9.995, 9.9995) passes the 2dp tier check (r < 10) but its 2dp
+      // rendering is "10.00" — so RE-CHECK the tier after each round
+      // and fall through when it crossed. Display digits always round
+      // the RAW value (no double-rounding: 1.23456 must stay "1.23",
+      // not 3dp→1.235→2dp→"1.24").
       val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       if (r >= 10)
         BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString
-      else if (r >= 1) {
+      else if (r >= 0.1) {
         val r2 = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         if (r2 >= 10)
           BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toString

@@ -100,10 +100,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.r3(-1.0) === "-1")
   }
 
-  test("relative per-query rendering: 3dp under 1 s, 2dp to 10 s, whole seconds above") {
-    assert(Bench.rq(0.12345) === "0.123")
-    assert(Bench.rq(0.9994) === "0.999")
-    assert(Bench.rq(0.9996) === "1.00") // boundary: rounds INTO the 2dp tier
+  test("relative per-query rendering: 3dp under 0.1 s, 2dp to 10 s, whole seconds above") {
+    assert(Bench.rq(0.012345) === "0.012")
+    assert(Bench.rq(0.0994) === "0.099")
+    assert(Bench.rq(0.0996) === "0.10") // boundary: rounds INTO the 2dp tier
+    assert(Bench.rq(0.12345) === "0.12") // r18: the sub-second bulk renders 2dp
+    assert(Bench.rq(0.994) === "0.99")
+    assert(Bench.rq(0.9994) === "1.00") // 2dp rounds [0.995, 1) up across the 1 s mark
     assert(Bench.rq(1.23456) === "1.23") // raw-value rounding, no 3dp→2dp double-round to "1.24"
     assert(Bench.rq(9.9946) === "9.99") // last value that stays in tier two
     assert(Bench.rq(9.9951) === "10") // 2dp would render "10.00": re-checked into the 0dp tier
