@@ -58,9 +58,19 @@ class BenchLineSpec extends AnyFunSuite {
         """"procs":128,"quota_pct":12800,"load1_x100":12800,""" +
         """"mem_avail_mb_end":131072,"cached_mb_end":131072,"uptime_s_end":9999999,""" +
         """"procs_end":128,"quota_pct_end":12800,"load1_x100_end":12800}"""))
-    val line = Bench.renderLine(names.map(_ -> 99.999), Seq.empty,
+    // Worst case over the DOMINANT value tier: every query at the widest
+    // [0.1 s, 10 s) rendering ("9.99", 4 B) — NOT 99.999, whose whole-second
+    // "100" is a byte NARROWER and silently under-estimated the budget
+    // through r17. (The sub-0.1 s tier is 5 B, but a value below 0.1 s
+    // needs a sub-100 ms noop action — under the measured per-action floor
+    // at the driver's sf0.1 — and each such query adds only 1 B, so the
+    // 4 B tier is the realistic ceiling.) The r17 driver parsed a ~2950 B
+    // line, so < 2900 keeps provable margin; at ~13 B per added registry
+    // entry this trips after a handful of additions, which is the signal
+    // to re-compact.
+    val line = Bench.renderLine(names.map(_ -> 9.994), Seq.empty,
       "/root/testdata/sf0.1", short, extras)
-    assert(line.length < 2650,
+    assert(line.length < 2900,
       s"bench line ${line.length} B — too close to the ~2.9 KB tail capture")
   }
 
